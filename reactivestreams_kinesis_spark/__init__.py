@@ -1,0 +1,25 @@
+"""reactivestreams_kinesis_spark — a PySpark-native analytics engine.
+
+A from-scratch engine with the query and data-processing capabilities of
+``msfrank/reactivestreams-kinesis`` (a Reactive Streams ``Publisher<Record>``
+over an AWS Kinesis shard — see ``/root/reference``), re-expressed Spark-first:
+
+- The reference's streaming surface (demand-bounded, offset-seekable,
+  limit/take-N, per-shard-ordered record stream; reference
+  ``ShardPublisher.java`` / ``ShardSubscription.java``) maps onto Structured
+  Streaming (``streaming/`` package).
+- The relational / LLM-data-pipeline operator library (mandated beyond the
+  reference's surface) is pure DataFrame API + Catalyst — no custom planner
+  rules, no RDDs, UDFs only where expressions can't reach
+  (``operators/``, ``functions/``, ``queries/``).
+
+Every query operator is registered in ``queries.registry`` with both a PySpark
+implementation and (where SQL-expressible) a DuckDB-compatible ANSI-SQL oracle,
+so the correctness harness can diff them on the same parquet fixtures.
+"""
+
+from reactivestreams_kinesis_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

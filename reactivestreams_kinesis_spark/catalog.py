@@ -1,0 +1,76 @@
+"""Fixture-table catalog: batch parquet scans (SURVEY.md §2.1 S5).
+
+One parquet file per table under a scale-factor directory
+(``/root/testdata/sf*/``). ``load_tables`` registers each as a temp view so
+operators can be written in either DataFrame or SQL form — Catalyst produces
+the same plan.
+
+At 100 TB these would be partitioned/bucketed parquet (or Iceberg/Delta)
+directories instead of single files; the reader surface is identical
+(``spark.read.parquet`` on a directory prunes partitions from pushed-down
+filters automatically), so nothing in the query layer changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Confs required for fixture parity, set defensively at runtime because
+    the correctness driver supplies its own SparkSession (not ``get_spark``):
+    nanos-as-long so TIMESTAMP(NANOS) parquet is readable, UTC session time
+    so TimestampType values collect identically to DuckDB's naive
+    timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch table scan (S5). Column pruning + predicate pushdown are left
+    to Catalyst — callers express filters declaratively.
+
+    ``events.ts`` is nanosecond-precision parquet; Spark reads it as int64
+    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to a
+    microsecond TimestampType here — the same truncation DuckDB applies
+    casting TIMESTAMP_NS → TIMESTAMP, keeping oracle parity (FIXTURES.md).
+    """
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, register_views: bool = True
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

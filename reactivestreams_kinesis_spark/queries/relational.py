@@ -1,0 +1,172 @@
+"""Relational core: projections, filters, computed columns, basic aggregation.
+
+SURVEY.md §2.3 (P2-P4) + §2.5 (A1). The reference engine exposes none of
+these (it streams opaque records — ``ShardSubscription.java:169-176`` emits
+``Record`` blobs untouched); they are [MANDATE] operators from the north-star
+plus the consumer-side decode lineage (P1, ``ShardProducerSpec.scala:41-42``).
+
+Float-determinism policy (applies to every money aggregate in this repo):
+source money/ratio columns are doubles holding ≤2-decimal values, so we cast
+to DECIMAL, do the arithmetic exactly (sums are then order-independent and
+engine-independent), ROUND in the decimal domain (half-up in both Spark and
+DuckDB for positives), and only then cast to DOUBLE for a stable output
+schema. Rounding raw double sums instead is a trap: accumulation order
+differs between engines and ROUND-at-a-half-boundary flips (observed locally:
+``ROUND(o_totalprice * 1.1, 2)`` → 9168.01 vs 9168.0). The shared SQL
+fragments below are used verbatim by both the Spark plan (``F.expr``) and
+the DuckDB oracle so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.registry import register
+
+# Exact-decimal aggregate fragments shared by Spark expr and DuckDB oracle.
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+Q1_AGGS = f"""
+        CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE)                              AS sum_qty,
+        CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE)                            AS sum_base_price,
+        CAST(ROUND(SUM({_PRICE} * (1 - {_DISC})), 2) AS DOUBLE)            AS sum_disc_price,
+        CAST(ROUND(SUM({_PRICE} * (1 - {_DISC}) * (1 + {_TAX})), 2) AS DOUBLE) AS sum_charge,
+        ROUND(CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*), 6)                   AS avg_qty,
+        ROUND(CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*), 6)                 AS avg_price,
+        ROUND(CAST(SUM({_DISC}) AS DOUBLE) / COUNT(*), 6)                  AS avg_disc,
+        COUNT(*)                                                           AS count_order
+"""
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {Q1_AGGS}
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("P3", "A1", "A6", "O1"),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → filter → hash agg → sort.
+
+    Scale notes: filter + column pruning push to the parquet scan; the
+    group-by has 6 distinct keys so partial (map-side) aggregation collapses
+    ~all rows before the single tiny shuffle. This shape is flat-scalable:
+    at 100 TB the scan dominates and parallelism is limited only by input
+    splits.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg_exprs = [
+        F.expr(frag.strip()) for frag in Q1_AGGS.split(",\n") if frag.strip()
+    ]
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*agg_exprs)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_FEE = "CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1, 2) AS DOUBLE)"
+
+
+@register(
+    "rel_projection_compute",
+    oracle=f"""
+    SELECT
+        o_orderkey,
+        o_custkey,
+        {_FEE}                       AS price_with_fee,
+        CASE WHEN o_totalprice >= 200000 THEN 'big'
+             WHEN o_totalprice >= 50000 THEN 'mid'
+             ELSE 'small' END        AS price_band,
+        o_orderstatus = 'F'          AS is_finished
+    FROM orders
+    """,
+    tags=("P2", "P4"),
+)
+def rel_projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + computed columns (P2, P4): pure narrow map, no shuffle.
+
+    ``ReadSchema`` in the physical plan must show only the 4 source columns.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(_FEE).alias("price_with_fee"),
+        F.when(F.col("o_totalprice") >= 200000, "big")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+        (F.col("o_orderstatus") == "F").alias("is_finished"),
+    )
+
+
+@register(
+    "rel_filter_predicates",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      AND c_acctbal BETWEEN 0 AND 9000
+      AND c_name LIKE 'Customer%'
+      AND c_nationkey IS NOT NULL
+    """,
+    tags=("P3",),
+)
+def rel_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate mix (P3): IN / range / LIKE / null-check — all of which
+    Catalyst pushes into the parquet scan (visible as ``PushedFilters``).
+    ``c_acctbal`` passes through unmodified (no arithmetic → bit-identical)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_acctbal").between(0, 9000)
+        & F.col("c_name").like("Customer%")
+        & F.col("c_nationkey").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "rel_decode_take",
+    oracle="""
+    SELECT event_id, event_type, CAST(props AS VARCHAR) AS payload_text
+    FROM events
+    ORDER BY event_id
+    LIMIT 10
+    """,
+    tags=("P1", "F4", "F9", "O2"),
+)
+def rel_decode_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical consumer flow, batch analog: source →
+    ordered take(N) → decode payload.
+
+    Lineage: commented integration test ``ShardProducerSpec.scala:40-44``
+    (``Flow(kinesis).take(3).map(bytes → String)``), limit semantics
+    ``ShardSubscription.java:67-68,174-182`` (F4), per-shard
+    sequence-number order ``ShardSubscription.java:163-171`` (F9) — here
+    ``event_id`` plays the sequence-number role. Catalyst compiles
+    orderBy+limit to TakeOrderedAndProject (no global sort at scale).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.orderBy("event_id")
+        .limit(10)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("props").cast("string").alias("payload_text"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Shared fixtures: one SparkSession per test session + the DuckDB oracle.
+
+``assert_matches_oracle`` mirrors the driver's compare contract
+(``__spark_entry__`` docstring): row count, column names sorted, and
+order-insensitive value comparison — exact for non-floats, tiny-tolerance
+for floats (registered queries round floats themselves so even a bit-exact
+hash would agree; the tolerance here just avoids false local failures).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from reactivestreams_kinesis_spark.catalog import TABLE_NAMES, table_path
+from reactivestreams_kinesis_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="rsk-spark-tests", cpus=8, shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(SF_DIR, name)}')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    if hasattr(v, "isoformat"):  # datetime/date — engine-neutral text form
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _sort_key(row):
+    return tuple(
+        (x is None, str(type(x).__name__), str(x)) for x in row
+    )
+
+
+def rows_sorted_by_colname(df_pandas):
+    cols = sorted(df_pandas.columns)
+    recs = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(recs, key=_sort_key)
+
+
+def _cells_equal(a, b, rel=1e-6, abs_tol=1e-9) -> bool:
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        return math.isclose(a, float(b), rel_tol=rel, abs_tol=abs_tol)
+    if isinstance(b, float) and isinstance(a, (int, float)):
+        return math.isclose(float(a), b, rel_tol=rel, abs_tol=abs_tol)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y, rel, abs_tol) for x, y in zip(a, b))
+    return a == b
+
+
+def assert_matches_oracle(spark_df, oracle_con, oracle_sql: str):
+    import pandas as pd  # noqa: F401
+
+    spark_pd = spark_df.toPandas()
+    duck_pd = oracle_con.execute(oracle_sql).df()
+
+    s_cols, s_rows = rows_sorted_by_colname(spark_pd)
+    d_cols, d_rows = rows_sorted_by_colname(duck_pd)
+
+    assert s_cols == d_cols, f"column mismatch: spark={s_cols} duckdb={d_cols}"
+    assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        assert _cells_equal(sr, dr), f"row {i} mismatch:\n  spark : {sr}\n  duckdb: {dr}"
