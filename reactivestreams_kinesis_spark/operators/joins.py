@@ -1,0 +1,83 @@
+"""Join operators Spark lacks natively (SURVEY.md §2.4 J5-J7).
+
+The reference is single-stream (``ShardPublisher.java:16`` — one
+``Publisher<Record>``; no join surface anywhere in its 3 main files), so all
+joins are [MANDATE]. Equi/outer/semi/anti/cross joins are native DataFrame
+calls used directly in ``queries/joins.py``; this module composes the ones
+that need a strategy: the as-of (nearest-prior) join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join (J7): for each left row, attach the payload of the latest
+    right row with ``right_ts <= left_ts`` and the same ``on`` key.
+
+    Spark has no native ASOF JOIN (DuckDB does — the oracle uses it), so
+    this composes one with the union+last(ignorenulls) merge:
+
+    1. tag right rows (is_right=1) and left rows (is_right=0), union them
+       with aligned schemas;
+    2. single window per key ordered by (ts, is_right DESC) — at equal
+       timestamps the right row sorts first, making the match inclusive;
+    3. ``last(payload, ignorenulls=True)`` over an unbounded-preceding frame
+       fills the latest right payload forward;
+    4. keep only left rows.
+
+    Scale rationale: this is ONE shuffle + sort of |L|+|R| rows — the same
+    cost as a sort-merge join — versus the naive equi-join+filter+rank
+    composition which materializes |L_k|×|R_k| pairs per key before ranking
+    (quadratic in key skew, lethal at 100 TB). Right rows must be unique per
+    (key, ts) for a deterministic result — pre-dedup with a row_number if
+    they are not.
+
+    ``how='left'`` keeps unmatched left rows (payload nulls), ``'inner'``
+    drops them.
+    """
+    left_cols = left.columns
+    tagged_right = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c != on],
+    )
+    tagged_left = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload],
+        *[F.col(c) for c in left_cols if c != on],
+    )
+    merged = tagged_right.unionByName(tagged_left)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
+            for c in payload
+        ],
+    )
+    out = filled.filter(F.col("__is_right") == 0).select(
+        F.col(on), *[F.col(c) for c in left_cols if c != on], *payload
+    )
+    if how == "inner":
+        out = out.dropna(subset=[payload[0]])
+    return out

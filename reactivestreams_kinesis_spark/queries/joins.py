@@ -1,1 +1,313 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Join operators (SURVEY.md §2.4 J1-J8) — all [MANDATE], the reference is
+single-stream only (``ShardPublisher.java:16``).
+
+Broadcast policy: dimension tables (region/nation/supplier/part/customer at
+small SF) get explicit ``F.broadcast`` hints where a 100 TB fact side makes
+shuffle avoidance decisive; Catalyst/AQE would pick most of these itself,
+the hint pins the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.joins import asof_join
+from reactivestreams_kinesis_spark.queries.registry import register
+
+_REVENUE = (
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
+)
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT
+        n_name,
+        {_REVENUE} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("J1", "A1", "O1"),
+    bench=True,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join (J1): fact-fact join on orderkey plus
+    broadcast dimension joins.
+
+    Scale shape: lineitem⋈orders is the only big shuffle (both sides hashed
+    on orderkey); supplier/nation/region/customer ride broadcast hash joins,
+    so no other exchange touches the fact table. The date filter prunes at
+    the orders parquet scan before the join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.expr(_REVENUE).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT
+        l_orderkey,
+        {_REVENUE} AS revenue,
+        o_orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "A1", "O2"),
+    bench=True,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + top-K (J1, O2). Revenue is decimal-exact so
+    the DESC ordering under LIMIT is identical across engines."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_REVENUE).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT
+        c_custkey,
+        COUNT(o_orderkey) AS n_orders,
+        CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE)
+            AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("J2", "A1"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (J2) preserving customers with zero orders —
+    COUNT(col) skips the null-extended rows, COALESCE zeroes the sum."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.expr(
+                "CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE)"
+            ).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    """,
+    tags=("J3",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (J3) ≡ EXISTS: emits each matching left row once, no
+    duplication, and the right side never leaves the join — at scale the
+    probe table streams against a broadcast/hashed key set."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("J3",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (J3) ≡ NOT EXISTS — the dedup-against-reference-set
+    primitive (X2's incremental form)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_cross_dims",
+    oracle="""
+    SELECT
+        r_name,
+        n_name,
+        n_regionkey = r_regionkey AS is_home_region
+    FROM region
+    CROSS JOIN nation
+    """,
+    tags=("J4",),
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (J4) of two bounded dims — the only safe cross-join shape
+    at scale (|R|×|N| stays constant as facts grow); big×big cross joins
+    are instead LSH-bucketed (X1/X3)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home_region"),
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT
+        s_suppkey,
+        COUNT(c_custkey) AS n_peer_customers
+    FROM supplier
+    LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+    tags=("J5", "J6"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range-predicate theta join (J5/J6): customers whose balance is
+    within ±100 of each supplier's. Physically BroadcastNestedLoopJoin with
+    the supplier side broadcast; the scale path for big×big range joins is
+    bucketing both sides by floor(value/width) and equi-joining adjacent
+    buckets (same trick as the LSH band join, X3)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal").between(F.col("s_acctbal") - 100, F.col("s_acctbal") + 100)
+    return (
+        supplier.join(customer, cond, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_peer_customers"))
+    )
+
+
+@register(
+    "join_asof_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+        ) WHERE rn = 1
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+        p.event_id,
+        p.user_id,
+        p.value,
+        c.event_id AS click_event_id,
+        c.ts       AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("J7",),
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7): attribute each purchase to the user's latest prior
+    click. Spark has no ASOF JOIN, so this uses the union+merge composition
+    in ``operators.joins.asof_join`` (one sort-merge-shaped pass — see that
+    docstring for why the rank-over-pairs alternative dies at scale). The
+    oracle uses DuckDB's native ASOF LEFT JOIN. Clicks are pre-deduped per
+    (user, ts) so the nearest-prior row is unique → deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases.withColumnRenamed("event_id", "purchase_event_id"),
+        clicks.withColumnRenamed("event_id", "click_event_id").withColumnRenamed(
+            "ts", "click_ts"
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_event_id", "click_ts"],
+        how="left",
+    )
+    return joined.select(
+        F.col("purchase_event_id").alias("event_id"),
+        "user_id",
+        "value",
+        "click_event_id",
+        "click_ts",
+    )

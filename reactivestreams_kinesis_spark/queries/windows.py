@@ -1,1 +1,159 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Window functions (SURVEY.md §2.6 W1-W4) — all [MANDATE].
+
+Determinism: ``rank``/``dense_rank`` are value-deterministic under ties;
+``row_number``/``ntile``/frames are not, so every such ORDER BY carries a
+unique tie-breaker key.
+
+Scale note: a window spec = one shuffle on its partition keys; specs sharing
+partitioning reuse the exchange. A window with no PARTITION BY collapses to a
+single task — never used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.registry import register
+
+
+@register(
+    "win_rank_customers",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_nationkey,
+        c_acctbal,
+        RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+        DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    tags=("W1",),
+)
+def win_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions (W1) partitioned by nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    by_bal_key = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(by_bal).alias("bal_rank"),
+        F.dense_rank().over(by_bal).alias("bal_dense_rank"),
+        F.row_number().over(by_bal_key).alias("rn"),
+        F.ntile(4).over(by_bal_key).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead_events",
+    oracle="""
+    SELECT
+        user_id,
+        event_id,
+        value,
+        LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+    FROM events
+    """,
+    tags=("W2",),
+)
+def win_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions (W2) over per-user event time-lines — values pass
+    through untouched so cross-engine parity is bit-exact."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+_RUNNING = (
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+)
+# Moving average via exact decimal sum / exact count — engines disagree on
+# double accumulation inside sliding frames (DuckDB uses a segment tree),
+# so AVG(double) OVER a frame is not cross-engine-stable.
+_MAVG = (
+    "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / COUNT(*) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)"
+)
+
+
+@register(
+    "win_running_total",
+    oracle=f"""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        {_RUNNING} AS running_spend,
+        {_MAVG} AS moving_avg_3
+    FROM orders
+    """,
+    tags=("W3",),
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec running aggregates (W3). The running sum uses exact
+    DECIMAL accumulation (same fragment as the oracle); the 3-row moving
+    average sums ≤3 bit-identical doubles left-to-right in both engines so
+    it stays exact without rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(_RUNNING).alias("running_spend"),
+        F.expr(_MAVG).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+    tags=("W4",),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (W4) — the pattern that also powers similarity top-k
+    (X1). Spark ≥3.5 pushes the rn<=3 filter into the window sort
+    (WindowGroupLimit) so each partition only keeps K rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

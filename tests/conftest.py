@@ -51,8 +51,10 @@ def _normalize_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_normalize_cell(x) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar → python scalar
+        return _normalize_cell(v.item())
     if hasattr(v, "isoformat"):  # datetime/date — engine-neutral text form
         return v.isoformat()
     if isinstance(v, bytes):
