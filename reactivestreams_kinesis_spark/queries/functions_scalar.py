@@ -1,1 +1,223 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Scalar function library (SURVEY.md §2.8) — all [MANDATE].
+
+The reference never interprets payload bytes (the consumer decodes —
+``ShardProducerSpec.scala:41-42``); this is the expression surface a query
+engine owes its users. All functions here are built-in Catalyst expressions
+(JVM-side, codegen'd) — zero Python in the row path.
+
+Cross-engine notes baked into the oracles:
+- ``dayofweek``: Spark is 1=Sunday, DuckDB 0=Sunday → oracle adds 1;
+- transcendental fns (log, sqrt on non-squares) round to 6dp — libm last-ulp
+  differences are real;
+- list results are sorted before comparison where order is unspecified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT
+        p_partkey,
+        LOWER(p_name)                                   AS name_lower,
+        UPPER(p_brand)                                  AS brand_upper,
+        TRIM(p_type)                                    AS type_trim,
+        SUBSTRING(p_name, 1, 8)                         AS name_prefix,
+        CONCAT_WS('|', p_brand, p_type)                 AS brand_type,
+        LENGTH(p_name)                                  AS name_len,
+        REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g')     AS name_devoweled,
+        REGEXP_EXTRACT(p_type, '([A-Z]+)', 1)           AS type_first_word,
+        LEVENSHTEIN(p_brand, 'Brand#00')                AS brand_dist
+    FROM part
+    """,
+    tags=("§2.8-string",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family. Note DuckDB regexp_replace needs the 'g'
+    flag to match Spark's replace-all default."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_first_word"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#00")).alias("brand_dist"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(YEAR(o_orderdate) AS INT)             AS order_year,
+        CAST(MONTH(o_orderdate) AS INT)            AS order_month,
+        CAST(DAYOFWEEK(o_orderdate) + 1 AS INT)    AS order_dow,
+        DATE_TRUNC('month', o_orderdate)           AS order_month_start,
+        CAST(EPOCH(o_orderdate) AS BIGINT)         AS order_epoch,
+        CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT)
+                                                   AS days_to_y2k
+    FROM orders
+    """,
+    tags=("§2.8-datetime",),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. DuckDB DAYOFWEEK is 0=Sunday vs Spark's 1=Sunday
+    (oracle adds 1); EPOCH ≡ unix_timestamp under a UTC session."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT
+        p_partkey,
+        ABS(p_size - 25)                       AS size_dev,
+        CAST(POW(p_size, 2) AS DOUBLE)         AS size_sq,
+        ROUND(SQRT(p_retailprice), 6)          AS price_sqrt,
+        ROUND(LN(p_retailprice), 6)            AS price_ln,
+        FLOOR(p_retailprice / 100)             AS price_bucket,
+        CEIL(p_retailprice / 100)              AS price_bucket_hi,
+        p_partkey % 7                          AS key_mod
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+    tags=("§2.8-math",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Integer-valued results (abs/pow-of-int/floor/ceil/mod)
+    are exact; sqrt is IEEE-exact but ln rounds to 6dp for libm parity."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return part.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.pow("p_size", 2).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_bucket_hi"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "fn_array_vector",
+    oracle="""
+    SELECT
+        vec_id,
+        CAST(LEN(embedding) AS INT)  AS dim,
+        embedding[1]                 AS first_component,
+        ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm,
+        ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+              x -> CAST(x AS DOUBLE)), 'sum'), 6)                     AS comp_sum,
+        CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT)          AS n_positive
+    FROM embeddings
+    """,
+    tags=("§2.8-array", "X1-prep"),
+)
+def fn_array_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order family over the embedding vectors (the X1
+    building blocks): size, indexing, fold (dot-with-self), filter. All
+    JVM-side higher-order functions — no UDF for vector math."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+            6,
+        ).alias("comp_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT
+        event_id,
+        json_extract_string(props, '$.k')                  AS k_text,
+        CAST(json_extract_string(props, '$.k') AS INT)     AS k_int,
+        json_extract_string(props, '$.missing') IS NULL    AS missing_is_null
+    FROM events
+    """,
+    tags=("§2.8-json",),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the semi-structured ``events.props`` column —
+    schema-on-read decode, the engine-side version of the reference's
+    consumer-side payload deserialization (P1)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_text"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "fn_conditional_null",
+    oracle="""
+    SELECT
+        s_suppkey,
+        COALESCE(NULLIF(s_name, ''), 'unknown')     AS name_or_unknown,
+        CASE WHEN s_acctbal < 0 THEN 'debt'
+             WHEN s_acctbal = 0 THEN 'zero'
+             ELSE 'credit' END                      AS balance_class,
+        IFNULL(NULLIF(s_nationkey, 0), -1)          AS nation_or_neg1,
+        s_acctbal IS NOT NULL                       AS has_balance
+    FROM supplier
+    """,
+    tags=("§2.8-conditional",),
+)
+def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling family: COALESCE, NULLIF, CASE, IFNULL."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_unknown"
+        ),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") == 0, "zero")
+        .otherwise("credit")
+        .alias("balance_class"),
+        F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_or_neg1"
+        ),
+        F.col("s_acctbal").isNotNull().alias("has_balance"),
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Similarity search over embeddings (SURVEY.md §2.10 X1, X6) — all [MANDATE].
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the 100 TB path (it replaces the query×corpus cross join with a
+bucket equi-join). Embedding-cosine near-dup pairs use label blocking the
+same way MinHash bands block Jaccard (X3).
+
+All vector math is higher-order expressions (``functions.vector``) — JVM
+codegen, no UDF. Hyperplanes for LSH are derived from md5 (hashlib and the
+engines' MD5 agree), inlined as literal arrays into BOTH the Spark plan and
+the DuckDB oracle — seeded determinism per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.functions.vector import (
+    duckdb_cosine,
+    duckdb_dot,
+    spark_cosine,
+    spark_dot,
+)
+from reactivestreams_kinesis_spark.queries.registry import register
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+DIM = 64
+N_HYPERPLANES = 4  # 16 buckets over the 500-vector corpus
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+        SELECT
+            q.query_id,
+            c.vec_id AS neighbor_id,
+            ROUND({duckdb_cosine('qv', 'cv')}, 6) AS cosine
+        FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("X1", "J4", "W4"),
+    bench=True,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (X1 baseline): broadcast the tiny query set
+    against the corpus, score with codegen'd zip_with/aggregate, keep top-k
+    per query via the W4 window pattern.
+
+    Scale shape: the corpus side never shuffles — queries broadcast, scoring
+    is a narrow map, and WindowGroupLimit keeps only k rows per query per
+    partition before the final tiny exchange. Ranking uses the ROUNDED
+    cosine (+ neighbor_id tie-break) so ordering is engine-deterministic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(spark_cosine("qv", "cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+COSINE_PAIR_THRESHOLD = 0.4
+
+
+@register(
+    "sim_neardup_blocked",
+    oracle=f"""
+    SELECT
+        a.vec_id AS vec_a,
+        b.vec_id AS vec_b,
+        ROUND({duckdb_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duckdb_cosine('a.embedding', 'b.embedding')} >= {COSINE_PAIR_THRESHOLD}
+    """,
+    tags=("X1", "X2"),
+)
+def sim_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking (X1/X2): the
+    equi-join on ``label`` turns all-pairs O(n²) into Σ|block|² — the same
+    blocking idea as LSH bands, using an existing cluster key. At 100 TB
+    the block key would itself be an LSH bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.expr(spark_cosine("a.embedding", "b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_PAIR_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """±1 hyperplanes from md5(seed, dim) — deterministic and identical to
+    what any engine would derive, inlined as literals on both sides."""
+    planes = []
+    for s in range(N_HYPERPLANES):
+        row = []
+        for i in range(DIM):
+            digest = hashlib.md5(f"{s}_{i}".encode()).hexdigest()
+            row.append(1.0 if digest[0] in "89abcdef" else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_sql(vec: str, dot_fn) -> str:
+    """Bucket id = Σ 2^s · [dot(vec, plane_s) > 0], with plane literals.
+    Array literal syntax differs per engine: Spark ``array(...)``,
+    DuckDB ``[...]`` — selected off which dot builder we were handed."""
+    array_fmt = "array({})" if dot_fn is spark_dot else "[{}]"
+    terms = []
+    for s, plane in enumerate(_hyperplanes()):
+        lit = array_fmt.format(", ".join(f"CAST({v} AS DOUBLE)" for v in plane))
+        terms.append(f"(CASE WHEN {dot_fn(vec, lit)} > 0 THEN {2 ** s} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_bucket_sql('embedding', duckdb_dot)} AS bucket
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id, embedding AS cv,
+               {_bucket_sql('embedding', duckdb_dot)} AS bucket
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT
+            q.query_id,
+            c.vec_id AS neighbor_id,
+            ROUND({duckdb_cosine('qv', 'cv')}, 6) AS cosine
+        FROM q JOIN c ON q.bucket = c.bucket
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("X1",),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (X1 scale path): random-hyperplane
+    signatures bucket the corpus; each query only scores its own bucket
+    (an equi-join) instead of the full cross join. With B buckets this
+    cuts scored pairs ~B×; recall is tuned by bucket count and multi-probe
+    — here 2^{N_HYPERPLANES} buckets demonstrate the plan shape. The
+    brute-force twin (``sim_cosine_topk``) is the recall oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.expr(_bucket_sql("embedding", spark_dot))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        bucket.alias("bucket"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        bucket.alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(spark_cosine("qv", "cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "sim_embed_enrich",
+    oracle=f"""
+    SELECT
+        d.lang,
+        e.label,
+        COUNT(*) AS n_docs,
+        ROUND(AVG({duckdb_dot('e.embedding', 'e.embedding')}), 6) AS avg_sq_norm,
+        ROUND(AVG(d.n_chars), 6) AS avg_chars
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+    tags=("X6", "J1"),
+)
+def sim_embed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document–embedding enrichment join (X6): equi-join on id, then
+    per-(lang, label) aggregates mixing text and vector features."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.expr(spark_dot("embedding", "embedding"))), 6).alias(
+                "avg_sq_norm"
+            ),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

@@ -1,1 +1,275 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.10 X4).
+
+All [MANDATE] — the reference's payloads are opaque blobs; these operators
+give the engine a native text-processing surface: token statistics, quality
+scoring, language-ID heuristics, TF-IDF keyword extraction, and SimHash
+fingerprinting. Everything is built-in expressions (split / higher-order
+functions / md5) — no Python in the row path, so the whole family rides
+WholeStageCodegen and scales with the scan.
+
+Portability: scalar fragments (md5 nibbles, stopword membership, log-idf)
+are generated once and shared between the Spark plan and the DuckDB oracle
+where syntax allows; engine-specific list functions (``filter`` vs
+``list_filter``) keep identical math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT
+        doc_id,
+        lang,
+        n_chars,
+        CAST(LEN(string_split(text, ' ')) AS INT)                AS n_tokens,
+        CAST(LEN(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        ROUND((LENGTH(text) - LEN(string_split(text, ' ')) + 1.0)
+              / LEN(string_split(text, ' ')), 6)                 AS avg_token_len
+    FROM documents
+    """,
+    tags=("X4",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): whitespace tokenization + distinct-token and
+    average-length stats. Narrow map over the scan — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            (F.length("text") - F.size(toks) + F.lit(1.0)) / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT
+            doc_id,
+            LEN(string_split(text, ' '))                                  AS n_tokens,
+            LEN(list_filter(string_split(text, ' '), x -> x IN {_STOP_IN})) AS n_stop,
+            LEN(list_distinct(string_split(text, ' ')))                   AS n_distinct
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        CAST(n_tokens AS INT) AS n_tokens,
+        ROUND(n_stop / (n_tokens * 1.0), 6)     AS stopword_ratio,
+        ROUND(n_distinct / (n_tokens * 1.0), 6) AS ttr,
+        ROUND(LEAST(1.0, n_tokens / 50.0)
+              * (1.0 - n_stop / (n_tokens * 1.0))
+              * (n_distinct / (n_tokens * 1.0)), 6) AS quality_score
+    FROM t
+    """,
+    tags=("X4",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X4): length saturation × (1 − stopword ratio) ×
+    type-token ratio — the shape of a fastText-style heuristic filter,
+    expressed entirely in Catalyst expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    t = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(filter({toks}, x -> x IN {_STOP_IN}))").alias("n_stop"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_stop") / (F.col("n_tokens") * 1.0), 6).alias("stopword_ratio"),
+        F.round(F.col("n_distinct") / (F.col("n_tokens") * 1.0), 6).alias("ttr"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
+            * (1.0 - F.col("n_stop") / (F.col("n_tokens") * 1.0))
+            * (F.col("n_distinct") / (F.col("n_tokens") * 1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_LANG_MARKERS = {
+    "de": ("der", "die", "und", "nicht"),
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "los", "y", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de5", "shi4", "le5", "zai4"),  # pinyin-ish placeholders
+}
+
+
+_LANG_CASE = """
+    CASE
+        WHEN s_en >= GREATEST(s_de, s_es, s_fr, s_zh) THEN 'en'
+        WHEN s_de >= GREATEST(s_es, s_fr, s_zh) THEN 'de'
+        WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+        WHEN s_fr >= s_zh THEN 'fr'
+        ELSE 'zh'
+    END
+"""
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT
+            doc_id,
+            lang,
+            {", ".join(
+                "LEN(list_filter(string_split(text, ' '), x -> x IN ("
+                + ", ".join(f"''{w}''".replace("''", chr(39)) for w in _LANG_MARKERS[lg])
+                + f"))) AS s_{lg}"
+                for lg in sorted(_LANG_MARKERS)
+            )}
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        lang AS labeled_lang,
+        {_LANG_CASE} AS detected_lang,
+        ({_LANG_CASE}) = lang AS agree
+    FROM scored
+    """,
+    tags=("X4",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (X4): stopword-marker voting with a fixed
+    priority order for ties (en > de > es > fr > zh, matching the CASE
+    ladder) so the argmax is deterministic. At 100 TB this is the shape of
+    the cheap first-pass filter before an expensive model-based IDer."""
+    docs = load_table(spark, sf_dir, "documents")
+    score_cols = [
+        F.expr(
+            "size(filter(split(text, ' '), x -> x IN ("
+            + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lg])
+            + ")))"
+        ).alias(f"s_{lg}")
+        for lg in sorted(_LANG_MARKERS)
+    ]
+    scored = docs.select("doc_id", "lang", *score_cols)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(_LANG_CASE).alias("detected_lang"),
+        (F.expr(_LANG_CASE) == F.col("lang")).alias("agree"),
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT
+            tf.doc_id, tf.term, tf.tf,
+            ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf, df, n
+        WHERE tf.term = df.term
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("X4", "W4"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (X4): explode → per-(doc,term) counts →
+    document-frequency join → top-3 terms per doc (W4 pattern). Ranking
+    uses the ROUNDED score (+ term tie-break) so ordering is cross-engine
+    deterministic. The df side is tiny (vocabulary) → broadcast join; the
+    big exploded side shuffles once on term."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, known at plan time (cheap metadata count)
+    exploded = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+def _simhash_fragments() -> tuple[list[str], str]:
+    """16-bit SimHash from the 16 md5 nibbles of each distinct token:
+    bit_i = sign of Σ_tokens (+1 if nibble_i ≥ 8 else −1). md5 hex is
+    identical in Spark and DuckDB so the fragments are engine-portable."""
+    high = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
+    bit_sums = [
+        f"SUM(CASE WHEN SUBSTRING(MD5(tok), {i}, 1) IN {high} THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(1, 17)
+    ]
+    fingerprint = "CAST(" + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2 ** (i - 1)} ELSE 0 END)" for i in range(1, 17)
+    ) + " AS BIGINT)"
+    return bit_sums, fingerprint
+
+
+_BIT_SUMS, _FINGERPRINT = _simhash_fragments()
+
+
+@register(
+    "text_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, {", ".join(_BIT_SUMS)}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_FINGERPRINT} AS simhash16
+    FROM bits
+    """,
+    tags=("X4", "X3"),
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprinting (X4/X3): near-identical documents get
+    equal or near-equal (small Hamming distance) 16-bit fingerprints, so
+    grouping by fingerprint is an O(n) near-dup blocking key. One explode +
+    one hash-agg — scales with token count, not document pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    bits = toks.groupBy("doc_id").agg(*[F.expr(s) for s in _BIT_SUMS])
+    return bits.select("doc_id", F.expr(_FINGERPRINT).alias("simhash16"))
