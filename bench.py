@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries are the registry entries flagged ``bench=True`` — one per
+major operator family (scan+agg, fact-fact join, 6-table join, window,
+MinHash LSH dedup, vector top-k). Each is executed to completion through the
+noop sink (full plan runs, nothing materializes driver-side).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from reactivestreams_kinesis_spark.queries.registry import all_queries
+from reactivestreams_kinesis_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else -1.0
+
+    spark = get_spark(app_name="rsk-spark-bench")
+    queries = {name: q for name, q in all_queries().items() if q.bench}
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        q = queries[name]
+        # one warm-up pass amortizes JVM/codegen warm-up out of the numbers
+        if name == sorted(queries)[0]:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

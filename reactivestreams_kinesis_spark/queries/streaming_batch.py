@@ -1,1 +1,193 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Streaming queries under the correctness gate (SURVEY.md §2.9).
+
+These run REAL Structured Streaming queries (file source replay of the
+events fixture → AvailableNow → memory sink) and return the captured result
+as a DataFrame, so the DuckDB oracle can check streaming semantics end to
+end: tumbling-window aggregation (T3), streaming dedup (T6), and the
+arbitrary-stateful operator (T7) — each equivalent to a batch aggregate
+once the stream is fully drained. Plus the batch sessionization twin of the
+session window (T5) as portable gaps-and-islands SQL.
+
+Window-start arithmetic is epoch-aligned in both engines:
+Spark ``F.window`` origin is the epoch under a UTC session, and the oracle
+recomputes it as ``floor(epoch_us / width) * width``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.streaming.records import read_events_stream
+from reactivestreams_kinesis_spark.streaming.state import running_user_stats
+
+_6H_US = 6 * 3600 * 1_000_000
+
+
+def _run_to_memory(df, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame with AvailableNow into a memory sink and
+    return the captured table (completion semantics — F5)."""
+    name = f"capture_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_window_counts",
+    oracle=f"""
+    SELECT
+        make_timestamp(CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / {_6H_US}) AS BIGINT) * {_6H_US})
+            AS win_start,
+        event_type,
+        COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("T3", "A8", "T1"),
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (T3/A8), drained and compared
+    to the full batch GROUP BY: a real MicroBatchExecution run — trigger
+    (T1/F3), watermark (T2), windowed state — whose final complete-mode
+    output must equal the batch answer. Value sums use the decimal-exact
+    policy; event times are µs-truncated identically in both engines."""
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+    captured = _run_to_memory(windowed, "complete")
+    return captured.select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("T6",),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates (T6) across microbatches (rate-capped so
+    state genuinely carries between pulls), drained to the batch DISTINCT.
+    Output is keys only — first-seen non-key values are arrival-order
+    dependent by design, exactly like the reference's at-most-once replay
+    (SURVEY §4.3)."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T7",),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful operator (T7): applyInPandasWithState running
+    per-user stats; the last update per user must equal the batch
+    aggregate. Count and max are order-insensitive → exact parity (the
+    running double sum is intentionally excluded from the oracle)."""
+    stream = read_events_stream(spark, sf_dir)
+    stats = running_user_stats(stream)
+    captured = _run_to_memory(stats, "update")
+    return captured.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT
+            user_id,
+            event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+            CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > {_GAP_US}
+                      OR LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        session_id,
+        COUNT(*) AS n_events,
+        make_timestamp(MIN(ts_us)) AS session_start,
+        make_timestamp(MAX(ts_us)) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("T5", "W2", "W3"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (T5 twin): gaps-and-islands with a 30-minute
+    gap — lag to flag session starts, running sum to number sessions, then
+    per-session aggregates. The streaming ``session_window`` equivalent is
+    asserted in tests/test_streaming.py; this portable form is what both
+    engines can agree on exactly (µs integer timestamps, no floats)."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > _GAP_US)
+            | F.lag(ts_us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.timestamp_micros(F.min("ts_us")).alias("session_start"),
+        F.timestamp_micros(F.max("ts_us")).alias("session_end"),
+    )

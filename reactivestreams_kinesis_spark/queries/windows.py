@@ -109,6 +109,7 @@ _MAVG = (
     FROM orders
     """,
     tags=("W3",),
+    bench=True,
 )
 def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-spec running aggregates (W3). The running sum uses exact

@@ -1,0 +1,133 @@
+"""The standardized Kinesis record schema and fixture emulation (S1).
+
+Schema per SURVEY.md §1.2 — the de-facto record shape of public Spark
+Kinesis connectors, matching the three fields the reference actually touches
+(``data`` ``ShardPublisherVerification.scala:45``, ``partitionKey`` ``:46``,
+``sequenceNumber`` ``:47``) plus arrival timestamp and stream/shard
+addressing (``ShardPublisher.java:23-24``).
+
+No AWS in the harness (the reference's own live-network test is commented
+out — ``ShardProducerSpec.scala:20-53``), so streams are emulated: any
+DataFrame is projected to the record schema and replayed through the file
+source, which preserves per-shard ordering within a microbatch the same way
+a shard iterator does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reactivestreams_kinesis_spark.catalog import load_table
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("partitionKey", T.StringType()),
+        T.StructField("sequenceNumber", T.StringType()),
+        T.StructField("approximateArrivalTimestamp", T.TimestampType()),
+        T.StructField("streamName", T.StringType()),
+        T.StructField("shardId", T.StringType()),
+    ]
+)
+
+
+def events_as_records(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_name: str = "events",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Project the ``events`` fixture to the record schema: payload = JSON
+    of the event (the opaque-blob model — consumers decode, engine doesn't),
+    partitionKey = user_id, sequenceNumber = zero-padded event_id (monotone,
+    seekable), shard = hash(partitionKey) % n_shards exactly like Kinesis
+    routes partition keys to shards."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.to_json(F.struct("event_id", "event_type", "value", "props"))
+    return events.select(
+        payload.cast("binary").alias("data"),
+        F.col("user_id").cast("string").alias("partitionKey"),
+        F.format_string("%020d", F.col("event_id")).alias("sequenceNumber"),
+        F.col("ts").alias("approximateArrivalTimestamp"),
+        F.lit(stream_name).alias("streamName"),
+        F.concat(
+            F.lit("shardId-"),
+            F.format_string("%012d", F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(n_shards))),
+        ).alias("shardId"),
+    )
+
+
+def write_record_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 4,
+    **kwargs,
+) -> str:
+    """Materialize the record projection as ``n_files`` parquet files so the
+    file streaming source can replay them as multiple microbatches
+    (``maxFilesPerTrigger=1`` → one batch per file — the emulation of the
+    reference's per-tick GetRecords pages, ``ShardSubscription.java:139-150``).
+    Files are split on sequenceNumber ranges so arrival order ≈ sequence
+    order, like a shard replay."""
+    records = events_as_records(spark, sf_dir, **kwargs)
+    (
+        records.withColumn(
+            "__bucket",
+            F.ntile(n_files).over(Window.orderBy("sequenceNumber")),
+        )
+        .repartitionByRange(n_files, "__bucket")
+        .sortWithinPartitions("sequenceNumber")
+        .drop("__bucket")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The ``events`` fixture as a stream: file source over the same parquet
+    the batch catalog reads, with the same nanos→micros ts normalization.
+    This is how every streaming query in the harness replays event time."""
+    from reactivestreams_kinesis_spark.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def read_record_stream(
+    spark: SparkSession,
+    records_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded scan of the emulated shard (S1): file source projected to
+    the record schema. ``maxFilesPerTrigger`` is the demand cap (F1/F2):
+    each microbatch pulls at most that many files, exactly as the reference
+    sizes each fetch by outstanding demand (``ShardSubscription.java:141``)."""
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(records_dir)

@@ -1,0 +1,61 @@
+"""Arbitrary stateful streaming operator (T7): applyInPandasWithState.
+
+The reference's only state machine is the subscription itself (demand
+counter + FIFO queue + remaining-elements, ``ShardSubscription.java:36-45``);
+this module exposes the general-purpose replacement: user-defined state
+per key, managed by Spark with checkpointed fault tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
+_STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _running_stats(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum, max) across microbatches — the
+    canonical demand-free stateful fold. State survives batches (and
+    restarts, via the checkpoint) — exactly what the reference's in-memory
+    queue cannot do (``ShardSubscription.java:215-216``)."""
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Apply the stateful fold per user over a streaming events DataFrame.
+    Update output mode: each batch emits the refreshed state rows for keys
+    seen in that batch."""
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_stats,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

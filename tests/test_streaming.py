@@ -1,0 +1,361 @@
+"""Structured Streaming semantics tests (SURVEY.md §5 strategy): the TCK's
+role — spec conformance for the streaming path — replayed deterministically
+on file sources with AvailableNow triggers and memory/foreachBatch sinks.
+
+Covers: record emulation (S1), seek (S2), foreach sink (S4), demand caps
+(F1/F2), take-N (F4), completion (F5), error teardown (F7), per-shard order
+(F9), watermark late-data drops (T2/T3), session windows (T5), streaming
+dedup (T6), stateful ops (T7), output modes (T8), checkpoint recovery (T9),
+stream-static (J8) and stream-stream (J9) joins.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.streaming import (
+    ShardStream,
+    events_as_records,
+    write_record_fixture,
+)
+from reactivestreams_kinesis_spark.streaming.records import RECORD_SCHEMA, read_record_stream
+from reactivestreams_kinesis_spark.streaming.state import running_user_stats
+
+
+@pytest.fixture(scope="module")
+def records_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("records"))
+    write_record_fixture(spark, sf_dir, out, n_files=4)
+    return out
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive, "query did not terminate"
+
+
+def test_record_fixture_roundtrip(spark, sf_dir, records_dir):
+    batch = spark.read.schema(RECORD_SCHEMA).parquet(records_dir)
+    n_events = events_as_records(spark, sf_dir).count()
+    assert batch.count() == n_events
+    # payload decodes back to JSON with the original fields (P1)
+    decoded = batch.select(
+        F.get_json_object(F.col("data").cast("string"), "$.event_id").alias("eid")
+    )
+    assert decoded.filter(F.col("eid").isNull()).count() == 0
+
+
+def test_take_n_ordered(spark, records_dir):
+    """F4 take-N + F9 ordering: exactly N records, ascending sequenceNumber."""
+    query, table = ShardStream(spark, records_dir).take(10).to_memory()
+    _await(query)
+    rows = spark.table(table).orderBy("sequenceNumber").collect()
+    assert len(rows) == 10
+    seqs = [r.sequenceNumber for r in rows]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 10
+
+
+def test_seek_at_sequence_number(spark, records_dir):
+    """S2: AT_SEQUENCE_NUMBER seek — all delivered records >= start."""
+    start = "%020d" % 500
+    query, table = ShardStream(spark, records_dir).starting_at(start).to_memory()
+    _await(query)
+    got = spark.table(table)
+    assert got.count() > 0
+    assert got.filter(F.col("sequenceNumber") < start).count() == 0
+
+
+def test_rate_cap_multiple_batches(spark, records_dir):
+    """F1/F2: demand cap — maxFilesPerTrigger=1 forces ≥2 microbatches."""
+    query, table = (
+        ShardStream(spark, records_dir).max_files_per_trigger(1).to_memory()
+    )
+    _await(query)
+    batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 2, f"expected multiple pulls, got {len(batches)}"
+
+
+def test_shard_filter(spark, records_dir):
+    """Per-shard addressing (ShardPublisher.java:23-24): one publisher = one shard."""
+    shard = "shardId-000000000000"
+    query, table = ShardStream(spark, records_dir, shard_id=shard).to_memory()
+    _await(query)
+    got = spark.table(table)
+    assert got.count() > 0
+    assert got.filter(F.col("shardId") != shard).count() == 0
+
+
+def test_subscribe_foreach(spark, records_dir, tmp_path):
+    """S4 foreach sink: per-record on_next callback (Subscriber.onNext analog)."""
+    out_file = str(tmp_path / "seen.txt")
+
+    def on_next(row):
+        with open(out_file, "a") as f:
+            f.write(row.sequenceNumber + "\n")
+
+    query = ShardStream(spark, records_dir).subscribe(on_next)
+    _await(query)
+    with open(out_file) as f:
+        lines = [line.strip() for line in f if line.strip()]
+    expected = spark.read.schema(RECORD_SCHEMA).parquet(records_dir).count()
+    assert len(lines) == expected
+
+
+def test_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """T9: restart from checkpoint processes only new files — the semantic
+    upgrade over the reference's dropped in-memory cursor."""
+    records = events_as_records(spark, sf_dir).orderBy("sequenceNumber")
+    first, second = records.limit(400), records.subtract(records.limit(400))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            read_record_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return q
+
+    q1 = run()
+    n1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    second.coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    n2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    total = spark.read.schema(RECORD_SCHEMA).parquet(sink_dir).count()
+    assert n1 == 400
+    assert n2 == total - 400, "restart must resume from checkpoint, not reprocess"
+    assert total == records.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T2/T3: append-mode tumbling window with watermark drops an event
+    arriving beyond the watermark."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id bigint, value double"
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            src + "/" + name
+        )
+
+    # batch 1: on-time events 10:00-11:00 → watermark advances to 10:50
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    mk([(t(10, 5), 1, 1.0), (t(10, 35), 1, 1.0), (t(11, 0), 1, 1.0)], "f1")
+    time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2: on-time 11:05 — locks the >=10:50 watermark in for late-event
+    # filtering (Spark applies the PREVIOUS batch's watermark to late rows)
+    mk([(t(11, 5), 1, 1.0)], "f2")
+    time.sleep(1.1)
+    # batch 3: a 9:00 event — far behind the watermark → dropped
+    mk([(t(9, 0), 1, 1.0), (t(11, 10), 1, 1.0)], "f3")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    wins = {
+        (r.win.start.strftime("%H:%M"), r.n)
+        for r in spark.table(name).collect()
+    }
+    # the 09:00 window must NOT appear; the 10:00 and 10:30 windows must.
+    assert ("09:00", 1) not in wins
+    assert ("10:00", 1) in wins and ("10:30", 1) in wins
+
+
+def test_session_window(spark, tmp_path):
+    """T5: native session windows with a 30-minute gap."""
+    import datetime as dt
+
+    schema = "ts timestamp, user_id bigint"
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    src = str(tmp_path / "sess_src")
+    rows = [
+        (t(10, 0), 1), (t(10, 10), 1), (t(10, 20), 1),  # session 1
+        (t(12, 0), 1),                                   # session 2
+        (t(10, 5), 2),                                   # session 3
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("complete").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    got = {(r.user_id, r.n) for r in spark.table(name).collect()}
+    assert got == {(1, 3), (1, 1), (2, 1)}
+
+
+def test_streaming_dedup(spark, records_dir):
+    """T6: dropDuplicates over a stream — state holds keys across batches."""
+    stream = read_record_stream(spark, records_dir, max_files_per_trigger=2)
+    deduped = stream.select("partitionKey").dropDuplicates(["partitionKey"])
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = deduped.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    expected = (
+        spark.read.schema(RECORD_SCHEMA).parquet(records_dir)
+        .select("partitionKey").distinct().count()
+    )
+    assert spark.table(name).count() == expected
+
+
+def test_stream_static_join(spark, sf_dir, records_dir):
+    """J8: enrich the record stream with the static customer dimension."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = read_record_stream(spark, records_dir)
+    joined = stream.join(
+        F.broadcast(customer),
+        stream.partitionKey == customer.c_custkey.cast("string"),
+        "inner",
+    ).select("sequenceNumber", "partitionKey", "c_mktsegment")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    _await(q)
+    batch_records = spark.read.schema(RECORD_SCHEMA).parquet(records_dir)
+    expected = batch_records.join(
+        customer, batch_records.partitionKey == customer.c_custkey.cast("string")
+    ).count()
+    assert spark.table(name).count() == expected
+
+
+def test_stream_stream_join(spark, sf_dir, tmp_path):
+    """J9: stream-stream inner join with watermarks and a time-range bound
+    (purchase joined to clicks within the preceding hour)."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    events.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    events.filter(F.col("event_type") == "purchase").write.parquet(buys_dir)
+    schema = events.schema
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(clicks_dir)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(buys_dir)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = buys.join(
+        clicks,
+        (F.col("b_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    name = f"s2s_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    _await(q)
+    # batch equivalent as ground truth
+    c_b, b_b = (
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    expected = b_b.alias("b").join(
+        c_b.alias("c"),
+        (F.col("b.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("b.ts"))
+        & (F.col("c.ts") >= F.col("b.ts") - F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert spark.table(name).count() == expected
+
+
+def test_stateful_running_stats(spark, sf_dir, tmp_path):
+    """T7: applyInPandasWithState running per-user stats across batches
+    must converge to the batch aggregate."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    stats = running_user_stats(stream)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = stats.writeStream.format("memory").queryName(name).outputMode("update").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    # last emitted row per user == final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
+    # memory sink appends update rows in batch order; take the max n_events per user
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+    )
+    diff = final.join(expected, "user_id").filter(
+        (F.col("final.n_events") != F.col("expected.n_events"))
+        if False
+        else (final["n_events"] != expected["n_events"])
+        | (final["max_value"] != expected["max_value"])
+    )
+    assert diff.count() == 0
+
+
+def test_error_propagation(spark, records_dir):
+    """F7: a failing sink surfaces through query.exception() — the
+    onError path (ShardSubscription.java:223-227)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def boom(batch, batch_id):
+        raise RuntimeError("sink failure")
+
+    q = (
+        read_record_stream(spark, records_dir)
+        .writeStream.foreachBatch(boom)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert q.exception() is not None
