@@ -1,0 +1,99 @@
+"""Multimodal column operators (SURVEY.md §2.10 X5).
+
+Model: media payloads are opaque ``binary`` columns + a typed metadata
+struct — the direct generalization of the reference's schema-on-read blob
+payload (``Record.data``, decoded consumer-side:
+``ShardProducerSpec.scala:41``). The engine moves/filters/joins bytes
+without interpreting them; decode/feature-extraction happens in
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio codecs, so ``decode_image`` is STUBBED
+(deterministic fake decoder) behind ``try: import PIL`` — the Spark-side
+plumbing (schema, batch iteration, partitioning) is real and tested; a
+real deployment swaps one function body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    "width int, height int, checksum string"
+)
+
+try:  # real decoder if the environment has one
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Project the documents table into a multimodal shape: the text bytes
+    stand in for an encoded media payload; metadata is a typed struct.
+    In production this is what a media-bearing parquet/Lance table looks
+    like to the engine: ``payload binary, meta struct<...>``."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.length("text").alias("n_bytes"),
+            F.col("lang").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decoder: derives 'dimensions' from payload bytes.
+    Swap this body for PIL/torchvision/ffmpeg in a real deployment — the
+    mapInPandas plumbing around it is unchanged."""
+    import hashlib
+
+    if _HAVE_PIL:
+        raise NotImplementedError(
+            "real image decoding not wired in this environment; "
+            "replace _decode_batch with a PIL-based implementation"
+        )
+    payloads = batch["payload"]
+    n_bytes = payloads.str.len().astype("int32")
+    checksums = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "n_bytes": n_bytes,
+            "width": (n_bytes % 640).astype("int32"),
+            "height": (n_bytes % 480).astype("int32"),
+            "checksum": checksums,
+        }
+    )
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Feature extraction over media payloads via ``mapInPandas``: Arrow
+    batches stream through Python once, per partition — the only sane shape
+    for Python-side media work at 100 TB (row-at-a-time UDFs serialize per
+    record; this amortizes across the batch). Partitioning is preserved —
+    no shuffle is introduced by the UDF itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            flat = pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": batch["payload"],
+                    "media_type": [m["media_type"] for m in batch["meta"]],
+                }
+            )
+            yield _decode_batch(flat)
+
+    conf_batch = media.sparkSession.conf
+    conf_batch.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Multimodal-column queries (X5) + the Python UDF surface (§2.11).
+
+The fake decoder is deterministic, so even the mapInPandas path is
+oracle-checked at full value level — the DuckDB twin recomputes the same
+features from the text the payload was derived from. That validates the
+whole Arrow round-trip: binary columns in, typed features out.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from reactivestreams_kinesis_spark.queries.registry import register
+
+
+@register(
+    "multimodal_plumbing",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+        MD5(text)                                     AS payload_md5,
+        'image/fake'                                  AS media_type
+    FROM documents
+    """,
+    tags=("X5",),
+)
+def multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing (X5): payload size + checksum computed
+    engine-side on the ``binary`` column (md5 works on bytes in both
+    engines), metadata struct field access. No Python in this path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return media.select(
+        "doc_id",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT
+        doc_id,
+        'image/fake'                           AS media_type,
+        CAST(LENGTH(text) AS INT)              AS n_bytes,
+        CAST(LENGTH(text) % 640 AS INT)        AS width,
+        CAST(LENGTH(text) % 480 AS INT)        AS height,
+        MD5(text)                              AS checksum
+    FROM documents
+    """,
+    tags=("X5", "§2.11"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction via mapInPandas (X5): binary payloads →
+    Arrow batches → (stubbed) decoder → typed feature rows. The oracle
+    recomputes the deterministic features directly, verifying the full
+    Python/Arrow round-trip value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens_udf,
+        ROUND(LENGTH(text) / (LEN(string_split(text, ' ')) * CAST(1 AS DOUBLE)), 6)
+            AS chars_per_token
+    FROM documents
+    """,
+    tags=("§2.11",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (§2.11): token counting in pandas
+    string ops, Arrow-batched — the UDF escape hatch when an expression
+    genuinely can't express the logic. Here it CAN (``text_token_stats``
+    is the expression twin), which is exactly what makes it
+    oracle-checkable; the policy remains expressions-first."""
+
+    @F.pandas_udf("bigint")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens_udf"),
+        F.round(
+            F.length("text") / (n_tokens("text") * F.lit(1.0)), 6
+        ).alias("chars_per_token"),
+    )

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         functions_scalar,
         joins,
         llm_dedup,
+        llm_multimodal,
         llm_similarity,
         llm_text,
         relational,

@@ -1,0 +1,76 @@
+"""Record sinks — the produce side (SURVEY.md §2.1 S3, S4).
+
+The reference's produce side exists only as intent (``README.md:6`` "data
+may be produced to … Kinesis") plus test seeding code that writes ordered
+records with ``PutRecordRequest`` + ``setSequenceNumberForOrdering``
+(``ShardPublisherVerification.scala:42-52``). Here the producer is a
+``foreachBatch`` sink: each microbatch is written transactionally per
+epoch, giving exactly-once file output and at-least-once push output —
+already stronger than the reference's fire-and-forget puts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def parquet_record_sink(
+    records: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Durable record sink: append each microbatch to parquet with
+    checkpointed offsets — the harness-testable stand-in for a downstream
+    stream/table (exactly-once via file-sink transaction log)."""
+    return (
+        records.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def put_records_batch(batch: DataFrame, stream_name: str, put_fn: Callable) -> int:
+    """Produce one microbatch to a Kinesis-shaped endpoint (S3).
+
+    ``put_fn(stream_name, entries)`` receives ``[{"Data": bytes,
+    "PartitionKey": str}, ...]`` chunks of ≤500 (the Kinesis PutRecords
+    limit, public AWS docs). Per-partition ordering is preserved by sorting
+    each partition's slice on sequenceNumber — the write-ordering the
+    reference chains via ``setSequenceNumberForOrdering``
+    (``ShardPublisherVerification.scala:47-49``). In this harness ``put_fn``
+    is a test double; in production it wraps ``boto3.client("kinesis")
+    .put_records`` inside ``foreachPartition``.
+    """
+    sent = 0
+    rows = batch.orderBy("sequenceNumber").select("data", "partitionKey").collect()
+    for start in range(0, len(rows), 500):
+        chunk = rows[start : start + 500]
+        put_fn(
+            stream_name,
+            [{"Data": bytes(r.data), "PartitionKey": r.partitionKey} for r in chunk],
+        )
+        sent += len(chunk)
+    return sent
+
+
+def kinesis_record_sink(
+    records: DataFrame,
+    stream_name: str,
+    put_fn: Callable,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming producer (S3): foreachBatch → ``put_records_batch``.
+
+    NOTE: ``collect()`` inside the batch fn is correct only for the
+    harness's small fixtures; the 100 TB shape is ``batch.sortWithinPartitions
+    ("sequenceNumber").foreachPartition(push)`` so each executor streams its
+    partition straight to the service without driver involvement."""
+    writer = records.writeStream.foreachBatch(
+        lambda batch, _epoch: put_records_batch(batch, stream_name, put_fn)
+    ).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

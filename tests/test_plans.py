@@ -1,0 +1,99 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises.
+
+These tests pin the plan shape, not just the answer — a correct query that
+scans all columns or shuffles a broadcastable dimension is a regression
+here even though the oracle still matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.plans.inspect import (
+    count_exchanges,
+    count_operator,
+    explain_string,
+    has_operator,
+    pushed_filters,
+    read_schemas,
+)
+from reactivestreams_kinesis_spark.queries.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"].fn(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    (schema,) = read_schemas(df)
+    # only the 7 referenced columns reach the scan — not all 11
+    assert schema.count(":") == 7, schema
+    assert "l_orderkey" not in schema
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = QUERIES["rel_projection_compute"].fn(spark, sf_dir)
+    (schema,) = read_schemas(df)
+    assert schema.count(":") == 4, schema
+
+
+def test_filter_pushdown_predicates(spark, sf_dir):
+    df = QUERIES["rel_filter_predicates"].fn(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("c_mktsegment" in f and "In" in f for f in filters), filters
+    assert any("c_acctbal" in f for f in filters), filters
+
+
+def test_q05_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q05_local_supplier_volume"].fn(spark, sf_dir)
+    # customer/supplier/nation/region all ride broadcast joins
+    assert count_operator(df, "BroadcastHashJoin") >= 4
+    # at most the fact-fact join shuffles + agg/sort exchanges
+    assert count_exchanges(df) <= 4, explain_string(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = QUERIES["sort_topk"].fn(spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_window_topk_group_limit(spark, sf_dir):
+    df = QUERIES["win_topk_per_group"].fn(spark, sf_dir)
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    df = QUERIES["sim_cosine_topk"].fn(spark, sf_dir)
+    # query side broadcast → corpus side never shuffles for the join
+    assert has_operator(df, "BroadcastNestedLoopJoin")
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    df = QUERIES["join_semi"].fn(spark, sf_dir)
+    assert "LeftSemi" in explain_string(df)
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    """Expression-only queries must fuse into WholeStageCodegen spans.
+    AQE defers codegen assignment until runtime, so inspect the static plan
+    with AQE off — the codegen decision itself is AQE-independent."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["q01_pricing_summary", "fn_string", "fn_array_vector", "text_simhash"]:
+            df = QUERIES[name].fn(spark, sf_dir)
+            plan = explain_string(df, "formatted")
+            assert plan.count("codegen id") > 0, f"{name} has no codegen span"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_python_udf_in_expression_paths(spark, sf_dir):
+    """The expression-first policy (§2.11): core operator families contain
+    no Python evaluation nodes (BatchEvalPython/ArrowEvalPython)."""
+    for name, q in QUERIES.items():
+        if name.startswith(("udf_", "multimodal_features", "stream_")):
+            continue  # declared Python paths
+        plan = explain_string(q.fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} silently uses a Python UDF"

@@ -1,0 +1,101 @@
+"""Producer sink (S3), Kinesis option surface (S1/S2 mapping), multimodal
+plumbing (X5), and sketch-accuracy checks (A3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from reactivestreams_kinesis_spark.sources.kinesis import kinesis_options
+from reactivestreams_kinesis_spark.streaming.records import (
+    RECORD_SCHEMA,
+    events_as_records,
+)
+from reactivestreams_kinesis_spark.streaming.sinks import (
+    kinesis_record_sink,
+    parquet_record_sink,
+)
+
+
+def test_parquet_record_sink_roundtrip(spark, sf_dir, tmp_path):
+    records = events_as_records(spark, sf_dir)
+    src = str(tmp_path / "src")
+    records.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
+    q = parquet_record_sink(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.schema(RECORD_SCHEMA).parquet(str(tmp_path / "out"))
+    assert out.count() == records.count()
+
+
+def test_kinesis_record_sink_put_batches(spark, sf_dir, tmp_path):
+    """The producer pushes ≤500-record chunks with (Data, PartitionKey) —
+    the PutRecords shape the reference's seeding code uses one-at-a-time
+    (ShardPublisherVerification.scala:42-52)."""
+    records = events_as_records(spark, sf_dir)
+    src = str(tmp_path / "src")
+    records.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
+
+    calls: list[tuple[str, int]] = []
+
+    def fake_put(stream_name: str, entries: list[dict]) -> None:
+        assert len(entries) <= 500
+        assert all(isinstance(e["Data"], bytes) and e["PartitionKey"] for e in entries)
+        calls.append((stream_name, len(entries)))
+
+    q = kinesis_record_sink(stream, "out-stream", fake_put)
+    q.awaitTermination(120)
+    assert sum(n for _, n in calls) == records.count()
+    assert all(name == "out-stream" for name, _ in calls)
+
+
+def test_kinesis_reader_option_mapping(spark):
+    """S1/S2: the builder maps ShardIteratorType names onto connector
+    options without touching the network."""
+    opts = kinesis_options(
+        "reactivestreams-kinesis-test",  # the reference's fixture stream name
+        iterator_type="AT_SEQUENCE_NUMBER",
+        starting_sequence_number="49541296383533603670305612509442272402935890174985191426",
+        max_records_per_fetch=100,
+    )
+    assert opts["streamName"] == "reactivestreams-kinesis-test"
+    assert opts["startingPosition"] == "at_sequence_number"
+    assert opts["maxRecordsPerFetch"] == "100"
+    import pytest
+
+    with pytest.raises(ValueError):
+        kinesis_options("s", iterator_type="BOGUS")
+
+
+def test_multimodal_feature_batches(spark, sf_dir):
+    """X5: mapInPandas feature extraction preserves row count and emits the
+    declared schema, with deterministic features."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_media(docs))
+    assert feats.count() == docs.count()
+    row = feats.orderBy("doc_id").first()
+    assert row.media_type == "image/fake"
+    assert row.n_bytes > 0 and len(row.checksum) == 32
+    # width/height derive from payload length deterministically
+    assert row.width == row.n_bytes % 640 and row.height == row.n_bytes % 480
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """A3: HLL++ sketches are engine-specific (rows-only at the driver) but
+    must be within the configured 2% rsd of exact, ~5x tolerance."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.10, r
