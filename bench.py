@@ -37,9 +37,12 @@ def main() -> None:
         # one warm-up pass amortizes JVM/codegen warm-up out of the numbers
         if name == sorted(queries)[0]:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _trial in range(2):  # best-of-2: local-mode scheduling noise is large
+            start = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
