@@ -81,3 +81,34 @@ def asof_join(
     if how == "inner":
         out = out.dropna(subset=[payload[0]])
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: split each hot left key across ``n_salts``
+    sub-partitions and replicate the right side once per salt.
+
+    AQE's skew-join handles skew between existing partitions; salting is
+    the stronger remedy when a SINGLE key is so hot one task would still
+    own it entirely (the classic null-key / celebrity-entity case at
+    100 TB). The salt is derived from a hash of the whole left row —
+    deterministic, no rand() — so results are reproducible.
+
+    Cost model: right side is duplicated ``n_salts``× (use on the smaller
+    side / after pre-filtering); left rows fan out 1:1. Equivalent rows to
+    a plain join — verified in tests.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    salted_left = left.withColumn("__salt", salt)
+    replicated_right = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted_left.join(replicated_right, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -179,3 +179,55 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT
+        o_orderpriority,
+        CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS F,
+        CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS O,
+        CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A5",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): one row per priority, one revenue column
+    per order status. The value list is given explicitly so the output
+    schema is plan-time-stable (no extra distinct-values job, and no
+    column-set drift between runs) — mandatory at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.expr("SUM(CAST(o_totalprice AS DECIMAL(12,2)))"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.expr(f"CAST(ROUND(COALESCE(`{c}`, 0), 2) AS DOUBLE)").alias(c)
+            for c in ["F", "O", "P"]
+        ],
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest sketch internals are engine-specific (scale path for A4)
+    tags=("A4",),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (A4 scale path): single-pass, mergeable
+    sketch — what replaces the exact per-group sort at 100 TB. Rows-only
+    at the driver; the test suite bounds its error against the exact
+    percentile."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median"),
+        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)").alias(
+            "approx_quartiles"
+        ),
+    )

@@ -221,3 +221,65 @@ def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_acctbal").isNotNull().alias("has_balance"),
     )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(QUARTER(ts) AS INT)        AS q,
+        CAST(DAYOFYEAR(ts) AS INT)      AS doy,
+        CAST(WEEKOFYEAR(ts) AS INT)     AS iso_week,
+        CAST(HOUR(ts) AS INT)           AS hr,
+        CAST(MINUTE(ts) AS INT)         AS mi,
+        CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY AS ts_plus_week,
+        CAST(LAST_DAY(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end
+    FROM events
+    """,
+    tags=("§2.8-datetime",),
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time arithmetic family: extraction (quarter/doy/ISO week/
+    hour/minute), interval addition, month-end — on microsecond event
+    timestamps."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.quarter("ts").alias("q"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus_week"),
+        F.last_day("ts").cast("timestamp").alias("month_end"),
+    )
+
+
+@register(
+    "fn_map_json",
+    oracle="""
+    SELECT
+        event_id,
+        json_keys(props)                                  AS prop_keys,
+        CAST(json_extract_string(props, '$.k') AS INT)    AS k_value,
+        CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
+    FROM events
+    """,
+    tags=("§2.8-json", "§2.8-map"),
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON family (§2.8): parse the props JSON into a typed map, then
+    map_keys + value access — schema-on-read over semi-structured payloads
+    (``from_json`` is the engine-side version of the reference's
+    consumer-side decode, P1)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "map<string,int>").alias("m")
+    )
+    return parsed.select(
+        "event_id",
+        F.map_keys("m").alias("prop_keys"),
+        F.col("m")["k"].alias("k_value"),
+        (F.col("m")["k"] * 2).alias("k_doubled"),
+    )

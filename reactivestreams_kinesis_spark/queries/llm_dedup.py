@@ -236,3 +236,81 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_over(toks, candidates=cand)
+
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        {_JACCARD_ORACLE.replace("ROUND(n_common / (sa.sz + sb.sz - n_common * CAST(1 AS DOUBLE)), 6) AS jaccard", "n_common AS n_common")}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT
+        n.doc_id,
+        LEAST(n.doc_id, MIN(r.dst)) AS component_id
+    FROM nodes n
+    LEFT JOIN reach r ON n.doc_id = r.src
+    GROUP BY n.doc_id
+"""
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("X3",))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (X3 final stage): connected components
+    over the Jaccard≥{JACCARD_THRESHOLD} pair graph, component id = min
+    doc_id in the component — so "keep one per cluster" is a deterministic
+    filter (doc_id == component_id).
+
+    No GraphFrames: bounded iterative label propagation — each round every
+    node takes the min label among itself and its neighbors (one join +
+    one agg per round), converging in ≤ graph-diameter rounds (near-dup
+    components are tiny, so this is 2-4 rounds in practice; hard cap keeps
+    the driver loop bounded). The oracle computes the same fixpoint via a
+    recursive transitive-closure CTE — closed-form vs iterative, same
+    unique answer.
+    """
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+    )
+    for _round in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component_id").alias("neighbor_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("neighbor_comp", "component_id")
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component_id") != F.col("l.component_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -100,3 +100,55 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") / (n_tokens("text") * F.lit(1.0)), 6
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT
+        c_nationkey,
+        ROUND(MAX(c_acctbal) - MIN(c_acctbal), 6) AS bal_range
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("§2.11",),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (§2.11 UDAF surface): per-group pandas
+    Series in, scalar out, Arrow-batched. max−min is order-insensitive so
+    the result is exactly the expression twin — which is the point: the
+    UDAF machinery is verified, and the policy stays expressions-first."""
+
+    @F.pandas_udf("double")
+    def bal_range(bals: pd.Series) -> float:
+        return float(bals.max() - bals.min())
+
+    docs = load_table(spark, sf_dir, "customer")
+    return docs.groupBy("c_nationkey").agg(
+        F.round(bal_range("c_acctbal"), 6).alias("bal_range")
+    )
+
+
+@register(
+    "udf_row_scalar",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[aeiou]', '', 'g')) AS INT)
+            AS n_vowels
+    FROM documents
+    """,
+    tags=("§2.11",),
+)
+def udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (§2.11) — present for surface completeness
+    and deliberately the ONLY registered query using one: it pays per-row
+    serde and blocks codegen, which is why everything else is expressions
+    or Arrow-batched. The oracle recomputes the same vowel count in SQL."""
+
+    @F.udf("int")
+    def n_vowels(text: str) -> int:
+        return sum(1 for ch in text if ch in "aeiou")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_vowels("text").alias("n_vowels"))

@@ -170,3 +170,41 @@ def rel_decode_take(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("props").cast("string").alias("payload_text"),
         )
     )
+
+
+@register(
+    "rel_scalar_subquery",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_acctbal,
+        (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+            AS max_order_value,
+        c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2)
+            AS above_avg_balance
+    FROM customer
+    """,
+    tags=("P4", "J3"),
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated + uncorrelated scalar subqueries, via the SQL API —
+    Catalyst de-correlates the per-customer MAX into an aggregate+join
+    (visible in the plan as a left outer join, not a per-row loop), and the
+    global AVG becomes a broadcast scalar. Same de-correlation DuckDB
+    applies, so results match exactly (MAX/AVG over identical doubles;
+    the comparison output is boolean so no float display issues)."""
+    from reactivestreams_kinesis_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT
+            c_custkey,
+            c_acctbal,
+            (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+                AS max_order_value,
+            c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2)
+                AS above_avg_balance
+        FROM customer
+        """
+    )

@@ -191,3 +191,35 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.min("ts_us")).alias("session_start"),
         F.timestamp_micros(F.max("ts_us")).alias("session_end"),
     )
+
+
+_SLIDE_US = 6 * 3600 * 1_000_000  # 6h slide, 12h width → every event in 2 windows
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+    SELECT
+        make_timestamp(
+            (CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / {_SLIDE_US}) AS BIGINT) - k.k)
+            * {_SLIDE_US}) AS win_start,
+        COUNT(*) AS n
+    FROM events
+    CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) k(k)
+    GROUP BY 1
+    """,
+    tags=("T4",),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts (T4): 12 h windows sliding every 6 h —
+    each event lands in exactly two windows. Drained complete-mode output
+    must equal the batch expansion (oracle: cross join with k∈{{0,1}} window
+    offsets; windows are epoch-aligned in both engines)."""
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "12 hours", "6 hours").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    captured = _run_to_memory(windowed, "complete")
+    return captured.select(F.col("win.start").alias("win_start"), "n")

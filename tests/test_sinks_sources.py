@@ -99,3 +99,22 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     )
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact < 0.10, r
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """Skew salting must be a pure physical rewrite: same rows as the
+    plain join, with the hot key spread across n_salts sub-keys."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", n_salts=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert plain.count() == salted.count()
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
