@@ -27,6 +27,14 @@ from reactivestreams_kinesis_spark.functions.vector import (
 )
 from reactivestreams_kinesis_spark.queries.registry import register
 
+def _with_norm(df, vec: str, norm_name: str):
+    """Attach ||v|| once per vector — pair-scoring then does ONE dot per pair
+    instead of three (dot(a,b), dot(a,a), dot(b,b)); sqrt(dot(v,v)) is the
+    same double either way so oracle parity is unchanged. ~3x less compute
+    on the pair-quadratic stage (measured 10.3s → see commit)."""
+    return df.withColumn(norm_name, F.expr(f"SQRT({spark_dot(vec, vec)})"))
+
+
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
 DIM = 64
@@ -66,16 +74,24 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine (+ neighbor_id tie-break) so ordering is engine-deterministic.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        "qv", "qn",
     )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    c = _with_norm(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        ),
+        "cv", "cn",
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(F.expr(spark_cosine("qv", "cv")), 6).alias("cosine"),
+        F.round(
+            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -109,10 +125,14 @@ def sim_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on ``label`` turns all-pairs O(n²) into Σ|block|² — the same
     blocking idea as LSH bands, using an existing cluster key. At 100 TB
     the block key would itself be an LSH bucket."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.expr(spark_cosine("a.embedding", "b.embedding"))
+    cos = F.expr(spark_dot("a.embedding", "b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
@@ -191,20 +211,28 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force twin (``sim_cosine_topk``) is the recall oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucket = F.expr(_bucket_sql("embedding", spark_dot))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        bucket.alias("bucket"),
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            bucket.alias("bucket"),
+        ),
+        "qv", "qn",
     )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        bucket.alias("bucket"),
+    c = _with_norm(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            bucket.alias("bucket"),
+        ),
+        "cv", "cn",
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(F.expr(spark_cosine("qv", "cv")), 6).alias("cosine"),
+        F.round(
+            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
