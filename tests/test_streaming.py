@@ -359,3 +359,85 @@ def test_error_propagation(spark, records_dir):
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(120)
     assert q.exception() is not None
+
+
+def test_processing_time_trigger(spark, records_dir, tmp_path):
+    """F3/T1 + F6: a live processing-time-triggered query (the reference's
+    5 s tick, scaled down) pulls on a cadence; stop() cancels cleanly."""
+    stream = read_record_stream(spark, records_dir, max_files_per_trigger=1)
+    name = f"tick_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()                              # F6: cancel
+    q.awaitTermination(60)
+    assert not q.isActive
+    ticks = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(ticks) >= 2, "expected multiple timed pulls"
+    assert spark.table(name).count() > 0
+
+
+def test_checkpoint_in_use_guard(spark, records_dir, tmp_path):
+    """F8 analog: the reference rejects a second subscriber on one publisher
+    (ShardPublisher.java:59-77). Spark guarantees ONE active run per query
+    identity (= checkpoint) — by default (stopActiveRunOnRestart=true) the
+    new run supersedes the old one, which is stopped."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    stream = read_record_stream(spark, records_dir)
+
+    def start(tag):
+        return (
+            stream.writeStream.format("parquet")
+            .queryName(f"{tag}_{uuid.uuid4().hex[:8]}")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="10 seconds")
+            .start()
+        )
+
+    q1 = start("g1")
+    q2 = start("g2")
+    try:
+        deadline = time.time() + 30
+        while q1.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q1.isActive, "first run must be stopped when superseded"
+        assert q2.isActive
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """T6 variant: dropDuplicatesWithinWatermark — state for a key is
+    dropped once the watermark passes, so duplicates only collapse within
+    the watermark horizon (bounded state, the 100 TB-safe dedup)."""
+    import datetime as dt
+
+    schema = "ts timestamp, k string"
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    src = str(tmp_path / "wmdedup")
+    rows = [(t(10, 0), "a"), (t(10, 1), "a"), (t(10, 2), "b")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    name = f"wmd_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    got = sorted(r.k for r in spark.table(name).collect())
+    assert got == ["a", "b"]
