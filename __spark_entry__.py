@@ -13,11 +13,17 @@ bench never drift apart.
 from __future__ import annotations
 
 import functools
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from reactivestreams_kinesis_spark.queries.registry import all_queries
+# Importable regardless of the harness's cwd: the package lives next to
+# this file.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reactivestreams_kinesis_spark.queries.registry import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

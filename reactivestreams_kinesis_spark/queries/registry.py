@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         setops,
         streaming_batch,
+        tpch,
         windows,
     )
 
