@@ -1,0 +1,241 @@
+"""Training-data pipeline operators beyond dedup/similarity (north-star
+mandate): deterministic sampling, stratified sampling, train/val/test
+splits, weighted corpus mixing, sequence packing, and table profiling.
+
+Sampling policy: NEVER engine RNG (``rand()`` / TABLESAMPLE are
+engine-specific and non-reproducible across runs at scale). Every sampling
+decision is a pure function of the row's stable id via md5 — the same
+technique production pipelines use so a re-run (or a different engine)
+selects the identical sample. md5 hex is identical in Spark and DuckDB, so
+all of these are oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.registry import register
+
+# first two md5 hex chars of the doc id: uniform over 256 buckets
+_BUCKET = "SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2)"
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_BUCKET} <= '19'
+    """,
+    tags=("X-pipeline",),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample (hex buckets 00-19 = 26/256 ≈ 10.2%):
+    a pure row-local filter — no shuffle, no state, reproducible on any
+    engine and any rerun, and composable with incremental ingestion
+    (new rows sample themselves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(f"{_BUCKET} <= '19'")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS STRING)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("X-pipeline", "W4"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 20 docs per language, chosen by md5
+    order (a deterministic shuffle) — the per-class balanced subset
+    pattern for eval-set construction. W4 top-k-per-group shape →
+    WindowGroupLimit keeps 20 rows per class per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT
+        split,
+        COUNT(*) AS n_docs,
+        CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,0))), 0) AS BIGINT) AS total_chars
+    FROM (
+        SELECT
+            n_chars,
+            CASE WHEN {_BUCKET} < 'c0' THEN 'train'
+                 WHEN {_BUCKET} < 'e0' THEN 'val'
+                 ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    """,
+    tags=("X-pipeline",),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split (75/12.5/12.5 by hex range): hash-of-id
+    assignment means a document NEVER migrates between splits as the
+    corpus grows — the leakage-safe split every training pipeline needs.
+    Output is per-split stats; the row-level assignment is the inner
+    SELECT."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(
+        f"CASE WHEN {_BUCKET} < 'c0' THEN 'train' "
+        f"WHEN {_BUCKET} < 'e0' THEN 'val' ELSE 'test' END"
+    )
+    return (
+        docs.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,0))), 0) AS BIGINT)"
+            ).alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "mix_corpora",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE {_BUCKET} < CASE source
+        WHEN 'src0' THEN 'ff'   -- keep ~100%
+        WHEN 'src1' THEN '80'   -- keep ~50%
+        WHEN 'src2' THEN '40'   -- keep ~25%
+        ELSE '1a'               -- keep ~10%
+    END
+    GROUP BY source
+    """,
+    tags=("X-pipeline",),
+)
+def mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source deterministic sampling rates —
+    the up/down-weighting step that turns raw crawls into a training mix.
+    One filter, no shuffle; rates are data-independent so the mix is
+    stable under corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.expr(
+        f"{_BUCKET} < CASE source "
+        "WHEN 'src0' THEN 'ff' WHEN 'src1' THEN '80' "
+        "WHEN 'src2' THEN '40' ELSE '1a' END"
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+_CTX = 4096  # tokens per packed sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_tokens
+        FROM sized
+    )
+    SELECT
+        doc_id,
+        CAST(n_tokens AS INT) AS n_tokens,
+        CAST(FLOOR(COALESCE(prior_tokens, 0) / ({_CTX} * 1.0)) AS BIGINT) AS pack_id
+    FROM cum
+    """,
+    tags=("X-pipeline", "W3"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget training bins
+    ({_CTX} tokens) by exclusive running token count — the batch-packing
+    step before tokenized examples are written.
+
+    Scale note: the global ORDER BY doc_id running sum is a single-task
+    window as written (fine for the fixture); the 100 TB form partitions
+    by shard (e.g. doc_id div N) and packs within shards — same query with
+    a PARTITION BY, at the cost of ≤1 underfull pack per shard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(_CTX))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+pack_sequences.__doc__ = pack_sequences.__doc__.replace("{_CTX}", str(_CTX))
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax)
+    FROM lineitem
+    """,
+    tags=("X-pipeline", "A6"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (describe-style data-quality pass): per-column
+    row/null/distinct counts and min/max, as one aggregate per column
+    unioned into a long-format report. Each branch is a partial-agg
+    single-pass; Catalyst shares the scan across branches under AQE
+    (exchange/scan reuse)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def branch(col: str) -> DataFrame:
+        return lineitem.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+        )
+
+    out = branch("l_quantity")
+    for col in ["l_discount", "l_tax"]:
+        out = out.unionByName(branch(col))
+    return out

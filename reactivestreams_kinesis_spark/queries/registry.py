@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         joins,
         llm_dedup,
         llm_multimodal,
+        llm_pipeline,
         llm_similarity,
         llm_text,
         relational,
