@@ -22,7 +22,6 @@ from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.functions.vector import (
     duckdb_cosine,
     duckdb_dot,
-    spark_cosine,
     spark_dot,
 )
 from reactivestreams_kinesis_spark.queries.registry import register

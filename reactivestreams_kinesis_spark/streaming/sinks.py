@@ -74,3 +74,11 @@ def kinesis_record_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def write_partitioned(df, out_dir: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Partitioned parquet write — the storage layout that turns filters on
+    the partition columns into directory pruning at read time (the 100 TB
+    counterpart of the PushedFilters the plan tests pin). Hive-style
+    ``col=value/`` directories; readers get partition pruning for free."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(out_dir)

@@ -97,3 +97,47 @@ def test_no_python_udf_in_expression_paths(spark, sf_dir):
             continue  # declared Python paths
         plan = explain_string(q.fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} silently uses a Python UDF"
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Partition layout → directory pruning: a lang filter over the
+    partitioned copy scans only that partition's files."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.streaming.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    got = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = explain_string(got, "formatted")
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert got.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key removes the fact-fact shuffle
+    entirely — the storage-level answer to the one exchange Q5 keeps.
+    (SCALING.md 'Joins'; bucket counts must match.)"""
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    suffix = _uuid.uuid4().hex[:8]
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt, ot = f"lineitem_b_{suffix}", f"orders_b_{suffix}"
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot))
+    try:
+        joined = spark.table(lt).join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = explain_string(joined, "formatted")
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
