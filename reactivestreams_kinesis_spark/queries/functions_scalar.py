@@ -283,3 +283,26 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m")["k"].alias("k_value"),
         (F.col("m")["k"] * 2).alias("k_doubled"),
     )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, list_extract(toks, u.i) AS tok
+    FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    """,
+    tags=("§2.8-array",),
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position (§2.8): posexplode — the oracle
+    builds ordinals via a lateral UNNEST(range(...)) (DuckDB lacks WITH
+    ORDINALITY; Spark positions are 0-based so the oracle subtracts 1).
+    The row-multiplying primitive under every tokenize/shingle pipeline."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )

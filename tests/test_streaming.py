@@ -441,3 +441,58 @@ def test_dedup_within_watermark(spark, tmp_path):
     _await(q)
     got = sorted(r.k for r in spark.table(name).collect())
     assert got == ["a", "b"]
+
+
+def test_tck_fixture_parity(spark, tmp_path):
+    """Mirror of the reference's TCK fixture (its only active test --
+    ShardPublisherVerification.scala:41-64): 10 records with payload
+    "testData-%d", one shard, constant partition key, writes chained in
+    sequence order; consume AT_SEQUENCE_NUMBER of the first record and
+    assert complete, ordered delivery -- the createPublisher(elements)
+    contract."""
+    rows = [
+        (
+            f"testData-{d}".encode(),
+            "partitionKey",                       # :46 constant key
+            "%020d" % (100 + d),                  # :47-49 chained sequence
+            None,
+            "reactivestreams-kinesis-test",       # :28 stream name
+            "shardId-000000000000",               # :31-37 single shard
+        )
+        for d in range(10)
+    ]
+    src = str(tmp_path / "tck")
+    spark.createDataFrame(rows, RECORD_SCHEMA).coalesce(1).write.parquet(src)
+
+    first_seq = "%020d" % 100                     # :50-51 seek point
+    query, table = (
+        ShardStream(spark, src).starting_at(first_seq).take(10).to_memory()
+    )
+    _await(query)
+    got = spark.table(table).orderBy("sequenceNumber").collect()
+    assert [bytes(r.data).decode() for r in got] == [f"testData-{d}" for d in range(10)]
+    assert {r.partitionKey for r in got} == {"partitionKey"}
+
+
+def test_stream_dedup_against_reference_set(spark, sf_dir, tmp_path):
+    """X2 incremental form: a stream anti-joined against a static
+    already-seen hash set — only unseen content passes. This is how
+    exact dedup runs continuously at 100 TB (broadcast the bloom/hash
+    set; stream side never shuffles)."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250).select(
+        F.md5("text").alias("seen_hash")
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    fresh = stream.withColumn("h", F.md5("text")).join(
+        F.broadcast(seen), F.col("h") == F.col("seen_hash"), "left_anti"
+    )
+    name = f"fresh_{uuid.uuid4().hex[:8]}"
+    q = fresh.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    _await(q)
+    expected = docs.filter(F.col("doc_id") >= 250).count()
+    assert spark.table(name).count() == expected
