@@ -166,7 +166,12 @@ _MINHASH_ORACLE = f"""
         FROM documents
     ),
     hashes AS (
-        SELECT doc_id, seeds.s AS s, MD5(CAST(seeds.s AS VARCHAR) || '_' || tok) AS h
+        -- two md5s per shingle -> 64 hex chars -> 8 disjoint 32-bit
+        -- (8-hex-char) slices: 8 independent hash fns, 4x less hashing.
+        -- 16-bit slices were tried and regressed: min-of-100 ties are
+        -- common at 16 bits, inflating band collisions.
+        SELECT doc_id, seeds.s AS s,
+               SUBSTRING(MD5(tok) || MD5('x' || tok), seeds.s * 8 + 1, 8) AS h
         FROM toks, (SELECT UNNEST(RANGE({N_HASHES})) AS s) seeds
     ),
     sig AS (
@@ -205,8 +210,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 8-hash MinHash signature → 4 bands of 2 → band-bucket equi-join for
     candidates → exact Jaccard verify on candidates only.
 
-    The min-hash family is MIN over md5 hex of (seed || shingle) — a
-    seeded, engine-portable permutation proxy (SURVEY §7 determinism rule).
+    The min-hash family is MIN over 8 disjoint 8-hex-char (32-bit) slices
+    of two md5 digests per shingle — 8 independent uniform hashes for a
+    quarter of the hashing cost of seed-prefixed md5s, tie-free at 32 bits,
+    engine-portable and seeded-deterministic (SURVEY §7 rule).
     The band join replaces all-pairs enumeration: only bucket collisions
     become candidates, then the exact Jaccard filter (restricted to the
     candidate set — the verify never scores non-candidates) removes LSH
@@ -215,10 +222,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = _shingle_postings(spark, sf_dir)
     seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("s"))
-    hashes = toks.crossJoin(F.broadcast(seeds)).select(
-        "doc_id",
-        "s",
-        F.md5(F.concat_ws("_", F.col("s").cast("string"), F.col("tok"))).alias("h"),
+    hashes = (
+        toks.withColumn("hex64", F.concat(F.md5("tok"), F.md5(F.concat(F.lit("x"), F.col("tok")))))
+        .crossJoin(F.broadcast(seeds))
+        .select("doc_id", "s", F.expr("SUBSTRING(hex64, s * 8 + 1, 8)").alias("h"))
     )
     sig = hashes.groupBy("doc_id").agg(*[F.expr(e) for e in _band_exprs_sql()])
     bands = None
