@@ -239,3 +239,97 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for col in ["l_discount", "l_tax"]:
         out = out.unionByName(branch(col))
     return out
+
+
+_PIPELINE_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> list_extract(string_split(text, ' '), i) || ' ' ||
+                        list_extract(string_split(text, ' '), i + 1) || ' ' ||
+                        list_extract(string_split(text, ' '), i + 2)))) AS tok
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, text,
+               LEN(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE LEN(string_split(text, ' ')) >= 30
+          AND LEN(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+              / (LEN(string_split(text, ' ')) * CAST(1 AS DOUBLE)) < 0.5
+    ),
+    exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY MD5(text)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    near_dup_losers AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) / (
+            (SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+            + (SELECT sz FROM sizes WHERE doc_id = b.doc_id)
+            - COUNT(*) * CAST(1 AS DOUBLE)) >= 0.5
+    ),
+    survivors AS (
+        SELECT q.doc_id, q.lang, q.n_tokens
+        FROM quality q
+        JOIN exact_kept e ON q.doc_id = e.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+          AND SUBSTRING(MD5(CAST(q.doc_id AS STRING)), 1, 2) < '80'
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM survivors
+    GROUP BY lang
+"""
+
+
+@register("pipeline_end_to_end", oracle=_PIPELINE_ORACLE, tags=("X2", "X3", "X4", "X-pipeline"), bench=True)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE composed plan — what a user of this
+    engine actually runs: quality filter (token count + stopword ratio) →
+    exact dedup (md5, keep min id) → near-dup removal (trigram Jaccard ≥
+    0.5, greedy keep-lowest-id: any doc that is the higher id of a
+    near-dup pair is dropped — the one-pass approximation of component
+    clustering, deterministic in both engines) → deterministic 50%
+    hash sample → per-language corpus stats.
+
+    Every stage is the operator introduced earlier in the registry; here
+    they compose into a single Catalyst plan with no materialization
+    between stages — filters flow into the scan, and the only heavy
+    exchange is the shingle self-join of the near-dup stage.
+    """
+    from reactivestreams_kinesis_spark.queries.llm_dedup import (
+        _jaccard_over,
+        _shingle_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_expr = "split(text, ' ')"
+    stop_in = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+    quality = docs.withColumn("n_tokens", F.expr(f"size({toks_expr})")).filter(
+        (F.col("n_tokens") >= 30)
+        & (
+            F.expr(f"size(filter({toks_expr}, x -> x IN {stop_in}))")
+            / (F.col("n_tokens") * F.lit(1.0))
+            < 0.5
+        )
+    )
+    exact_kept = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    near_losers = (
+        _jaccard_over(_shingle_postings(spark, sf_dir))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = (
+        quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+        .filter(F.expr("SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2) < '80'"))
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
