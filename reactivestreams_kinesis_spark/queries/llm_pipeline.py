@@ -241,26 +241,35 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_PIPELINE_ORACLE = """
-    WITH toks AS (
-        SELECT doc_id,
-               UNNEST(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                   i -> list_extract(string_split(text, ' '), i) || ' ' ||
-                        list_extract(string_split(text, ' '), i + 1) || ' ' ||
-                        list_extract(string_split(text, ' '), i + 2)))) AS tok
-        FROM documents
-    ),
-    quality AS (
+from reactivestreams_kinesis_spark.queries.llm_dedup import (  # noqa: E402
+    _DUCK_SHINGLES,
+    JACCARD_THRESHOLD,
+)
+from reactivestreams_kinesis_spark.queries.llm_text import _STOP_IN  # noqa: E402
+
+# Stage chain shares its building blocks with the standalone operators:
+# shingles/threshold from llm_dedup, stopwords from llm_text, hash bucket
+# from this module — one definition each, so the stages cannot drift from
+# the operators they compose.
+_PIPELINE_ORACLE = f"""
+    WITH quality AS (
         SELECT doc_id, lang, text,
                LEN(string_split(text, ' ')) AS n_tokens
         FROM documents
         WHERE LEN(string_split(text, ' ')) >= 30
-          AND LEN(list_filter(string_split(text, ' '),
-                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+          AND LEN(list_filter(string_split(text, ' '), x -> x IN {_STOP_IN}))
               / (LEN(string_split(text, ' ')) * CAST(1 AS DOUBLE)) < 0.5
     ),
     exact_kept AS (
         SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY MD5(text)
+    ),
+    kept AS (
+        SELECT q.doc_id, q.lang, q.text, q.n_tokens
+        FROM quality q JOIN exact_kept e ON q.doc_id = e.doc_id
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
+        FROM kept
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
     near_dup_losers AS (
@@ -270,14 +279,13 @@ _PIPELINE_ORACLE = """
         HAVING COUNT(*) / (
             (SELECT sz FROM sizes WHERE doc_id = a.doc_id)
             + (SELECT sz FROM sizes WHERE doc_id = b.doc_id)
-            - COUNT(*) * CAST(1 AS DOUBLE)) >= 0.5
+            - COUNT(*) * CAST(1 AS DOUBLE)) >= {JACCARD_THRESHOLD}
     ),
     survivors AS (
-        SELECT q.doc_id, q.lang, q.n_tokens
-        FROM quality q
-        JOIN exact_kept e ON q.doc_id = e.doc_id
-        WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
-          AND SUBSTRING(MD5(CAST(q.doc_id AS STRING)), 1, 2) < '80'
+        SELECT k.doc_id, k.lang, k.n_tokens
+        FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+          AND {_BUCKET} < '80'
     )
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM survivors
@@ -285,33 +293,38 @@ _PIPELINE_ORACLE = """
 """
 
 
-@register("pipeline_end_to_end", oracle=_PIPELINE_ORACLE, tags=("X2", "X3", "X4", "X-pipeline"), bench=True)
+@register(
+    "pipeline_end_to_end",
+    oracle=_PIPELINE_ORACLE,
+    tags=("X2", "X3", "X4", "X-pipeline"),
+    bench=True,
+)
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation chain as ONE composed plan — what a user of this
     engine actually runs: quality filter (token count + stopword ratio) →
-    exact dedup (md5, keep min id) → near-dup removal (trigram Jaccard ≥
-    0.5, greedy keep-lowest-id: any doc that is the higher id of a
-    near-dup pair is dropped — the one-pass approximation of component
-    clustering, deterministic in both engines) → deterministic 50%
-    hash sample → per-language corpus stats.
+    exact dedup (md5, keep min id) → near-dup removal over the SURVIVORS
+    of the previous stages (trigram Jaccard ≥ threshold, greedy
+    keep-lowest-id: the higher id of each near-dup pair is dropped — the
+    one-pass approximation of component clustering, deterministic in both
+    engines) → deterministic 50% hash sample → per-language corpus stats.
 
-    Every stage is the operator introduced earlier in the registry; here
-    they compose into a single Catalyst plan with no materialization
-    between stages — filters flow into the scan, and the only heavy
-    exchange is the shingle self-join of the near-dup stage.
+    Stage ordering matters and is the point: the shingle self-join (the
+    only heavy exchange) runs on the quality+exact survivors, not the raw
+    corpus — cheaper AND correct (a rejected document must not knock out a
+    good near-duplicate). All stage logic is shared with the standalone
+    operators via the imported constants.
     """
     from reactivestreams_kinesis_spark.queries.llm_dedup import (
+        _SPARK_SHINGLES,
         _jaccard_over,
-        _shingle_postings,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     toks_expr = "split(text, ' ')"
-    stop_in = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
     quality = docs.withColumn("n_tokens", F.expr(f"size({toks_expr})")).filter(
         (F.col("n_tokens") >= 30)
         & (
-            F.expr(f"size(filter({toks_expr}, x -> x IN {stop_in}))")
+            F.expr(f"size(filter({toks_expr}, x -> x IN {_STOP_IN}))")
             / (F.col("n_tokens") * F.lit(1.0))
             < 0.5
         )
@@ -319,15 +332,17 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept = quality.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+    postings = kept.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
+    )
     near_losers = (
-        _jaccard_over(_shingle_postings(spark, sf_dir))
+        _jaccard_over(postings)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = (
-        quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
-        .join(near_losers, "doc_id", "left_anti")
-        .filter(F.expr("SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2) < '80'"))
+    survivors = kept.join(near_losers, "doc_id", "left_anti").filter(
+        F.expr(f"{_BUCKET} < '80'")
     )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
