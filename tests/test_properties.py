@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the composed operators — the
+randomized testing layer the reference lacks entirely (SURVEY §5.3).
+
+Each property pits a distributed composition against a brute-force
+in-Python reference on small random inputs: the as-of join against a
+per-row linear scan, and the salted join against the plain join. Example
+counts are kept small because every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.operators.joins import asof_join, salted_join
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=50)
+
+
+@given(
+    lefts=st.lists(st.tuples(keys, times), min_size=1, max_size=15),
+    rights=st.lists(st.tuples(keys, times), min_size=0, max_size=15),
+)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """For every left row, asof_join must attach the max right_ts <= left_ts
+    within the key — exactly what a per-row linear scan computes."""
+    # de-dup right (key, ts) — the operator's documented precondition
+    rights = sorted(set(rights))
+    left_df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k int, lt int, lid int"
+    )
+    right_df = spark.createDataFrame(rights or [(99, -1)], "k int, rt int")
+    if not rights:
+        right_df = right_df.filter(F.lit(False))
+
+    got = {
+        (r.lid, r.rt)
+        for r in asof_join(
+            left_df, right_df, on="k", left_ts="lt", right_ts="rt", payload=["rt"]
+        ).collect()
+    }
+    expected = set()
+    for lid, (k, lt) in enumerate(lefts):
+        candidates = [rt for (rk, rt) in rights if rk == k and rt <= lt]
+        expected.add((lid, max(candidates) if candidates else None))
+    assert got == expected
+
+
+@given(
+    lefts=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=20),
+    rights=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=10),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_salted_join_matches_plain_join(spark, lefts, rights, n_salts):
+    """Salting is a pure physical rewrite: multiset-identical rows to the
+    plain inner join for any input and any salt count."""
+    left_df = spark.createDataFrame(
+        [(k, v) for k, v in lefts] or [(0, 0)], "k int, lv int"
+    )
+    right_df = spark.createDataFrame(
+        [(k, v) for k, v in rights] or [(0, 0)], "k int, rv int"
+    )
+    if not lefts:
+        left_df = left_df.filter(F.lit(False))
+    if not rights:
+        right_df = right_df.filter(F.lit(False))
+
+    plain = sorted(
+        (r.k, r.lv, r.rv)
+        for r in left_df.join(right_df, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left_df, right_df, "k", n_salts=n_salts).collect()
+    )
+    assert plain == salted
