@@ -47,10 +47,14 @@ def asof_join(
     drops them.
     """
     left_cols = left.columns
+    # __p___matched distinguishes "no prior right row" from "matched a
+    # right row whose payload value is NULL" — dropna on a payload column
+    # would wrongly drop the latter in inner mode.
     tagged_right = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
+        F.lit(True).alias("__p___matched"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c != on],
     )
@@ -58,6 +62,7 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
+        F.lit(None).cast("boolean").alias("__p___matched"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload],
         *[F.col(c) for c in left_cols if c != on],
     )
@@ -74,13 +79,17 @@ def asof_join(
             F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
             for c in payload
         ],
+        F.last("__p___matched", ignorenulls=True).over(w).alias("__matched"),
     )
     out = filled.filter(F.col("__is_right") == 0).select(
-        F.col(on), *[F.col(c) for c in left_cols if c != on], *payload
+        F.col(on),
+        *[F.col(c) for c in left_cols if c != on],
+        *payload,
+        "__matched",
     )
     if how == "inner":
-        out = out.dropna(subset=[payload[0]])
-    return out
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")
 
 
 def salted_join(
@@ -102,7 +111,15 @@ def salted_join(
     Cost model: right side is duplicated ``n_salts``× (use on the smaller
     side / after pre-filtering); left rows fan out 1:1. Equivalent rows to
     a plain join — verified in tests.
+
+    Only ``inner`` and ``left`` are supported: in right/full outer modes
+    each unmatched right row would surface once per salt replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r} — "
+            "right/full would duplicate unmatched right rows per salt"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     salted_left = left.withColumn("__salt", salt)
     replicated_right = right.crossJoin(

@@ -26,14 +26,6 @@ FEATURE_SCHEMA = (
     "width int, height int, checksum string"
 )
 
-try:  # real decoder if the environment has one
-    import PIL.Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
-
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Project the documents table into a multimodal shape: the text bytes
     stand in for an encoded media payload; metadata is a typed struct.
@@ -44,23 +36,19 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         F.struct(
             F.lit("image/fake").alias("media_type"),
-            F.length("text").alias("n_bytes"),
+            F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
             F.col("lang").alias("origin"),
         ).alias("meta"),
     )
 
 
 def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake decoder: derives 'dimensions' from payload bytes.
-    Swap this body for PIL/torchvision/ffmpeg in a real deployment — the
-    mapInPandas plumbing around it is unchanged."""
+    """Deterministic STUB decoder (this container ships no media codecs):
+    derives 'dimensions' from payload bytes. A real deployment replaces
+    only this body with PIL/torchvision/ffmpeg calls — the mapInPandas
+    plumbing around it is unchanged."""
     import hashlib
 
-    if _HAVE_PIL:
-        raise NotImplementedError(
-            "real image decoding not wired in this environment; "
-            "replace _decode_batch with a PIL-based implementation"
-        )
     payloads = batch["payload"]
     n_bytes = payloads.str.len().astype("int32")
     checksums = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
@@ -76,12 +64,15 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Feature extraction over media payloads via ``mapInPandas``: Arrow
     batches stream through Python once, per partition — the only sane shape
     for Python-side media work at 100 TB (row-at-a-time UDFs serialize per
     record; this amortizes across the batch). Partitioning is preserved —
-    no shuffle is introduced by the UDF itself."""
+    no shuffle is introduced by the UDF itself. Arrow batch sizing belongs
+    to the session (``spark.sql.execution.arrow.maxRecordsPerBatch``) —
+    deliberately NOT set here: a query constructor must not mutate shared
+    session state as a side effect."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -94,6 +85,4 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             )
             yield _decode_batch(flat)
 
-    conf_batch = media.sparkSession.conf
-    conf_batch.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

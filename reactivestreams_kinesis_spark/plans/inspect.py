@@ -50,6 +50,12 @@ def count_operator(df: DataFrame, operator: str) -> int:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan — THE scale cost driver.
-    Broadcast exchanges are excluded (they ship the small side only)."""
-    plan = explain_string(df, "formatted")
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    Broadcast exchanges are excluded (they ship the small side only).
+
+    Uses simple-mode explain: formatted mode renders exchanges as
+    '(n) Exchange' with the partitioning on a separate Arguments line, so
+    grepping it for 'Exchange hashpartitioning' silently matches nothing
+    (found the hard way — the original formatted-mode version always
+    returned 0)."""
+    plan = explain_string(df, "simple")
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))

@@ -41,10 +41,15 @@ JACCARD_THRESHOLD = 0.5
 # Spark side references a pre-split `toks` column: repeating split(text) inside
 # the lambda is O(tokens²) per document (no CSE across lambda invocations) —
 # measured 2x slower on the shingle stage.
+# The <3-token guard matters: Spark's sequence(1, n-2) COUNTS DOWN when
+# n-2 < 1 (e.g. [1, 0]) and element_at then throws INVALID_ARRAY_INDEX —
+# whereas DuckDB's range(1, n-1) is simply empty. Short docs must shingle
+# to an empty set on both engines, not crash one of them.
 _SPARK_SHINGLES = (
+    "if(size(toks) < 3, array(), "
     "array_distinct(transform(sequence(1, size(toks) - 2), "
     "i -> concat_ws(' ', element_at(toks, i), "
-    "element_at(toks, i + 1), element_at(toks, i + 2))))"
+    "element_at(toks, i + 1), element_at(toks, i + 2)))))"
 )
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1), "
@@ -110,8 +115,24 @@ def _shingle_postings(spark: SparkSession, sf_dir: str):
 
 def _jaccard_over(toks, candidates=None):
     """Exact Jaccard from shingle postings; optionally restricted to a
-    candidate pair set first (the LSH path) so only collisions are scored."""
+    candidate pair set (the LSH path) so only collisions are scored.
+
+    The critical restriction sits BELOW the aggregation: postings are
+    semi-joined to candidate doc ids before the self-join, so the O(n²)
+    intersection only ever sees candidate documents (Catalyst can't push a
+    join below a groupBy, so filtering after the aggregate — the obvious
+    formulation — would silently keep the full all-pairs work). The exact
+    pair-level restriction then applies after the aggregate, which is cheap
+    because pairs among candidate docs ≈ the candidate pairs themselves.
+    """
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        toks = toks.join(cand_docs, "doc_id", "left_semi")
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -119,7 +140,7 @@ def _jaccard_over(toks, candidates=None):
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"])
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common") / (
         F.col("sa.sz") + F.col("sb.sz") - F.col("n_common") * F.lit(1.0)
@@ -244,6 +265,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # candidates feed the verify stage twice (doc prefilter + pair
+        # filter); persisting the small pair set avoids re-running the
+        # whole signature/banding DAG per consumer. At 100 TB this is
+        # where you'd checkpoint candidates to storage instead.
+        .persist()
     )
     return _jaccard_over(toks, candidates=cand)
 
@@ -319,6 +345,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("u.component_id") != F.col("l.component_id"))
             .count()
         )
+        if _round > 0:
+            labels.unpersist()  # superseded round's cache
         labels = updated
         if changed == 0:
             break

@@ -51,11 +51,11 @@ def multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         doc_id,
-        'image/fake'                           AS media_type,
-        CAST(LENGTH(text) AS INT)              AS n_bytes,
-        CAST(LENGTH(text) % 640 AS INT)        AS width,
-        CAST(LENGTH(text) % 480 AS INT)        AS height,
-        MD5(text)                              AS checksum
+        'image/fake'                                         AS media_type,
+        CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT)        AS n_bytes,
+        CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 640 AS INT)  AS width,
+        CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 480 AS INT)  AS height,
+        MD5(text)                                            AS checksum
     FROM documents
     """,
     tags=("X5", "§2.11"),

@@ -39,7 +39,13 @@ def _run_to_memory(df, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(300)
+    finished = query.awaitTermination(300)
+    if not finished or query.isActive:
+        query.stop()
+        raise TimeoutError(
+            f"streaming drain for {name} did not finish in 300s — "
+            "refusing to return a partial table"
+        )
     return df.sparkSession.table(name)
 
 

@@ -14,12 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.queries.joins import _REVENUE
 from reactivestreams_kinesis_spark.queries.registry import register
-
-_REVENUE = (
-    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
-    "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
-)
 
 
 @register(

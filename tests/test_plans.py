@@ -133,8 +133,10 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         joined = spark.table(lt).join(
             spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
         )
-        plan = explain_string(joined, "formatted")
-        assert "Exchange hashpartitioning" not in plan, plan
+        assert count_exchanges(joined) == 0, explain_string(joined, "simple")
+        # sanity that count_exchanges can see shuffles at all (the
+        # unbucketed join broadcasts at this SF, so probe a groupBy)
+        assert count_exchanges(lineitem.groupBy("l_orderkey").count()) > 0
         assert joined.count() == lineitem.join(
             orders, F.col("l_orderkey") == F.col("o_orderkey")
         ).count()

@@ -118,3 +118,47 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert plain.count() == salted.count()
     assert plain.subtract(salted).count() == 0
     assert salted.subtract(plain).count() == 0
+
+
+def test_shingles_handle_short_documents(spark):
+    """Regression: documents with <3 tokens must shingle to an empty set
+    (as DuckDB's range() does) instead of crashing Spark's sequence()/
+    element_at with a descending index range."""
+    from reactivestreams_kinesis_spark.queries.llm_dedup import _SPARK_SHINGLES
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three")], "doc_id long, text string"
+    )
+    got = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+        .collect()
+    )
+    by_id = {r.doc_id: list(r.sh) for r in got}
+    assert by_id[1] == [] and by_id[2] == []
+    assert by_id[3] == ["one two three"]
+
+
+def test_asof_inner_keeps_null_payload_matches(spark):
+    """Regression: inner as-of must keep a left row whose matched right row
+    carries a NULL payload value (match-existence is not payload-null)."""
+    from reactivestreams_kinesis_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L1"), (2, 10, "L2")], "k int, lt int, tag string")
+    right = spark.createDataFrame([(1, 5, None), (3, 5, "x")], "k int, rt int, pay string")
+    got = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", payload=["pay"], how="inner"
+    ).collect()
+    # k=1 matched (payload NULL) -> kept; k=2 unmatched -> dropped
+    assert [(r.k, r.pay) for r in got] == [(1, None)]
+
+
+def test_salted_join_rejects_outer_modes(spark, sf_dir):
+    import pytest
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        salted_join(orders, orders, "o_orderkey", how="full")

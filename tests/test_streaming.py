@@ -320,11 +320,8 @@ def test_stateful_running_stats(spark, sf_dir, tmp_path):
         availableNow=True
     ).start()
     _await(q)
-    # last emitted row per user == final state
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.monotonically_increasing_id().desc())
-    # memory sink appends update rows in batch order; take the max n_events per user
+    # memory sink appends update rows in batch order; the final state per
+    # user is the row with the max n_events (monotone counter)
     final = (
         spark.table(name)
         .groupBy("user_id")
@@ -334,9 +331,7 @@ def test_stateful_running_stats(spark, sf_dir, tmp_path):
         F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
     )
     diff = final.join(expected, "user_id").filter(
-        (F.col("final.n_events") != F.col("expected.n_events"))
-        if False
-        else (final["n_events"] != expected["n_events"])
+        (final["n_events"] != expected["n_events"])
         | (final["max_value"] != expected["max_value"])
     )
     assert diff.count() == 0
