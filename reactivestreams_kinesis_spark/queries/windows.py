@@ -158,3 +158,69 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        COUNT(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_orders_30d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS spend_30d
+    FROM orders
+    """,
+    tags=("W3",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame (W3): trailing 30-day order count and
+    spend per customer. Unlike ROWS frames, RANGE frames are defined by
+    the ORDER BY value, so ties contribute to each other's frames and the
+    result is deterministic without a tie-break key. Decimal sums keep the
+    money exact across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"COUNT(*) OVER ({frame})").alias("n_orders_30d"),
+        F.expr(
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ({frame}) AS DOUBLE)"
+        ).alias("spend_30d"),
+    )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_nationkey,
+        ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
+            AS bal_pct_rank,
+        ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
+            AS bal_cume_dist
+    FROM customer
+    """,
+    tags=("W1",),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions (W1): percent_rank and cume_dist — both
+    value-deterministic under ties (they depend only on the sort key),
+    rounded for the (n-1)-division float parity."""
+    orders = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return orders.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
