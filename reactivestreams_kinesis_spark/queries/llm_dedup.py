@@ -323,7 +323,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
     )
-    for _round in range(20):
+    converged = False
+    for _round in range(50):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -349,6 +350,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unpersist()  # superseded round's cache
         labels = updated
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silently returning would desync from the oracle's closed-form
+        # fixpoint; a 50-hop near-dup chain means the threshold is wrong
+        raise RuntimeError("label propagation did not converge in 50 rounds")
     return labels
