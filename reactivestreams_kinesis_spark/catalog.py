@@ -46,6 +46,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The 200-partition default makes every shuffle a 200-task stage even
+    # on small fixtures; size to local parallelism if the session owner
+    # left the default (AQE still coalesces upward cases at runtime).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(os.cpu_count() or 4, 8))
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
