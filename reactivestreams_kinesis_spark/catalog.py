@@ -47,9 +47,16 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The 200-partition default makes every shuffle a 200-task stage even
-    # on small fixtures; size to local parallelism if the session owner
-    # left the default (AQE still coalesces upward cases at runtime).
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # on small fixtures; size to local parallelism. Guarded twice: only in
+    # local mode (cluster deployments keep their sizing) and only when the
+    # value still reads 200 — an explicit 200 is indistinguishable from the
+    # default, which is the accepted cost of making the harness's plain
+    # sessions usable (documented tradeoff; get_spark sessions set their
+    # own value so this never fires for them).
+    if (
+        spark.sparkContext.master.startswith("local")
+        and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(max(os.cpu_count() or 4, 8))
         )

@@ -47,23 +47,28 @@ def asof_join(
     drops them.
     """
     left_cols = left.columns
-    # __p___matched distinguishes "no prior right row" from "matched a
-    # right row whose payload value is NULL" — dropna on a payload column
-    # would wrongly drop the latter in inner mode.
+    # The whole payload travels as ONE nullable struct: per-column
+    # last(ignorenulls) would independently skip a NULL payload value and
+    # resurrect it from an OLDER right row (or stitch columns from
+    # different rows). A struct from a right row is non-null even when
+    # every field is NULL, so last(struct) always picks the latest matched
+    # right row atomically — and its null-ness doubles as the match flag.
+    right_types = dict(right.dtypes)
+    struct_type = (
+        "struct<" + ", ".join(f"`{c}`:{right_types[c]}" for c in payload) + ">"
+    )
     tagged_right = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
-        F.lit(True).alias("__p___matched"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c != on],
     )
     tagged_left = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
-        F.lit(None).cast("boolean").alias("__p___matched"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(struct_type).alias("__payload"),
         *[F.col(c) for c in left_cols if c != on],
     )
     merged = tagged_right.unionByName(tagged_left)
@@ -74,18 +79,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload
-        ],
-        F.last("__p___matched", ignorenulls=True).over(w).alias("__matched"),
+        "*", F.last("__payload", ignorenulls=True).over(w).alias("__filled")
     )
     out = filled.filter(F.col("__is_right") == 0).select(
         F.col(on),
         *[F.col(c) for c in left_cols if c != on],
-        *payload,
-        "__matched",
+        *[F.col(f"__filled.{c}").alias(c) for c in payload],
+        F.col("__filled").isNotNull().alias("__matched"),
     )
     if how == "inner":
         out = out.filter(F.col("__matched"))

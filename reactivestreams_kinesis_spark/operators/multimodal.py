@@ -7,10 +7,10 @@ payload (``Record.data``, decoded consumer-side:
 without interpreting them; decode/feature-extraction happens in
 Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codecs, so ``decode_image`` is STUBBED
-(deterministic fake decoder) behind ``try: import PIL`` — the Spark-side
-plumbing (schema, batch iteration, partitioning) is real and tested; a
-real deployment swaps one function body.
+The container has no image/audio codecs, so ``_decode_batch`` is an
+unconditional deterministic STUB — the Spark-side plumbing (schema, batch
+iteration, partitioning) is real and tested; a real deployment swaps only
+that one function body for PIL/ffmpeg calls.
 """
 
 from __future__ import annotations

@@ -125,7 +125,6 @@ def _jaccard_over(toks, candidates=None):
     pair-level restriction then applies after the aggregate, which is cheap
     because pairs among candidate docs ≈ the candidate pairs themselves.
     """
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
@@ -133,6 +132,11 @@ def _jaccard_over(toks, candidates=None):
             .distinct()
         )
         toks = toks.join(cand_docs, "doc_id", "left_semi")
+    # sizes AFTER the candidate prune: the semi-join keeps every posting of
+    # a surviving doc, so per-doc counts are identical — and the aggregate
+    # then only runs over candidate docs (same pushdown rationale as the
+    # intersection above).
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -352,6 +356,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    # truncate lineage so intermediate caches can be released; the
+    # checkpointed result carries its own storage, freed on GC
+    labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     if not converged:
         # silently returning would desync from the oracle's closed-form

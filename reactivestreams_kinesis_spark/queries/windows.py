@@ -216,9 +216,9 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions (W1): percent_rank and cume_dist — both
     value-deterministic under ties (they depend only on the sort key),
     rounded for the (n-1)-division float parity."""
-    orders = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
-    return orders.select(
+    return customer.select(
         "c_custkey",
         "c_nationkey",
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),

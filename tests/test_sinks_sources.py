@@ -162,3 +162,21 @@ def test_salted_join_rejects_outer_modes(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError):
         salted_join(orders, orders, "o_orderkey", how="full")
+
+
+def test_asof_latest_null_payload_not_resurrected(spark):
+    """Regression: when the LATEST matched right row carries a NULL payload
+    value, the as-of join must return that NULL — not resurrect the value
+    from an older right row (per-column last(ignorenulls) did exactly
+    that; the payload now travels as one atomic struct)."""
+    from reactivestreams_kinesis_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, lt int")
+    right = spark.createDataFrame(
+        [(1, 1, "old", 100), (1, 5, None, 200)], "k int, rt int, pay string, amt int"
+    )
+    got = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt", payload=["pay", "amt"]
+    ).collect()
+    # latest match is rt=5 → pay NULL, amt 200 — atomically from that row
+    assert [(r.pay, r.amt) for r in got] == [(None, 200)]
