@@ -231,3 +231,32 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_quartiles"
         ),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT
+        LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000.0) AS INT) + 1, 0), 13) AS bucket,
+        COUNT(*) AS n,
+        CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS lo,
+        CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("A1", "A5"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the profiling companion to percentiles):
+    explicit 50k-wide bucket arithmetic (DuckDB lacks width_bucket, so the
+    identical clamped-floor expression runs on both engines) — a single
+    hash-agg over bucket ids, the constant-memory way to see a
+    distribution at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.expr("LEAST(GREATEST(CAST(FLOOR(o_totalprice / 50000.0) AS INT) + 1, 0), 13)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE)").alias("lo"),
+        F.expr("CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE)").alias("hi"),
+    )
