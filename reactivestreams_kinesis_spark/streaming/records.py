@@ -131,3 +131,33 @@ def read_record_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(records_dir)
+
+
+def rate_record_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    stream_name: str = "rate-emulation",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Unbounded synthetic shard (S1's rate-source emulation): Spark's rate
+    source projected to the record schema — an infinite stream for
+    soak/demo runs where the file replay's boundedness is the wrong shape.
+    sequenceNumber is the rate source's monotone ``value``; payloads are
+    the reference's TCK seeding shape (``testData-%d``,
+    ShardPublisherVerification.scala:44-45)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.concat(F.lit("testData-"), F.col("value")).cast("binary").alias("data"),
+        F.pmod(F.col("value"), F.lit(50)).cast("string").alias("partitionKey"),
+        F.format_string("%020d", F.col("value")).alias("sequenceNumber"),
+        F.col("timestamp").alias("approximateArrivalTimestamp"),
+        F.lit(stream_name).alias("streamName"),
+        F.concat(
+            F.lit("shardId-"),
+            F.format_string("%012d", F.pmod(F.crc32(F.pmod(F.col("value"), F.lit(50)).cast("string")), F.lit(n_shards))),
+        ).alias("shardId"),
+    )

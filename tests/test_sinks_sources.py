@@ -180,3 +180,30 @@ def test_asof_latest_null_payload_not_resurrected(spark):
     ).collect()
     # latest match is rt=5 → pay NULL, amt 200 — atomically from that row
     assert [(r.pay, r.amt) for r in got] == [(None, 200)]
+
+
+def test_minhash_recall_invariant(spark, tmp_path):
+    """Structural LSH invariant: documents with IDENTICAL shingle sets have
+    identical MinHash signatures, hence identical band keys, hence MUST be
+    candidates — and survive exact verify with jaccard == 1.0. Run on a
+    synthetic corpus so the invariant is exercised by construction."""
+    from reactivestreams_kinesis_spark.queries.registry import all_queries
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "srcX", len(base)),
+        (2, base + " lambda", "en", "srcX", len(base) + 7),   # near-dup of 1
+        (3, base, "en", "srcX", len(base)),                   # exact dup of 1
+        (4, "one two three four five six seven eight nine ten", "en", "srcX", 49),
+    ]
+    docs_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_dir + "/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in all_queries()["dedup_minhash_lsh"].fn(spark, docs_dir).collect()
+    }
+    assert pairs.get((1, 3)) == 1.0, f"exact dup pair must be recalled: {pairs}"
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs

@@ -552,3 +552,36 @@ def test_stream_stream_left_outer_join(spark, sf_dir, tmp_path):
     exp_matched = expected.filter(F.col("c_user").isNotNull())
     assert got_matched.count() == exp_matched.count()
     assert got.filter(F.col("c_user").isNull()).count() > 0
+
+
+def test_rate_record_stream(spark):
+    """S1 rate-source emulation: unbounded synthetic records in the standard
+    schema, delivered on a processing-time trigger, stopped by cancel (F6)."""
+    from reactivestreams_kinesis_spark.streaming.records import (
+        RECORD_SCHEMA,
+        rate_record_stream,
+    )
+
+    stream = rate_record_stream(spark, rows_per_second=200)
+    # rate-source columns are non-nullable, so compare names+types only
+    assert [(f.name, f.dataType) for f in stream.schema.fields] == [
+        (f.name, f.dataType) for f in RECORD_SCHEMA.fields
+    ]
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and spark.table(name).count() < 100:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+    got = spark.table(name)
+    assert got.count() >= 100
+    row = got.orderBy("sequenceNumber").first()
+    assert bytes(row.data).decode().startswith("testData-")
+    seqs = [r.sequenceNumber for r in got.select("sequenceNumber").collect()]
+    assert len(set(seqs)) == len(seqs)  # monotone source → unique sequence numbers
