@@ -306,3 +306,44 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
+
+
+@register(
+    "fn_string_extended",
+    oracle="""
+    SELECT
+        s_suppkey,
+        LPAD(s_name, 20, '*')               AS name_lpad,
+        RPAD(s_name, 20, '*')               AS name_rpad,
+        TRANSLATE(s_name, '#0', '_O')       AS name_translated,
+        REVERSE(s_name)                     AS name_reversed,
+        REPEAT('-', CAST(s_nationkey AS INT) % 5) AS dashes,
+        STARTS_WITH(s_name, 'Supplier')     AS is_supplier_prefixed,
+        ENDS_WITH(s_name, '1')              AS ends_in_one,
+        CONTAINS(s_name, '#')               AS has_hash,
+        LEFT(s_name, 8)                     AS name_left,
+        RIGHT(s_name, 3)                    AS name_right,
+        SPLIT_PART(s_name, '#', 2)          AS after_hash
+    FROM supplier
+    """,
+    tags=("§2.8-string",),
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family (§2.8): padding, translate, reverse, repeat,
+    prefix/suffix/contains predicates, left/right slicing, split_part —
+    all names shared verbatim by Spark and DuckDB."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.lpad("s_name", 20, "*").alias("name_lpad"),
+        F.rpad("s_name", 20, "*").alias("name_rpad"),
+        F.translate("s_name", "#0", "_O").alias("name_translated"),
+        F.reverse("s_name").alias("name_reversed"),
+        F.repeat(F.lit("-"), (F.col("s_nationkey") % 5).cast("int")).alias("dashes"),
+        F.startswith(F.col("s_name"), F.lit("Supplier")).alias("is_supplier_prefixed"),
+        F.endswith(F.col("s_name"), F.lit("1")).alias("ends_in_one"),
+        F.contains(F.col("s_name"), F.lit("#")).alias("has_hash"),
+        F.expr("LEFT(s_name, 8)").alias("name_left"),
+        F.expr("RIGHT(s_name, 3)").alias("name_right"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+    )
