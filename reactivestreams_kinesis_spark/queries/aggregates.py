@@ -260,3 +260,29 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE)").alias("lo"),
         F.expr("CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE)").alias("hi"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_SUM_QTY} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("A5",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A5, completing rollup/cube): disjoint
+    per-dimension totals plus the grand total in ONE Expand + shuffle —
+    not three passes over the fact table. Expressed via the SQL API since
+    the DataFrame API exposes only rollup/cube."""
+    from reactivestreams_kinesis_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_SUM_QTY} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -347,3 +347,32 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("RIGHT(s_name, 3)").alias("name_right"),
         F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
     )
+
+
+@register(
+    "fn_safe_arithmetic",
+    oracle="""
+    SELECT
+        event_id,
+        ROUND(value / NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0), 6)
+            AS value_per_k,
+        TRY_CAST(event_type AS INT)          AS type_as_int,
+        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_safe
+    FROM events
+    """,
+    tags=("§2.8-conditional",),
+)
+def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (§2.8): division guarded by NULLIF (NULL, not
+    an exception or Inf, on zero denominators) and TRY_CAST for
+    unparseable strings — the null-on-error discipline a pipeline needs
+    under ANSI mode where a single bad row would otherwise kill a 100 TB
+    job."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select(
+        "event_id",
+        F.round(F.col("value") / F.nullif(k, F.lit(0)), 6).alias("value_per_k"),
+        F.expr("TRY_CAST(event_type AS INT)").alias("type_as_int"),
+        F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)").alias("k_safe"),
+    )

@@ -224,3 +224,42 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        NTH_VALUE(o_orderkey, 2) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order_key,
+        LAST_VALUE(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_order_key
+    FROM orders
+    """,
+    tags=("W2",),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value analytics (W2 completion): the customer's
+    second-ever order as of each row, and their final order over the full
+    partition frame. Unique (date, key) ordering keeps both deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(running).alias("second_order_key"),
+        F.last("o_orderkey").over(full).alias("final_order_key"),
+    )
