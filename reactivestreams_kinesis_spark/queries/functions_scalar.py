@@ -354,7 +354,7 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         event_id,
-        ROUND(value / NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0), 6)
+        value / NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0)
             AS value_per_k,
         TRY_CAST(event_type AS INT)          AS type_as_int,
         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_safe
@@ -372,7 +372,11 @@ def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return events.select(
         "event_id",
-        F.round(F.col("value") / F.nullif(k, F.lit(0)), 6).alias("value_per_k"),
+        # deliberately UN-rounded: identical double operands divide to
+        # bit-identical quotients on both engines, while ROUND(q, 6) hits
+        # exact half-boundaries whenever value (2dp) / 2^n terminates in a
+        # "...5" digit just past the 6th place (observed at sf0.01)
+        (F.col("value") / F.nullif(k, F.lit(0))).alias("value_per_k"),
         F.expr("TRY_CAST(event_type AS INT)").alias("type_as_int"),
         F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)").alias("k_safe"),
     )
