@@ -77,13 +77,18 @@ def rows_sorted_by_colname(df_pandas):
     return cols, sorted(recs, key=_sort_key)
 
 
-def _cells_equal(a, b, rel=1e-6, abs_tol=1e-9) -> bool:
+def _cells_equal(a, b) -> bool:
+    # EXACT comparison, floats included: every registered query is designed
+    # to be bit-identical across engines (decimal money math, shared
+    # fragments, deliberate rounding policy). A tolerance here once masked
+    # a ROUND half-boundary bug that only the strict verify recipe caught —
+    # so pytest now enforces the same standard.
     if isinstance(a, float) and isinstance(b, (int, float)):
-        return math.isclose(a, float(b), rel_tol=rel, abs_tol=abs_tol)
+        return a == float(b)
     if isinstance(b, float) and isinstance(a, (int, float)):
-        return math.isclose(float(a), b, rel_tol=rel, abs_tol=abs_tol)
+        return float(a) == b
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y, rel, abs_tol) for x, y in zip(a, b))
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     return a == b
 
 
