@@ -242,3 +242,94 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.expr(_REVENUE).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        COUNT(*) AS n_customers,
+        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+          )
+      AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 450000
+              )
+    GROUP BY c_mktsegment
+    """,
+    tags=("J3", "A6"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: rich customers with no very-large orders — an uncorrelated
+    scalar-subquery threshold (broadcast single row) feeding an anti join
+    against orders, grouped per segment. The comparison against the raw
+    AVG double is engine-deterministic because both engines aggregate the
+    same doubles (threshold compare, not displayed — display sums are
+    decimal-exact)."""
+    from reactivestreams_kinesis_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT
+            c_mktsegment,
+            COUNT(*) AS n_customers,
+            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 450000
+              )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_REVENUE} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("J1", "A6"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: top supplier by quarterly revenue via a reused
+    CTE — the revenue aggregate feeds both the join and the MAX scalar
+    subquery, and equality (not top-1 LIMIT) keeps ties in, exactly like
+    the spec query. Revenue is decimal-exact so the MAX equality is safe
+    across engines."""
+    from reactivestreams_kinesis_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {_REVENUE} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
