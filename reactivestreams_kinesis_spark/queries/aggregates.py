@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
-from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.queries.registry import register, register_sql
 
 
 @register(
@@ -262,27 +262,18 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_grouping_sets",
-    oracle=f"""
+_GROUPING_SETS_SQL = f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_SUM_QTY} AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    tags=("A5",),
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (A5, completing rollup/cube): disjoint
-    per-dimension totals plus the grand total in ONE Expand + shuffle —
-    not three passes over the fact table. Expressed via the SQL API since
-    the DataFrame API exposes only rollup/cube."""
-    from reactivestreams_kinesis_spark.catalog import load_tables
+"""
 
-    load_tables(spark, sf_dir, ["lineitem"])
-    return spark.sql(
-        f"""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_SUM_QTY} AS sum_qty
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
+register_sql(
+    "agg_grouping_sets",
+    _GROUPING_SETS_SQL,
+    tables=["lineitem"],
+    tags=("A5",),
+    doc="""Explicit GROUPING SETS (A5, completing rollup/cube): disjoint
+    per-dimension totals plus the grand total in ONE Expand + shuffle.
+    One SQL text runs on both engines (register_sql).""",
+)

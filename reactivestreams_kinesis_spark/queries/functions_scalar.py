@@ -354,7 +354,7 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         event_id,
-        value / NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0)
+        value / NULLIF(TRY_CAST(json_extract_string(props, '$.k') AS INT), 0)
             AS value_per_k,
         TRY_CAST(event_type AS INT)          AS type_as_int,
         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_safe
@@ -369,7 +369,9 @@ def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ANSI mode where a single bad row would otherwise kill a 100 TB
     job."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # TRY_CAST here too: a plain cast of an unparseable k would throw under
+    # default-on ANSI mode — the exact failure this query guards against
+    k = F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)")
     return events.select(
         "event_id",
         # deliberately UN-rounded: identical double operands divide to

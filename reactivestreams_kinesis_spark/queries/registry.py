@@ -51,6 +51,31 @@ def register(
     return deco
 
 
+def register_sql(
+    name: str,
+    sql: str,
+    tables: list[str],
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    doc: str = "",
+) -> None:
+    """Register a query defined by ONE SQL text that both engines run
+    verbatim (possible when the statement stays in the shared dialect):
+    Spark executes it via the SQL API over registered temp views, DuckDB
+    runs it as the oracle. Eliminates the spark.sql/oracle copy-paste for
+    pure-SQL operators (scalar subqueries, GROUPING SETS, CTE reuse)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from reactivestreams_kinesis_spark.catalog import load_tables
+
+        load_tables(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    register(name, oracle=sql, tags=tags, bench=bench)(fn)
+
+
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules exactly once; keeps registry population lazy
     # so `import reactivestreams_kinesis_spark` stays cheap.

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
-from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.queries.registry import register, register_sql
 
 # Exact-decimal aggregate fragments shared by Spark expr and DuckDB oracle.
 _QTY = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -172,9 +172,7 @@ def rel_decode_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rel_scalar_subquery",
-    oracle="""
+_SCALAR_SUBQUERY_SQL = """
     SELECT
         c_custkey,
         c_acctbal,
@@ -183,28 +181,16 @@ def rel_decode_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2)
             AS above_avg_balance
     FROM customer
-    """,
-    tags=("P4", "J3"),
-)
-def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated + uncorrelated scalar subqueries, via the SQL API —
-    Catalyst de-correlates the per-customer MAX into an aggregate+join
-    (visible in the plan as a left outer join, not a per-row loop), and the
-    global AVG becomes a broadcast scalar. Same de-correlation DuckDB
-    applies, so results match exactly (MAX/AVG over identical doubles;
-    the comparison output is boolean so no float display issues)."""
-    from reactivestreams_kinesis_spark.catalog import load_tables
+"""
 
-    load_tables(spark, sf_dir, ["customer", "orders"])
-    return spark.sql(
-        """
-        SELECT
-            c_custkey,
-            c_acctbal,
-            (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
-                AS max_order_value,
-            c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2)
-                AS above_avg_balance
-        FROM customer
-        """
-    )
+register_sql(
+    "rel_scalar_subquery",
+    _SCALAR_SUBQUERY_SQL,
+    tables=["customer", "orders"],
+    tags=("P4", "J3"),
+    doc="""Correlated + uncorrelated scalar subqueries: Catalyst
+    de-correlates the per-customer MAX into an aggregate+join and the
+    global AVG becomes a broadcast scalar — the same de-correlation DuckDB
+    applies, so results match exactly. One SQL text, both engines
+    (register_sql).""",
+)

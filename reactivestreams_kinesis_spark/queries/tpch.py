@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.queries.joins import _REVENUE
-from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.queries.registry import register, register_sql
 
 
 @register(
@@ -244,9 +244,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q22_global_sales_opportunity",
-    oracle="""
+_Q22_SQL = """
     SELECT
         c_mktsegment,
         COUNT(*) AS n_customers,
@@ -256,45 +254,24 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
           )
       AND NOT EXISTS (
-                SELECT 1 FROM orders
-                WHERE o_custkey = c_custkey AND o_totalprice > 450000
-              )
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 450000
+          )
     GROUP BY c_mktsegment
-    """,
+"""
+
+register_sql(
+    "q22_global_sales_opportunity",
+    _Q22_SQL,
+    tables=["customer", "orders"],
     tags=("J3", "A6"),
+    doc="""TPC-H Q22-shaped: rich customers with no very-large orders — an
+    uncorrelated scalar-subquery threshold (broadcast single row) feeding
+    an anti join against orders, grouped per segment. One SQL text runs on
+    both engines (register_sql).""",
 )
-def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-shaped: rich customers with no very-large orders — an uncorrelated
-    scalar-subquery threshold (broadcast single row) feeding an anti join
-    against orders, grouped per segment. The comparison against the raw
-    AVG double is engine-deterministic because both engines aggregate the
-    same doubles (threshold compare, not displayed — display sums are
-    decimal-exact)."""
-    from reactivestreams_kinesis_spark.catalog import load_tables
 
-    load_tables(spark, sf_dir, ["customer", "orders"])
-    return spark.sql(
-        """
-        SELECT
-            c_mktsegment,
-            COUNT(*) AS n_customers,
-            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
-        FROM customer
-        WHERE c_acctbal > (
-                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
-              )
-          AND NOT EXISTS (
-                SELECT 1 FROM orders
-                WHERE o_custkey = c_custkey AND o_totalprice > 450000
-              )
-        GROUP BY c_mktsegment
-        """
-    )
-
-
-@register(
-    "q15_top_supplier",
-    oracle=f"""
+_Q15_SQL = f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no, {_REVENUE} AS total_revenue
         FROM lineitem
@@ -306,30 +283,15 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-    """,
-    tags=("J1", "A6"),
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15-shaped: top supplier by quarterly revenue via a reused
-    CTE — the revenue aggregate feeds both the join and the MAX scalar
-    subquery, and equality (not top-1 LIMIT) keeps ties in, exactly like
-    the spec query. Revenue is decimal-exact so the MAX equality is safe
-    across engines."""
-    from reactivestreams_kinesis_spark.catalog import load_tables
+"""
 
-    load_tables(spark, sf_dir, ["lineitem", "supplier"])
-    return spark.sql(
-        f"""
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no, {_REVENUE} AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier
-        JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-        """
-    )
+register_sql(
+    "q15_top_supplier",
+    _Q15_SQL,
+    tables=["lineitem", "supplier"],
+    tags=("J1", "A6"),
+    doc="""TPC-H Q15-shaped: top supplier by quarterly revenue via a reused
+    CTE — the revenue aggregate feeds both the join and the MAX scalar
+    subquery; equality (not LIMIT 1) keeps revenue ties, like the spec
+    query. Decimal-exact revenue makes the MAX equality engine-safe.""",
+)

@@ -35,6 +35,16 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
+def _shard_id(key_col, n_shards: int):
+    """Kinesis-style shard routing: hash the partition key into one of
+    ``n_shards`` zero-padded shard ids — single definition shared by every
+    record emulation so the routings cannot drift."""
+    return F.concat(
+        F.lit("shardId-"),
+        F.format_string("%012d", F.pmod(F.crc32(key_col.cast("string")), F.lit(n_shards))),
+    )
+
+
 def events_as_records(
     spark: SparkSession,
     sf_dir: str,
@@ -54,10 +64,7 @@ def events_as_records(
         F.format_string("%020d", F.col("event_id")).alias("sequenceNumber"),
         F.col("ts").alias("approximateArrivalTimestamp"),
         F.lit(stream_name).alias("streamName"),
-        F.concat(
-            F.lit("shardId-"),
-            F.format_string("%012d", F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(n_shards))),
-        ).alias("shardId"),
+        _shard_id(F.col("user_id"), n_shards).alias("shardId"),
     )
 
 
@@ -150,14 +157,12 @@ def rate_record_stream(
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+    partition_key = F.pmod(F.col("value"), F.lit(50))
     return rate.select(
         F.concat(F.lit("testData-"), F.col("value")).cast("binary").alias("data"),
-        F.pmod(F.col("value"), F.lit(50)).cast("string").alias("partitionKey"),
+        partition_key.cast("string").alias("partitionKey"),
         F.format_string("%020d", F.col("value")).alias("sequenceNumber"),
         F.col("timestamp").alias("approximateArrivalTimestamp"),
         F.lit(stream_name).alias("streamName"),
-        F.concat(
-            F.lit("shardId-"),
-            F.format_string("%012d", F.pmod(F.crc32(F.pmod(F.col("value"), F.lit(50)).cast("string")), F.lit(n_shards))),
-        ).alias("shardId"),
+        _shard_id(partition_key, n_shards).alias("shardId"),
     )

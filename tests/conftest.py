@@ -2,9 +2,9 @@
 
 ``assert_matches_oracle`` mirrors the driver's compare contract
 (``__spark_entry__`` docstring): row count, column names sorted, and
-order-insensitive value comparison — exact for non-floats, tiny-tolerance
-for floats (registered queries round floats themselves so even a bit-exact
-hash would agree; the tolerance here just avoids false local failures).
+order-insensitive BIT-EXACT value comparison, floats included — every
+registered query is engineered for identical cross-engine results, and a
+past float tolerance here masked a real rounding bug.
 """
 
 from __future__ import annotations

@@ -194,7 +194,10 @@ def test_minhash_recall_invariant(spark, tmp_path):
         (1, base, "en", "srcX", len(base)),
         (2, base + " lambda", "en", "srcX", len(base) + 7),   # near-dup of 1
         (3, base, "en", "srcX", len(base)),                   # exact dup of 1
-        (4, "one two three four five six seven eight nine ten", "en", "srcX", 49),
+        # shares a 3-shingle prefix with doc 1 (jaccard ~0.2, BELOW the
+        # threshold) so the exclusion assertions actually exercise the
+        # threshold filter, not just shingle disjointness
+        (4, "alpha beta gamma delta epsilon one two three four five six", "en", "srcX", 60),
     ]
     docs_dir = str(tmp_path)
     spark.createDataFrame(
@@ -206,4 +209,6 @@ def test_minhash_recall_invariant(spark, tmp_path):
         for r in all_queries()["dedup_minhash_lsh"].fn(spark, docs_dir).collect()
     }
     assert pairs.get((1, 3)) == 1.0, f"exact dup pair must be recalled: {pairs}"
+    # doc 4 DOES share shingles with 1-3 (candidate-able) but sits below
+    # the jaccard threshold — the verify stage must reject it
     assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs

@@ -582,6 +582,8 @@ def test_rate_record_stream(spark):
     got = spark.table(name)
     assert got.count() >= 100
     row = got.orderBy("sequenceNumber").first()
-    assert bytes(row.data).decode().startswith("testData-")
+    # payload value must CORRESPOND to the sequence number, not merely be
+    # well-formed — pins the column pairing in the projection
+    assert bytes(row.data).decode() == f"testData-{int(row.sequenceNumber)}"
     seqs = [r.sequenceNumber for r in got.select("sequenceNumber").collect()]
     assert len(set(seqs)) == len(seqs)  # monotone source → unique sequence numbers
