@@ -121,3 +121,65 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(F.col("c_nationkey").alias("nation_key"))
         .subtract(supplier.select(F.col("s_nationkey").alias("nation_key")))
     )
+
+
+@register(
+    "setop_union_evolved_schema",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS balance, NULL AS segment
+    FROM customer WHERE c_custkey <= 50
+    UNION ALL
+    SELECT c_custkey AS entity_id, c_name AS name, NULL AS balance, c_mktsegment AS segment
+    FROM customer WHERE c_custkey > 50 AND c_custkey <= 100
+    """,
+    tags=("O4",),
+)
+def setop_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (O4 variant): two record versions with
+    different column sets merge via unionByName(allowMissingColumns=True)
+    — absent columns null-fill, by NAME not position. The ingestion
+    pattern for a corpus whose schema grew over time; positional union
+    would silently mis-align."""
+    customer = load_table(spark, sf_dir, "customer")
+    v1 = customer.filter(F.col("c_custkey") <= 50).select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    v2 = (
+        customer.filter((F.col("c_custkey") > 50) & (F.col("c_custkey") <= 100))
+        .select(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "setop_unpivot",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, CAST(s_acctbal AS DOUBLE) AS value
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value
+    FROM supplier
+    """,
+    tags=("O4", "P2"),
+)
+def setop_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide columns → long (metric, value) rows via the
+    native unpivot operator — the inverse of agg_pivot, and the shape
+    feature stores and metric pipelines ingest. The oracle states the
+    equivalent portable UNION ALL."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.unpivot(
+        ids=["s_suppkey"],
+        values=[
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+        ],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
