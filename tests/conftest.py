@@ -25,6 +25,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     spark = get_spark(app_name="rsk-spark-tests", cpus=8, shuffle_partitions=8)
     yield spark
+    # ShardStream.to_memory captures land as managed warehouse tables;
+    # drop them so spark-warehouse/ doesn't accumulate across runs
+    for row in spark.sql("SHOW TABLES").collect():
+        if row.tableName.startswith("shard_capture_"):
+            spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
     spark.stop()
 
 
