@@ -22,4 +22,39 @@ from reactivestreams_kinesis_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+
+def __getattr__(name):
+    """Lazy re-exports of the operator surface (kept lazy so importing the
+    package never drags the full query registry in)."""
+    if name == "ShardStream":
+        from reactivestreams_kinesis_spark.streaming import ShardStream
+
+        return ShardStream
+    if name == "asof_join":
+        from reactivestreams_kinesis_spark.operators.joins import asof_join
+
+        return asof_join
+    if name == "salted_join":
+        from reactivestreams_kinesis_spark.operators.joins import salted_join
+
+        return salted_join
+    if name == "extract_features":
+        from reactivestreams_kinesis_spark.operators.multimodal import extract_features
+
+        return extract_features
+    if name == "all_queries":
+        from reactivestreams_kinesis_spark.queries.registry import all_queries
+
+        return all_queries
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark",
+    "ShardStream",
+    "asof_join",
+    "salted_join",
+    "extract_features",
+    "all_queries",
+    "__version__",
+]
