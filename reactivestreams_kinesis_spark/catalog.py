@@ -33,6 +33,14 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet schema inference fires a one-task footer-read job per
+# ``spark.read.parquet`` call. Plans are rebuilt constantly (each registered
+# query re-loads its tables), so cache the inferred schema per path and pass
+# it explicitly on repeat reads — construction of the 2nd..Nth plan over a
+# table then fires zero jobs. Safe because fixture files are immutable for
+# the life of the process; a real deployment would invalidate on table DDL.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -72,7 +80,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     casting TIMESTAMP_NS → TIMESTAMP, keeping oracle parity (FIXTURES.md).
     """
     _ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    cached = _SCHEMA_CACHE.get(path)
+    reader = spark.read if cached is None else spark.read.schema(cached)
+    df = reader.parquet(path)
+    if cached is None:
+        _SCHEMA_CACHE[path] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

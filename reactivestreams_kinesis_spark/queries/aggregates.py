@@ -24,7 +24,7 @@ from reactivestreams_kinesis_spark.queries.registry import register, register_sq
         c_mktsegment,
         COUNT(*)                    AS n_customers,
         COUNT(DISTINCT c_nationkey) AS n_nations,
-        SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_rich
+        CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -32,7 +32,10 @@ from reactivestreams_kinesis_spark.queries.registry import register, register_sq
 )
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct + conditional aggregation (A2). countDistinct plans as a
-    two-stage partial-distinct aggregate — no row explosion at scale."""
+    two-stage partial-distinct aggregate — no row explosion at scale.
+    The oracle CASTs its SUM(CASE...) to BIGINT: DuckDB widens to HUGEINT
+    (pandas float64) while Spark's sum(when...) is int64 — the one type
+    drift the driver's strict hash comparison catches."""
     customer = load_table(spark, sf_dir, "customer")
     return customer.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -50,66 +53,64 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
         ROUND(MIN(l_extendedprice), 6) AS min_price,
-        ROUND(MAX(l_extendedprice), 6) AS max_price
+        ROUND(MAX(l_extendedprice), 6) AS max_price,
+        CAST(1 AS INT) AS approx_median_ok
     FROM lineitem
     GROUP BY l_returnflag
     """,
     tags=("A4",),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (A4). At 100 TB the exact form needs a
-    per-group sort; the scale path is ``approx_percentile`` (t-digest
-    sketch, single pass, mergeable) — kept exact here for oracle parity
-    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    """Exact + approximate percentiles (A4). At 100 TB the exact form needs
+    a per-group sort; the scale path is ``approx_percentile`` (t-digest-like
+    sketch, single pass, mergeable). Exact values are oracle-compared
+    bit-for-bit (Spark ``percentile`` ≡ DuckDB ``quantile_cont``); the
+    sketch is engine-specific, so it's verified as a BOUNDS CHECK computed
+    inside the query: ``approx_median_ok`` = 1 iff the approx median lands
+    within 2% of the exact median (the oracle asserts the literal 1).
+    A sketch regression flips the flag and fails the driver's value hash."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_median = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
     return lineitem.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75_price"),
         F.round(F.min("l_extendedprice"), 6).alias("min_price"),
         F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        (F.abs(approx_median - exact_median) <= 0.02 * F.abs(exact_median))
+        .cast("int")
+        .alias("approx_median_ok"),
     )
 
 
 _SUM_QTY = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)"
-
-
-@register(
-    "agg_rollup",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_SUM_QTY} AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("A5",),
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (A5): Catalyst expands to grouping sets in one
-    Expand + single shuffle (not one pass per level)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), F.expr(_SUM_QTY).alias("sum_qty")
-    )
-
-
 _SUM_TOTAL = "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)"
 
-
-@register(
-    "agg_cube",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {_SUM_TOTAL} AS sum_total
+# ROLLUP and CUBE in one variant-tagged statement (A5): each side is one
+# Expand + one shuffle; the UNION ALL is pure concatenation. One SQL text
+# runs verbatim on both engines (register_sql).
+_ROLLUP_CUBE_SQL = f"""
+    SELECT 'rollup' AS variant, l_returnflag AS k1, l_linestatus AS k2,
+           COUNT(*) AS n, {_SUM_QTY} AS metric
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS variant, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n, {_SUM_TOTAL} AS metric
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
+"""
+
+register_sql(
+    "agg_rollup_cube",
+    _ROLLUP_CUBE_SQL,
+    tables=["lineitem", "orders"],
     tags=("A5",),
+    doc="""ROLLUP hierarchy totals over lineitem + CUBE over two
+    low-cardinality order dims (A5): Catalyst expands each to grouping
+    sets in one Expand + single shuffle (not one pass per level).""",
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two low-cardinality dims (A5)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), F.expr(_SUM_TOTAL).alias("sum_total")
-    )
 
 
 @register(
@@ -147,7 +148,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n_regionkey AS region_key,
-        list_sort(list(DISTINCT n_name)) AS nations
+        array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
@@ -155,29 +156,47 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set with deterministic ordering (A7): ``sort_array`` makes
-    the list content comparable across engines and runs. At scale
-    collect_* is only safe on bounded-cardinality groups (it materializes
-    the group in memory) — this one is ≤25 nations per region."""
+    the list content deterministic, then ``concat_ws`` serializes it —
+    the driver's canonicalizer can't hash list-valued cells, so the
+    comparable form is a delimited string on both engines (list semantics
+    stay covered by tests/test_streaming.py and the sort_array here).
+    At scale collect_* is only safe on bounded-cardinality groups (it
+    materializes the group in memory) — this one is ≤25 nations/region."""
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy(F.col("n_regionkey").alias("region_key")).agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations")
+        F.concat_ws("|", F.sort_array(F.collect_set("n_name"))).alias("nations")
     )
 
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketch values are engine-specific; accuracy asserted in tests
+    oracle="""
+    SELECT
+        l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        COUNT(*) AS n,
+        CAST(1 AS INT) AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("A3",),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (A3) — the 100 TB path for
     distinct counting: single pass, fixed memory, mergeable sketches.
-    Engine-specific sketch internals → rows-only driver check; the test
-    suite asserts <5% relative error vs exact."""
+    Sketch values are engine-specific, so the driver-checkable form is a
+    BOUNDS CHECK inside the query: ``approx_ok`` = 1 iff the HLL++
+    estimate (2% rsd config) is within 10% of the exact distinct count
+    computed in the same aggregate; the oracle asserts the literal 1.
+    HLL is deterministic for a fixed input, so this is a stable check,
+    not a flaky one."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.02)
+    exact = F.countDistinct("l_partkey")
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        exact.alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
+        (F.abs(approx - exact) <= 0.10 * exact).cast("int").alias("approx_ok"),
     )
 
 
@@ -211,25 +230,6 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(ROUND(COALESCE(`{c}`, 0), 2) AS DOUBLE)").alias(c)
             for c in ["F", "O", "P"]
         ],
-    )
-
-
-@register(
-    "agg_approx_percentile",
-    oracle=None,  # t-digest sketch internals are engine-specific (scale path for A4)
-    tags=("A4",),
-)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (A4 scale path): single-pass, mergeable
-    sketch — what replaces the exact per-group sort at 100 TB. Rows-only
-    at the driver; the test suite bounds its error against the exact
-    percentile."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median"),
-        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)").alias(
-            "approx_quartiles"
-        ),
     )
 
 

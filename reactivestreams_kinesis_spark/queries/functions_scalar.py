@@ -99,8 +99,8 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(POW(p_size, 2) AS DOUBLE)         AS size_sq,
         ROUND(SQRT(p_retailprice), 6)          AS price_sqrt,
         ROUND(LN(p_retailprice), 6)            AS price_ln,
-        FLOOR(p_retailprice / 100)             AS price_bucket,
-        CEIL(p_retailprice / 100)              AS price_bucket_hi,
+        CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+        CAST(CEIL(p_retailprice / 100) AS BIGINT)  AS price_bucket_hi,
         p_partkey % 7                          AS key_mod
     FROM part
     WHERE p_retailprice > 0
@@ -109,7 +109,10 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family. Integer-valued results (abs/pow-of-int/floor/ceil/mod)
-    are exact; sqrt is IEEE-exact but ln rounds to 6dp for libm parity."""
+    are exact; sqrt is IEEE-exact but ln rounds to 6dp for libm parity.
+    The oracle CASTs FLOOR/CEIL to BIGINT — DuckDB returns DOUBLE for
+    floor/ceil of a DOUBLE while Spark returns BIGINT, a dtype drift the
+    driver's strict hash rejects even when values agree."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
     return part.select(
         "p_partkey",
@@ -171,21 +174,29 @@ def fn_array_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_id,
         json_extract_string(props, '$.k')                  AS k_text,
         CAST(json_extract_string(props, '$.k') AS INT)     AS k_int,
-        json_extract_string(props, '$.missing') IS NULL    AS missing_is_null
+        json_extract_string(props, '$.missing') IS NULL    AS missing_is_null,
+        array_to_string(list_sort(json_keys(props)), '|')  AS prop_keys,
+        CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
     FROM events
     """,
-    tags=("§2.8-json",),
+    tags=("§2.8-json", "§2.8-map", "P1"),
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family over the semi-structured ``events.props`` column —
-    schema-on-read decode, the engine-side version of the reference's
-    consumer-side payload deserialization (P1)."""
+    """JSON + map family over the semi-structured ``events.props`` column —
+    schema-on-read decode (path extraction via get_json_object AND typed
+    decode via ``from_json`` into a map, then map_keys/value access), the
+    engine-side version of the reference's consumer-side payload
+    deserialization (P1). The key list serializes to a sorted delimited
+    string because the driver's canonicalizer can't hash list cells."""
     events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_text"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("prop_keys"),
+        (m["k"] * 2).alias("k_doubled"),
     )
 
 
@@ -253,35 +264,6 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.minute("ts").alias("mi"),
         (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus_week"),
         F.last_day("ts").cast("timestamp").alias("month_end"),
-    )
-
-
-@register(
-    "fn_map_json",
-    oracle="""
-    SELECT
-        event_id,
-        json_keys(props)                                  AS prop_keys,
-        CAST(json_extract_string(props, '$.k') AS INT)    AS k_value,
-        CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
-    FROM events
-    """,
-    tags=("§2.8-json", "§2.8-map"),
-)
-def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map/JSON family (§2.8): parse the props JSON into a typed map, then
-    map_keys + value access — schema-on-read over semi-structured payloads
-    (``from_json`` is the engine-side version of the reference's
-    consumer-side decode, P1)."""
-    events = load_table(spark, sf_dir, "events")
-    parsed = events.select(
-        "event_id", F.from_json("props", "map<string,int>").alias("m")
-    )
-    return parsed.select(
-        "event_id",
-        F.map_keys("m").alias("prop_keys"),
-        F.col("m")["k"].alias("k_value"),
-        (F.col("m")["k"] * 2).alias("k_doubled"),
     )
 
 

@@ -1,10 +1,14 @@
 """Join operators (SURVEY.md §2.4 J1-J8) — all [MANDATE], the reference is
 single-stream only (``ShardPublisher.java:16``).
 
-Broadcast policy: dimension tables (region/nation/supplier/part/customer at
-small SF) get explicit ``F.broadcast`` hints where a 100 TB fact side makes
-shuffle avoidance decisive; Catalyst/AQE would pick most of these itself,
-the hint pins the plan.
+Broadcast policy: explicit ``F.broadcast`` hints go ONLY on tables whose
+size is bounded regardless of scale factor (region: 5 rows, nation: 25).
+customer/supplier/part/orders/lineitem all grow linearly with SF — a pinned
+broadcast hint on those would override AQE's size-based fallback and OOM
+every executor at the 100 TB target. AQE still broadcasts them at small SF
+from its runtime size estimates, so small-scale plans keep the same shape
+without hard-coding a scale bomb (enforced by
+tests/test_plans.py::test_no_pinned_broadcast_on_scaling_tables).
 """
 
 from __future__ import annotations
@@ -45,12 +49,15 @@ _REVENUE = (
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join (J1): fact-fact join on orderkey plus
-    broadcast dimension joins.
+    dimension joins.
 
-    Scale shape: lineitem⋈orders is the only big shuffle (both sides hashed
-    on orderkey); supplier/nation/region/customer ride broadcast hash joins,
-    so no other exchange touches the fact table. The date filter prunes at
-    the orders parquet scan before the join.
+    Scale shape: lineitem⋈orders is the big shuffle (both sides hashed on
+    orderkey); nation/region are pinned broadcasts (bounded dims), while
+    customer/supplier join strategy is left to AQE — it broadcasts them at
+    small SF (same plan as a pinned hint) but falls back to shuffle joins
+    when they outgrow the threshold, which a hint would dangerously
+    override at 100 TB. The date filter prunes at the orders parquet scan
+    before the join.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -64,9 +71,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -96,12 +103,13 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
-    tags=("J1", "A1", "O2"),
+    tags=("J1", "A1", "O2", "O3"),
     bench=True,
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped join + top-K (J1, O2). Revenue is decimal-exact so
-    the DESC ordering under LIMIT is identical across engines."""
+    the DESC ordering under LIMIT is identical across engines. The
+    customer side (SF-scaling) carries no broadcast pin — AQE chooses."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -113,7 +121,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.expr(_REVENUE).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -154,45 +162,37 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS variant, c_custkey, c_name
     FROM customer
     WHERE EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey AND o_totalprice > 300000
     )
-    """,
-    tags=("J3",),
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left semi join (J3) ≡ EXISTS: emits each matching left row once, no
-    duplication, and the right side never leaves the join — at scale the
-    probe table streams against a broadcast/hashed key set."""
-    customer = load_table(spark, sf_dir, "customer")
-    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return customer.join(
-        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    UNION ALL
+    SELECT 'anti' AS variant, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     tags=("J3",),
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (J3) ≡ NOT EXISTS — the dedup-against-reference-set
-    primitive (X2's incremental form)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi (≡ EXISTS) and left anti (≡ NOT EXISTS) joins (J3) as one
+    variant-tagged result. Semi emits each matching left row once with no
+    duplication and the right side never leaves the join — at scale the
+    probe table streams against a hashed key set. Anti is the
+    dedup-against-reference-set primitive (X2's incremental form)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
+    big_orders = orders.filter(F.col("o_totalprice") > 300000)
+    semi = customer.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select(F.lit("semi").alias("variant"), "c_custkey", "c_name")
+    anti = customer.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    ).select(F.lit("anti").alias("variant"), "c_custkey", "c_name")
+    return semi.unionByName(anti)
 
 
 @register(
@@ -337,8 +337,9 @@ def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: customers who returned the most revenue. Fact-fact
-    shuffle on orderkey; customer/nation broadcast; decimal-exact revenue
-    makes the top-20 ordering engine-deterministic."""
+    shuffle on orderkey; nation (bounded dim) broadcast, customer left to
+    AQE; decimal-exact revenue makes the top-20 ordering
+    engine-deterministic."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -350,7 +351,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(_REVENUE).alias("revenue"))
@@ -381,9 +382,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped: cross-nation shipping volume by year. Two aliases
-    of the same nation dim (supplier-side and customer-side) both
-    broadcast; the year extraction groups the fact rows without a second
-    shuffle (same exchange as the aggregate)."""
+    of the same nation dim (supplier-side and customer-side) both carry
+    broadcast pins (bounded: 25 rows); supplier/customer are SF-scaling so
+    AQE picks their strategy. The year extraction groups the fact rows
+    without a second shuffle (same exchange as the aggregate)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
@@ -396,9 +398,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))

@@ -35,6 +35,15 @@ N_HASHES = 8
 BAND_SIZE = 2
 N_BANDS = N_HASHES // BAND_SIZE
 JACCARD_THRESHOLD = 0.5
+# Hot-shingle postings cap: a shingle shared by more than this many documents
+# carries no near-dup signal (boilerplate, headers) but contributes
+# O(df²) pairs to the inverted-index self-join — the one skew that can
+# dominate the shuffle at 100 TB. Shingles above the cap are dropped from the
+# postings BEFORE the self-join, on both engines, so Jaccard is computed over
+# the capped shingle space identically. 100 ≫ any real near-dup cluster size
+# in the fixtures, so results are unchanged there; at scale it bounds the
+# worst posting to MAX_SHINGLE_DF² pairs.
+MAX_SHINGLE_DF = 100
 
 # Word-trigram shingle set, engine-portable (element_at/list_extract are both
 # 1-based; Spark sequence(1, n-2) and DuckDB range(1, n-1) both yield 1..n-2).
@@ -85,9 +94,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_ORACLE = f"""
-    WITH toks AS (
+    WITH toks_raw AS (
         SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
         FROM documents
+    ),
+    hot AS (
+        SELECT tok FROM toks_raw GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    toks AS (
+        SELECT doc_id, tok FROM toks_raw
+        WHERE tok NOT IN (SELECT tok FROM hot)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
@@ -117,14 +133,34 @@ def _jaccard_over(toks, candidates=None):
     """Exact Jaccard from shingle postings; optionally restricted to a
     candidate pair set (the LSH path) so only collisions are scored.
 
-    The critical restriction sits BELOW the aggregation: postings are
-    semi-joined to candidate doc ids before the self-join, so the O(n²)
-    intersection only ever sees candidate documents (Catalyst can't push a
-    join below a groupBy, so filtering after the aggregate — the obvious
-    formulation — would silently keep the full all-pairs work). The exact
-    pair-level restriction then applies after the aggregate, which is cheap
-    because pairs among candidate docs ≈ the candidate pairs themselves.
+    Two restrictions happen BELOW the aggregation, in this order:
+
+    1. Hot-shingle cap (skew guard): shingles with document frequency >
+       MAX_SHINGLE_DF are anti-joined out of the postings before anything
+       else. The hot set is tiny (boilerplate shingles) → AQE broadcasts
+       the anti side; without the cap one pathological shingle shared by
+       d documents contributes d² rows to the self-join shuffle.
+    2. Candidate prune (LSH path): postings are semi-joined to candidate
+       doc ids before the self-join, so the intersection only ever sees
+       candidate documents (Catalyst can't push a join below a groupBy, so
+       filtering after the aggregate — the obvious formulation — would
+       silently keep the full all-pairs work). The exact pair-level
+       restriction then applies after the aggregate, which is cheap
+       because pairs among candidate docs ≈ the candidate pairs.
+
+    The cap's document frequencies are computed on the FULL postings
+    passed in (before the candidate prune), matching the oracle's global
+    HAVING — and sizes are computed after both prunes, which preserves
+    per-doc counts because neither prune removes a posting of a surviving
+    (doc, capped-shingle) pair.
     """
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("tok")
+    )
+    toks = toks.join(hot, "tok", "left_anti")
     if candidates is not None:
         cand_docs = (
             candidates.select(F.col("doc_a").alias("doc_id"))
@@ -163,10 +199,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index on shingles → per-pair intersection counts → |A∩B| / |A∪B|.
 
     Trigram postings lists are short (near-unique shingles), so the
-    self-join emits ~only genuine near-dup pairs. A residual hot shingle
-    would skew the join — AQE skew-join splits it; at 100 TB you'd also cap
-    postings length (a shingle shared by thousands of docs carries no
-    near-dup signal).
+    self-join emits ~only genuine near-dup pairs. Residual hot shingles
+    are dropped by the MAX_SHINGLE_DF postings cap before the self-join
+    (see _jaccard_over) — the skew guard that bounds the worst posting's
+    contribution; AQE skew-join handles whatever shape remains.
     """
     return _jaccard_over(_shingle_postings(spark, sf_dir))
 
@@ -186,9 +222,19 @@ def _band_exprs_sql() -> list[str]:
 
 
 _MINHASH_ORACLE = f"""
-    WITH toks AS (
+    WITH toks_raw AS (
         SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
         FROM documents
+    ),
+    hot AS (
+        SELECT tok FROM toks_raw GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    -- signatures hash the RAW shingle sets; only the exact-verify stage
+    -- (sizes/inter) uses the hot-capped postings — mirroring the Spark
+    -- side, where the cap lives inside the verify helper.
+    toks AS (
+        SELECT doc_id, tok FROM toks_raw
+        WHERE tok NOT IN (SELECT tok FROM hot)
     ),
     hashes AS (
         -- two md5s per shingle -> 64 hex chars -> 8 disjoint 32-bit
@@ -197,7 +243,7 @@ _MINHASH_ORACLE = f"""
         -- common at 16 bits, inflating band collisions.
         SELECT doc_id, seeds.s AS s,
                SUBSTRING(MD5(tok) || MD5('x' || tok), seeds.s * 8 + 1, 8) AS h
-        FROM toks, (SELECT UNNEST(RANGE({N_HASHES})) AS s) seeds
+        FROM toks_raw, (SELECT UNNEST(RANGE({N_HASHES})) AS s) seeds
     ),
     sig AS (
         SELECT doc_id, {", ".join(_band_exprs_sql())}

@@ -23,29 +23,13 @@ _BUCKET = "SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2)"
 
 
 @register(
-    "sample_deterministic",
+    "sample_hash",
     oracle=f"""
-    SELECT doc_id, lang, n_chars
+    SELECT 'global' AS variant, doc_id, lang
     FROM documents
     WHERE {_BUCKET} <= '19'
-    """,
-    tags=("X-pipeline",),
-)
-def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """~10% deterministic sample (hex buckets 00-19 = 26/256 ≈ 10.2%):
-    a pure row-local filter — no shuffle, no state, reproducible on any
-    engine and any rerun, and composable with incremental ingestion
-    (new rows sample themselves)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.expr(f"{_BUCKET} <= '19'")).select(
-        "doc_id", "lang", "n_chars"
-    )
-
-
-@register(
-    "sample_stratified",
-    oracle=f"""
-    SELECT doc_id, lang
+    UNION ALL
+    SELECT 'stratified' AS variant, doc_id, lang
     FROM (
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (
@@ -56,20 +40,31 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("X-pipeline", "W4"),
 )
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: exactly 20 docs per language, chosen by md5
-    order (a deterministic shuffle) — the per-class balanced subset
-    pattern for eval-set construction. W4 top-k-per-group shape →
-    WindowGroupLimit keeps 20 rows per class per task."""
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling, both flavors, variant-tagged:
+
+    - ``global``: ~10% sample (hex buckets 00-19 = 26/256 ≈ 10.2%) — a
+      pure row-local filter: no shuffle, no state, reproducible on any
+      engine and any rerun, composable with incremental ingestion (new
+      rows sample themselves);
+    - ``stratified``: exactly 20 docs per language, chosen by md5 order
+      (a deterministic shuffle) — the per-class balanced subset pattern
+      for eval-set construction. W4 top-k-per-group shape →
+      WindowGroupLimit keeps 20 rows per class per task.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    g = docs.filter(F.expr(f"{_BUCKET} <= '19'")).select(
+        F.lit("global").alias("variant"), "doc_id", "lang"
+    )
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    return (
+    s = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
-        .select("doc_id", "lang")
+        .select(F.lit("stratified").alias("variant"), "doc_id", "lang")
     )
+    return g.unionByName(s)
 
 
 @register(
@@ -148,25 +143,35 @@ def mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CTX = 4096  # tokens per packed sequence
+_PACK_SHARD = 512  # documents per packing shard (doc_id range partition)
+# pack ids are globally unique: shard * _PACKS_PER_SHARD + within-shard index.
+# The within-shard index is floor(prior_tokens / _CTX), so it stays below
+# _PACKS_PER_SHARD as long as a shard's token mass < _PACKS_PER_SHARD * _CTX
+# (4M tokens per 512-doc shard ⇒ avg doc ≤ 8K tokens — raise the multiplier
+# for long-document corpora).
+_PACKS_PER_SHARD = 1024
 
 
 @register(
     "pack_sequences",
     oracle=f"""
     WITH sized AS (
-        SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens
+        SELECT doc_id, CAST(FLOOR(doc_id / {_PACK_SHARD}) AS BIGINT) AS shard,
+               LEN(string_split(text, ' ')) AS n_tokens
         FROM documents
     ),
     cum AS (
-        SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_tokens
         FROM sized
     )
     SELECT
         doc_id,
         CAST(n_tokens AS INT) AS n_tokens,
-        CAST(FLOOR(COALESCE(prior_tokens, 0) / ({_CTX} * 1.0)) AS BIGINT) AS pack_id
+        shard * {_PACKS_PER_SHARD}
+            + CAST(FLOOR(COALESCE(prior_tokens, 0) / ({_CTX} * 1.0)) AS BIGINT)
+            AS pack_id
     FROM cum
     """,
     tags=("X-pipeline", "W3"),
@@ -176,26 +181,41 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({_CTX} tokens) by exclusive running token count — the batch-packing
     step before tokenized examples are written.
 
-    Scale note: the global ORDER BY doc_id running sum is a single-task
-    window as written (fine for the fixture); the 100 TB form partitions
-    by shard (e.g. doc_id div N) and packs within shards — same query with
-    a PARTITION BY, at the cost of ≤1 underfull pack per shard.
+    Sharded for scale: documents partition into doc_id ranges of
+    {_PACK_SHARD} and each shard packs independently (PARTITION BY shard
+    running sum → parallel window tasks, no single-task global sort; a
+    plan test asserts no SinglePartition exchange). Cost: ≤1 underfull
+    pack per shard — negligible against shard token mass. Pack ids stay
+    globally unique via shard * {_PACKS_PER_SHARD} + within-shard index.
     """
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id",
+        F.floor(F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return sized.select(
         "doc_id",
         "n_tokens",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(_CTX))
-        .cast("bigint")
-        .alias("pack_id"),
+        (
+            F.col("shard") * _PACKS_PER_SHARD
+            + F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(_CTX)
+            ).cast("bigint")
+        ).alias("pack_id"),
     )
 
 
-pack_sequences.__doc__ = pack_sequences.__doc__.replace("{_CTX}", str(_CTX))
+pack_sequences.__doc__ = (
+    pack_sequences.__doc__.replace("{_CTX}", str(_CTX))
+    .replace("{_PACK_SHARD}", str(_PACK_SHARD))
+    .replace("{_PACKS_PER_SHARD}", str(_PACKS_PER_SHARD))
+)
 
 
 @register(
@@ -244,6 +264,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 from reactivestreams_kinesis_spark.queries.llm_dedup import (  # noqa: E402
     _DUCK_SHINGLES,
     JACCARD_THRESHOLD,
+    MAX_SHINGLE_DF,
 )
 from reactivestreams_kinesis_spark.queries.llm_text import _STOP_IN  # noqa: E402
 
@@ -267,9 +288,16 @@ _PIPELINE_ORACLE = f"""
         SELECT q.doc_id, q.lang, q.text, q.n_tokens
         FROM quality q JOIN exact_kept e ON q.doc_id = e.doc_id
     ),
-    toks AS (
+    toks_raw AS (
         SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
         FROM kept
+    ),
+    hot AS (
+        SELECT tok FROM toks_raw GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    toks AS (
+        SELECT doc_id, tok FROM toks_raw
+        WHERE tok NOT IN (SELECT tok FROM hot)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
     near_dup_losers AS (

@@ -25,87 +25,6 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 
-@register(
-    "text_token_stats",
-    oracle="""
-    SELECT
-        doc_id,
-        lang,
-        n_chars,
-        CAST(LEN(string_split(text, ' ')) AS INT)                AS n_tokens,
-        CAST(LEN(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
-        ROUND((LENGTH(text) - LEN(string_split(text, ' ')) + 1.0)
-              / LEN(string_split(text, ' ')), 6)                 AS avg_token_len
-    FROM documents
-    """,
-    tags=("X4",),
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (X4): whitespace tokenization + distinct-token and
-    average-length stats. Narrow map over the scan — no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(
-            (F.length("text") - F.size(toks) + F.lit(1.0)) / F.size(toks), 6
-        ).alias("avg_token_len"),
-    )
-
-
-@register(
-    "text_quality_score",
-    oracle=f"""
-    WITH t AS (
-        SELECT
-            doc_id,
-            LEN(string_split(text, ' '))                                  AS n_tokens,
-            LEN(list_filter(string_split(text, ' '), x -> x IN {_STOP_IN})) AS n_stop,
-            LEN(list_distinct(string_split(text, ' ')))                   AS n_distinct
-        FROM documents
-    )
-    SELECT
-        doc_id,
-        CAST(n_tokens AS INT) AS n_tokens,
-        ROUND(n_stop / (n_tokens * 1.0), 6)     AS stopword_ratio,
-        ROUND(n_distinct / (n_tokens * 1.0), 6) AS ttr,
-        ROUND(LEAST(1.0, n_tokens / 50.0)
-              * (1.0 - n_stop / (n_tokens * 1.0))
-              * (n_distinct / (n_tokens * 1.0)), 6) AS quality_score
-    FROM t
-    """,
-    tags=("X4",),
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (X4): length saturation × (1 − stopword ratio) ×
-    type-token ratio — the shape of a fastText-style heuristic filter,
-    expressed entirely in Catalyst expressions."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
-    t = docs.select(
-        "doc_id",
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.expr(f"size(filter({toks}, x -> x IN {_STOP_IN}))").alias("n_stop"),
-        F.expr(f"size(array_distinct({toks}))").alias("n_distinct"),
-    )
-    return t.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("n_stop") / (F.col("n_tokens") * 1.0), 6).alias("stopword_ratio"),
-        F.round(F.col("n_distinct") / (F.col("n_tokens") * 1.0), 6).alias("ttr"),
-        F.round(
-            F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
-            * (1.0 - F.col("n_stop") / (F.col("n_tokens") * 1.0))
-            * (F.col("n_distinct") / (F.col("n_tokens") * 1.0)),
-            6,
-        ).alias("quality_score"),
-    )
-
-
 _LANG_MARKERS = {
     "de": ("der", "die", "und", "nicht"),
     "en": ("the", "a", "of", "and"),
@@ -125,51 +44,98 @@ _LANG_CASE = """
     END
 """
 
+_DUCK_LANG_SCORES = ", ".join(
+    "LEN(list_filter(string_split(text, ' '), x -> x IN ("
+    + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lg])
+    + f"))) AS s_{lg}"
+    for lg in sorted(_LANG_MARKERS)
+)
+
 
 @register(
-    "text_langid",
+    "text_stats",
     oracle=f"""
-    WITH scored AS (
+    WITH t AS (
         SELECT
             doc_id,
             lang,
-            {", ".join(
-                "LEN(list_filter(string_split(text, ' '), x -> x IN ("
-                + ", ".join(f"''{w}''".replace("''", chr(39)) for w in _LANG_MARKERS[lg])
-                + f"))) AS s_{lg}"
-                for lg in sorted(_LANG_MARKERS)
-            )}
+            n_chars,
+            text,
+            LEN(string_split(text, ' '))                                    AS n_tokens,
+            LEN(list_filter(string_split(text, ' '), x -> x IN {_STOP_IN})) AS n_stop,
+            LEN(list_distinct(string_split(text, ' ')))                     AS n_distinct,
+            {_DUCK_LANG_SCORES}
         FROM documents
     )
     SELECT
         doc_id,
-        lang AS labeled_lang,
+        lang,
+        n_chars,
+        CAST(n_tokens AS INT)    AS n_tokens,
+        CAST(n_distinct AS INT)  AS n_distinct_tokens,
+        ROUND((LENGTH(text) - n_tokens + 1.0) / n_tokens, 6) AS avg_token_len,
+        ROUND(n_stop / (n_tokens * 1.0), 6)     AS stopword_ratio,
+        ROUND(n_distinct / (n_tokens * 1.0), 6) AS ttr,
+        ROUND(LEAST(1.0, n_tokens / 50.0)
+              * (1.0 - n_stop / (n_tokens * 1.0))
+              * (n_distinct / (n_tokens * 1.0)), 6) AS quality_score,
         {_LANG_CASE} AS detected_lang,
-        ({_LANG_CASE}) = lang AS agree
-    FROM scored
+        ({_LANG_CASE}) = lang AS lang_agree
+    FROM t
     """,
     tags=("X4",),
 )
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (X4): stopword-marker voting with a fixed
-    priority order for ties (en > de > es > fr > zh, matching the CASE
-    ladder) so the argmax is deterministic. At 100 TB this is the shape of
-    the cheap first-pass filter before an expensive model-based IDer."""
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis (X4), one narrow map over the scan —
+    no shuffle, tokenized once and shared across all outputs:
+
+    - token counting: whitespace tokens, distinct tokens, avg token length;
+    - quality scoring: length saturation × (1 − stopword ratio) ×
+      type-token ratio — the shape of a fastText-style heuristic filter;
+    - language-ID heuristic: stopword-marker voting with a fixed priority
+      order for ties (en > de > es > fr > zh, matching the CASE ladder) so
+      the argmax is deterministic. At 100 TB this is the cheap first-pass
+      filter before an expensive model-based IDer.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
     score_cols = [
         F.expr(
-            "size(filter(split(text, ' '), x -> x IN ("
+            f"size(filter({toks}, x -> x IN ("
             + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lg])
             + ")))"
         ).alias(f"s_{lg}")
         for lg in sorted(_LANG_MARKERS)
     ]
-    scored = docs.select("doc_id", "lang", *score_cols)
-    return scored.select(
+    t = docs.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
+        "lang",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(filter({toks}, x -> x IN {_STOP_IN}))").alias("n_stop"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct"),
+        *score_cols,
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        F.col("n_distinct").alias("n_distinct_tokens"),
+        F.round(
+            (F.col("text_len") - F.col("n_tokens") + F.lit(1.0)) / F.col("n_tokens"), 6
+        ).alias("avg_token_len"),
+        F.round(F.col("n_stop") / (F.col("n_tokens") * 1.0), 6).alias("stopword_ratio"),
+        F.round(F.col("n_distinct") / (F.col("n_tokens") * 1.0), 6).alias("ttr"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
+            * (1.0 - F.col("n_stop") / (F.col("n_tokens") * 1.0))
+            * (F.col("n_distinct") / (F.col("n_tokens") * 1.0)),
+            6,
+        ).alias("quality_score"),
         F.expr(_LANG_CASE).alias("detected_lang"),
-        (F.expr(_LANG_CASE) == F.col("lang")).alias("agree"),
+        (F.expr(_LANG_CASE) == F.col("lang")).alias("lang_agree"),
     )
 
 
@@ -203,21 +169,28 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (X4): explode → per-(doc,term) counts →
     document-frequency join → top-3 terms per doc (W4 pattern). Ranking
     uses the ROUNDED score (+ term tie-break) so ordering is cross-engine
-    deterministic. The df side is tiny (vocabulary) → broadcast join; the
-    big exploded side shuffles once on term."""
+    deterministic.
+
+    The corpus size N enters the PLAN as a one-row aggregate broadcast
+    into a cross join (mirroring the oracle's ``n`` CTE) — NOT a
+    driver-side ``count()``, which would fire a full corpus scan at query
+    *construction* time and break the lazy DataFrame-in/DataFrame-out
+    contract. The df (vocabulary) side carries no broadcast pin: web-scale
+    vocabularies grow into billions of near-unique terms, so AQE decides
+    (broadcast at small SF, shuffle join beyond the threshold)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, known at plan time (cheap metadata count)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # one-row, in-plan
     exploded = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_counts), "term").select(
+    scored = tf.join(df_counts, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         "tf",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))

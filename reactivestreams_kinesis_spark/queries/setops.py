@@ -38,89 +38,84 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_union_all",
+    "setop_unions",
     oracle="""
-    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
-    FROM customer WHERE c_acctbal > 9000
+    SELECT 'all' AS variant, entity_key, entity_name FROM (
+        SELECT c_custkey AS entity_key, c_name AS entity_name
+        FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT s_suppkey AS entity_key, s_name AS entity_name
+        FROM supplier WHERE s_acctbal > 9000
+    )
     UNION ALL
-    SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind
-    FROM supplier WHERE s_acctbal > 9000
+    SELECT 'distinct' AS variant, nation_key AS entity_key, NULL AS entity_name FROM (
+        SELECT c_nationkey AS nation_key FROM customer
+        UNION
+        SELECT s_nationkey AS nation_key FROM supplier
+    )
     """,
     tags=("O4",),
 )
-def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (O4): pure concatenation of lineages, no shuffle."""
+def setop_unions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + UNION DISTINCT (O4) as one variant-tagged result.
+    UNION ALL is pure concatenation of lineages — no shuffle; UNION
+    DISTINCT adds a hash-distinct whose partial stage runs map-side so
+    the shuffle carries only unique keys."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     c = customer.filter(F.col("c_acctbal") > 9000).select(
         F.col("c_custkey").alias("entity_key"),
         F.col("c_name").alias("entity_name"),
-        F.lit("customer").alias("kind"),
     )
     s = supplier.filter(F.col("s_acctbal") > 9000).select(
         F.col("s_suppkey").alias("entity_key"),
         F.col("s_name").alias("entity_name"),
-        F.lit("supplier").alias("kind"),
     )
-    return c.unionByName(s)
+    u_all = c.unionByName(s).select(
+        F.lit("all").alias("variant"), "entity_key", "entity_name"
+    )
+    u_distinct = (
+        customer.select(F.col("c_nationkey").alias("entity_key"))
+        .union(supplier.select(F.col("s_nationkey").alias("entity_key")))
+        .distinct()
+        .select(
+            F.lit("distinct").alias("variant"),
+            "entity_key",
+            F.lit(None).cast("string").alias("entity_name"),
+        )
+    )
+    return u_all.unionByName(u_distinct)
 
 
 @register(
-    "setop_union_distinct",
+    "setop_intersect_except",
     oracle="""
-    SELECT c_nationkey AS nation_key FROM customer
-    UNION
-    SELECT s_nationkey AS nation_key FROM supplier
+    SELECT 'intersect' AS variant, nation_key FROM (
+        SELECT c_nationkey AS nation_key FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nation_key FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS variant, nation_key FROM (
+        SELECT c_nationkey AS nation_key FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nation_key FROM supplier
+    )
     """,
-    tags=("O4",),
+    tags=("O5",),
 )
-def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION DISTINCT (O4): union + hash-distinct; partial distinct runs
-    map-side so the shuffle carries only unique keys."""
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (O5) as one variant-tagged result. INTERSECT
+    plans as an aggregate + semi-join; EXCEPT is an anti-join under the
+    hood — the building block for dedup-against-reference-set at
+    pipeline scale."""
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     c = customer.select(F.col("c_nationkey").alias("nation_key"))
     s = supplier.select(F.col("s_nationkey").alias("nation_key"))
-    return c.union(s).distinct()
-
-
-@register(
-    "setop_intersect",
-    oracle="""
-    SELECT c_nationkey AS nation_key FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nation_key FROM supplier
-    """,
-    tags=("O5",),
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (O5): plans as an aggregate + semi-join under AQE."""
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    return (
-        customer.select(F.col("c_nationkey").alias("nation_key"))
-        .intersect(supplier.select(F.col("s_nationkey").alias("nation_key")))
-    )
-
-
-@register(
-    "setop_except",
-    oracle="""
-    SELECT c_nationkey AS nation_key FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nation_key FROM supplier
-    """,
-    tags=("O5",),
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT / set difference (O5): anti-join under the hood — the
-    building block for dedup-against-reference-set at pipeline scale."""
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    return (
-        customer.select(F.col("c_nationkey").alias("nation_key"))
-        .subtract(supplier.select(F.col("s_nationkey").alias("nation_key")))
-    )
+    inter = c.intersect(s).select(F.lit("intersect").alias("variant"), "nation_key")
+    diff = c.subtract(s).select(F.lit("except").alias("variant"), "nation_key")
+    return inter.unionByName(diff)
 
 
 @register(

@@ -154,7 +154,7 @@ _GAP_US = 30 * 60 * 1_000_000
     )
     SELECT
         user_id,
-        session_id,
+        CAST(session_id AS BIGINT) AS session_id,
         COUNT(*) AS n_events,
         make_timestamp(MIN(ts_us)) AS session_start,
         make_timestamp(MAX(ts_us)) AS session_end

@@ -28,18 +28,28 @@ from reactivestreams_kinesis_spark.queries.registry import register
         RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
         DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank,
         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
-        NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+        ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
+            AS bal_pct_rank,
+        ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
+            AS bal_cume_dist
     FROM customer
     """,
     tags=("W1",),
 )
 def win_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking functions (W1) partitioned by nation."""
+    """Ranking + distribution functions (W1) partitioned by nation:
+    rank/dense_rank/row_number/ntile plus percent_rank/cume_dist. All
+    specs share PARTITION BY c_nationkey so they reuse ONE exchange
+    (ascending/descending sorts differ, but the shuffle is shared);
+    percent_rank/cume_dist are value-deterministic under ties and rounded
+    for the (n-1)-division float parity."""
     customer = load_table(spark, sf_dir, "customer")
     by_bal = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
     by_bal_key = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
+    by_bal_asc = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
     return customer.select(
         "c_custkey",
         "c_nationkey",
@@ -48,6 +58,8 @@ def win_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(by_bal).alias("bal_dense_rank"),
         F.row_number().over(by_bal_key).alias("rn"),
         F.ntile(4).over(by_bal_key).alias("quartile"),
+        F.round(F.percent_rank().over(by_bal_asc), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(by_bal_asc), 6).alias("bal_cume_dist"),
     )
 
 
@@ -161,7 +173,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "win_range_frame",
+    "win_frames_analytics",
     oracle="""
     SELECT
         o_custkey,
@@ -172,66 +184,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate
             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
-            AS spend_30d
-    FROM orders
-    """,
-    tags=("W3",),
-)
-def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE (value-based) frame (W3): trailing 30-day order count and
-    spend per customer. Unlike ROWS frames, RANGE frames are defined by
-    the ORDER BY value, so ties contribute to each other's frames and the
-    result is deterministic without a tie-break key. Decimal sums keep the
-    money exact across engines."""
-    orders = load_table(spark, sf_dir, "orders")
-    frame = (
-        "PARTITION BY o_custkey ORDER BY o_orderdate "
-        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW"
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.expr(f"COUNT(*) OVER ({frame})").alias("n_orders_30d"),
-        F.expr(
-            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ({frame}) AS DOUBLE)"
-        ).alias("spend_30d"),
-    )
-
-
-@register(
-    "win_distribution",
-    oracle="""
-    SELECT
-        c_custkey,
-        c_nationkey,
-        ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
-            AS bal_pct_rank,
-        ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
-            AS bal_cume_dist
-    FROM customer
-    """,
-    tags=("W1",),
-)
-def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions (W1): percent_rank and cume_dist — both
-    value-deterministic under ties (they depend only on the sort key),
-    rounded for the (n-1)-division float parity."""
-    customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
-    return customer.select(
-        "c_custkey",
-        "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
-    )
-
-
-@register(
-    "win_nth_value",
-    oracle="""
-    SELECT
-        o_custkey,
-        o_orderkey,
+            AS spend_30d,
         NTH_VALUE(o_orderkey, 2) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order_key,
@@ -240,13 +193,21 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_order_key
     FROM orders
     """,
-    tags=("W2",),
+    tags=("W2", "W3"),
 )
-def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nth_value / last_value analytics (W2 completion): the customer's
-    second-ever order as of each row, and their final order over the full
-    partition frame. Unique (date, key) ordering keeps both deterministic."""
+def win_frames_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame aggregates plus nth/last analytics
+    (W2+W3) over one shared o_custkey partitioning (one exchange, two
+    sort specs). The trailing-30-day count/spend use a RANGE frame —
+    defined by the ORDER BY value, so ties contribute to each other's
+    frames and the result is deterministic without a tie-break; decimal
+    sums keep the money exact across engines. nth_value/last_value use a
+    unique (date, key) ordering for determinism."""
     orders = load_table(spark, sf_dir, "orders")
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW"
+    )
     running = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -260,6 +221,10 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
+        F.expr(f"COUNT(*) OVER ({frame})").alias("n_orders_30d"),
+        F.expr(
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ({frame}) AS DOUBLE)"
+        ).alias("spend_30d"),
         F.nth_value("o_orderkey", 2).over(running).alias("second_order_key"),
         F.last("o_orderkey").over(full).alias("final_order_key"),
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -32,28 +33,41 @@ def parquet_record_sink(
     )
 
 
-def put_records_batch(batch: DataFrame, stream_name: str, put_fn: Callable) -> int:
-    """Produce one microbatch to a Kinesis-shaped endpoint (S3).
+def put_records_batch(batch: DataFrame, stream_name: str, put_fn: Callable) -> None:
+    """Produce one microbatch to a Kinesis-shaped endpoint (S3),
+    executor-side — no driver ``collect()``.
 
     ``put_fn(stream_name, entries)`` receives ``[{"Data": bytes,
     "PartitionKey": str}, ...]`` chunks of ≤500 (the Kinesis PutRecords
-    limit, public AWS docs). Per-partition ordering is preserved by sorting
-    each partition's slice on sequenceNumber — the write-ordering the
-    reference chains via ``setSequenceNumberForOrdering``
-    (``ShardPublisherVerification.scala:47-49``). In this harness ``put_fn``
-    is a test double; in production it wraps ``boto3.client("kinesis")
-    .put_records`` inside ``foreachPartition``.
+    limit, public AWS docs) and runs INSIDE ``foreachPartition``: each
+    executor streams its partition straight to the service, so producer
+    throughput scales with the cluster instead of bottlenecking on the
+    driver. Ordering: rows are hash-repartitioned on partitionKey (one
+    partition owns a key) then sorted on (partitionKey, sequenceNumber)
+    within the partition — the per-key write-ordering the reference chains
+    via ``setSequenceNumberForOrdering``
+    (``ShardPublisherVerification.scala:47-49``). In this harness
+    ``put_fn`` is a test double (it must be picklable — it ships to the
+    executor Python workers); in production it wraps
+    ``boto3.client("kinesis").put_records``.
     """
-    sent = 0
-    rows = batch.orderBy("sequenceNumber").select("data", "partitionKey").collect()
-    for start in range(0, len(rows), 500):
-        chunk = rows[start : start + 500]
-        put_fn(
-            stream_name,
-            [{"Data": bytes(r.data), "PartitionKey": r.partitionKey} for r in chunk],
-        )
-        sent += len(chunk)
-    return sent
+
+    def push(rows) -> None:
+        entries: list[dict] = []
+        for r in rows:
+            entries.append({"Data": bytes(r.data), "PartitionKey": r.partitionKey})
+            if len(entries) == 500:
+                put_fn(stream_name, entries)
+                entries = []
+        if entries:
+            put_fn(stream_name, entries)
+
+    (
+        batch.select("data", "partitionKey", "sequenceNumber")
+        .repartition(F.col("partitionKey"))
+        .sortWithinPartitions("partitionKey", "sequenceNumber")
+        .foreachPartition(push)
+    )
 
 
 def kinesis_record_sink(
@@ -62,12 +76,8 @@ def kinesis_record_sink(
     put_fn: Callable,
     checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
-    """Streaming producer (S3): foreachBatch → ``put_records_batch``.
-
-    NOTE: ``collect()`` inside the batch fn is correct only for the
-    harness's small fixtures; the 100 TB shape is ``batch.sortWithinPartitions
-    ("sequenceNumber").foreachPartition(push)`` so each executor streams its
-    partition straight to the service without driver involvement."""
+    """Streaming producer (S3): foreachBatch → ``put_records_batch`` —
+    each microbatch pushed per-partition from the executors."""
     writer = records.writeStream.foreachBatch(
         lambda batch, _epoch: put_records_batch(batch, stream_name, put_fn)
     ).trigger(availableNow=True)

@@ -83,18 +83,35 @@ def rows_sorted_by_colname(df_pandas):
 
 
 def _cells_equal(a, b) -> bool:
-    # EXACT comparison, floats included: every registered query is designed
-    # to be bit-identical across engines (decimal money math, shared
-    # fragments, deliberate rounding policy). A tolerance here once masked
-    # a ROUND half-boundary bug that only the strict verify recipe caught —
-    # so pytest now enforces the same standard.
-    if isinstance(a, float) and isinstance(b, (int, float)):
-        return a == float(b)
-    if isinstance(b, float) and isinstance(a, (int, float)):
-        return float(a) == b
+    # EXACT comparison, floats included AND type-strict across numeric
+    # kinds: every registered query is designed to be bit-identical across
+    # engines (decimal money math, shared fragments, deliberate rounding
+    # policy). A float tolerance here once masked a ROUND half-boundary
+    # bug, and an int==float tolerance masked the DuckDB HUGEINT / Spark
+    # BIGINT dtype drift the driver's hash rejects (CORRECTNESS_r01
+    # agg_distinct_counts / fn_math) — so pytest now enforces the driver's
+    # standard: a float only equals a float, an int only an int.
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    if isinstance(a, (int, float)) and not isinstance(a, bool):
+        if not isinstance(b, (int, float)) or isinstance(b, bool):
+            return False
+        return isinstance(a, float) == isinstance(b, float) and a == b
     return a == b
+
+
+def _assert_driver_canonicalizable(cols, rows, engine: str):
+    # The driver's canonicalizer pandas-sorts raw cell values and crashes
+    # on list-valued cells (TypeError: unhashable type 'list'), which cost
+    # three CORRECTNESS_r01 rows. Replicate that constraint locally so a
+    # list-shaped output column fails HERE, not at the driver: serialize
+    # arrays to delimited strings in the query (concat_ws / array_to_string).
+    for row in rows[:1] + rows[-1:]:  # dtype check — one row suffices per end
+        for col, cell in zip(cols, row):
+            assert not isinstance(cell, tuple), (
+                f"{engine} column {col!r} is list-valued — the driver's "
+                "canonicalizer cannot hash it; serialize to a string"
+            )
 
 
 def assert_matches_oracle(spark_df, oracle_con, oracle_sql: str):
@@ -107,6 +124,8 @@ def assert_matches_oracle(spark_df, oracle_con, oracle_sql: str):
     d_cols, d_rows = rows_sorted_by_colname(duck_pd)
 
     assert s_cols == d_cols, f"column mismatch: spark={s_cols} duckdb={d_cols}"
+    _assert_driver_canonicalizable(s_cols, s_rows, "spark")
+    _assert_driver_canonicalizable(d_cols, d_rows, "duckdb")
     assert len(s_rows) == len(d_rows), f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         assert _cells_equal(sr, dr), f"row {i} mismatch:\n  spark : {sr}\n  duckdb: {dr}"

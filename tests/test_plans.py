@@ -47,10 +47,28 @@ def test_filter_pushdown_predicates(spark, sf_dir):
 
 def test_q05_broadcasts_dimensions(spark, sf_dir):
     df = QUERIES["q05_local_supplier_volume"].fn(spark, sf_dir)
-    # customer/supplier/nation/region all ride broadcast joins
+    # bounded dims (nation/region) are pinned broadcasts; at this SF the
+    # size-based planner broadcasts customer/supplier too (no pin needed)
     assert count_operator(df, "BroadcastHashJoin") >= 4
     # at most the fact-fact join shuffles + agg/sort exchanges
     assert count_exchanges(df) <= 4, explain_string(df)
+
+
+def test_no_pinned_broadcast_on_scaling_tables():
+    """Broadcast hints are a scale contract: only tables whose size is
+    bounded regardless of scale factor (region: 5 rows, nation: 25) may
+    carry a pinned F.broadcast — a pin on an SF-scaling table overrides
+    AQE's size-based fallback and OOMs executors at the 100 TB target.
+    Enforced at the source level because at test SF the physical plans
+    are identical either way (AQE broadcasts small tables regardless)."""
+    import pathlib
+
+    import reactivestreams_kinesis_spark.queries as qpkg
+
+    qdir = pathlib.Path(qpkg.__file__).parent
+    src = "\n".join(p.read_text() for p in qdir.glob("*.py"))
+    for tbl in ("customer", "supplier", "part", "orders", "lineitem"):
+        assert f"F.broadcast({tbl})" not in src, f"pinned broadcast on {tbl}"
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
@@ -71,8 +89,37 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
 
 
 def test_semi_join_stays_semi(spark, sf_dir):
-    df = QUERIES["join_semi"].fn(spark, sf_dir)
-    assert "LeftSemi" in explain_string(df)
+    df = QUERIES["join_semi_anti"].fn(spark, sf_dir)
+    plan = explain_string(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing running-sum must partition by shard — a no-PARTITION-BY
+    window collapses to one task (Exchange SinglePartition), the
+    single-task bottleneck that breaks at 100 TB."""
+    df = QUERIES["pack_sequences"].fn(spark, sf_dir)
+    assert "SinglePartition" not in explain_string(df), explain_string(df)
+
+
+def test_tfidf_construction_is_lazy(spark, sf_dir):
+    """Building the TF-IDF plan must fire ZERO Spark jobs: the corpus size
+    N is a one-row aggregate inside the plan, not a driver-side count().
+    An eager count at construction would be a full corpus scan before the
+    query even runs. (First-ever read of a parquet path fires a one-task
+    footer job for schema inference — prewarm so that doesn't confound.)"""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-build", "construction must be lazy")
+    try:
+        QUERIES["text_tfidf_topk"].fn(spark, sf_dir)
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-build")
+        assert list(jobs) == [], f"construction fired jobs: {jobs}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
 
 
 def test_whole_stage_codegen_everywhere(spark, sf_dir):

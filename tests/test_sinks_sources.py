@@ -35,21 +35,28 @@ def test_parquet_record_sink_roundtrip(spark, sf_dir, tmp_path):
 def test_kinesis_record_sink_put_batches(spark, sf_dir, tmp_path):
     """The producer pushes ≤500-record chunks with (Data, PartitionKey) —
     the PutRecords shape the reference's seeding code uses one-at-a-time
-    (ShardPublisherVerification.scala:42-52)."""
+    (ShardPublisherVerification.scala:42-52). The push runs executor-side
+    (foreachPartition, no driver collect), so the double records each call
+    as a file in a shared tmp dir — an in-memory list would stay behind in
+    the worker processes."""
+    import uuid
+
     records = events_as_records(spark, sf_dir)
     src = str(tmp_path / "src")
     records.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
 
-    calls: list[tuple[str, int]] = []
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
 
     def fake_put(stream_name: str, entries: list[dict]) -> None:
         assert len(entries) <= 500
         assert all(isinstance(e["Data"], bytes) and e["PartitionKey"] for e in entries)
-        calls.append((stream_name, len(entries)))
+        (calls_dir / f"{stream_name}__{uuid.uuid4().hex}").write_text(str(len(entries)))
 
     q = kinesis_record_sink(stream, "out-stream", fake_put)
     q.awaitTermination(120)
+    calls = [(p.name.split("__")[0], int(p.read_text())) for p in calls_dir.iterdir()]
     assert sum(n for _, n in calls) == records.count()
     assert all(name == "out-stream" for name, _ in calls)
 
