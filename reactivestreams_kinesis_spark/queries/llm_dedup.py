@@ -168,6 +168,11 @@ def _jaccard_over(toks, candidates=None):
             .distinct()
         )
         toks = toks.join(cand_docs, "doc_id", "left_semi")
+    # The pruned postings fan out to THREE consumers (sizes + both self-join
+    # sides); without a persist each one re-runs scan → shingle explode →
+    # hot-agg → anti-join. MEMORY_AND_DISK (the default) spills rather than
+    # OOMs; at 100 TB this is where you'd checkpoint postings to storage.
+    toks = toks.persist()
     # sizes AFTER the candidate prune: the semi-join keeps every posting of
     # a surviving doc, so per-doc counts are identical — and the aggregate
     # then only runs over candidate docs (same pushdown rationale as the
@@ -290,15 +295,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set — the verify never scores non-candidates) removes LSH
     false positives. P(candidate) = 1-(1-j²)⁴: ≈0.96 at j=0.9, ≈0.02 at
     j=0.1 — high recall at the target threshold, tiny false-candidate mass.
+
+    The signature aggregate computes all 8 slice-MINs directly over the
+    postings (``MIN(SUBSTRING(hex64, j*8+1, 8))`` per slice) rather than
+    exploding postings × 8 seeds first: same values (MIN of slice j over
+    shingles ≡ MIN(CASE WHEN s=j …) over the exploded form, which the
+    oracle keeps for SQL clarity), but map-side partial aggregation then
+    shuffles ONE row per doc per partition instead of 8× the postings.
     """
-    toks = _shingle_postings(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("s"))
-    hashes = (
-        toks.withColumn("hex64", F.concat(F.md5("tok"), F.md5(F.concat(F.lit("x"), F.col("tok")))))
-        .crossJoin(F.broadcast(seeds))
-        .select("doc_id", "s", F.expr("SUBSTRING(hex64, s * 8 + 1, 8)").alias("h"))
-    )
-    sig = hashes.groupBy("doc_id").agg(*[F.expr(e) for e in _band_exprs_sql()])
+    # raw postings feed three branches (signature, hot-shingle agg, the
+    # anti-join's left side) — persist so scan+explode runs once.
+    toks = _shingle_postings(spark, sf_dir).persist()
+    hex64 = F.concat(F.md5("tok"), F.md5(F.concat(F.lit("x"), F.col("tok"))))
+    hashed = toks.select("doc_id", hex64.alias("hex64"))
+    band_aggs = [
+        F.concat(
+            *[
+                F.min(F.substring("hex64", (band * BAND_SIZE + j) * 8 + 1, 8))
+                for j in range(BAND_SIZE)
+            ]
+        ).alias(f"band{band}")
+        for band in range(N_BANDS)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*band_aggs)
     bands = None
     for band in range(N_BANDS):
         part = sig.select(

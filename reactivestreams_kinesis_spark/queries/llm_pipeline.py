@@ -360,7 +360,10 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept = quality.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+    # `kept` fans out to the shingle postings AND the final survivor
+    # anti-join; persist so quality-filter + exact-dedup run once, not per
+    # consumer (each recompute would re-scan the corpus).
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi").persist()
     postings = kept.withColumn("toks", F.split("text", " ")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
     )
