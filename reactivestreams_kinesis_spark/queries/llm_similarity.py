@@ -274,3 +274,117 @@ def sim_embed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# IVF coarse quantizer: every corpus vector whose id falls on the stride is a
+# centroid — a deterministic, data-derived codebook (real IVF trains k-means;
+# the list/probe PLAN is identical, and determinism is what the oracle needs).
+IVF_STRIDE = 50  # 1 centroid per 50 corpus vectors
+IVF_NPROBE = 2   # lists probed per query
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centv
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_STRIDE} = 5
+    ),
+    assigned AS (
+        SELECT vec_id, cv, centroid_id FROM (
+            SELECT c.vec_id, c.embedding AS cv, cent.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY ROUND({duckdb_cosine('c.embedding', 'cent.centv')}, 6) DESC,
+                                cent.centroid_id) AS rn
+            FROM embeddings c CROSS JOIN cent
+            WHERE c.vec_id >= {N_QUERIES}
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qv, cent.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({duckdb_cosine('q.embedding', 'cent.centv')}, 6) DESC,
+                                cent.centroid_id) AS rn
+            FROM embeddings q CROSS JOIN cent
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND({duckdb_cosine('p.qv', 'a.cv')}, 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND({duckdb_cosine('p.qv', 'a.cv')}, 6) DESC,
+                            a.vec_id) AS rn
+        FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("X1",),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (X1 scale path #2): coarse-quantize the
+    corpus into inverted lists (nearest centroid per vector), probe only
+    the {IVF_NPROBE} closest lists per query. Complements ``sim_ann_lsh``:
+    IVF partitions by data geometry (Voronoi cells), LSH by random
+    hyperplanes — production vector stores (FAISS-style) use exactly this
+    list/probe plan.
+
+    Scale shape: the codebook is tiny → broadcast to both assignment and
+    probing; list assignment is a narrow map over the corpus (argmax over
+    broadcast centroids via one WindowGroupLimit); the probe join is an
+    equi-join on centroid_id, so scored candidates ≈ nprobe/n_lists of the
+    corpus per query instead of all of it. The brute-force twin
+    (``sim_cosine_topk``) is the recall oracle. Ranking always uses the
+    ROUNDED cosine + id tie-break for cross-engine determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv"))
+    corpus = _with_norm(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            "vec_id", F.col("embedding").alias("cv")
+        ),
+        "cv", "cn",
+    )
+    queries = _with_norm(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        "qv", "qn",
+    )
+
+    def nearest(df, vec, key, keep, n):
+        cos = F.round(
+            F.expr(spark_dot(vec, "centv"))
+            / (F.col(keep) * F.expr(f"SQRT({spark_dot('centv', 'centv')})")),
+            6,
+        )
+        w = Window.partitionBy(key).orderBy(cos.desc(), F.col("centroid_id"))
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn", "centv")
+        )
+
+    assigned = nearest(corpus, "cv", "vec_id", "cn", 1)
+    probes = nearest(queries, "qv", "query_id", "qn", IVF_NPROBE)
+    scored = probes.join(assigned, "centroid_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )

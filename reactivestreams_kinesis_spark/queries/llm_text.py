@@ -246,3 +246,112 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = toks.groupBy("doc_id").agg(*[F.expr(s) for s in _BIT_SUMS])
     return bits.select("doc_id", F.expr(_FINGERPRINT).alias("simhash16"))
+
+
+# --- document fingerprinting: Karp-Rabin rolling hash over token k-grams ---
+# Hash family: Horner fold h = fold((acc, t) -> (acc*B + t) mod P) over the
+# k-gram's token hashes, token hash = first 32 bits of md5 (identical hex in
+# both engines; '0x..'::BIGINT in DuckDB ≡ CONV(.., 16, 10) in Spark).
+# Intermediates stay < 2^37 (acc < P ≈ 2^30, B = 31, t < 2^32) so the fold
+# never overflows int64 in either engine. Spark's aggregate() seeds acc=0 and
+# DuckDB's list_reduce() seeds acc=first element — congruent mod P because
+# (0*B + t1) ≡ t1, and neither intermediate overflows before its first mod.
+_FP_K = 5  # tokens per gram
+_FP_B = 31
+_FP_P = 1_000_000_007
+
+_SPARK_GRAM_HASHES = f"""
+    CASE WHEN size(toks) < {_FP_K} THEN array()
+         ELSE transform(sequence(1, size(toks) - {_FP_K} + 1),
+              i -> aggregate(slice(toks, i, {_FP_K}), 0L,
+                   (acc, x) -> (acc * {_FP_B}
+                       + CAST(CONV(SUBSTRING(MD5(x), 1, 8), 16, 10) AS BIGINT))
+                       % {_FP_P}))
+    END
+"""
+_DUCK_GRAM_HASHES = f"""
+    CASE WHEN LEN(string_split(text, ' ')) < {_FP_K} THEN []
+         ELSE list_transform(range(1, LEN(string_split(text, ' ')) - {_FP_K} + 2),
+              i -> list_reduce(
+                   list_transform(list_slice(string_split(text, ' '), i, i + {_FP_K} - 1),
+                        x -> CAST('0x' || SUBSTRING(MD5(x), 1, 8) AS BIGINT)),
+                   (acc, x) -> (acc * {_FP_B} + x) % {_FP_P}))
+    END
+"""
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, {_DUCK_GRAM_HASHES} AS gh FROM documents
+    )
+    SELECT
+        doc_id,
+        CAST(LEN(gh) AS INT)                AS n_grams,
+        CAST(LEN(list_distinct(gh)) AS INT) AS n_distinct_grams,
+        list_min(gh)                        AS fingerprint
+    FROM grams
+    """,
+    tags=("X4", "X3"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (X4): Karp-Rabin rolling hash over token
+    5-grams, fingerprint = min gram hash (the 1-hash degenerate case of
+    winnowing / MinHash — docs sharing ANY 5-gram window with the minimal
+    hash collide, so equal fingerprints are near-dup candidates, X3).
+
+    Entirely in Catalyst higher-order functions (transform/slice/
+    aggregate) — no UDF, codegen'd, one narrow map over the scan. Short
+    docs (< k tokens) fingerprint to NULL on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("gh", F.expr(_SPARK_GRAM_HASHES))
+        .select(
+            "doc_id",
+            F.size("gh").alias("n_grams"),
+            F.size(F.array_distinct("gh")).alias("n_distinct_grams"),
+            F.array_min("gh").alias("fingerprint"),
+        )
+    )
+
+
+# GPT-2-style pretokenizer, reduced to the char classes both regex engines
+# (Java in Spark, RE2 in DuckDB) treat identically: letter runs, digit runs,
+# single non-alphanumerics. No lookarounds (RE2 has none), no \p classes.
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_token_regex",
+    oracle=f"""
+    SELECT
+        doc_id,
+        CAST(LEN(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        CAST(LEN(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+        CAST(LEN(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS INT)
+            AS n_distinct_bpe,
+        ROUND(LEN(regexp_extract_all(text, '{_BPE_PATTERN}'))
+              / (LEN(string_split(text, ' ')) * 1.0), 6) AS fertility
+    FROM documents
+    """,
+    tags=("X4",),
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (X4): a GPT-2-style pretokenizer regex
+    (letter runs / digit runs / single punctuation) next to the whitespace
+    count — `fertility` (regex tokens per whitespace token) is the
+    standard proxy for how a subword tokenizer will blow up sequence
+    length. Narrow map, regex evaluated once per output column by
+    codegen's common-subexpression elimination."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    ws = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+        F.round(F.size(bpe) / (F.size(ws) * F.lit(1.0)), 6).alias("fertility"),
+    )

@@ -295,3 +295,264 @@ register_sql(
     subquery; equality (not LIMIT 1) keeps revenue ties, like the spec
     query. Decimal-exact revenue makes the MAX equality engine-safe.""",
 )
+
+
+_VOLUME = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+        SELECT
+            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+            {_VOLUME} AS volume,
+            n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT
+        o_year,
+        ROUND(
+            CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("J1", "A1"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the 8-table join (nation joined
+    TWICE under different roles: customer's nation restricts the region,
+    supplier's nation is the share target). Scale shape: region/nation are
+    pinned broadcasts (bounded dims); the three fact joins
+    (part←lineitem→orders→customer) shuffle on their keys and AQE picks
+    broadcast for whichever side fits. Share = ratio of decimal-exact
+    conditional sums, divided as doubles and rounded."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.alias("n1")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("nation")
+    )
+    joined = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(_VOLUME).alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.expr(
+                    "CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume"
+                    " ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+                )
+                / F.expr("CAST(SUM(volume) AS DOUBLE)"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle=f"""
+    SELECT
+        n_name AS nation,
+        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        CAST(ROUND(SUM({_VOLUME}), 2) AS DOUBLE) AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("J1", "A1", "O1"),
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (adapted: fixtures carry no partsupp/supplycost, so
+    profit reduces to discounted revenue): per-(supplier-nation, year)
+    revenue on name-matched parts. The LIKE prefilter prunes part before
+    the join; nation broadcasts; the orders join brings the date for the
+    year bucket."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.expr(f"CAST(ROUND(SUM({_VOLUME}), 2) AS DOUBLE)").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q13_SQL = """
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+register_sql(
+    "q13_customer_distribution",
+    _Q13_SQL,
+    tables=["customer", "orders"],
+    tags=("J2", "A1", "O1"),
+    doc="""TPC-H Q13-shaped (adapted: priority filter stands in for the
+    missing o_comment): order-count distribution over ALL customers — the
+    outer join keeps zero-order customers (COUNT(o_orderkey) counts only
+    matched rows), then a second aggregation histograms the counts. Two
+    shuffles by construction (custkey, then c_count); the first is the
+    only large one.""",
+)
+
+_Q17_SQL = """
+    SELECT
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE)
+            AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND p_size < 10
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+register_sql(
+    "q17_small_qty_revenue",
+    _Q17_SQL,
+    tables=["lineitem", "part"],
+    tags=("J1", "A6"),
+    doc="""TPC-H Q17-shaped (p_brand/p_size filter stands in for the
+    missing p_container): revenue lost to small-quantity orders. The
+    correlated scalar subquery (per-part 20%-of-average threshold) is
+    decorrelated by Catalyst into an aggregate + equi-join on partkey —
+    the plan a hand-written rewrite would produce, derived automatically
+    from the declarative form.""",
+)
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH fo_lines AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    order_stats AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(is_late) AS BIGINT) AS n_late_suppliers
+        FROM fo_lines
+        GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM fo_lines f
+    JOIN order_stats o ON f.l_orderkey = o.l_orderkey
+    JOIN supplier ON f.l_suppkey = s_suppkey
+    WHERE f.is_late = 1
+      AND o.n_suppliers > 1
+      AND o.n_late_suppliers = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("J1", "J3", "A1", "O2"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (adapted: ship-more-than-90-days-after-order
+    stands in for the missing commit/receipt dates): suppliers who were
+    the SOLE late supplier on a multi-supplier finished order.
+
+    The spec's EXISTS / NOT EXISTS pair re-probes lineitem twice per row;
+    this form computes per-(order, supplier) lateness once, rolls it up to
+    per-order counts, and joins back — one pass over the fact table plus
+    two small aggregations, the shape that survives 100 TB (self-probe
+    EXISTS subqueries on a fact table do not)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fo_lines = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    order_stats = fo_lines.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("is_late").cast("bigint").alias("n_late_suppliers"),
+    )
+    return (
+        fo_lines.filter(F.col("is_late") == 1)
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
