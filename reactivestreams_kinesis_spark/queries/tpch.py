@@ -302,6 +302,193 @@ _VOLUME = (
 )
 
 
+# The fixtures carry no partsupp table, so Q2/Q11/Q16/Q20 below derive the
+# part-supplier relationship from lineitem (DISTINCT l_partkey, l_suppkey) and
+# use s_acctbal as the per-supplier cost/complaint stand-in. The *shapes* are
+# the point: correlated MIN subquery (Q2), HAVING vs a global scalar threshold
+# (Q11), count-distinct behind an anti join (Q16), nested semi-join chain (Q20).
+
+_Q02_SQL = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size < 15
+      AND p_type = 'LARGE'
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+          SELECT MIN(s2.s_acctbal)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+register_sql(
+    "q02_min_cost_supplier",
+    _Q02_SQL,
+    tables=["lineitem", "part", "supplier", "nation", "region"],
+    tags=("J1", "A6", "O2"),
+    doc="""TPC-H Q2-shaped (s_acctbal stands in for the missing
+    ps_supplycost): cheapest EUROPE supplier per qualifying part via a
+    correlated MIN scalar subquery. Catalyst decorrelates the subquery into
+    a per-part MIN aggregate + equi-join — at scale the part-supplier
+    relation shuffles once on partkey and the bounded dims broadcast; no
+    per-row re-probe survives into the physical plan. MIN equality (not
+    row_number) keeps cost ties, like the spec query.""",
+)
+
+_Q11_SQL = """
+    WITH nation_lines AS (
+        SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+    SELECT
+        l_partkey AS partkey,
+        CAST(ROUND(SUM(val), 2) AS DOUBLE) AS part_value
+    FROM nation_lines
+    GROUP BY l_partkey
+    HAVING CAST(SUM(val) AS DOUBLE)
+         > 0.001 * (SELECT CAST(SUM(val) AS DOUBLE) FROM nation_lines)
+    ORDER BY part_value DESC, partkey
+"""
+
+register_sql(
+    "q11_important_stock",
+    _Q11_SQL,
+    tables=["lineitem", "supplier", "nation"],
+    tags=("A1", "A6", "O1"),
+    doc="""TPC-H Q11-shaped (nation-filtered line value stands in for the
+    missing ps_supplycost*ps_availqty): parts whose value within one
+    nation's suppliers exceeds a fraction of that nation's total — a
+    group-by HAVING compared against an uncorrelated global-aggregate
+    scalar subquery (computed once, broadcast as a single row). The CTE
+    feeds both the per-part agg and the total; sums are decimal-exact so
+    the threshold comparison is engine-deterministic.""",
+)
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+    )
+    SELECT p_brand, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("J3", "A2", "A1", "O1"),
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (negative s_acctbal stands in for the missing
+    complaint comment): how many distinct suppliers can deliver each
+    qualifying (brand, size) — NOT IN realized as a left-anti join against
+    the (tiny, broadcastable) bad-supplier set, then COUNT(DISTINCT) over
+    the surviving part-supplier pairs. The distinct-pair projection runs
+    before the part join so only (partkey, suppkey) crosses the first
+    shuffle; suppliers with complaints never reach the aggregate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_suppliers = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    ps = lineitem.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    return (
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(bad_suppliers, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    WITH qualifying_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
+    ),
+    heavy_shippers AS (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM qualifying_parts)
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 48
+    )
+    SELECT s_name, CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_4')
+      AND s_suppkey IN (SELECT l_suppkey FROM heavy_shippers)
+    ORDER BY s_name
+    """,
+    tags=("J3", "A1", "P3"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (shipped-quantity threshold stands in for the
+    missing ps_availqty comparison): suppliers in target nations who
+    heavily shipped a qualifying part — a nested semi-join chain
+    (part-name semi-join inside the shipment aggregate, then the
+    heavy-shipper set semi-joins supplier). Each IN becomes a left-semi
+    join; the part filter prunes lineitem BEFORE its aggregation, and only
+    distinct suppkeys (bounded by supplier cardinality, not lineitem)
+    reach the final join."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    heavy_shippers = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 48)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy_shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            "s_name",
+            F.expr("CAST(ROUND(s_acctbal, 2) AS DOUBLE)").alias("acctbal"),
+        )
+        .orderBy("s_name")
+    )
+
+
 @register(
     "q08_market_share",
     oracle=f"""
