@@ -46,8 +46,27 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.queries.registry import all_queries
 
         return all_queries
+    if name in _DEDUP_OPS:
+        from reactivestreams_kinesis_spark.queries import llm_dedup
+
+        return getattr(llm_dedup, name)
+    if name in _SIM_OPS:
+        from reactivestreams_kinesis_spark.queries import llm_similarity
+
+        return getattr(llm_similarity, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
+
+# Parameterized (DataFrame-in, DataFrame-out) dedup / similarity operators —
+# the tuning-knob surface behind the fixed oracle-checked query instantiations.
+_DEDUP_OPS = (
+    "shingle_postings",
+    "jaccard_pairs",
+    "minhash_lsh_candidates",
+    "minhash_lsh_pairs",
+    "connected_components",
+)
+_SIM_OPS = ("cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
 
 __all__ = [
     "get_spark",
@@ -56,5 +75,7 @@ __all__ = [
     "salted_join",
     "extract_features",
     "all_queries",
+    *_DEDUP_OPS,
+    *_SIM_OPS,
     "__version__",
 ]

@@ -122,14 +122,33 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _shingle_postings(spark: SparkSession, sf_dir: str):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.withColumn("toks", F.split("text", " ")).select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
+def shingle_postings(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word-trigram shingle postings (the inverted-index input every
+    near-dup operator consumes): one (doc_id, tok) row per distinct
+    trigram per document. Parameterized on column names so any corpus
+    table can feed the dedup operators, not just the fixture."""
+    return (
+        docs.withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"),
+        )
     )
 
 
-def _jaccard_over(toks, candidates=None):
+def _shingle_postings(spark: SparkSession, sf_dir: str):
+    return shingle_postings(load_table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(
+    toks: DataFrame,
+    candidates: DataFrame | None = None,
+    *,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
     """Exact Jaccard from shingle postings; optionally restricted to a
     candidate pair set (the LSH path) so only collisions are scored.
 
@@ -157,7 +176,7 @@ def _jaccard_over(toks, candidates=None):
     hot = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .filter(F.col("df") > max_shingle_df)
         .select("tok")
     )
     toks = toks.join(hot, "tok", "left_anti")
@@ -193,7 +212,7 @@ def _jaccard_over(toks, candidates=None):
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -205,11 +224,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Trigram postings lists are short (near-unique shingles), so the
     self-join emits ~only genuine near-dup pairs. Residual hot shingles
-    are dropped by the MAX_SHINGLE_DF postings cap before the self-join
-    (see _jaccard_over) — the skew guard that bounds the worst posting's
+    are dropped by the max_shingle_df postings cap before the self-join
+    (see jaccard_pairs) — the skew guard that bounds the worst posting's
     contribution; AQE skew-join handles whatever shape remains.
     """
-    return _jaccard_over(_shingle_postings(spark, sf_dir))
+    return jaccard_pairs(_shingle_postings(spark, sf_dir))
 
 
 def _band_exprs_sql() -> list[str]:
@@ -280,52 +299,54 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("X3",), bench=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup dedup (X3), the 100 TB path: trigram shingles
-    → 8-hash MinHash signature → 4 bands of 2 → band-bucket equi-join for
-    candidates → exact Jaccard verify on candidates only.
+def minhash_lsh_candidates(
+    toks: DataFrame, *, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Banded-MinHash candidate pairs from shingle postings — the LSH
+    blocking stage, parameterized on signature width and banding.
 
-    The min-hash family is MIN over 8 disjoint 8-hex-char (32-bit) slices
-    of two md5 digests per shingle — 8 independent uniform hashes for a
-    quarter of the hashing cost of seed-prefixed md5s, tie-free at 32 bits,
-    engine-portable and seeded-deterministic (SURVEY §7 rule).
-    The band join replaces all-pairs enumeration: only bucket collisions
-    become candidates, then the exact Jaccard filter (restricted to the
-    candidate set — the verify never scores non-candidates) removes LSH
-    false positives. P(candidate) = 1-(1-j²)⁴: ≈0.96 at j=0.9, ≈0.02 at
-    j=0.1 — high recall at the target threshold, tiny false-candidate mass.
+    The min-hash family is MIN over disjoint 8-hex-char (32-bit) slices of
+    chained md5 digests per shingle (digest j hashes ``'x'*j || tok``, so
+    8 hashes cost two md5s) — independent uniform hashes, tie-free at
+    32 bits, engine-portable and seeded-deterministic (SURVEY §7 rule).
 
-    The signature aggregate computes all 8 slice-MINs directly over the
-    postings (``MIN(SUBSTRING(hex64, j*8+1, 8))`` per slice) rather than
-    exploding postings × 8 seeds first: same values (MIN of slice j over
+    The signature aggregate computes all slice-MINs directly over the
+    postings (``MIN(SUBSTRING(hexcat, j*8+1, 8))`` per slice) rather than
+    exploding postings × seeds first: same values (MIN of slice j over
     shingles ≡ MIN(CASE WHEN s=j …) over the exploded form, which the
     oracle keeps for SQL clarity), but map-side partial aggregation then
-    shuffles ONE row per doc per partition instead of 8× the postings.
+    shuffles ONE row per doc per partition instead of n_hashes× the
+    postings.
+
+    Candidate probability at Jaccard j is 1-(1-j^band_size)^n_bands —
+    raise n_hashes (wider signature) for recall, band_size for precision.
     """
-    # raw postings feed three branches (signature, hot-shingle agg, the
-    # anti-join's left side) — persist so scan+explode runs once.
-    toks = _shingle_postings(spark, sf_dir).persist()
-    hex64 = F.concat(F.md5("tok"), F.md5(F.concat(F.lit("x"), F.col("tok"))))
-    hashed = toks.select("doc_id", hex64.alias("hex64"))
+    if n_hashes % band_size:
+        raise ValueError("n_hashes must be divisible by band_size")
+    n_bands = n_hashes // band_size
+    n_digests = -(-n_hashes * 8 // 32)  # 32 hex chars (4 slices) per md5
+    hexcat = F.concat(
+        *[F.md5(F.concat(F.lit("x" * j), F.col("tok"))) for j in range(n_digests)]
+    )
+    hashed = toks.select("doc_id", hexcat.alias("hexcat"))
     band_aggs = [
         F.concat(
             *[
-                F.min(F.substring("hex64", (band * BAND_SIZE + j) * 8 + 1, 8))
-                for j in range(BAND_SIZE)
+                F.min(F.substring("hexcat", (band * band_size + j) * 8 + 1, 8))
+                for j in range(band_size)
             ]
         ).alias(f"band{band}")
-        for band in range(N_BANDS)
+        for band in range(n_bands)
     ]
     sig = hashed.groupBy("doc_id").agg(*band_aggs)
     bands = None
-    for band in range(N_BANDS):
+    for band in range(n_bands):
         part = sig.select(
             "doc_id", F.lit(band).alias("bkey"), F.col(f"band{band}").alias("bval")
         )
         bands = part if bands is None else bands.unionByName(part)
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    return (
         x.join(
             y,
             (F.col("x.bkey") == F.col("y.bkey"))
@@ -334,13 +355,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    toks: DataFrame,
+    *,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline over shingle postings: banded
+    candidates → exact Jaccard verify restricted to candidates. The
+    reusable, knob-exposed form of ``dedup_minhash_lsh``."""
+    cand = minhash_lsh_candidates(
+        toks, n_hashes=n_hashes, band_size=band_size
         # candidates feed the verify stage twice (doc prefilter + pair
         # filter); persisting the small pair set avoids re-running the
         # whole signature/banding DAG per consumer. At 100 TB this is
         # where you'd checkpoint candidates to storage instead.
-        .persist()
+    ).persist()
+    return jaccard_pairs(
+        toks,
+        cand,
+        jaccard_threshold=jaccard_threshold,
+        max_shingle_df=max_shingle_df,
     )
-    return _jaccard_over(toks, candidates=cand)
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("X3",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup dedup (X3), the 100 TB path: trigram shingles
+    → 8-hash MinHash signature → 4 bands of 2 → band-bucket equi-join for
+    candidates → exact Jaccard verify on candidates only.
+
+    The band join replaces all-pairs enumeration: only bucket collisions
+    become candidates, then the exact Jaccard filter (restricted to the
+    candidate set — the verify never scores non-candidates) removes LSH
+    false positives. P(candidate) = 1-(1-j²)⁴: ≈0.96 at j=0.9, ≈0.02 at
+    j=0.1 — high recall at the target threshold, tiny false-candidate
+    mass. Knobs (signature width, banding, threshold, skew cap) live on
+    ``minhash_lsh_pairs``; this registered query is the oracle-checked
+    default instantiation.
+    """
+    # raw postings feed three branches (signature, hot-shingle agg, the
+    # anti-join's left side) — persist so scan+explode runs once.
+    toks = _shingle_postings(spark, sf_dir).persist()
+    return minhash_lsh_pairs(toks)
 
 
 _COMPONENTS_ORACLE = f"""
@@ -367,22 +429,26 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
-@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("X3",))
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment (X3 final stage): connected components
-    over the Jaccard≥{JACCARD_THRESHOLD} pair graph, component id = min
-    doc_id in the component — so "keep one per cluster" is a deterministic
-    filter (doc_id == component_id).
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph, component id =
+    min node id in the component. The reusable, knob-exposed form of
+    ``dedup_components`` — pass any (src, dst) edge set.
 
     No GraphFrames: bounded iterative label propagation — each round every
     node takes the min label among itself and its neighbors (one join +
     one agg per round), converging in ≤ graph-diameter rounds (near-dup
-    components are tiny, so this is 2-4 rounds in practice; hard cap keeps
-    the driver loop bounded). The oracle computes the same fixpoint via a
-    recursive transitive-closure CTE — closed-form vs iterative, same
-    unique answer.
+    components are tiny, so this is 2-4 rounds in practice; the
+    ``max_rounds`` cap keeps the driver loop bounded).
     """
-    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.select(
+        F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+    )
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -393,7 +459,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component_id", F.col("doc_id"))
     )
     converged = False
-    for _round in range(50):
+    for _round in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -427,6 +493,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     if not converged:
         # silently returning would desync from the oracle's closed-form
-        # fixpoint; a 50-hop near-dup chain means the threshold is wrong
-        raise RuntimeError("label propagation did not converge in 50 rounds")
+        # fixpoint; a max_rounds-hop near-dup chain means the threshold is
+        # wrong
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds"
+        )
     return labels
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("X3",))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment (X3 final stage): connected components
+    over the Jaccard-threshold pair graph — so "keep one per cluster" is a
+    deterministic filter (doc_id == component_id). The oracle computes the
+    same fixpoint via a recursive transitive-closure CTE — closed-form vs
+    iterative, same unique answer. Knobs live on ``connected_components``.
+    """
+    return connected_components(
+        dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )

@@ -344,7 +344,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from reactivestreams_kinesis_spark.queries.llm_dedup import (
         _SPARK_SHINGLES,
-        _jaccard_over,
+        jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -368,7 +368,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
     )
     near_losers = (
-        _jaccard_over(postings)
+        jaccard_pairs(postings)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -40,6 +40,55 @@ DIM = 64
 N_HYPERPLANES = 4  # 16 buckets over the 500-vector corpus
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = TOP_K,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "neighbor_id",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """Brute-force cosine top-k — the reusable, knob-exposed form of
+    ``sim_cosine_topk``: broadcast the query set against the corpus, score
+    with codegen'd higher-order expressions, keep top-k per query. Pass
+    any (id, array<float>) pair of DataFrames; the query side must be
+    small enough to broadcast (that is the brute-force contract — use
+    ``ann_lsh_topk`` / the IVF path when it isn't)."""
+    q = _with_norm(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        ),
+        "qv", "qn",
+    )
+    c = _with_norm(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        ),
+        "cv", "cn",
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -71,34 +120,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a narrow map, and WindowGroupLimit keeps only k rows per query per
     partition before the final tiny exchange. Ranking uses the ROUNDED
     cosine (+ neighbor_id tie-break) so ordering is engine-deterministic.
+    Knobs live on ``cosine_topk``; this is the oracle-checked instantiation.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _with_norm(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        ),
-        "qv", "qn",
-    )
-    c = _with_norm(
-        emb.filter(F.col("vec_id") >= N_QUERIES).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-        ),
-        "cv", "cn",
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
     )
 
 
@@ -147,29 +176,74 @@ def sim_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(
+    n_hyperplanes: int = N_HYPERPLANES, dim: int = DIM
+) -> list[list[float]]:
     """±1 hyperplanes from md5(seed, dim) — deterministic and identical to
     what any engine would derive, inlined as literals on both sides."""
     planes = []
-    for s in range(N_HYPERPLANES):
+    for s in range(n_hyperplanes):
         row = []
-        for i in range(DIM):
+        for i in range(dim):
             digest = hashlib.md5(f"{s}_{i}".encode()).hexdigest()
             row.append(1.0 if digest[0] in "89abcdef" else -1.0)
         planes.append(row)
     return planes
 
 
-def _bucket_sql(vec: str, dot_fn) -> str:
+def _bucket_sql(
+    vec: str, dot_fn, n_hyperplanes: int = N_HYPERPLANES, dim: int = DIM
+) -> str:
     """Bucket id = Σ 2^s · [dot(vec, plane_s) > 0], with plane literals.
     Array literal syntax differs per engine: Spark ``array(...)``,
     DuckDB ``[...]`` — selected off which dot builder we were handed."""
     array_fmt = "array({})" if dot_fn is spark_dot else "[{}]"
     terms = []
-    for s, plane in enumerate(_hyperplanes()):
+    for s, plane in enumerate(_hyperplanes(n_hyperplanes, dim)):
         lit = array_fmt.format(", ".join(f"CAST({v} AS DOUBLE)" for v in plane))
         terms.append(f"(CASE WHEN {dot_fn(vec, lit)} > 0 THEN {2 ** s} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = TOP_K,
+    n_hyperplanes: int = N_HYPERPLANES,
+    dim: int = DIM,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "neighbor_id",
+    corpus_vec: str = "cv",
+) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k — the reusable, knob-exposed
+    form of ``sim_ann_lsh``. 2^n_hyperplanes buckets: raise n_hyperplanes
+    to cut scored pairs (precision/cost), lower it (or multi-probe) for
+    recall. Unlike the brute-force path, neither side needs to fit in a
+    broadcast at extreme scale — the bucket equi-join can shuffle both
+    sides on the bucket key."""
+    bucket = F.expr(_bucket_sql("v", spark_dot, n_hyperplanes, dim))
+    q = _with_norm(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("v")
+        ).withColumn("bucket", bucket).withColumnRenamed("v", "qv"),
+        "qv", "qn",
+    )
+    c = _with_norm(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("v")
+        ).withColumn("bucket", bucket).withColumnRenamed("v", "cv"),
+        "cv", "cn",
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
 
 
 @register(
@@ -207,39 +281,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an equi-join) instead of the full cross join. With B buckets this
     cuts scored pairs ~B×; recall is tuned by bucket count and multi-probe
     — here 2^{N_HYPERPLANES} buckets demonstrate the plan shape. The
-    brute-force twin (``sim_cosine_topk``) is the recall oracle."""
+    brute-force twin (``sim_cosine_topk``) is the recall oracle. Knobs
+    live on ``ann_lsh_topk``; this is the oracle-checked instantiation."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.expr(_bucket_sql("embedding", spark_dot))
-    q = _with_norm(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            bucket.alias("bucket"),
-        ),
-        "qv", "qn",
-    )
-    c = _with_norm(
-        emb.filter(F.col("vec_id") >= N_QUERIES).select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-            bucket.alias("bucket"),
-        ),
-        "cv", "cn",
-    )
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine")
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", corpus_vec="embedding",
     )
 
 
@@ -281,6 +330,48 @@ def sim_embed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the list/probe PLAN is identical, and determinism is what the oracle needs).
 IVF_STRIDE = 50  # 1 centroid per 50 corpus vectors
 IVF_NPROBE = 2   # lists probed per query
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF list/probe approximate top-k — the reusable, knob-exposed form
+    of ``sim_ann_ivf``. ``queries``: (query_id, qv); ``corpus``:
+    (vec_id, cv); ``centroids``: (centroid_id, centv) — any codebook
+    (k-means output, strided sample). Raise ``nprobe`` for recall at
+    linear probe cost; list count is whatever the codebook provides."""
+    corpus = _with_norm(corpus, "cv", "cn")
+    queries = _with_norm(queries, "qv", "qn")
+
+    def nearest(df, vec, key, norm_col, n):
+        cos = F.round(
+            F.expr(spark_dot(vec, "centv"))
+            / (F.col(norm_col) * F.expr(f"SQRT({spark_dot('centv', 'centv')})")),
+            6,
+        )
+        w = Window.partitionBy(key).orderBy(cos.desc(), F.col("centroid_id"))
+        return (
+            df.crossJoin(F.broadcast(centroids))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn", "centv")
+        )
+
+    assigned = nearest(corpus, "cv", "vec_id", "cn", 1)
+    probes = nearest(queries, "qv", "query_id", "qn", nprobe)
+    scored = probes.join(assigned, "centroid_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    return _topk_per_query(scored, k)
 
 
 @register(
@@ -339,52 +430,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on centroid_id, so scored candidates ≈ nprobe/n_lists of the
     corpus per query instead of all of it. The brute-force twin
     (``sim_cosine_topk``) is the recall oracle. Ranking always uses the
-    ROUNDED cosine + id tie-break for cross-engine determinism."""
+    ROUNDED cosine + id tie-break for cross-engine determinism. Knobs
+    live on ``ann_ivf_topk``; this is the oracle-checked instantiation."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
     ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv"))
-    corpus = _with_norm(
-        emb.filter(F.col("vec_id") >= N_QUERIES).select(
-            "vec_id", F.col("embedding").alias("cv")
-        ),
-        "cv", "cn",
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
     )
-    queries = _with_norm(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        ),
-        "qv", "qn",
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-
-    def nearest(df, vec, key, keep, n):
-        cos = F.round(
-            F.expr(spark_dot(vec, "centv"))
-            / (F.col(keep) * F.expr(f"SQRT({spark_dot('centv', 'centv')})")),
-            6,
-        )
-        w = Window.partitionBy(key).orderBy(cos.desc(), F.col("centroid_id"))
-        return (
-            df.crossJoin(F.broadcast(cent))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .drop("rn", "centv")
-        )
-
-    assigned = nearest(corpus, "cv", "vec_id", "cn", 1)
-    probes = nearest(queries, "qv", "query_id", "qn", IVF_NPROBE)
-    scored = probes.join(assigned, "centroid_id").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return ann_ivf_topk(queries, corpus, cent)

@@ -219,3 +219,53 @@ def test_minhash_recall_invariant(spark, tmp_path):
     # doc 4 DOES share shingles with 1-3 (candidate-able) but sits below
     # the jaccard threshold — the verify stage must reject it
     assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_parameterized_operator_knobs(spark, tmp_path):
+    """The knob-exposed operator forms (minhash_lsh_pairs, cosine_topk,
+    connected_components) must work at NON-default parameters: a wider
+    16-hash signature needs the generalized md5-digest chain (4 digests),
+    band_size=4 changes banding arithmetic, and k/column-name overrides
+    must flow through the similarity path."""
+    from reactivestreams_kinesis_spark import (
+        connected_components,
+        cosine_topk,
+        minhash_lsh_pairs,
+        shingle_postings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, base), (10, "unrelated words only here nothing shared at all today")],
+        "doc_id long, text string",
+    )
+    toks = shingle_postings(docs)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(toks, n_hashes=16, band_size=4).collect()
+    }
+    # identical shingle sets -> identical 16-hash signatures -> recalled
+    assert pairs.get((1, 3)) == 1.0
+    assert all(10 not in p for p in pairs)
+
+    comps = {
+        r.doc_id: r.component_id
+        for r in connected_components(
+            spark.createDataFrame([(7, 8), (8, 9)], "u long, v long"),
+            src_col="u", dst_col="v",
+        ).collect()
+    }
+    assert comps == {7: 7, 8: 7, 9: 7}
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "id long, vec array<float>",
+    )
+    got = cosine_topk(
+        emb, emb, k=1, query_id="id", query_vec="vec",
+        corpus_id="id", corpus_vec="vec",
+    ).collect()
+    # each one-hot vector's nearest neighbor (k=1) is itself, cosine 1.0
+    assert {(r.query_id, r.neighbor_id, r.cosine) for r in got} == {
+        (i, i, 1.0) for i in range(4)
+    }
