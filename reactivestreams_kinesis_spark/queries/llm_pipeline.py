@@ -379,3 +379,174 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# --- Benchmark decontamination (n-gram overlap vs an eval set) -------------
+#
+# The standard pre-training hygiene step: drop every training document that
+# shares an n-gram with the evaluation/benchmark set (GPT-3 used 13-grams;
+# n is a knob here, fixture docs are short so the registered query uses 5).
+# The eval set is derived deterministically from the corpus (doc_id % 97 ==
+# 13) so the oracle can reproduce it; in production it would be a separate
+# tiny table.
+
+DECONTAM_N = 5  # n-gram width
+_EVAL_PRED = "doc_id % 97 = 69"
+
+
+def _spark_ngrams(n: int) -> str:
+    """Distinct word n-grams over a pre-split `toks` column. The <n-token
+    guard matters: Spark's sequence() counts DOWN when the end < start and
+    slice/concat then misbehaves — short docs must yield an empty set, as
+    DuckDB's descending range() does natively."""
+    return (
+        f"if(size(toks) < {n}, array(), "
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n})))))"
+    )
+
+
+def _duck_ngrams(n: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, len(string_split(text, ' ')) - {n - 2}), "
+        f"i -> array_to_string(list_slice(string_split(text, ' '), i, i + {n - 1}), ' ')))"
+    )
+
+
+def decontaminate(
+    corpus_grams: DataFrame, eval_grams: DataFrame, *, min_shared: int = 1
+) -> DataFrame:
+    """Contamination report from two (doc_id, gram) posting sets: corpus
+    documents sharing >= min_shared distinct n-grams with the eval set.
+    The eval side is a benchmark (tiny) — Spark broadcasts it, so the
+    corpus never shuffles until the per-doc count aggregation, which only
+    sees matched rows. Anti-join the result against the corpus to get the
+    clean training set."""
+    hits = corpus_grams.join(
+        F.broadcast(eval_grams.select("gram").distinct()), "gram", "left_semi"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH eval_grams AS (
+        SELECT DISTINCT UNNEST({_duck_ngrams(DECONTAM_N)}) AS gram
+        FROM documents WHERE {_EVAL_PRED}
+    ),
+    corpus_grams AS (
+        SELECT doc_id, UNNEST({_duck_ngrams(DECONTAM_N)}) AS gram
+        FROM documents WHERE NOT ({_EVAL_PRED})
+    )
+    SELECT doc_id, COUNT(DISTINCT c.gram) AS n_shared
+    FROM corpus_grams c
+    JOIN eval_grams e ON c.gram = e.gram
+    GROUP BY doc_id
+    """,
+    tags=("X3", "J3"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline mandate): corpus
+    documents contaminated by {DECONTAM_N}-gram overlap with the eval
+    split — the GPT-3/PaLM-style hygiene filter. Scale shape: the eval
+    gram set is tiny and broadcast; the corpus side is a narrow
+    map (tokenize → n-grams → explode) with the semi-join applied
+    before the only aggregation, so nothing corpus-sized ever
+    shuffles. Knobs (n, min_shared) live on ``decontaminate`` /
+    ``_spark_ngrams``."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.expr(_EVAL_PRED))
+    corpus = docs.filter(~F.expr(_EVAL_PRED))
+
+    def grams(df):
+        return df.withColumn("toks", F.split("text", " ")).select(
+            "doc_id", F.explode(F.expr(_spark_ngrams(DECONTAM_N))).alias("gram")
+        )
+
+    return decontaminate(grams(corpus), grams(eval_docs))
+
+
+# --- Repetition signals (Gopher-style quality filter) ----------------------
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, UNNEST(list_transform(
+            range(1, len(string_split(text, ' '))),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+        )) AS gram
+        FROM documents
+    ),
+    gram_counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM grams GROUP BY doc_id, gram
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+        FROM gram_counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_bigrams,
+           top_bigram_count,
+           ROUND(top_bigram_count / (n_bigrams * 1.0), 6) AS top_bigram_ratio,
+           ROUND(1.0 - n_distinct_bigrams / (n_bigrams * 1.0), 6) AS dup_bigram_ratio,
+           top_bigram_count / (n_bigrams * 1.0) > 0.1 AS repetitive
+    FROM per_doc
+    """,
+    tags=("X4",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signals (X4, Gopher-style): per-document
+    bigram statistics — most-frequent-bigram share and duplicate-bigram
+    mass — flagging looping/boilerplate text that length and stopword
+    heuristics miss. Scale shape: explode → two hash aggregations keyed by
+    doc_id (map-side partial combine does most of the work since a
+    document's bigrams co-locate in the scan); nothing joins, nothing
+    broadcasts, linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id",
+        F.explode(
+            # <2-token guard: Spark's sequence(1, 0) counts DOWN and slice
+            # then throws on index 0 — single-token docs must yield an
+            # empty bigram set, as DuckDB's descending range() does.
+            F.expr(
+                "if(size(toks) < 2, array(), "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', slice(toks, i, 2))))"
+            )
+        ).alias("gram"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        )
+    )
+    ratio = F.col("top_bigram_count") / (F.col("n_bigrams") * F.lit(1.0))
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_count",
+        F.round(ratio, 6).alias("top_bigram_ratio"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_bigrams") / (F.col("n_bigrams") * F.lit(1.0)),
+            6,
+        ).alias("dup_bigram_ratio"),
+        (ratio > 0.1).alias("repetitive"),
+    )

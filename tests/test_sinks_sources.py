@@ -269,3 +269,27 @@ def test_parameterized_operator_knobs(spark, tmp_path):
     assert {(r.query_id, r.neighbor_id, r.cosine) for r in got} == {
         (i, i, 1.0) for i in range(4)
     }
+
+
+def test_ngram_ops_handle_short_documents(spark, tmp_path):
+    """Regression guard: 1-token documents must not crash the bigram /
+    n-gram expressions (Spark sequence() counts down below the gram
+    width), and must simply contribute no grams."""
+    from reactivestreams_kinesis_spark.queries.registry import all_queries
+
+    rows = [
+        (1, "one", "en", "s", 3),
+        (69, "eval doc with some shared tokens here today", "en", "s", 43),
+        (2, "eval doc with some shared tokens here today exactly", "en", "s", 51),
+    ]
+    docs_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_dir + "/documents.parquet")
+
+    rep = {r.doc_id: r.n_bigrams for r in all_queries()["text_repetition"].fn(spark, docs_dir).collect()}
+    assert 1 not in rep and rep[2] == 8  # 9 tokens -> 8 bigrams
+
+    # doc 69 would be the eval residue; craft ids so doc 166 (166%97=69) is eval
+    dec = {r.doc_id: r.n_shared for r in all_queries()["decontaminate_ngram"].fn(spark, docs_dir).collect()}
+    assert 2 in dec and 1 not in dec
