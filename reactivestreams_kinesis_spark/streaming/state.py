@@ -59,3 +59,68 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """The same per-user running fold on the ``transformWithStateInPandas``
+    API (Spark 4.x successor to applyInPandasWithState): state lives in
+    named, typed handles (ValueState here; ListState/MapState and timers
+    are available) managed by the RocksDB state store — the operator to
+    reach for on new pipelines, since it adds state TTL, timers, and
+    schema evolution over the legacy GroupState flavor.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set per-query by callers/tests; the
+    default HDFS-backed store does not support this operator) AND the
+    ``protobuf`` package (Spark's TWS state-server protocol) — absent
+    from this container, so the operator raises a clear ImportError up
+    front instead of crashing the streaming Python worker mid-query;
+    the accompanying test skips accordingly and the legacy
+    ``running_user_stats`` flavor remains the container-proven T7 path.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark[connect] extra); use running_user_stats "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._stats.exists():
+                n, total, mx = self._stats.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=RUNNING_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

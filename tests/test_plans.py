@@ -190,3 +190,30 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+def test_q16_anti_join_and_pushdown(spark, sf_dir):
+    """Q16's NOT IN must compile to a (broadcast) anti join — never a
+    per-row subquery — and the part predicates must reach the scan."""
+    df = QUERIES["q16_parts_supplier_relationship"].fn(spark, sf_dir)
+    s = explain_string(df)
+    assert "LeftAnti" in s, s
+    filters = pushed_filters(df)
+    assert any("p_brand" in f for f in filters), filters
+    assert any("p_size" in f and "In" in f for f in filters), filters
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    """Q20's nested INs must compile to left-semi joins (two of them) so
+    only keys flow, never the probed rows."""
+    df = QUERIES["q20_potential_promotion"].fn(spark, sf_dir)
+    assert explain_string(df).count("LeftSemi") >= 2
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination must broadcast the (tiny) eval-gram set into a semi
+    join — a shuffle here would mean the corpus postings get exchanged,
+    which is the anti-pattern at 100 TB."""
+    df = QUERIES["decontaminate_ngram"].fn(spark, sf_dir)
+    s = explain_string(df)
+    assert "BroadcastHashJoin LeftSemi" in s, s

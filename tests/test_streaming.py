@@ -587,3 +587,59 @@ def test_rate_record_stream(spark):
     assert bytes(row.data).decode() == f"testData-{int(row.sequenceNumber)}"
     seqs = [r.sequenceNumber for r in got.select("sequenceNumber").collect()]
     assert len(set(seqs)) == len(seqs)  # monotone source → unique sequence numbers
+
+
+def test_stateful_running_stats_transform_with_state(spark, sf_dir, tmp_path):
+    """T7 on the modern transformWithStateInPandas API (RocksDB-backed
+    typed state handles): must converge to the same batch aggregate as the
+    legacy GroupState flavor. Skips where the protobuf package (Spark's
+    TWS state protocol) is unavailable — this container — in which case
+    the operator must fail fast with a clear ImportError instead."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.streaming.state import running_user_stats_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_stats_tws(
+                spark.readStream.format("rate").load().withColumnRenamed("value", "user_id")
+            )
+        pytest.skip("protobuf unavailable: transformWithStateInPandas cannot run here")
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stats = running_user_stats_tws(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = stats.writeStream.format("memory").queryName(name).outputMode("update").trigger(
+            availableNow=True
+        ).start()
+        _await(q)
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+        )
+        expected = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+        )
+        diff = final.join(expected, "user_id").filter(
+            (final["n_events"] != expected["n_events"])
+            | (final["max_value"] != expected["max_value"])
+        )
+        assert diff.count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
