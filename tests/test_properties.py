@@ -84,3 +84,40 @@ def test_salted_join_matches_plain_join(spark, lefts, rights, n_salts):
         for r in salted_join(left_df, right_df, "k", n_salts=n_salts).collect()
     )
     assert plain == salted
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Label propagation must reach the same partition of nodes as a
+    driver-side union-find on any random edge list (self-loops and
+    duplicate edges included)."""
+    from reactivestreams_kinesis_spark import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(df, src_col="a", dst_col="b").collect()
+    }
+    assert got == expected
