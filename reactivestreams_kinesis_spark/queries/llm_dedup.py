@@ -459,31 +459,36 @@ def connected_components(
         .withColumn("component_id", F.col("doc_id"))
     )
     converged = False
+    prev_cached = None
     for _round in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component_id").alias("neighbor_comp"))
         )
+        # carry the previous label through the update join so the
+        # convergence check is a filter on this round's result — one join
+        # per round, not a second labels join just to count changes
         updated = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.withColumnRenamed("component_id", "prev_component_id")
+            .join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                "prev_component_id",
                 F.least(
-                    "component_id", F.coalesce("neighbor_comp", "component_id")
+                    "prev_component_id",
+                    F.coalesce("neighbor_comp", "prev_component_id"),
                 ).alias("component_id"),
             )
             .persist()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component_id") != F.col("l.component_id"))
-            .count()
-        )
-        if _round > 0:
-            labels.unpersist()  # superseded round's cache
-        labels = updated
+        changed = updated.filter(
+            F.col("component_id") != F.col("prev_component_id")
+        ).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()  # superseded round's cache
+        prev_cached = updated
+        labels = updated.select("doc_id", "component_id")
         if changed == 0:
             converged = True
             break
