@@ -183,7 +183,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the scoring join;
+    # persist so the explode + (doc,term) aggregation runs once, not per
+    # consumer (MEMORY_AND_DISK spills rather than OOMs; at 100 TB this is
+    # where you'd checkpoint the term index to storage).
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_counts, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
