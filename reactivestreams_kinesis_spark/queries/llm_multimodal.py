@@ -152,3 +152,48 @@ def udf_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_vowels("text").alias("n_vowels"))
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND((c_acctbal - mn) / (mx - mn), 6) AS bal_scaled
+    FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               MIN(c_acctbal) OVER (PARTITION BY c_nationkey) AS mn,
+               MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
+        FROM customer
+    )
+    WHERE mx > mn
+    """,
+    tags=("§2.11",),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (§2.11 UDTF-ish surface): each group
+    arrives as ONE pandas DataFrame and returns a transformed frame —
+    here per-nation min-max scaling of account balances, the
+    whole-group-context transform (normalization, per-group model fit)
+    that scalar/agg UDFs can't express. min/max are order-insensitive and
+    the division is a single double op, so the oracle's window-function
+    twin matches exactly; rounding happens engine-side (F.round) to keep
+    one rounding rule on both paths. Degenerate all-equal groups are
+    dropped identically on both sides."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+        if mx == mn:
+            return pdf.iloc[0:0][["c_custkey", "c_nationkey"]].assign(bal_scaled=0.0)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "bal_scaled": (pdf["c_acctbal"] - mn) / (mx - mn),
+            }
+        )
+
+    customer = load_table(spark, sf_dir, "customer")
+    scaled = customer.groupBy("c_nationkey").applyInPandas(
+        scale, "c_custkey bigint, c_nationkey int, bal_scaled double"
+    )
+    return scaled.withColumn("bal_scaled", F.round("bal_scaled", 6))
