@@ -643,3 +643,43 @@ def test_stateful_running_stats_transform_with_state(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_running_stats_on_rocksdb_store(spark, sf_dir, tmp_path):
+    """The T7 stateful fold must run unchanged on the RocksDB state store
+    provider — the production backend at cluster scale (bounded executor
+    memory, changelog checkpointing); the default HDFS-backed store keeps
+    all state on the JVM heap."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stats = running_user_stats(stream)
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = stats.writeStream.format("memory").queryName(name).outputMode("update").trigger(
+            availableNow=True
+        ).start()
+        _await(q)
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+        )
+        expected = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        diff = final.join(expected, "user_id").filter(
+            final["n_events"] != expected["n_events"]
+        )
+        assert diff.count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
