@@ -359,3 +359,142 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
         F.round(F.size(bpe) / (F.size(ws) * F.lit(1.0)), 6).alias("fertility"),
     )
+
+
+VOCAB_TOP_K = 25
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+        FROM toks GROUP BY term
+    ),
+    topk AS (
+        SELECT term, df, cf FROM vocab ORDER BY df DESC, term LIMIT {VOCAB_TOP_K}
+    )
+    SELECT term, df, cf,
+           CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS rank
+    FROM topk
+    """,
+    tags=("X4", "O2"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (X4): per-term document frequency and
+    collection frequency, top-K terms by df — the data-driven stopword /
+    boilerplate-term discovery pass that feeds quality filtering and the
+    hot-shingle cap (a term in >x% of documents carries no signal).
+
+    Scale shape: explode → ONE two-metric hash-agg (partial map-side, so
+    the shuffle carries one row per term per task, bounded by vocab size,
+    not corpus size) → global top-K as orderBy+limit, which Catalyst plans
+    as TakeOrderedAndProject (per-partition heaps + single merge — never a
+    global sort). The rank column is added AFTER the limit, so its
+    unpartitioned window touches exactly K rows regardless of corpus size.
+    Ties are broken by term so the cutoff is deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+    )
+    topk = vocab.orderBy(F.desc("df"), "term").limit(VOCAB_TOP_K)
+    rank_w = Window.orderBy(F.desc("df"), "term")
+    return topk.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+# --- PII redaction --------------------------------------------------------
+#
+# Backslash-free regexes (`[.]` instead of `\.`) so the same pattern text
+# survives Python, Java-regex (Spark) and RE2 (DuckDB) quoting unchanged;
+# no lookarounds (RE2 has none), no backreferences.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_IP_RE = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+
+# The fixture corpus is PII-free by construction, so the redaction pass is
+# exercised by injecting deterministic synthetic PII derived from doc_id —
+# both engines inject the identical string, redact it, and must agree that
+# nothing survives. In production the injection select disappears and the
+# redaction expressions run over the raw text unchanged.
+_DUCK_INJECT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, {_DUCK_INJECT} AS text FROM documents
+    ),
+    red AS (
+        SELECT
+            doc_id,
+            CAST(LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+            CAST(LEN(regexp_extract_all(text, '{_IP_RE}')) AS INT)    AS n_ips,
+            regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{_IP_RE}', '<IP>', 'g') AS clean
+        FROM injected
+    )
+    SELECT
+        doc_id,
+        n_emails,
+        n_ips,
+        LEN(regexp_extract_all(clean, '{_EMAIL_RE}'))
+            + LEN(regexp_extract_all(clean, '{_IP_RE}')) = 0 AS pii_free,
+        MD5(clean) AS clean_hash
+    FROM red
+    """,
+    tags=("X4",),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (X4): global regexp_replace of email addresses and
+    IPv4 literals with typed placeholder tokens — the standard scrubbing
+    pass before training-data release. Output per document: match counts,
+    a post-redaction "nothing survives" assertion, and the md5 of the
+    redacted text so the oracle verifies the exact redacted bytes, not
+    just the counts.
+
+    Narrow map over the scan (regex + md5 are codegen'd expressions, no
+    Python in the row path) — at 100 TB this runs at scan bandwidth and
+    shuffles nothing. The synthetic-injection preamble exists only because
+    the fixture corpus is PII-free; see module comment above _DUCK_INJECT.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    red = injected.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        (
+            F.regexp_count("clean", F.lit(_EMAIL_RE))
+            + F.regexp_count("clean", F.lit(_IP_RE))
+            == 0
+        ).alias("pii_free"),
+        F.md5("clean").alias("clean_hash"),
+    )
