@@ -81,6 +81,18 @@ def test_window_topk_group_limit(spark, sf_dir):
     assert has_operator(df, "WindowGroupLimit")
 
 
+def test_vocab_topk_rank_after_limit(spark, sf_dir):
+    """Corpus vocab top-K: the global top-K must be TakeOrderedAndProject
+    (per-partition heaps + single merge, never a global sort), and the
+    rank window must consume the already-limited K rows — Window as the
+    PARENT of the limit in the plan tree — so its unpartitioned sort
+    touches K rows regardless of corpus size."""
+    df = QUERIES["text_vocab_topk"].fn(spark, sf_dir)
+    plan = explain_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     df = QUERIES["sim_cosine_topk"].fn(spark, sf_dir)
     # query side broadcast → corpus side never shuffles for the join
@@ -128,7 +140,13 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
     with AQE off — the codegen decision itself is AQE-independent."""
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for name in ["q01_pricing_summary", "fn_string", "fn_array_vector", "text_simhash"]:
+        for name in [
+            "q01_pricing_summary",
+            "fn_string",
+            "fn_array_vector",
+            "text_simhash",
+            "text_redact_pii",
+        ]:
             df = QUERIES[name].fn(spark, sf_dir)
             plan = explain_string(df, "formatted")
             assert plan.count("codegen id") > 0, f"{name} has no codegen span"
