@@ -54,6 +54,10 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.queries import llm_similarity
 
         return getattr(llm_similarity, name)
+    if name in _PIPELINE_OPS:
+        from reactivestreams_kinesis_spark.queries import llm_pipeline
+
+        return getattr(llm_pipeline, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -67,6 +71,7 @@ _DEDUP_OPS = (
     "connected_components",
 )
 _SIM_OPS = ("cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
+_PIPELINE_OPS = ("pack_assignments", "decontaminate")
 
 __all__ = [
     "get_spark",
@@ -77,5 +82,6 @@ __all__ = [
     "all_queries",
     *_DEDUP_OPS,
     *_SIM_OPS,
+    *_PIPELINE_OPS,
     "__version__",
 ]

@@ -152,6 +152,46 @@ _PACK_SHARD = 512  # documents per packing shard (doc_id range partition)
 _PACKS_PER_SHARD = 1024
 
 
+def pack_assignments(
+    sized: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    ctx: int = _CTX,
+    shard_size: int = _PACK_SHARD,
+    packs_per_shard: int = _PACKS_PER_SHARD,
+) -> DataFrame:
+    """Fixed-budget sequence packing over any (id, token-count) table —
+    the reusable, knob-exposed form of ``pack_sequences``. Documents are
+    assigned to ``ctx``-token bins by exclusive running token count within
+    ``shard_size``-wide id-range shards; pack ids are globally unique as
+    ``shard * packs_per_shard + floor(prior_tokens / ctx)``.
+
+    Sharding is the scale contract: each shard's running sum is an
+    independent window partition (parallel tasks, no single-task global
+    sort) at the cost of ≤1 underfull pack per shard. Size
+    ``packs_per_shard`` so a shard's token mass stays below
+    ``packs_per_shard * ctx`` — the id-uniqueness bound documented at the
+    registered query."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sized.withColumn(
+        "shard", F.floor(F.col(id_col) / shard_size).cast("bigint")
+    ).select(
+        id_col,
+        tokens_col,
+        (
+            F.col("shard") * packs_per_shard
+            + F.floor(
+                F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) / float(ctx)
+            ).cast("bigint")
+        ).alias("pack_id"),
+    )
+
+
 @register(
     "pack_sequences",
     oracle=f"""
@@ -190,25 +230,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id",
-        F.floor(F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return sized.select(
-        "doc_id",
-        "n_tokens",
-        (
-            F.col("shard") * _PACKS_PER_SHARD
-            + F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(_CTX)
-            ).cast("bigint")
-        ).alias("pack_id"),
-    )
+    return pack_assignments(sized)
 
 
 pack_sequences.__doc__ = (

@@ -87,6 +87,50 @@ def test_salted_join_matches_plain_join(spark, lefts, rights, n_salts):
 
 
 @given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # doc id
+            st.integers(min_value=0, max_value=30),   # token count
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    ctx=st.integers(min_value=1, max_value=20),
+    shard_size=st.integers(min_value=1, max_value=16),
+)
+@_SETTINGS
+def test_pack_assignments_matches_bruteforce(spark, docs, ctx, shard_size):
+    """Packing must equal the sequential reference algorithm: within each
+    id-range shard, walk docs in id order accumulating token counts; a
+    doc's pack index is floor(prior_tokens / ctx). Every doc is assigned
+    exactly once and pack ids are the shard-offset form."""
+    from reactivestreams_kinesis_spark import pack_assignments
+
+    packs_per_shard = 10_000  # large enough to never collide in-range
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_assignments(
+            df,
+            ctx=ctx,
+            shard_size=shard_size,
+            packs_per_shard=packs_per_shard,
+        ).collect()
+    }
+    expected = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for did, nt in docs:
+        by_shard.setdefault(did // shard_size, []).append((did, nt))
+    for shard, members in by_shard.items():
+        prior = 0
+        for did, nt in sorted(members):
+            expected[did] = shard * packs_per_shard + prior // ctx
+            prior += nt
+    assert got == expected
+
+
+@given(
     edges=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=12),
