@@ -589,6 +589,50 @@ def test_rate_record_stream(spark):
     assert len(set(seqs)) == len(seqs)  # monotone source → unique sequence numbers
 
 
+def test_stream_throughput_floor(spark):
+    """Throughput sanity against the reference's envelope: its derived
+    ceiling is ≈20 records/s/shard (100-record prefetch per 5 s tick —
+    BASELINE.md). A decode + per-shard aggregate over the rate-source
+    record stream must sustain ≥ 10 000 records/s on this box — a
+    conservative floor ~60× the reference's 8-shard ceiling (measured
+    median here is ~590 000/s; the floor is low so a loaded CI box can't
+    flake the test)."""
+    from reactivestreams_kinesis_spark.streaming.records import rate_record_stream
+
+    recs = rate_record_stream(spark, rows_per_second=100_000, n_shards=8)
+    per_shard = (
+        recs.select(
+            "shardId", F.col("data").cast("string").alias("text")
+        )
+        .groupBy("shardId")
+        .count()
+    )
+    name = f"tp_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_shard.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rates: list[float] = []
+        while time.time() < deadline and len(rates) < 3:
+            time.sleep(1)
+            rates = [
+                p["processedRowsPerSecond"]
+                for p in (q.recentProgress or [])
+                if p["numInputRows"] > 0
+            ][1:]  # drop the warm-up batch
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert rates, "stream produced no non-empty batches in 30 s"
+    best = max(rates)
+    assert best >= 10_000, f"sustained throughput {best:.0f} rows/s below floor"
+
+
 def test_stateful_running_stats_transform_with_state(spark, sf_dir, tmp_path):
     """T7 on the modern transformWithStateInPandas API (RocksDB-backed
     typed state handles): must converge to the same batch aggregate as the
