@@ -130,6 +130,50 @@ def test_pack_assignments_matches_bruteforce(spark, docs, ctx, shard_size):
     assert got == expected
 
 
+_gram = st.integers(min_value=0, max_value=8)  # tiny gram universe → real overlaps
+
+
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(0, 10), _gram), min_size=0, max_size=30
+    ),
+    eval_grams=st.lists(_gram, min_size=0, max_size=6),
+    min_shared=st.integers(min_value=1, max_value=3),
+)
+@_SETTINGS
+def test_decontaminate_matches_bruteforce(spark, corpus, eval_grams, min_shared):
+    """Contamination report must equal the set-arithmetic reference: doc is
+    contaminated iff |distinct(doc grams) ∩ eval grams| >= min_shared —
+    duplicate postings and duplicate eval grams must not inflate counts."""
+    from reactivestreams_kinesis_spark import decontaminate
+
+    corpus_df = spark.createDataFrame(
+        [(d, f"g{g}") for d, g in corpus] or [(0, "g0")], "doc_id long, gram string"
+    )
+    eval_df = spark.createDataFrame(
+        [(f"g{g}",) for g in eval_grams] or [("g0",)], "gram string"
+    )
+    if not corpus:
+        corpus_df = corpus_df.filter(F.lit(False))
+    if not eval_grams:
+        eval_df = eval_df.filter(F.lit(False))
+
+    got = {
+        r.doc_id: r.n_shared
+        for r in decontaminate(corpus_df, eval_df, min_shared=min_shared).collect()
+    }
+    eval_set = {f"g{g}" for g in eval_grams}
+    by_doc: dict[int, set[str]] = {}
+    for d, g in corpus:
+        by_doc.setdefault(d, set()).add(f"g{g}")
+    expected = {
+        d: len(grams & eval_set)
+        for d, grams in by_doc.items()
+        if len(grams & eval_set) >= min_shared
+    }
+    assert got == expected
+
+
 @given(
     edges=st.lists(
         st.tuples(
