@@ -411,8 +411,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares an n-gram with the evaluation/benchmark set (GPT-3 used 13-grams;
 # n is a knob here, fixture docs are short so the registered query uses 5).
 # The eval set is derived deterministically from the corpus (doc_id % 97 ==
-# 13) so the oracle can reproduce it; in production it would be a separate
-# tiny table.
+# 69, _EVAL_PRED below) so the oracle can reproduce it; in production it
+# would be a separate tiny table.
 
 DECONTAM_N = 5  # n-gram width
 _EVAL_PRED = "doc_id % 97 = 69"

@@ -227,7 +227,8 @@ def ann_lsh_topk(
     recall lever: a true neighbor that disagrees with the query on ONE
     hyperplane is still found, at (n_hyperplanes+1)× the probe cost but
     with no extra corpus work. Measured on the fixture it takes recall@5
-    from chance (~0.08, single-bucket) to ~0.4; the query side stays tiny
+    from chance (~0.08, single-bucket) to 0.52 (the test asserts a 0.4
+    floor below that measurement); the query side stays tiny
     so the exploded probes still broadcast. Unlike the brute-force path,
     neither side needs to fit in a broadcast at extreme scale — the
     bucket equi-join can shuffle both sides on the bucket key."""

@@ -186,7 +186,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the document-frequency aggregate and the scoring join;
     # persist so the explode + (doc,term) aggregation runs once, not per
     # consumer (MEMORY_AND_DISK spills rather than OOMs; at 100 TB this is
-    # where you'd checkpoint the term index to storage).
+    # where you'd checkpoint the term index to storage). The cache entry
+    # outlives this call by design — the registry contract returns a lazy
+    # DataFrame, so unpersisting here would defeat the sharing; once the
+    # caller drops the result, Spark's ContextCleaner reclaims the
+    # unreachable cached RDD.
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_counts, "term").crossJoin(F.broadcast(n_docs)).select(

@@ -290,7 +290,8 @@ def test_ngram_ops_handle_short_documents(spark, tmp_path):
     rep = {r.doc_id: r.n_bigrams for r in all_queries()["text_repetition"].fn(spark, docs_dir).collect()}
     assert 1 not in rep and rep[2] == 8  # 9 tokens -> 8 bigrams
 
-    # doc 69 would be the eval residue; craft ids so doc 166 (166%97=69) is eval
+    # doc 69 is the eval doc (69 % 97 = 69, _EVAL_PRED); doc 2 shares its
+    # 5-grams so it must be flagged, doc 1 (too short to gram) must not
     dec = {r.doc_id: r.n_shared for r in all_queries()["decontaminate_ngram"].fn(spark, docs_dir).collect()}
     assert 2 in dec and 1 not in dec
 

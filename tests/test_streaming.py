@@ -618,19 +618,21 @@ def test_stream_throughput_floor(spark):
     try:
         deadline = time.time() + 30
         rates: list[float] = []
-        while time.time() < deadline and len(rates) < 3:
+        while time.time() < deadline and len(rates) < 4:
             time.sleep(1)
             rates = [
                 p["processedRowsPerSecond"]
                 for p in (q.recentProgress or [])
                 if p["numInputRows"] > 0
-            ][1:]  # drop the warm-up batch
+            ][1:]  # drop the warm-up batch (backlog burst inflates its rate)
     finally:
         q.stop()
         q.awaitTermination(60)
     assert rates, "stream produced no non-empty batches in 30 s"
-    best = max(rates)
-    assert best >= 10_000, f"sustained throughput {best:.0f} rows/s below floor"
+    # median, not max: a single backlog-draining burst must not satisfy the
+    # floor — the claim under test is SUSTAINED throughput
+    sustained = sorted(rates)[len(rates) // 2]
+    assert sustained >= 10_000, f"sustained throughput {sustained:.0f} rows/s below floor"
 
 
 def test_stateful_running_stats_transform_with_state(spark, sf_dir, tmp_path):
