@@ -81,6 +81,23 @@ def test_window_topk_group_limit(spark, sf_dir):
     assert has_operator(df, "WindowGroupLimit")
 
 
+def test_session_scale_confs_pinned(spark):
+    """The confs that carry the 100 TB posture (SCALING.md) must survive
+    session construction: AQE with partition coalescing and skew-join
+    splitting, parquet filter pushdown, bounded split size. A silent
+    default regression here changes every plan in the repo."""
+    expected = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+    }
+    for key, want in expected.items():
+        assert spark.conf.get(key) == want, key
+
+
 def test_vocab_topk_rank_after_limit(spark, sf_dir):
     """Corpus vocab top-K: the global top-K must be TakeOrderedAndProject
     (per-partition heaps + single merge, never a global sort), and the
