@@ -339,12 +339,15 @@ def minhash_lsh_candidates(
         for band in range(n_bands)
     ]
     sig = hashed.groupBy("doc_id").agg(*band_aggs)
-    bands = None
-    for band in range(n_bands):
-        part = sig.select(
-            "doc_id", F.lit(band).alias("bkey"), F.col(f"band{band}").alias("bval")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one posexplode pass over the signature rows — NOT a per-band union,
+    # which would re-run the whole signature aggregate (and the postings
+    # scan below it) once per band; the position doubles as the band key
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "bkey", "bval"
+        ),
+    )
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
