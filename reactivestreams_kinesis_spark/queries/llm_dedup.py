@@ -452,10 +452,21 @@ def connected_components(
     pairs = pairs.select(
         F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
     )
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    # both edge directions from ONE pass over the pair set — a
+    # forward ∪ reverse union would execute the upstream pair computation
+    # (an expensive self-join in the near-dup pipeline) once per branch
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -263,26 +263,34 @@ pack_sequences.__doc__ = (
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (describe-style data-quality pass): per-column
-    row/null/distinct counts and min/max, as one aggregate per column
-    unioned into a long-format report. Each branch is a partial-agg
-    single-pass; Catalyst shares the scan across branches under AQE
-    (exchange/scan reuse)."""
+    row/null/distinct counts and min/max. ONE global aggregate computes
+    every column's metrics in a single scan (a union of per-column
+    aggregates would re-scan the table once per profiled column — at
+    100 TB that multiplies the whole job by the column count), then
+    ``stack`` pivots the one wide row into the long-format report —
+    driver-side-free, 3 rows. The multiple countDistincts plan as one
+    Expand + single shuffle of distinct values, not extra scans."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-
-    def branch(col: str) -> DataFrame:
-        return lineitem.agg(
-            F.lit(col).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.min(col).alias("min_val"),
-            F.max(col).alias("max_val"),
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nulls_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
         )
-
-    out = branch("l_quantity")
-    for col in ["l_discount", "l_tax"]:
-        out = out.unionByName(branch(col))
-    return out
+    )
 
 
 from reactivestreams_kinesis_spark.queries.llm_dedup import (  # noqa: E402
