@@ -231,3 +231,60 @@ register_sql(
     applies, so results match exactly. One SQL text, both engines
     (register_sql).""",
 )
+
+
+@register(
+    "rel_winsorize",
+    oracle="""
+    WITH pct AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+        l.l_orderkey,
+        l.l_linenumber,
+        l.l_returnflag,
+        ROUND(l.l_extendedprice, 2) AS price,
+        ROUND(LEAST(GREATEST(l.l_extendedprice, p.p05), p.p95), 2)
+            AS price_winsorized,
+        (l.l_extendedprice < p.p05 OR l.l_extendedprice > p.p95) AS clipped
+    FROM lineitem l
+    JOIN pct p ON l.l_returnflag = p.l_returnflag
+    """,
+    tags=("A4", "P4", "J1"),
+)
+def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (percentile clipping): numeric values are
+    clamped to their group's [p05, p95] — the standard outlier treatment
+    before feature normalization in a training-data pipeline.
+
+    Scale shape: the percentile aggregate reduces to one row per group
+    (bounded: 3 return flags), broadcast back onto the fact scan — the
+    clip itself is then a row-local map, no second shuffle of the data.
+    Exact ``percentile`` (≡ DuckDB ``quantile_cont``) keeps the oracle
+    bit-exact; at 100 TB the drop-in scale path is ``approx_percentile``
+    with a bounds-checked sketch (see agg_approx_count_distinct for the
+    verification pattern). The broadcast hint is safe: group cardinality
+    is bounded by the key's domain, not by data volume.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pct = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped_val = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return lineitem.join(F.broadcast(pct), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round(clipped_val, 2).alias("price_winsorized"),
+        (
+            (F.col("l_extendedprice") < F.col("p05"))
+            | (F.col("l_extendedprice") > F.col("p95"))
+        ).alias("clipped"),
+    )
