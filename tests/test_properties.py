@@ -130,6 +130,58 @@ def test_pack_assignments_matches_bruteforce(spark, docs, ctx, shard_size):
     assert got == expected
 
 
+_word = st.sampled_from(["a", "b", "c", "d"])  # tiny vocab → real shingle overlaps
+
+
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@_SETTINGS
+def test_jaccard_pairs_matches_bruteforce(spark, texts, threshold):
+    """The inverted-index Jaccard must equal the set-arithmetic definition:
+    for every doc pair, |shingles(A) ∩ shingles(B)| / |A ∪ B| >= threshold —
+    including <3-token docs (empty shingle set, never paired) and duplicate
+    texts (Jaccard exactly 1.0)."""
+    from reactivestreams_kinesis_spark.queries.llm_dedup import (
+        jaccard_pairs,
+        shingle_postings,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(
+            shingle_postings(docs), jaccard_threshold=threshold
+        ).collect()
+    }
+
+    def shingles(t: str) -> set[str]:
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    expected = {}
+    sets = [shingles(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = inter / len(sets[a] | sets[b])
+            if jac >= threshold:
+                expected[(a, b)] = round(jac, 6)
+    # engine rounds to 6dp after the filter; compare at the same precision
+    assert {k: round(v, 6) for k, v in got.items()} == expected
+
+
 _gram = st.integers(min_value=0, max_value=8)  # tiny gram universe → real overlaps
 
 
