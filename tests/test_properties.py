@@ -130,6 +130,61 @@ def test_pack_assignments_matches_bruteforce(spark, docs, ctx, shard_size):
     assert got == expected
 
 
+_comp = st.integers(min_value=0, max_value=3)  # small ints: exact in float32/64
+
+
+@given(
+    corpus=st.lists(
+        st.lists(_comp, min_size=3, max_size=3), min_size=1, max_size=12
+    ),
+    queries=st.lists(
+        st.lists(_comp, min_size=3, max_size=3), min_size=1, max_size=3
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_cosine_topk_matches_bruteforce(spark, corpus, queries, k):
+    """Brute-force cosine top-k must equal the per-query argsort by
+    (rounded cosine desc, neighbor_id asc). Integer-valued components keep
+    dot/norm arithmetic exact in both engines; rounding replicates Spark's
+    HALF_UP-on-shortest-decimal ROUND so ties are compared at the same
+    6-dp grid the operator ranks on."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reactivestreams_kinesis_spark import cosine_topk
+
+    corpus = [v + [1] for v in corpus]  # trailing 1 ⇒ never a zero vector
+    queries = [v + [1] for v in queries]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "neighbor_id long, cv array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(queries)],
+        "query_id long, qv array<float>",
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in cosine_topk(qdf, cdf, k=k).collect()
+    )
+
+    def rnd6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    expected = []
+    for qi, qv in enumerate(queries):
+        qn = math.sqrt(sum(x * x for x in qv))
+        scored = []
+        for ci, cv in enumerate(corpus):
+            dot = float(sum(x * y for x, y in zip(qv, cv)))
+            cn = math.sqrt(sum(x * x for x in cv))
+            scored.append((ci, rnd6(dot / (qn * cn))))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        expected += [(qi, ci, cos) for ci, cos in scored[:k]]
+    assert got == sorted(expected)
+
+
 _word = st.sampled_from(["a", "b", "c", "d"])  # tiny vocab → real shingle overlaps
 
 
