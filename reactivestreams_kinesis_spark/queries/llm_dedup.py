@@ -510,6 +510,8 @@ def connected_components(
     # checkpointed result carries its own storage, freed on GC
     labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()  # final round's cache, superseded by the checkpoint
     if not converged:
         # silently returning would desync from the oracle's closed-form
         # fixpoint; a max_rounds-hop near-dup chain means the threshold is

@@ -13,13 +13,16 @@ DuckDB for positives), and only then cast to DOUBLE for a stable output
 schema. Rounding raw double sums instead is a trap: accumulation order
 differs between engines and ROUND-at-a-half-boundary flips (observed locally:
 ``ROUND(o_totalprice * 1.1, 2)`` → 9168.01 vs 9168.0). The shared SQL
-fragments below are used verbatim by both the Spark plan (``F.expr``) and
-the DuckDB oracle so the two sides cannot drift.
+fragments below (_QTY/_PRICE/_DISC/_TAX and the full aggregate lists) are
+used verbatim by both the Spark plan (``F.expr``) and the DuckDB oracle so
+the decimal domain cannot drift; where the Spark plan uses a different
+*shape* than the oracle (q01's factored aggregation), the rewrite is exact
+decimal algebra over those same fragments, never a float re-derivation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
@@ -68,10 +71,15 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row. Decimal arithmetic is exact, so
     SUM(p·(1-d)·(1+t)) ≡ Σ_{d,t}(1-d)(1+t)·Σp bit-for-bit against the
     oracle's straightforward per-row form (verified at every SF); per-row
-    work drops to two decimal CASTs + sums (measured ~15% faster at
-    sf0.1, and the saving grows with rows since the multiply count is now
-    O(subgroups)). Both aggregation levels are partial-first: the extra
-    level adds one exchange of ≤ a-few-hundred rows per task.
+    work drops to two decimal CASTs + sums (a direct A/B at sf0.1
+    measured 0.93 s → 0.81 s for the agg stage; headline bench totals are
+    stage-launch-noise-dominated at this SF, so the win shows there only
+    at larger data — the multiply count is O(subgroups) vs O(rows)). Both
+    aggregation levels are partial-first: the extra level adds one
+    exchange of ≤ a-few-hundred rows per task. The oracle keeps the
+    straightforward per-row Q1_AGGS form; both sides share the _QTY /
+    _PRICE / _DISC / _TAX cast fragments so the decimal domain cannot
+    drift.
 
     Scale notes: filter + column pruning push to the parquet scan; at
     100 TB the scan dominates and parallelism is limited only by input
@@ -89,24 +97,22 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    disc = "CAST(l_discount AS DECIMAL(4,2))"
-    tax = "CAST(l_tax AS DECIMAL(4,2))"
     return (
         sub.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr("CAST(ROUND(SUM(s_qty), 2) AS DOUBLE)").alias("sum_qty"),
             F.expr("CAST(ROUND(SUM(s_price), 2) AS DOUBLE)").alias("sum_base_price"),
             F.expr(
-                f"CAST(ROUND(SUM(s_price * (1 - {disc})), 2) AS DOUBLE)"
+                f"CAST(ROUND(SUM(s_price * (1 - {_DISC})), 2) AS DOUBLE)"
             ).alias("sum_disc_price"),
             F.expr(
-                f"CAST(ROUND(SUM(s_price * (1 - {disc}) * (1 + {tax})), 2) AS DOUBLE)"
+                f"CAST(ROUND(SUM(s_price * (1 - {_DISC}) * (1 + {_TAX})), 2) AS DOUBLE)"
             ).alias("sum_charge"),
             F.expr("ROUND(CAST(SUM(s_qty) AS DOUBLE) / SUM(n), 6)").alias("avg_qty"),
             F.expr("ROUND(CAST(SUM(s_price) AS DOUBLE) / SUM(n), 6)").alias(
                 "avg_price"
             ),
-            F.expr(f"ROUND(CAST(SUM({disc} * n) AS DOUBLE) / SUM(n), 6)").alias(
+            F.expr(f"ROUND(CAST(SUM({_DISC} * n) AS DOUBLE) / SUM(n), 6)").alias(
                 "avg_disc"
             ),
             F.sum("n").alias("count_order"),
@@ -236,53 +242,80 @@ register_sql(
 @register(
     "rel_winsorize",
     oracle="""
-    WITH pct AS (
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    pct AS (
         SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.05) AS p05,
-               quantile_cont(l_extendedprice, 0.95) AS p95
-        FROM lineitem GROUP BY l_returnflag
+               MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN l_extendedprice END) AS p05,
+               MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95
+        FROM ranked GROUP BY l_returnflag
     )
     SELECT
         l.l_orderkey,
         l.l_linenumber,
         l.l_returnflag,
-        ROUND(l.l_extendedprice, 2) AS price,
-        ROUND(LEAST(GREATEST(l.l_extendedprice, p.p05), p.p95), 2)
-            AS price_winsorized,
+        l.l_extendedprice AS price,
+        LEAST(GREATEST(l.l_extendedprice, p.p05), p.p95) AS price_winsorized,
         (l.l_extendedprice < p.p05 OR l.l_extendedprice > p.p95) AS clipped
     FROM lineitem l
     JOIN pct p ON l.l_returnflag = p.l_returnflag
     """,
-    tags=("A4", "P4", "J1"),
+    tags=("A4", "P4", "J1", "W1"),
 )
 def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group winsorization (percentile clipping): numeric values are
-    clamped to their group's [p05, p95] — the standard outlier treatment
-    before feature normalization in a training-data pipeline.
+    """Per-group winsorization (percentile clipping): values are clamped
+    to their group's [p05, p95] — the standard outlier treatment before
+    feature normalization in a training-data pipeline.
 
-    Scale shape: the percentile aggregate reduces to one row per group
-    (bounded: 3 return flags), broadcast back onto the fact scan — the
-    clip itself is then a row-local map, no second shuffle of the data.
-    Exact ``percentile`` (≡ DuckDB ``quantile_cont``) keeps the oracle
-    bit-exact; at 100 TB the drop-in scale path is ``approx_percentile``
-    with a bounds-checked sketch (see agg_approx_count_distinct for the
-    verification pattern). The broadcast hint is safe: group cardinality
-    is bounded by the key's domain, not by data volume.
+    The cut points are DISCRETE (type-1) quantiles — the element at rank
+    ceil(q·n), with the rank computed in pure integer arithmetic
+    ((n·5+99) integer-div 100) on both engines. That makes the whole query
+    arithmetic-free on doubles: cut points are actual data elements, the
+    clamp picks raw values, nothing is rounded — bit-exact against the
+    oracle by construction, unlike interpolated ``percentile`` +
+    ``ROUND(double)`` whose last-ulp behavior is engine-dependent (the
+    float-determinism trap in this module's docstring). A double literal
+    like 0.05·n is avoided deliberately: DuckDB parses 0.05 as DECIMAL
+    while Spark uses binary double, and ceil() of the two can differ at
+    exact-integer boundaries.
+
+    Scale shape: the rank pass is one per-group sort (the same cost exact
+    percentiles pay), reduced to one row per group and broadcast back
+    onto the fact scan — the clip itself is a row-local map, no second
+    shuffle of the data. The broadcast hint is safe: group cardinality is
+    bounded by the key's domain (3 return flags), not by data volume. At
+    100 TB the drop-in path is ``approx_percentile`` (returns actual
+    elements too) with a bounds-checked sketch, trading the sort for a
+    single pass.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    pct = lineitem.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    w_rank = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    clipped_val = F.least(
-        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    k05 = F.expr("(n * 5 + 99) div 100")
+    k95 = F.expr("(n * 95 + 99) div 100")
+    pct = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == k05, F.col("l_extendedprice"))).alias("p05"),
+        F.min(F.when(F.col("rn") == k95, F.col("l_extendedprice"))).alias("p95"),
     )
     return lineitem.join(F.broadcast(pct), "l_returnflag").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.round("l_extendedprice", 2).alias("price"),
-        F.round(clipped_val, 2).alias("price_winsorized"),
+        F.col("l_extendedprice").alias("price"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+        ).alias("price_winsorized"),
         (
             (F.col("l_extendedprice") < F.col("p05"))
             | (F.col("l_extendedprice") > F.col("p95"))
