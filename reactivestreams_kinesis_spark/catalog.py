@@ -54,6 +54,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Micros-without-timezone parquet must read as TimestampType, not
+    # TIMESTAMP_NTZ: chrono functions like unix_micros reject NTZ, and with
+    # a UTC session the two types carry identical values anyway (matching
+    # DuckDB's naive TIMESTAMP).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # The 200-partition default makes every shuffle a 200-task stage even
     # on small fixtures; size to local parallelism. Guarded twice: only in
     # local mode (cluster deployments keep their sizing) and only when the
@@ -86,8 +91,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     if cached is None:
         _SCHEMA_CACHE[path] = df.schema
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Schema was cached before the NTZ conf took effect, or a caller
+        # session overrides it; value-preserving under the UTC session tz.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

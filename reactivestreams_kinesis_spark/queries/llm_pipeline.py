@@ -418,12 +418,16 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The standard pre-training hygiene step: drop every training document that
 # shares an n-gram with the evaluation/benchmark set (GPT-3 used 13-grams;
 # n is a knob here, fixture docs are short so the registered query uses 5).
-# The eval set is derived deterministically from the corpus (doc_id % 97 ==
-# 69, _EVAL_PRED below) so the oracle can reproduce it; in production it
-# would be a separate tiny table.
+# The eval set is derived deterministically from the corpus so the oracle
+# can reproduce it; in production it would be a separate tiny table. The
+# id-range bound makes it FIXED-SIZE (≤5 docs at every SF tier) — a
+# benchmark set does not grow with the training corpus, and that
+# boundedness is what licenses the broadcast pin in `decontaminate`; an
+# unbounded `doc_id % 97` split would scale with SF and turn the pin into
+# an executor-OOM hazard at 100 TB.
 
 DECONTAM_N = 5  # n-gram width
-_EVAL_PRED = "doc_id % 97 = 69"
+_EVAL_PRED = "doc_id % 97 = 69 AND doc_id < 485"
 
 
 def _spark_ngrams(n: int) -> str:
@@ -447,17 +451,27 @@ def _duck_ngrams(n: int) -> str:
 
 
 def decontaminate(
-    corpus_grams: DataFrame, eval_grams: DataFrame, *, min_shared: int = 1
+    corpus_grams: DataFrame,
+    eval_grams: DataFrame,
+    *,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Contamination report from two (doc_id, gram) posting sets: corpus
     documents sharing >= min_shared distinct n-grams with the eval set.
-    The eval side is a benchmark (tiny) — Spark broadcasts it, so the
-    corpus never shuffles until the per-doc count aggregation, which only
-    sees matched rows. Anti-join the result against the corpus to get the
-    clean training set."""
-    hits = corpus_grams.join(
-        F.broadcast(eval_grams.select("gram").distinct()), "gram", "left_semi"
-    )
+    With ``broadcast_eval`` (default) the eval side is pinned broadcast —
+    correct ONLY for a genuinely bounded benchmark set (the production
+    case, and the registered query's fixed id-range split): the corpus
+    then never shuffles until the per-doc count aggregation, which only
+    sees matched rows. Pass ``broadcast_eval=False`` when the eval side
+    scales with the data (e.g. a held-out corpus fraction) so AQE's
+    size-based planner chooses the join strategy instead of the pin.
+    Anti-join the result against the corpus to get the clean training
+    set."""
+    eval_side = eval_grams.select("gram").distinct()
+    if broadcast_eval:
+        eval_side = F.broadcast(eval_side)
+    hits = corpus_grams.join(eval_side, "gram", "left_semi")
     return (
         hits.groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))

@@ -47,6 +47,9 @@ def get_spark(
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
         # default; read as int64 nanos and convert in the catalog layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # micros-without-tz parquet must read as TimestampType (not NTZ):
+        # chrono fns reject NTZ and UTC-session values are identical anyway.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -102,15 +102,23 @@ def read_events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The ``events`` fixture as a stream: file source over the same parquet
-    the batch catalog reads, with the same nanos→micros ts normalization.
+    the batch catalog reads, with the same ts normalization (fixtures have
+    shipped both TIMESTAMP(NANOS) — readable only as int64 nanos — and
+    TIMESTAMP(MICROS); detect from the footer like the batch catalog does).
     This is how every streaming query in the harness replays event time."""
     from reactivestreams_kinesis_spark.catalog import _ensure_session_confs
 
     _ensure_session_confs(spark)
+    raw_ts = dict(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).dtypes
+    )["ts"]
+    ts_is_nanos = raw_ts == "bigint"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as nanos
+            T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampType()
+            ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -120,9 +128,10 @@ def read_events_stream(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    stream = reader.parquet(sf_dir)
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def read_record_stream(

@@ -54,21 +54,71 @@ def test_q05_broadcasts_dimensions(spark, sf_dir):
     assert count_exchanges(df) <= 4, explain_string(df)
 
 
-def test_no_pinned_broadcast_on_scaling_tables():
-    """Broadcast hints are a scale contract: only tables whose size is
-    bounded regardless of scale factor (region: 5 rows, nation: 25) may
-    carry a pinned F.broadcast — a pin on an SF-scaling table overrides
-    AQE's size-based fallback and OOMs executors at the 100 TB target.
+def _broadcast_args(src: str) -> list[str]:
+    """Every F.broadcast(...) argument expression in `src`, full text,
+    balanced-paren extraction so multi-line and nested calls are covered."""
+    args, i, needle = [], 0, "F.broadcast("
+    while True:
+        j = src.find(needle, i)
+        if j < 0:
+            return args
+        k = j + len(needle)
+        depth, end = 1, k
+        while depth:
+            depth += {"(": 1, ")": -1}.get(src[end], 0)
+            end += 1
+        args.append(src[k : end - 1].strip())
+        i = end
+
+
+# Broadcast hints are a scale contract: a pin overrides AQE's size-based
+# fallback, so ONLY expressions whose size is bounded regardless of scale
+# factor may carry one. Each allowlisted root below names a documented
+# bounded frame; anything new must be justified here, not just compile.
+_BOUNDED_BROADCAST_ROOTS = {
+    "nation",  # 25 rows at every SF
+    "region",  # 5 rows at every SF
+    "n1",  # nation aliases
+    "n2",
+    "q",  # cosine/LSH query side — documented broadcast contract
+    "centroids",  # IVF codebook: n_lists rows
+    "pct",  # winsorize percentile rows: bounded by key domain
+    "n_docs",  # one-row corpus-size aggregate
+    "eval_side",  # decontaminate benchmark grams: fixed id-range split
+    "left.sparkSession.range",  # salted-join salt table: n_salts rows
+}
+
+
+def test_no_pinned_broadcast_on_scaling_frames():
+    """No F.broadcast() argument may be, or derive from, an SF-scaling
+    table — a pin there OOMs executors at the 100 TB target. Checked on
+    the full argument expression (not just bare variable names, so
+    `F.broadcast(customer.filter(...))` is caught) plus a root-identifier
+    allowlist so new pin sites fail until their boundedness is argued.
     Enforced at the source level because at test SF the physical plans
-    are identical either way (AQE broadcasts small tables regardless)."""
+    are identical either way (AQE broadcasts small frames regardless)."""
     import pathlib
+    import re
 
-    import reactivestreams_kinesis_spark.queries as qpkg
+    import reactivestreams_kinesis_spark as pkg
 
-    qdir = pathlib.Path(qpkg.__file__).parent
-    src = "\n".join(p.read_text() for p in qdir.glob("*.py"))
-    for tbl in ("customer", "supplier", "part", "orders", "lineitem"):
-        assert f"F.broadcast({tbl})" not in src, f"pinned broadcast on {tbl}"
+    pdir = pathlib.Path(pkg.__file__).parent
+    scaling = ("customer", "supplier", "part", "orders", "lineitem",
+               "events", "documents", "embeddings", "docs", "corpus")
+    for path in pdir.rglob("*.py"):
+        for arg in _broadcast_args(path.read_text()):
+            words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", arg))
+            hit = words & set(scaling)
+            assert not hit, f"{path.name}: F.broadcast over scaling frame {hit}: {arg}"
+            root = max(
+                (r for r in _BOUNDED_BROADCAST_ROOTS if arg.startswith(r)),
+                key=len,
+                default=None,
+            )
+            assert root is not None, (
+                f"{path.name}: unlisted F.broadcast arg {arg!r} — prove "
+                "boundedness and add its root to _BOUNDED_BROADCAST_ROOTS"
+            )
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
