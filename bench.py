@@ -20,7 +20,11 @@ import sys
 import time
 
 from reactivestreams_kinesis_spark.queries.registry import all_queries
-from reactivestreams_kinesis_spark.session import get_spark
+from reactivestreams_kinesis_spark.session import (
+    cached_rdd_count,
+    get_spark,
+    released_caches,
+)
 
 
 def main() -> None:
@@ -34,15 +38,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         q = queries[name]
-        # one warm-up pass amortizes JVM/codegen warm-up out of the numbers
-        if name == sorted(queries)[0]:
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _trial in range(2):  # best-of-2: local-mode scheduling noise is large
-            start = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+        # released_caches wraps each query's trials (NOT each trial — trial 2
+        # reusing trial 1's plan-matched cache is the established timing
+        # semantics) so query-internal persists don't accumulate across the
+        # headline set in this long-lived session.
+        with released_caches(spark):
+            # one warm-up pass amortizes JVM/codegen warm-up out of the numbers
+            if name == sorted(queries)[0]:
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _trial in range(2):  # best-of-2: local-mode scheduling noise is large
+                start = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+    # cache-hygiene invariant: nothing may stay cached once the set is done
+    leftover = cached_rdd_count(spark)
+    if leftover:
+        raise RuntimeError(f"{leftover} RDDs still cached after bench loop")
 
     total = round(sum(timings.values()), 3)
     print(

@@ -18,7 +18,7 @@ implementation and (where SQL-expressible) a DuckDB-compatible ANSI-SQL oracle,
 so the correctness harness can diff them on the same parquet fixtures.
 """
 
-from reactivestreams_kinesis_spark.session import get_spark
+from reactivestreams_kinesis_spark.session import get_spark, released_caches
 
 __version__ = "0.1.0"
 
@@ -75,6 +75,7 @@ _PIPELINE_OPS = ("pack_assignments", "decontaminate")
 
 __all__ = [
     "get_spark",
+    "released_caches",
     "ShardStream",
     "asof_join",
     "salted_join",

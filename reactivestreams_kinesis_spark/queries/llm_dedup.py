@@ -438,6 +438,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_rounds: int = 50,
+    rounds: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph, component id =
     min node id in the component. The reusable, knob-exposed form of
@@ -448,6 +449,22 @@ def connected_components(
     one agg per round), converging in ≤ graph-diameter rounds (near-dup
     components are tiny, so this is 2-4 rounds in practice; the
     ``max_rounds`` cap keeps the driver loop bounded).
+
+    Two pacing modes:
+
+    - adaptive (default, ``rounds=None``): run until a round changes no
+      label. Costs one driver-blocking ``count()`` per round — fine when
+      the diameter is unknown, but at extreme scale each count is a
+      cluster-wide barrier.
+    - fixed (``rounds=R``): run exactly R propagation passes with NO
+      per-round action, then ONE final convergence check. Use when the
+      caller knows a diameter bound — e.g. LSH-band near-dup graphs, where
+      clusters are tiny because every member pair collides in some band.
+      The last round doubles as the fixpoint proof, so R must exceed the
+      graph diameter (R ≥ diameter + 1: labels move one hop per round and
+      the proof round must change nothing). Raises if R rounds were not
+      enough (silently returning would desync from the oracle's
+      transitive-closure fixpoint).
     """
     pairs = pairs.select(
         F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
@@ -472,18 +489,17 @@ def connected_components(
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
     )
-    converged = False
-    prev_cached = None
-    for _round in range(max_rounds):
+
+    def propagate(labels: DataFrame) -> DataFrame:
+        """One min-label round; keeps the previous label alongside so the
+        convergence check is a filter on the round's own result — one join
+        per round, not a second labels join just to count changes."""
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component_id").alias("neighbor_comp"))
         )
-        # carry the previous label through the update join so the
-        # convergence check is a filter on this round's result — one join
-        # per round, not a second labels join just to count changes
-        updated = (
+        return (
             labels.withColumnRenamed("component_id", "prev_component_id")
             .join(neighbor_min, "doc_id", "left")
             .select(
@@ -494,8 +510,37 @@ def connected_components(
                     F.coalesce("neighbor_comp", "prev_component_id"),
                 ).alias("component_id"),
             )
-            .persist()
         )
+
+    if rounds is not None:
+        if rounds < 1:
+            raise ValueError("rounds must be >= 1")
+        # fixed mode: build all R rounds as ONE lazy plan — the persisted
+        # edge list is computed once and reused across rounds within the
+        # single job — then materialize with one localCheckpoint action.
+        # The convergence check runs on the checkpointed (tiny, label-table
+        # sized) result, not on the R-round lineage.
+        for _round in range(rounds):
+            updated = propagate(labels)
+            labels = updated.select("doc_id", "component_id")
+        final = updated.localCheckpoint(eager=True)
+        edges.unpersist()
+        changed = final.filter(
+            F.col("component_id") != F.col("prev_component_id")
+        ).count()
+        if changed != 0:
+            # silently returning would desync from the oracle's closed-form
+            # fixpoint; an R-hop chain means the caller's diameter bound
+            # (e.g. "LSH clusters are tiny") was wrong
+            raise RuntimeError(
+                f"label propagation did not converge in {rounds} fixed rounds"
+            )
+        return final.select("doc_id", "component_id")
+
+    converged = False
+    prev_cached = None
+    for _round in range(max_rounds):
+        updated = propagate(labels).persist()
         changed = updated.filter(
             F.col("component_id") != F.col("prev_component_id")
         ).count()

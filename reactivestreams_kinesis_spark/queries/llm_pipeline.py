@@ -172,23 +172,38 @@ def pack_assignments(
     sort) at the cost of ≤1 underfull pack per shard. Size
     ``packs_per_shard`` so a shard's token mass stays below
     ``packs_per_shard * ctx`` — the id-uniqueness bound documented at the
-    registered query."""
+    registered query.
+
+    Raises (at execution, executor-side) if any within-shard pack index
+    reaches ``packs_per_shard``: such an index would overflow into the
+    next shard's id space and silently collide, so the bound is enforced
+    in-plan — a row-local comparison, no extra shuffle or action.
+    """
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    idx = F.floor(
+        F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) / float(ctx)
+    ).cast("bigint")
+    guarded_idx = F.when(idx < packs_per_shard, idx).otherwise(
+        F.raise_error(
+            F.format_string(
+                "pack index %s >= packs_per_shard "
+                f"{packs_per_shard}: shard token mass exceeds "
+                f"packs_per_shard * ctx = {packs_per_shard * ctx}; raise "
+                "packs_per_shard for long-document corpora",
+                idx.cast("string"),
+            )
+        ).cast("bigint")
     )
     return sized.withColumn(
         "shard", F.floor(F.col(id_col) / shard_size).cast("bigint")
     ).select(
         id_col,
         tokens_col,
-        (
-            F.col("shard") * packs_per_shard
-            + F.floor(
-                F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) / float(ctx)
-            ).cast("bigint")
-        ).alias("pack_id"),
+        (F.col("shard") * packs_per_shard + guarded_idx).alias("pack_id"),
     )
 
 

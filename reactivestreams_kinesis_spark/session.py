@@ -11,6 +11,7 @@ the DuckDB oracle.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -59,3 +60,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def released_caches(spark: SparkSession):
+    """Scope within which query-internal ``persist()`` caches are allowed
+    to accumulate; ALL DataFrame caches are dropped on exit.
+
+    The registry's lazy-DataFrame contract means operators persist shared
+    fan-out intermediates (postings, candidates, survivors) and cannot
+    unpersist them before returning — the caller still holds the lazy
+    plan. In a one-shot driver run the ContextCleaner reclaims them; a
+    long-lived session running many queries (the bench loop, a notebook)
+    should wrap each query in this scope so storage memory stays bounded
+    instead of drifting until GC catches up.
+    """
+    try:
+        yield spark
+    finally:
+        spark.catalog.clearCache()
+
+
+def cached_rdd_count(spark: SparkSession) -> int:
+    """Number of RDDs currently holding storage (cached blocks) — the
+    observable released_caches() zeroes out; exposed for tests/bench."""
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())

@@ -130,6 +130,33 @@ def test_pack_assignments_matches_bruteforce(spark, docs, ctx, shard_size):
     assert got == expected
 
 
+def test_pack_assignments_overflow_guard(spark):
+    """Pack ids are only unique while every within-shard index stays below
+    packs_per_shard; the id arithmetic must refuse to overflow into the
+    next shard's id space (silent collision) — in-plan, at the boundary."""
+    import pytest
+
+    from reactivestreams_kinesis_spark import pack_assignments
+
+    # ctx=2, packs_per_shard=2 → a shard saturates at 4 prior tokens;
+    # doc 2 sees prior=4 → index 2 == packs_per_shard → must raise
+    docs = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 2)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="packs_per_shard"):
+        pack_assignments(docs, ctx=2, shard_size=10, packs_per_shard=2).collect()
+
+    # one doc fewer: max index 1 < packs_per_shard — exactly at the legal
+    # boundary, must pass and keep the shard-offset id form
+    ok = {
+        r.doc_id: r.pack_id
+        for r in pack_assignments(
+            docs.filter("doc_id < 2"), ctx=2, shard_size=10, packs_per_shard=2
+        ).collect()
+    }
+    assert ok == {0: 0, 1: 1}
+
+
 _comp = st.integers(min_value=0, max_value=3)  # small ints: exact in float32/64
 
 
@@ -316,3 +343,46 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, src_col="a", dst_col="b").collect()
     }
     assert got == expected
+
+
+def test_connected_components_fixed_rounds(spark, monkeypatch):
+    """Fixed-rounds mode must reach the adaptive fixpoint with exactly ONE
+    driver-blocking count() per call (the final convergence check on the
+    checkpointed result) instead of one per round — the scale contract for
+    LSH-band graphs where the caller knows a diameter bound — and must
+    raise rather than return a non-fixpoint when the budget is short."""
+    import pytest
+
+    from reactivestreams_kinesis_spark import connected_components
+
+    # 0-1-2-3-4-5-6 chain: min-label needs 6 rounds to reach node 6 plus
+    # one quiet round as the fixpoint proof (rounds >= diameter + 1);
+    # plus a disjoint pair to prove multi-component labeling
+    edges = [(i, i + 1) for i in range(6)] + [(10, 11)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    expected = {
+        r.doc_id: r.component_id
+        for r in connected_components(df, src_col="a", dst_col="b").collect()
+    }
+
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract base
+    # in Spark 4; the classic subclass overrides count, so patching the
+    # base would never intercept)
+    cls = type(df)
+    counts = {"n": 0}
+    orig_count = cls.count
+
+    def counting(self):
+        counts["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    fixed = connected_components(df, src_col="a", dst_col="b", rounds=7)
+    assert counts["n"] == 1, f"fixed mode ran {counts['n']} blocking counts"
+    monkeypatch.undo()
+
+    got = {r.doc_id: r.component_id for r in fixed.collect()}
+    assert got == expected
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, src_col="a", dst_col="b", rounds=2)
