@@ -164,6 +164,10 @@ def rate_record_stream(
     rate = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
+        # shards → input partitions (SURVEY §1.2): generation and all
+        # narrow work downstream parallelize per shard, exactly how a
+        # connector turns N shards into N partitions per microbatch
+        .option("numPartitions", n_shards)
         .load()
     )
     partition_key = F.pmod(F.col("value"), F.lit(50))

@@ -589,6 +589,19 @@ def test_rate_record_stream(spark):
     assert len(set(seqs)) == len(seqs)  # monotone source → unique sequence numbers
 
 
+def _perf_gate():
+    """Wall-clock throughput assertions are hardware/load dependent; a
+    contended CI box can set RSK_PERF_TESTS=0 to skip them without losing
+    the functional suite (the floors still run by default — this harness's
+    box is dedicated)."""
+    import os
+
+    import pytest
+
+    if os.environ.get("RSK_PERF_TESTS", "1") == "0":
+        pytest.skip("perf assertions disabled via RSK_PERF_TESTS=0")
+
+
 def test_stream_throughput_floor(spark):
     """Throughput sanity against the reference's envelope: its derived
     ceiling is ≈20 records/s/shard (100-record prefetch per 5 s tick —
@@ -597,6 +610,7 @@ def test_stream_throughput_floor(spark):
     conservative floor ~60× the reference's 8-shard ceiling (measured
     median here is ~590 000/s; the floor is low so a loaded CI box can't
     flake the test)."""
+    _perf_gate()
     from reactivestreams_kinesis_spark.streaming.records import rate_record_stream
 
     recs = rate_record_stream(spark, rows_per_second=100_000, n_shards=8)
@@ -633,6 +647,60 @@ def test_stream_throughput_floor(spark):
     # floor — the claim under test is SUSTAINED throughput
     sustained = sorted(rates)[len(rates) // 2]
     assert sustained >= 10_000, f"sustained throughput {sustained:.0f} rows/s below floor"
+
+
+def test_stream_throughput_scales_with_shards(spark):
+    """The "shards → input partitions" parallelism claim (SURVEY §1.2),
+    measured rather than asserted: sustained narrow-path throughput
+    (decode + projection, noop sink — no shard-independent shuffle to
+    saturate) at 16 emulated shards must be ≥ 1.5× the 4-shard rate.
+    The requested rate (8 M rows/s) is far above 4-shard capacity so both
+    configs run saturated — measuring capacity, not the rate limiter.
+    Measured on this box: 4 shards ≈ 3.2 M rows/s, 16 ≈ 8.1 M (≈2.5×,
+    stable across trials) — recorded in BASELINE.md. One retry with a
+    longer window absorbs transient load spikes; RSK_PERF_TESTS=0 skips."""
+    _perf_gate()
+    from reactivestreams_kinesis_spark.streaming.records import rate_record_stream
+
+    def sustained(n_shards: int, window: int) -> float:
+        recs = rate_record_stream(
+            spark, rows_per_second=8_000_000, n_shards=n_shards
+        )
+        decoded = (
+            recs.select(F.col("data").cast("string").alias("text"), "shardId")
+            .select(F.length("text").alias("n"), "shardId")
+            .filter(F.col("n") > 0)
+        )
+        q = (
+            decoded.writeStream.format("noop")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + window
+            rates: list[float] = []
+            while time.time() < deadline and len(rates) < 8:
+                time.sleep(1)
+                rates = [
+                    p["processedRowsPerSecond"]
+                    for p in (q.recentProgress or [])
+                    if p["numInputRows"] > 0
+                ][1:]  # drop warm-up batch
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        return sorted(rates)[len(rates) // 2] if rates else 0.0
+
+    ratio = 0.0
+    for window in (30, 50):  # second pass = the load-spike retry
+        r4, r16 = sustained(4, window), sustained(16, window)
+        ratio = r16 / max(r4, 1.0)
+        if ratio >= 1.5:
+            break
+    assert ratio >= 1.5, (
+        f"16-shard throughput only {ratio:.2f}x of 4-shard "
+        f"({r16:,.0f} vs {r4:,.0f} rows/s)"
+    )
 
 
 def test_stateful_running_stats_transform_with_state(spark, sf_dir, tmp_path):
