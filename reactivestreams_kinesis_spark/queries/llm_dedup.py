@@ -245,29 +245,34 @@ def _band_exprs_sql() -> list[str]:
     return out
 
 
-_MINHASH_ORACLE = f"""
-    WITH toks_raw AS (
-        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
-        FROM documents
-    ),
+def minhash_pairs_ctes(toks_src: str = "toks_raw") -> str:
+    """The full MinHash+LSH verify pipeline as a reusable SQL CTE list
+    (everything after a ``{toks_src}`` posting set: hot cap, signatures,
+    bands, candidates, sizes, intersections) — shared by the standalone
+    oracle, the components-over-LSH oracle, and the end-to-end pipeline
+    oracle so the banding logic exists exactly once in SQL, like
+    ``minhash_lsh_pairs`` does on the Spark side. Select from ``lsh_pairs``
+    afterwards.
+
+    Signatures hash the RAW shingle sets ({toks_src}); only the
+    exact-verify stage (sizes/inter) uses the hot-capped postings —
+    mirroring the Spark side, where the cap lives inside the verify
+    helper. Hashing: two md5s per shingle -> 64 hex chars -> 8 disjoint
+    32-bit (8-hex-char) slices = 8 independent hash fns at 4x less
+    hashing (16-bit slices were tried and regressed: min-of-100 ties are
+    common at 16 bits, inflating band collisions)."""
+    return f"""
     hot AS (
-        SELECT tok FROM toks_raw GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
+        SELECT tok FROM {toks_src} GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
     ),
-    -- signatures hash the RAW shingle sets; only the exact-verify stage
-    -- (sizes/inter) uses the hot-capped postings — mirroring the Spark
-    -- side, where the cap lives inside the verify helper.
-    toks AS (
-        SELECT doc_id, tok FROM toks_raw
+    capped AS (
+        SELECT doc_id, tok FROM {toks_src}
         WHERE tok NOT IN (SELECT tok FROM hot)
     ),
     hashes AS (
-        -- two md5s per shingle -> 64 hex chars -> 8 disjoint 32-bit
-        -- (8-hex-char) slices: 8 independent hash fns, 4x less hashing.
-        -- 16-bit slices were tried and regressed: min-of-100 ties are
-        -- common at 16 bits, inflating band collisions.
         SELECT doc_id, seeds.s AS s,
                SUBSTRING(MD5(tok) || MD5('x' || tok), seeds.s * 8 + 1, 8) AS h
-        FROM toks_raw, (SELECT UNNEST(RANGE({N_HASHES})) AS s) seeds
+        FROM {toks_src}, (SELECT UNNEST(RANGE({N_HASHES})) AS s) seeds
     ),
     sig AS (
         SELECT doc_id, {", ".join(_band_exprs_sql())}
@@ -281,21 +286,32 @@ _MINHASH_ORACLE = f"""
         FROM bands x JOIN bands y
           ON x.bkey = y.bkey AND x.bval = y.bval AND x.doc_id < y.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT
-        c.doc_a,
-        c.doc_b,
-        ROUND(i.n_common / (sa.sz + sb.sz - i.n_common * CAST(1 AS DOUBLE)), 6) AS jaccard
-    FROM cand c
-    JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-    JOIN sizes sa ON c.doc_a = sa.doc_id
-    JOIN sizes sb ON c.doc_b = sb.doc_id
-    WHERE i.n_common / (sa.sz + sb.sz - i.n_common * CAST(1 AS DOUBLE)) >= {JACCARD_THRESHOLD}
+    ),
+    lsh_pairs AS (
+        SELECT
+            c.doc_a,
+            c.doc_b,
+            ROUND(i.n_common / (sa.sz + sb.sz - i.n_common * CAST(1 AS DOUBLE)), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE i.n_common / (sa.sz + sb.sz - i.n_common * CAST(1 AS DOUBLE)) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+_MINHASH_ORACLE = f"""
+    WITH toks_raw AS (
+        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
+        FROM documents
+    ),
+    {minhash_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM lsh_pairs
 """
 
 
@@ -408,9 +424,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(toks)
 
 
-_COMPONENTS_ORACLE = f"""
+def _components_oracle_over(pairs_sql: str) -> str:
+    """Closed-form connected components (recursive transitive-closure CTE,
+    component id = min node id) over any (doc_a, doc_b) pair query — the
+    oracle twin of ``connected_components``, shared by the raw-Jaccard and
+    the LSH-candidate instantiations."""
+    return f"""
     WITH RECURSIVE pairs AS (
-        {_JACCARD_ORACLE.replace("ROUND(n_common / (sa.sz + sb.sz - n_common * CAST(1 AS DOUBLE)), 6) AS jaccard", "n_common AS n_common")}
+        {pairs_sql}
     ),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -430,6 +451,14 @@ _COMPONENTS_ORACLE = f"""
     LEFT JOIN reach r ON n.doc_id = r.src
     GROUP BY n.doc_id
 """
+
+
+_COMPONENTS_ORACLE = _components_oracle_over(
+    _JACCARD_ORACLE.replace(
+        "ROUND(n_common / (sa.sz + sb.sz - n_common * CAST(1 AS DOUBLE)), 6) AS jaccard",
+        "n_common AS n_common",
+    )
+)
 
 
 def connected_components(
@@ -472,7 +501,7 @@ def connected_components(
     # both edge directions from ONE pass over the pair set — a
     # forward ∪ reverse union would execute the upstream pair computation
     # (an expensive self-join in the near-dup pipeline) once per branch
-    edges = pairs.select(
+    directed = pairs.select(
         F.explode(
             F.array(
                 F.struct(
@@ -483,32 +512,34 @@ def connected_components(
                 ),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component_id", F.col("doc_id"))
-    )
+    ).select("e.src", "e.dst")
+    # self-loops make one propagation round reference `labels` exactly ONCE
+    # (the loop row carries the node's own label into the min AND yields the
+    # previous label for the convergence check). With two references per
+    # round — the naive neighbor-min + carry-join shape — the lazy logical
+    # plan DOUBLES per round, and fixed-rounds mode (no action, so no
+    # lineage break) OOMs the analyzer around 2^8 copies of the upstream
+    # pair DAG. One reference → linear plan growth in rounds.
+    nodes = directed.select(F.col("src").alias("doc_id")).distinct()
+    edges = directed.unionByName(
+        nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    ).persist()
+    labels = nodes.withColumn("component_id", F.col("doc_id"))
 
     def propagate(labels: DataFrame) -> DataFrame:
-        """One min-label round; keeps the previous label alongside so the
-        convergence check is a filter on the round's own result — one join
-        per round, not a second labels join just to count changes."""
-        neighbor_min = (
+        """One min-label round over the self-looped edge list: new label =
+        min label among self + neighbors; the self-loop row also supplies
+        prev_component_id, so the convergence check is a filter on the
+        round's own result — one join + one agg per round, one `labels`
+        reference."""
+        return (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("component_id").alias("neighbor_comp"))
-        )
-        return (
-            labels.withColumnRenamed("component_id", "prev_component_id")
-            .join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                "prev_component_id",
-                F.least(
-                    "prev_component_id",
-                    F.coalesce("neighbor_comp", "prev_component_id"),
-                ).alias("component_id"),
+            .agg(
+                F.min("component_id").alias("component_id"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component_id"))
+                ).alias("prev_component_id"),
             )
         )
 
@@ -574,7 +605,36 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic filter (doc_id == component_id). The oracle computes the
     same fixpoint via a recursive transitive-closure CTE — closed-form vs
     iterative, same unique answer. Knobs live on ``connected_components``.
+
+    The pair graph here is EXHAUSTIVE Jaccard (every posting-sharing pair
+    scored) — the exactness baseline, inherently Σ df² over shingle
+    document frequencies. ``dedup_components_lsh`` is the candidate-bounded
+    composition to reach for at scale.
     """
     return connected_components(
         dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+_COMPONENTS_LSH_ORACLE = _components_oracle_over(_MINHASH_ORACLE)
+
+
+@register("dedup_components_lsh", oracle=_COMPONENTS_LSH_ORACLE, tags=("X3",))
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup clustering composition: MinHash+LSH candidate
+    pairs (band collisions only — never Σ df² over the full inverted
+    index) → exact Jaccard verify on candidates → connected components in
+    FIXED-ROUNDS mode (one driver action, no per-round count barrier —
+    band-blocked dup clusters are tiny, so a small round budget covers the
+    diameter; the final round proves the fixpoint and the call raises if
+    the budget was short).
+
+    Measured on the scale ladder (BASELINE.md round-3 table): this path
+    stays near-linear where ``dedup_components`` goes quadratic with
+    shingle document frequency. Same oracle shape — transitive closure
+    over the LSH pair set.
+    """
+    toks = _shingle_postings(spark, sf_dir).persist()
+    return connected_components(
+        minhash_lsh_pairs(toks).select("doc_a", "doc_b"), rounds=8
     )

@@ -310,15 +310,14 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from reactivestreams_kinesis_spark.queries.llm_dedup import (  # noqa: E402
     _DUCK_SHINGLES,
-    JACCARD_THRESHOLD,
-    MAX_SHINGLE_DF,
+    minhash_pairs_ctes,
 )
 from reactivestreams_kinesis_spark.queries.llm_text import _STOP_IN  # noqa: E402
 
 # Stage chain shares its building blocks with the standalone operators:
-# shingles/threshold from llm_dedup, stopwords from llm_text, hash bucket
-# from this module — one definition each, so the stages cannot drift from
-# the operators they compose.
+# shingles + the whole MinHash/LSH verify CTE list from llm_dedup,
+# stopwords from llm_text, hash bucket from this module — one definition
+# each, so the stages cannot drift from the operators they compose.
 _PIPELINE_ORACLE = f"""
     WITH quality AS (
         SELECT doc_id, lang, text,
@@ -339,22 +338,9 @@ _PIPELINE_ORACLE = f"""
         SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
         FROM kept
     ),
-    hot AS (
-        SELECT tok FROM toks_raw GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
-    ),
-    toks AS (
-        SELECT doc_id, tok FROM toks_raw
-        WHERE tok NOT IN (SELECT tok FROM hot)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    {minhash_pairs_ctes()},
     near_dup_losers AS (
-        SELECT DISTINCT b.doc_id AS doc_id
-        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-        HAVING COUNT(*) / (
-            (SELECT sz FROM sizes WHERE doc_id = a.doc_id)
-            + (SELECT sz FROM sizes WHERE doc_id = b.doc_id)
-            - COUNT(*) * CAST(1 AS DOUBLE)) >= {JACCARD_THRESHOLD}
+        SELECT DISTINCT doc_b AS doc_id FROM lsh_pairs
     ),
     survivors AS (
         SELECT k.doc_id, k.lang, k.n_tokens
@@ -378,20 +364,26 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation chain as ONE composed plan — what a user of this
     engine actually runs: quality filter (token count + stopword ratio) →
     exact dedup (md5, keep min id) → near-dup removal over the SURVIVORS
-    of the previous stages (trigram Jaccard ≥ threshold, greedy
-    keep-lowest-id: the higher id of each near-dup pair is dropped — the
-    one-pass approximation of component clustering, deterministic in both
-    engines) → deterministic 50% hash sample → per-language corpus stats.
+    of the previous stages (MinHash+LSH candidates → exact trigram Jaccard
+    ≥ threshold on candidates only; greedy keep-lowest-id: the higher id
+    of each pair is dropped — the one-pass approximation of component
+    clustering, deterministic in both engines) → deterministic 50% hash
+    sample → per-language corpus stats.
 
-    Stage ordering matters and is the point: the shingle self-join (the
-    only heavy exchange) runs on the quality+exact survivors, not the raw
+    Stage ordering matters and is the point: the shingle work (the only
+    heavy exchange) runs on the quality+exact survivors, not the raw
     corpus — cheaper AND correct (a rejected document must not knock out a
-    good near-duplicate). All stage logic is shared with the standalone
-    operators via the imported constants.
+    good near-duplicate). The near-dup stage is the CANDIDATE-BOUNDED
+    MinHash path, not exhaustive Jaccard: round-3 scale-ladder measurement
+    (BASELINE.md) showed the exhaustive self-join grows with Σ df² —
+    quadratic in corpus size whenever shingle document frequency scales
+    with the corpus — while band collisions keep this plan near-linear.
+    All stage logic is shared with the standalone operators via the
+    imported constants and CTE builders.
     """
     from reactivestreams_kinesis_spark.queries.llm_dedup import (
         _SPARK_SHINGLES,
-        jaccard_pairs,
+        minhash_lsh_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -415,7 +407,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
     )
     near_losers = (
-        jaccard_pairs(postings)
+        minhash_lsh_pairs(postings.persist())
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -330,7 +330,11 @@ def test_released_caches_drops_query_persists(spark, sf_dir):
         released_caches,
     )
 
-    before = cached_rdd_count(spark)
+    # start from a clean CacheManager: earlier tests in the shared session
+    # may have cached the very same logical plan (CacheManager dedupes by
+    # plan), which would mask this query's persists
+    spark.catalog.clearCache()
+    base = cached_rdd_count(spark)  # only non-CacheManager storage survives
     with released_caches(spark):
         (
             all_queries()["dedup_minhash_lsh"]
@@ -339,8 +343,8 @@ def test_released_caches_drops_query_persists(spark, sf_dir):
             .mode("overwrite")
             .save()
         )
-        assert cached_rdd_count(spark) > before, "query persists never cached"
-    assert cached_rdd_count(spark) <= before, "caches survived the release scope"
+        assert cached_rdd_count(spark) > base, "query persists never cached"
+    assert cached_rdd_count(spark) <= base, "caches survived the release scope"
 
 
 def test_kinesis_reader_load_surfaces_connector_error(spark):
