@@ -468,6 +468,7 @@ def connected_components(
     dst_col: str = "doc_b",
     max_rounds: int = 50,
     rounds: int | None = None,
+    fallback_to_adaptive: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph, component id =
     min node id in the component. The reusable, knob-exposed form of
@@ -493,7 +494,10 @@ def connected_components(
       graph diameter (R ≥ diameter + 1: labels move one hop per round and
       the proof round must change nothing). Raises if R rounds were not
       enough (silently returning would desync from the oracle's
-      transitive-closure fixpoint).
+      transitive-closure fixpoint) — unless ``fallback_to_adaptive`` is
+      set, in which case the R-hop labels are kept and propagation
+      continues in adaptive mode (a longer-than-expected dup chain costs
+      extra counted rounds instead of failing the run).
     """
     pairs = pairs.select(
         F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
@@ -555,18 +559,24 @@ def connected_components(
             updated = propagate(labels)
             labels = updated.select("doc_id", "component_id")
         final = updated.localCheckpoint(eager=True)
-        edges.unpersist()
         changed = final.filter(
             F.col("component_id") != F.col("prev_component_id")
         ).count()
-        if changed != 0:
+        if changed == 0:
+            edges.unpersist()
+            return final.select("doc_id", "component_id")
+        if not fallback_to_adaptive:
+            edges.unpersist()
             # silently returning would desync from the oracle's closed-form
             # fixpoint; an R-hop chain means the caller's diameter bound
             # (e.g. "LSH clusters are tiny") was wrong
             raise RuntimeError(
                 f"label propagation did not converge in {rounds} fixed rounds"
             )
-        return final.select("doc_id", "component_id")
+        # budget short: keep the R-hop checkpointed labels and continue in
+        # adaptive mode below — a longer-than-expected dup chain degrades
+        # to extra counted rounds instead of a failed run
+        labels = final.select("doc_id", "component_id")
 
     converged = False
     prev_cached = None
@@ -626,15 +636,18 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     index) → exact Jaccard verify on candidates → connected components in
     FIXED-ROUNDS mode (one driver action, no per-round count barrier —
     band-blocked dup clusters are tiny, so a small round budget covers the
-    diameter; the final round proves the fixpoint and the call raises if
-    the budget was short).
+    diameter; the final round proves the fixpoint, and a
+    longer-than-budget dup chain degrades to adaptive pacing instead of
+    failing the run).
 
-    Measured on the scale ladder (BASELINE.md round-3 table): this path
-    stays near-linear where ``dedup_components`` goes quadratic with
-    shingle document frequency. Same oracle shape — transitive closure
-    over the LSH pair set.
+    Scale shape: candidate generation is banded-bucket joins (never
+    Σ df² over the full inverted index), components cost one join + agg
+    per round — see the BASELINE.md scale-ladder table for the measured
+    x1→x10 exponents vs the exhaustive-Jaccard baseline.
     """
     toks = _shingle_postings(spark, sf_dir).persist()
     return connected_components(
-        minhash_lsh_pairs(toks).select("doc_a", "doc_b"), rounds=8
+        minhash_lsh_pairs(toks).select("doc_a", "doc_b"),
+        rounds=8,
+        fallback_to_adaptive=True,
     )

@@ -21,6 +21,7 @@ import json
 import math
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -72,6 +73,7 @@ def main() -> int:
             tier_out[name] = {"sec": round(sec, 2), "rows": rows}
             print(f"{tier} {name}: {sec:.2f}s ({rows} rows)", file=sys.stderr)
         out["tiers"][tier] = tier_out
+        _checkpoint(out)
 
     for name in QUERIES:
         t1 = out["tiers"]["x1"][name]["sec"]
@@ -120,8 +122,47 @@ def main() -> int:
         }
         print(f"skew {label}: {sec:.2f}s, {n_pairs} pairs", file=sys.stderr)
 
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    print(payload)
+    # Atomic result write (temp + rename): a mid-run teardown can never
+    # leave a half-written record — either the old file survives or the
+    # complete new one does. Partial per-tier progress is also flushed
+    # after each tier above via _checkpoint().
+    out_path = _out_path()
+    if out_path:
+        _atomic_write(out_path, payload)
     return 0
+
+
+def _checkpoint(out: dict) -> None:
+    """Flush partial progress atomically after each tier, marked partial."""
+    out_path = _out_path()
+    if out_path:
+        _atomic_write(out_path, json.dumps({**out, "partial": True}))
+
+
+def _out_path() -> str | None:
+    for i, arg in enumerate(sys.argv):
+        if arg == "--out" and i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+    return None
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".stress_tmp_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(payload + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 if __name__ == "__main__":
