@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -65,7 +65,7 @@ def get_spark(
 @contextmanager
 def released_caches(spark: SparkSession):
     """Scope within which query-internal ``persist()`` caches are allowed
-    to accumulate; ALL DataFrame caches are dropped on exit.
+    to accumulate; caches CREATED INSIDE the scope are dropped on exit.
 
     The registry's lazy-DataFrame contract means operators persist shared
     fan-out intermediates (postings, candidates, survivors) and cannot
@@ -74,11 +74,41 @@ def released_caches(spark: SparkSession):
     long-lived session running many queries (the bench loop, a notebook)
     should wrap each query in this scope so storage memory stays bounded
     instead of drifting until GC catches up.
+
+    Scoping tracks ``DataFrame.persist()`` calls made inside the scope
+    and unpersists exactly those on exit — NOT ``clearCache()``, which
+    would also drop caches created OUTSIDE the scope (a notebook user's
+    own ``df.cache()``, or an enclosing scope's caches on nested use;
+    nesting is safe — the outer scope re-unpersisting the inner's
+    already-released frames is a no-op). ``unpersist`` removes the
+    CacheManager entry too, so a later identical plan can re-cache.
+    Locally checkpointed frames are deliberately NOT released: their
+    storage is the only copy of the data (no lineage to rebuild from),
+    and the ContextCleaner reclaims them when the result plan is
+    garbage collected.
     """
+    # patch the class that DEFINES persist: in Spark 4 the classic
+    # DataFrame overrides the unified-API base, so patching the base
+    # would never be hit by classic (JVM-backed) frames
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover - older/connect-only layouts
+        _DF = DataFrame
+    tracked: list[DataFrame] = []
+    orig_persist = _DF.persist
+
+    def tracking_persist(self: DataFrame, *args, **kwargs) -> DataFrame:
+        out = orig_persist(self, *args, **kwargs)
+        tracked.append(out)
+        return out
+
+    _DF.persist = tracking_persist  # type: ignore[method-assign]
     try:
         yield spark
     finally:
-        spark.catalog.clearCache()
+        _DF.persist = orig_persist  # type: ignore[method-assign]
+        for df in tracked:
+            df.unpersist(blocking=True)
 
 
 def cached_rdd_count(spark: SparkSession) -> int:

@@ -138,9 +138,14 @@ class ShardStream:
                 batch = (
                     batch.orderBy("sequenceNumber").limit(remaining)
                 )
-            count = batch.count()
-            taken["n"] += count
-            batch.write.mode("append").saveAsTable(name)
+            # persist so the take-N accounting count and the table write
+            # execute the batch plan once, not twice
+            batch.persist()
+            try:
+                taken["n"] += batch.count()
+                batch.write.mode("append").saveAsTable(name)
+            finally:
+                batch.unpersist()
 
         writer = df.writeStream.foreachBatch(sink).trigger(**self._trigger)
         if self._checkpoint:

@@ -106,11 +106,23 @@ def read_events_stream(
     shipped both TIMESTAMP(NANOS) — readable only as int64 nanos — and
     TIMESTAMP(MICROS); detect from the footer like the batch catalog does).
     This is how every streaming query in the harness replays event time."""
-    from reactivestreams_kinesis_spark.catalog import _ensure_session_confs
+    from reactivestreams_kinesis_spark.catalog import (
+        _SCHEMA_CACHE,
+        _ensure_session_confs,
+        table_path,
+    )
 
     _ensure_session_confs(spark)
+    # share the batch catalog's per-path schema cache (same key) so the
+    # footer-sniff job fires at most once per fixture path per process,
+    # whether the first reader was batch or streaming
+    events_path = table_path(sf_dir, "events")
+    cached_schema = _SCHEMA_CACHE.get(events_path)
+    if cached_schema is None:
+        cached_schema = spark.read.parquet(events_path).schema
+        _SCHEMA_CACHE[events_path] = cached_schema
     raw_ts = dict(
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).dtypes
+        (f.name, f.dataType.simpleString()) for f in cached_schema.fields
     )["ts"]
     ts_is_nanos = raw_ts == "bigint"
     schema = T.StructType(

@@ -110,10 +110,20 @@ def test_no_pinned_broadcast_on_scaling_frames():
             words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", arg))
             hit = words & set(scaling)
             assert not hit, f"{path.name}: F.broadcast over scaling frame {hit}: {arg}"
-            root = max(
-                (r for r in _BOUNDED_BROADCAST_ROOTS if arg.startswith(r)),
-                key=len,
-                default=None,
+            # the allowlisted root must be the arg's leading dotted
+            # identifier chain (or a dotted prefix of it) — a plain
+            # startswith would let root "q" whitelist e.g. "quotes_df"
+            chain_match = re.match(
+                r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*", arg
+            )
+            chain = chain_match.group(0) if chain_match else ""
+            root = next(
+                (
+                    r
+                    for r in _BOUNDED_BROADCAST_ROOTS
+                    if chain == r or chain.startswith(r + ".")
+                ),
+                None,
             )
             assert root is not None, (
                 f"{path.name}: unlisted F.broadcast arg {arg!r} — prove "
