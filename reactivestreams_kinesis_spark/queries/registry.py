@@ -130,9 +130,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh",                  # X1
     "sim_neardup_blocked",          # X1 X2
     "sim_embed_enrich",             # X6
-    # dedup
+    # dedup — dedup_components_lsh is the 100 TB clustering composition
+    # (LSH candidates + fixed-rounds CC); it replaced dedup_jaccard_pairs
+    # in the driver top-50 (round 4): the exhaustive-Jaccard verify logic
+    # is already exercised inside both LSH queries, and the pairs query
+    # itself stays bit-exact-checked by the local oracle mirror.
     "dedup_exact",                  # X2
-    "dedup_jaccard_pairs",          # X3
+    "dedup_components_lsh",         # X3 (LSH + CC composition)
     "dedup_components",             # X3
     # text analysis
     "text_stats",                   # X4
