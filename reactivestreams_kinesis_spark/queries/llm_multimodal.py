@@ -25,7 +25,7 @@ from reactivestreams_kinesis_spark.queries.registry import register
     oracle="""
     SELECT
         doc_id,
-        CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+        CAST(OCTET_LENGTH(encode(text)) AS INT) AS payload_bytes,
         MD5(text)                                     AS payload_md5,
         'image/fake'                                  AS media_type
     FROM documents
@@ -52,9 +52,9 @@ def multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         doc_id,
         'image/fake'                                         AS media_type,
-        CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INT)        AS n_bytes,
-        CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 640 AS INT)  AS width,
-        CAST(OCTET_LENGTH(CAST(text AS BLOB)) % 480 AS INT)  AS height,
+        CAST(OCTET_LENGTH(encode(text)) AS INT)        AS n_bytes,
+        CAST(OCTET_LENGTH(encode(text)) % 640 AS INT)  AS width,
+        CAST(OCTET_LENGTH(encode(text)) % 480 AS INT)  AS height,
         MD5(text)                                            AS checksum
     FROM documents
     """,

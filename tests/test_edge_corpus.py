@@ -1,0 +1,139 @@
+"""Adversarial-fixture hardening (round-4): the shipped corpus is seed-42
+synthetic and too well-behaved — the ``size(toks) < 3`` class of bug in the
+shingle path was only caught by accident of fixture precision. This file
+makes that systematic: a hand-built pathological ``documents`` table (empty
+string, sub-shingle-width docs, 10k-repeat token, one giant unbroken token,
+multi-byte unicode, whitespace runs, punctuation-only, exotic-whitespace-only,
+exact- and near-dup pairs) run through EVERY documents-table operator's
+oracle with the same bit-exact compare the driver uses. A divergence on any
+of these is a real operator bug, not fixture noise.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from reactivestreams_kinesis_spark.queries.registry import all_queries
+from tests.conftest import assert_matches_oracle
+
+# (doc_id, text, lang, source)
+EDGE_DOCS = [
+    (0, "", "en", "web"),                            # empty string
+    (1, "hello", "en", "web"),                       # single token
+    (2, "two tokens", "en", "web"),                  # below shingle width
+    (3, "exactly three tokens", "en", "books"),      # at the shingle boundary
+    (4, ("tok " * 10000).strip(), "en", "web"),      # one token repeated 10k times
+    (5, "x" * 50000, "en", "web"),                   # giant unbroken token
+    (6, "наïve 文档 🚀 ünïcode テスト résumé façade", "zh", "web"),  # multi-byte
+    (7, "  leading\t\ttabs\n\nand   runs  of   whitespace  ", "en", "books"),
+    (8, "!!! ??? ... ;;; --- ***", "en", "web"),     # punctuation only
+    (9, "the quick brown fox jumps over the lazy dog again and again today",
+     "en", "web"),
+    (10, "the quick brown fox jumps over the lazy dog again and again today",
+     "en", "web"),                                   # exact dup of 9
+    (11, "the quick brown fox jumps over the lazy dog again and again zoology",
+     "en", "books"),                                 # near dup of 9
+    (12, "  　", "en", "web"),         # exotic whitespace only
+]
+
+# every registered query whose only input table is `documents` — kept as an
+# explicit list so a new documents operator must be added here (or the
+# audit test below fails), not silently skipped
+EDGE_QUERY_NAMES = (
+    "text_stats",
+    "text_tfidf_topk",
+    "text_simhash",
+    "text_fingerprint",
+    "text_token_regex",
+    "text_vocab_topk",
+    "text_redact_pii",
+    "text_repetition",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_components_lsh",
+    "sample_hash",
+    "split_train_val_test",
+    "mix_corpora",
+    "pack_sequences",
+    "pipeline_end_to_end",
+    "decontaminate_ngram",
+    "multimodal_plumbing",
+    "multimodal_features",
+    "udf_pandas_scalar",
+    "udf_row_scalar",
+    "fn_posexplode",
+)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("edge_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in EDGE_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in EDGE_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in EDGE_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in EDGE_DOCS], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in EDGE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(out / "documents.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def edge_oracle(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERY_NAMES)
+def test_edge_corpus_matches_oracle(name, spark, edge_dir, edge_oracle):
+    q = all_queries()[name]
+    df = q.fn(spark, edge_dir)
+    if q.oracle is None:
+        assert df.count() >= 0
+    else:
+        assert_matches_oracle(df, edge_oracle, q.oracle)
+
+
+def test_edge_list_covers_all_documents_queries():
+    """Audit: any registered query that reads ONLY the documents table must
+    be in EDGE_QUERY_NAMES — new documents operators can't silently skip
+    the adversarial corpus. Detection is source-level: the query module's
+    load_table calls."""
+    import inspect
+    import re
+
+    queries = all_queries()
+    missing = []
+    for name, q in queries.items():
+        try:
+            src = inspect.getsource(inspect.getmodule(q.fn))
+        except (OSError, TypeError):
+            continue
+        fn_src = inspect.getsource(q.fn)
+        tables = set(re.findall(r'load_table\(\s*\w+,\s*\w+,\s*"(\w+)"', fn_src))
+        # queries built via helpers: fall back to oracle table references
+        if not tables and q.oracle:
+            tables = {
+                t
+                for t in ("documents", "embeddings", "lineitem", "orders",
+                          "customer", "supplier", "part", "nation", "region",
+                          "events")
+                if re.search(rf"\b{t}\b", q.oracle)
+            }
+        if tables == {"documents"} and name not in EDGE_QUERY_NAMES:
+            missing.append(name)
+        del src
+    assert not missing, f"documents-only queries missing from edge corpus: {missing}"

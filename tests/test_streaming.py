@@ -797,3 +797,77 @@ def test_stateful_running_stats_on_rocksdb_store(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_exactly_once_kill_midbatch_restart(spark, sf_dir, tmp_path):
+    """T9/§4.3 executed, not just claimed: kill a RUNNING query mid-batch,
+    restart from the same checkpoint, drain — the committed sink holds
+    every source record exactly once (no loss, no duplicates). The
+    reference drops its cursor and all prefetched records on cancel
+    (ShardSubscription.java:215-216); here the offset checkpoint plus the
+    parquet sink's transactional commit log (_spark_metadata) make
+    cancel/restart exactly-once: a batch interrupted mid-write leaves only
+    uncommitted orphan part-files, which metadata-log-aware reads ignore,
+    and the restart re-runs that batch from its checkpointed offsets."""
+    from pyspark.sql.types import BooleanType
+    from pyspark.sql.window import Window
+
+    base = (
+        events_as_records(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(Window.orderBy("sequenceNumber")))
+        .filter(F.col("rn") <= 600)
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+    # 6 single-part files -> 6 microbatches at maxFilesPerTrigger=1
+    for i in range(6):
+        (
+            base.filter((F.col("rn") > i * 100) & (F.col("rn") <= (i + 1) * 100))
+            .drop("rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    # ~5 ms/row brake keeps each 100-row microbatch >= ~0.5 s so stop()
+    # below reliably lands while a batch is in flight (test-only UDF)
+    brake = F.udf(lambda s: time.sleep(0.005) or True, BooleanType())
+
+    def start(trigger):
+        return (
+            read_record_stream(spark, src, max_files_per_trigger=1)
+            .filter(brake(F.col("sequenceNumber")))
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def committed_rows():
+        try:
+            return spark.read.parquet(sink_dir).count()
+        except Exception:  # sink/metadata log not created yet
+            return 0
+
+    q1 = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 60
+    while time.time() < deadline and committed_rows() < 100:
+        time.sleep(0.05)
+    assert committed_rows() >= 100, "no batch ever committed"
+    q1.stop()  # the cancel the reference answers by dropping records
+    q1.awaitTermination(60)
+    killed_at = committed_rows()
+    assert killed_at < 600, "kill landed after full drain; restart proves nothing"
+
+    q2 = start({"availableNow": True})
+    _await(q2)
+    out = spark.read.parquet(sink_dir)
+    assert out.count() == 600, "records lost across kill/restart"
+    assert (
+        out.select("sequenceNumber").distinct().count() == 600
+    ), "duplicate records across kill/restart"
+    src_df = base.drop("rn")
+    assert out.subtract(src_df).count() == 0
+    assert src_df.subtract(out).count() == 0
