@@ -38,6 +38,10 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.operators.joins import salted_join
 
         return salted_join
+    if name == "skew_split_join":
+        from reactivestreams_kinesis_spark.operators.joins import skew_split_join
+
+        return skew_split_join
     if name == "extract_features":
         from reactivestreams_kinesis_spark.operators.multimodal import extract_features
 
@@ -79,6 +83,7 @@ __all__ = [
     "ShardStream",
     "asof_join",
     "salted_join",
+    "skew_split_join",
     "extract_features",
     "all_queries",
     *_DEDUP_OPS,

@@ -129,3 +129,62 @@ def salted_join(
     )
     out = salted_left.join(replicated_right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    hot_threshold: int = 100_000,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Split-treatment equi-join for single-hot-key skew: hot keys route
+    through a broadcast of their (few) build rows, everything else
+    through a normal shuffle join, and the two branches union.
+
+    The remedy ladder this completes (measured, BASELINE.md round-4
+    "Join skew" table): AQE skew-join splits oversized partitions at
+    runtime but needs its size thresholds met; whole-table
+    ``salted_join`` replicates the ENTIRE build side n_salts× — measured
+    5× slower than doing nothing when the build side is 1.5 M rows. The
+    split treatment replicates nothing: ``right`` filtered to the hot
+    keys is at most |hot_keys| × (build rows per key), which for
+    dimension-keyed fact joins (the case where skew hurts) is tiny and
+    broadcast-safe regardless of scale factor. That boundedness is the
+    CALLER's contract: use this when the build side is ~1:few rows per
+    key; an N:N hot key needs aggregation before the join, not a join
+    strategy.
+
+    ``hot_keys=None`` detects hot keys with one count-aggregate job over
+    the probe side — a bounded driver action (≤ |left| / hot_threshold
+    keys can exceed the threshold). Pass the known hot keys explicitly
+    (the null-key / celebrity-entity case is usually known upfront) to
+    keep the plan single-pass.
+
+    Only ``inner`` and ``left`` are supported, matching ``salted_join``:
+    the branch split is exact for those (a left row lands in exactly one
+    branch; unmatched right rows are never emitted).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"skew_split_join supports how='inner'/'left', got {how!r}"
+        )
+    if hot_keys is None:
+        hot_keys = [
+            r[0]
+            for r in left.groupBy(key)
+            .count()
+            .filter(F.col("count") > hot_threshold)
+            .select(key)
+            .collect()
+        ]
+    if not hot_keys:
+        return left.join(right, key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot_build = right.filter(is_hot)
+    hot = left.filter(is_hot).join(F.broadcast(hot_build), key, how)
+    rest = left.filter(~is_hot | F.col(key).isNull()).join(
+        right.filter(~is_hot), key, how
+    )
+    return rest.unionByName(hot)

@@ -407,3 +407,46 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.expr(_REVENUE).alias("revenue"))
     )
+
+
+@register(
+    "join_skew_split",
+    oracle="""
+    WITH skewed AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 < 3 THEN 7
+                    WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_custkey END AS o_custkey
+        FROM orders
+    )
+    SELECT s.o_orderkey, s.o_custkey, c.c_name
+    FROM skewed s
+    JOIN customer c ON s.o_custkey = c.c_custkey
+    """,
+    tags=("J1",),
+)
+def join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew split-treatment join as a correctness query: 30 % of orders
+    re-pointed (deterministically, key-modulo so both engines can plant
+    the identical skew) at ONE hot customer plus some NULL keys, joined
+    through ``operators.joins.skew_split_join`` (hot keys → broadcast of
+    their few build rows, rest → normal join, branches unioned). The
+    oracle is the PLAIN join over the same skewed input — proving the
+    split treatment is a pure physical rewrite. Measured against the
+    other skew regimes in BASELINE.md ("Join skew", round 4)."""
+    from reactivestreams_kinesis_spark.operators.joins import skew_split_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    skewed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 3, F.lit(7).cast("bigint"))
+        .when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return skew_split_join(
+        skewed, customer, "o_custkey", how="inner", hot_keys=[7]
+    ).select("o_orderkey", "o_custkey", "c_name")

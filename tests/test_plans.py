@@ -86,6 +86,9 @@ _BOUNDED_BROADCAST_ROOTS = {
     "n_docs",  # one-row corpus-size aggregate
     "eval_side",  # decontaminate benchmark grams: fixed id-range split
     "left.sparkSession.range",  # salted-join salt table: n_salts rows
+    # skew_split_join hot build rows: |hot_keys| x (build rows per key),
+    # bounded by the documented 1:few-per-key caller contract
+    "hot_build",
 }
 
 

@@ -371,3 +371,47 @@ def test_kinesis_reader_load_surfaces_connector_error(spark):
     with pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND") as exc:
         reader.load()
     assert "kinesis" in str(exc.value)
+
+
+def test_skew_split_join_equivalence(spark, sf_dir):
+    """Split-treatment skew join must be a pure physical rewrite: same
+    rows as the plain join for inner AND left modes, with planted hot
+    keys and NULL probe keys (a null key must survive a left join and
+    vanish from an inner join, same as plain)."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.joins import skew_split_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    # plant skew: 30% of orders point at one customer; a few null keys
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.pmod(F.hash("o_orderkey"), F.lit(10)) < 3, F.lit(7).cast("bigint"))
+        .when(F.pmod(F.hash("o_orderkey"), F.lit(97)) == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")),
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("inner", "left"):
+        plain = skewed.join(customer, "o_custkey", how).select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        for hot_keys in (None, [7]):
+            split = skew_split_join(
+                skewed, customer, "o_custkey", how=how,
+                hot_threshold=100, hot_keys=hot_keys,
+            ).select("o_orderkey", "o_custkey", "c_name")
+            assert plain.count() == split.count(), (how, hot_keys)
+            assert plain.subtract(split).count() == 0, (how, hot_keys)
+            assert split.subtract(plain).count() == 0, (how, hot_keys)
+
+
+def test_skew_split_join_rejects_outer_modes(spark, sf_dir):
+    import pytest
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.joins import skew_split_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        skew_split_join(orders, orders, "o_orderkey", how="full")
