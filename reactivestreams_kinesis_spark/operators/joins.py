@@ -188,3 +188,49 @@ def skew_split_join(
         right.filter(~is_hot), key, how
     )
     return rest.unionByName(hot)
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Exact interval-point range join via binning — the scale path for
+    big×big range predicates that Spark otherwise plans as a (broadcast)
+    nested-loop join with |intervals| × |points| predicate evaluations.
+
+    Each interval [start, end] explodes to the bins of width ``bin_width``
+    it overlaps (``width / bin_width + 1`` rows — pick ``bin_width`` near
+    the typical interval width so this is ~2); each point hashes to ONE
+    bin; a bin equi-join produces candidates and the real predicate
+    refines them. Exactness: any (interval, point) pair with
+    start ≤ p ≤ end shares the bin floor(p / bin_width), which the
+    interval's bin range covers by construction, and duplicate candidates
+    are impossible because a point owns exactly one bin. Same trick as
+    the LSH band join (X3) and the documented scale path of the
+    ``join_range_theta`` query.
+
+    Inner semantics only — compose outer behavior at the call site (e.g.
+    left-join the aggregated inner result back to the interval side; see
+    ``queries/joins.py:join_range_binned``). Column names must not
+    collide between the two sides (rename before calling, as with any
+    Spark join).
+    """
+    b = F.lit(bin_width)
+    binned_intervals = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b), F.floor(F.col(end_col) / b)
+            )
+        ),
+    )
+    binned_points = points.withColumn("__bin", F.floor(F.col(point_col) / b))
+    return (
+        binned_intervals.join(binned_points, "__bin")
+        .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__bin")
+    )

@@ -450,3 +450,50 @@ def join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_split_join(
         skewed, customer, "o_custkey", how="inner", hot_keys=[7]
     ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT
+        s_suppkey,
+        COUNT(c_custkey) AS n_peer_customers
+    FROM supplier
+    LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+    tags=("J5", "J6"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range join as ``join_range_theta``, through the BINNED
+    plan (``operators.joins.range_join``): intervals explode to the ≤2
+    width-200 bins they overlap, points hash to one bin, bin equi-join +
+    exact refine — a shuffle join instead of |S|×|C| nested-loop
+    predicate evaluations. Same oracle as the theta form, so the driver
+    proves the rewrite exact; measured 5.8× faster at the x10 tier
+    (1.25 s vs 7.22 s — BASELINE.md "Range join", round 4), a gap that
+    grows as |S|×|C| while the binned cost stays near-linear. Left
+    semantics composed by joining the aggregated inner result back to
+    the supplier side."""
+    from reactivestreams_kinesis_spark.operators.joins import range_join
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 100).alias("lo"),
+        (F.col("s_acctbal") + 100).alias("hi"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    inner = range_join(supplier, customer, "lo", "hi", "c_acctbal", bin_width=200.0)
+    counts = inner.groupBy("s_suppkey").agg(
+        F.count("c_custkey").alias("n_peer_customers")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .join(counts, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_peer_customers", F.lit(0)).alias("n_peer_customers"),
+        )
+    )

@@ -415,3 +415,38 @@ def test_skew_split_join_rejects_outer_modes(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError):
         skew_split_join(orders, orders, "o_orderkey", how="full")
+
+
+def test_range_join_binned_equivalence(spark):
+    """Binned range join must equal the naive theta join on adversarial
+    values: negatives, zero-width intervals, intervals spanning many
+    bins, points on bin boundaries, and a deliberately unaligned
+    bin_width."""
+    from reactivestreams_kinesis_spark.operators.joins import range_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, -250.0, -50.0),
+            (2, 0.0, 0.0),
+            (3, 10.5, 1000.5),
+            (4, 99.9, 100.1),
+            (5, -1.0, 1.0),
+        ],
+        "iid int, lo double, hi double",
+    )
+    points = spark.createDataFrame(
+        [
+            (i, float(v))
+            for i, v in enumerate(
+                [-300, -250, -100, -50.0000001, 0, 0.0001, 100, 200, 1000.5, 7]
+            )
+        ],
+        "pid int, v double",
+    )
+    naive = intervals.join(
+        points, points.v.between(intervals.lo, intervals.hi)
+    ).select("iid", "pid")
+    binned = range_join(intervals, points, "lo", "hi", "v", bin_width=37.0).select(
+        "iid", "pid"
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, binned.collect()))
