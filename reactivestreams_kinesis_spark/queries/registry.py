@@ -110,7 +110,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # joins
     "join_left_outer",              # J2
     "join_semi_anti",               # J3
-    "join_range_theta",             # J5 J6
+    # J5/J6: the binned rewrite carries the driver row (same oracle as
+    # the theta form, but it is the plan you'd run at scale — round-4
+    # swap); the theta form stays mirror-checked as the semantic baseline
+    "join_range_binned",            # J5 J6
     "join_asof_attribution",        # J7
     # relational / set ops
     "rel_projection_compute",       # P2 P4

@@ -315,3 +315,21 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     df = QUERIES["decontaminate_ngram"].fn(spark, sf_dir)
     s = explain_string(df)
     assert "BroadcastHashJoin LeftSemi" in s, s
+
+
+def test_range_binned_avoids_nested_loop(spark, sf_dir):
+    """The binned range join's whole point: the range predicate must NOT
+    plan as a nested-loop join — bin equi-join (hash/sort-merge) + refine
+    filter only. The theta form is the documented quadratic baseline."""
+    df = QUERIES["join_range_binned"].fn(spark, sf_dir)
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), explain_string(df)
+    theta = QUERIES["join_range_theta"].fn(spark, sf_dir)
+    assert has_operator(theta, "BroadcastNestedLoopJoin")
+
+
+def test_skew_split_hot_branch_broadcasts(spark, sf_dir):
+    """skew_split_join's hot branch must plan as a broadcast join (its
+    build side is the hot keys' few rows) while the rest branch stays a
+    normal join — i.e. the plan contains BOTH join flavors."""
+    df = QUERIES["join_skew_split"].fn(spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin"), explain_string(df)
