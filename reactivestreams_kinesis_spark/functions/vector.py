@@ -31,13 +31,23 @@ def duckdb_dot(a: str, b: str) -> str:
 
 
 def spark_cosine(a: str, b: str) -> str:
-    """Spark SQL fragment: cosine similarity (no assumption of unit norm)."""
+    """Spark SQL fragment: cosine similarity (no assumption of unit norm).
+
+    Zero-norm operands yield NULL (``try_divide``), matching DuckDB's
+    quiet NULL on float division by zero — under Spark 4's default ANSI
+    mode a bare ``/`` would instead THROW ``DIVIDE_BY_ZERO`` and kill the
+    whole job on one degenerate embedding (caught by the adversarial
+    embedding corpus, tests/test_edge_corpus.py). NULL cosines sort last
+    under every ``DESC`` ranking in both engines, so zero vectors can
+    never rank as neighbors."""
     return (
-        f"{spark_dot(a, b)} / (SQRT({spark_dot(a, a)}) * SQRT({spark_dot(b, b)}))"
+        f"try_divide({spark_dot(a, b)}, "
+        f"SQRT({spark_dot(a, a)}) * SQRT({spark_dot(b, b)}))"
     )
 
 
 def duckdb_cosine(a: str, b: str) -> str:
+    """DuckDB twin: bare division — DuckDB yields NULL on float /0."""
     return (
         f"{duckdb_dot(a, b)} / (SQRT({duckdb_dot(a, a)}) * SQRT({duckdb_dot(b, b)}))"
     )

@@ -83,7 +83,10 @@ def cosine_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+            F.try_divide(
+                F.expr(spark_dot("qv", "cv")), F.col("qn") * F.col("cn")
+            ),
+            6,
         ).alias("cosine"),
     )
     return _topk_per_query(scored, k)
@@ -158,8 +161,9 @@ def sim_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.expr(spark_dot("a.embedding", "b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    cos = F.try_divide(
+        F.expr(spark_dot("a.embedding", "b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
     )
     return (
         a.join(
@@ -254,7 +258,10 @@ def ann_lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+            F.try_divide(
+                F.expr(spark_dot("qv", "cv")), F.col("qn") * F.col("cn")
+            ),
+            6,
         ).alias("cosine"),
     )
     return _topk_per_query(scored, k)
@@ -371,8 +378,10 @@ def ann_ivf_topk(
 
     def nearest(df, vec, key, norm_col, n):
         cos = F.round(
-            F.expr(spark_dot(vec, "centv"))
-            / (F.col(norm_col) * F.expr(f"SQRT({spark_dot('centv', 'centv')})")),
+            F.try_divide(
+                F.expr(spark_dot(vec, "centv")),
+                F.col(norm_col) * F.expr(f"SQRT({spark_dot('centv', 'centv')})"),
+            ),
             6,
         )
         w = Window.partitionBy(key).orderBy(cos.desc(), F.col("centroid_id"))
@@ -389,7 +398,10 @@ def ann_ivf_topk(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
-            F.expr(spark_dot("qv", "cv")) / (F.col("qn") * F.col("cn")), 6
+            F.try_divide(
+                F.expr(spark_dot("qv", "cv")), F.col("qn") * F.col("cn")
+            ),
+            6,
         ).alias("cosine"),
     )
     return _topk_per_query(scored, k)

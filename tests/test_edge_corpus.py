@@ -70,6 +70,39 @@ EDGE_QUERY_NAMES = (
 )
 
 
+def _edge_embeddings():
+    """Adversarial embedding rows (dim 64, float32): zero vectors on BOTH
+    the query side (vec_id 0) and the corpus side (vec_id 10) — cosine
+    0/0 → NaN, exercising cross-engine NaN ranking; exact duplicates;
+    antipodal pairs (cosine exactly −1); uniform 1e30 / 1e-30 magnitudes
+    (squares only finite because both engines cast elements to DOUBLE
+    before multiplying); and seeded random vectors as filler."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    e0 = np.zeros(dim); e0[0] = 1.0
+    rows: list[tuple[int, list[float], int]] = []
+
+    def add(vid, vec, label):
+        rows.append((vid, [float(x) for x in np.asarray(vec, dtype=np.float32)], label))
+
+    add(0, np.zeros(dim), 0)            # zero-vector QUERY
+    add(1, e0, 1)
+    add(2, np.full(dim, 1e30), 2)       # huge magnitude
+    add(3, np.full(dim, 1e-30), 3)      # tiny magnitude
+    add(4, rng.randn(dim), 4)
+    add(5, e0, 1)                       # exact dup of query 1
+    add(6, -e0, 1)                      # antipodal: cosine exactly -1
+    add(7, np.full(dim, 1e30), 2)       # dup of the huge query
+    add(8, rng.randn(dim), 3)
+    add(9, rng.randn(dim), 4)
+    add(10, np.zeros(dim), 5)           # zero-vector CORPUS row
+    for vid in range(11, 45):
+        add(vid, rng.randn(dim), vid % 10)
+    return rows
+
+
 @pytest.fixture(scope="module")
 def edge_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("edge_sf")
@@ -83,22 +116,53 @@ def edge_dir(tmp_path_factory):
         }
     )
     pq.write_table(tbl, str(out / "documents.parquet"))
+    emb = _edge_embeddings()
+    etbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in emb], pa.int64()),
+            "embedding": pa.array([r[1] for r in emb], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in emb], pa.int32()),
+        }
+    )
+    pq.write_table(etbl, str(out / "embeddings.parquet"))
     return str(out)
 
 
 @pytest.fixture(scope="module")
 def edge_oracle(edge_dir):
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{edge_dir}/documents.parquet')"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_dir}/{t}.parquet')"
+        )
     yield con
     con.close()
 
 
 @pytest.mark.parametrize("name", EDGE_QUERY_NAMES)
 def test_edge_corpus_matches_oracle(name, spark, edge_dir, edge_oracle):
+    q = all_queries()[name]
+    df = q.fn(spark, edge_dir)
+    if q.oracle is None:
+        assert df.count() >= 0
+    else:
+        assert_matches_oracle(df, edge_oracle, q.oracle)
+
+
+# embeddings-table operators against the adversarial vectors; enrich also
+# reads the edge documents (doc_id ↔ vec_id overlap by construction)
+EDGE_EMBED_QUERY_NAMES = (
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_neardup_blocked",
+    "sim_embed_enrich",
+)
+
+
+@pytest.mark.parametrize("name", EDGE_EMBED_QUERY_NAMES)
+def test_edge_embeddings_match_oracle(name, spark, edge_dir, edge_oracle):
     q = all_queries()[name]
     df = q.fn(spark, edge_dir)
     if q.oracle is None:
