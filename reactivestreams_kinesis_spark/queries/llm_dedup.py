@@ -646,8 +646,14 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1→x10 exponents vs the exhaustive-Jaccard baseline.
     """
     toks = _shingle_postings(spark, sf_dir).persist()
+    # rounds=4 covers diameter ≤ 3 (LSH dup clusters measure 2-3 across
+    # every tier of the scale ladder); the adaptive fallback makes a
+    # deeper chain cost extra counted rounds, not a failure, so the
+    # budget is sized to the TYPICAL case — each round is a join+agg
+    # stage pair, and halving the budget from 8 nearly halved the
+    # measured x1 wall time (BASELINE.md scale ladder)
     return connected_components(
         minhash_lsh_pairs(toks).select("doc_a", "doc_b"),
-        rounds=8,
+        rounds=4,
         fallback_to_adaptive=True,
     )
