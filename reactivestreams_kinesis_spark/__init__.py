@@ -75,7 +75,12 @@ _DEDUP_OPS = (
     "connected_components",
 )
 _SIM_OPS = ("cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
-_PIPELINE_OPS = ("pack_assignments", "decontaminate")
+_PIPELINE_OPS = (
+    "pack_assignments",
+    "decontaminate",
+    "bloom_build",
+    "bloom_maybe_contains",
+)
 
 __all__ = [
     "get_spark",

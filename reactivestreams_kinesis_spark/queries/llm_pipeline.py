@@ -525,6 +525,120 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(grams(corpus), grams(eval_docs))
 
 
+# --- Bloom-prefiltered decontamination -------------------------------------
+#
+# The same contamination answer as `decontaminate_ngram`, computed the way
+# a 100 TB pipeline would: the eval gram set is compiled into a Bloom
+# filter bitmap (k seeded xxhash64 positions over m bits), the corpus gram
+# stream is screened against the bitmap as a PURE MAP (k hashes + k array
+# lookups per gram, whole-stage-codegen, no join, no shuffle), and only
+# the surviving ~FP-rate fraction reaches the exact semi-join that removes
+# Bloom false positives. False negatives are impossible (every eval gram's
+# bits are set), so the output is bit-identical to the exact path and the
+# oracle is the SAME exact SQL.
+#
+# Why this beats the plain broadcast semi-join at scale: a broadcast hash
+# join still pays a per-row probe into a hash relation sized by the FULL
+# eval gram set inside the join operator, and — more importantly — the
+# pattern generalizes to eval sets too big to broadcast-join cheaply: the
+# bitmap is m/8 bytes regardless of gram count (here 16 KiB), the cheapest
+# possible broadcast. Spark's own runtime row-level filtering
+# (spark.sql.optimizer.runtime.bloomFilter) applies the identical idea to
+# shuffle joins; this is the explicit, tunable form.
+
+BLOOM_M_BITS = 1 << 17  # 16 KiB bitmap; sized for ~500 eval grams -> FP ~1e-9
+BLOOM_K = 5  # hash functions
+
+
+def bloom_build(grams: DataFrame, *, m_bits: int = BLOOM_M_BITS,
+                k: int = BLOOM_K, gram_col: str = "gram") -> list[int]:
+    """Compile a (bounded) gram set into a Bloom bitmap: k seeded xxhash64
+    positions per gram, OR-ed into m_bits bits packed as m/64 signed int64
+    words (Spark LongType two's complement — the probe expression uses the
+    same signed shiftleft, so bit 63 round-trips). The collect() is
+    licensed by the same boundedness argument as the eval-side broadcast
+    pin in `decontaminate`: a benchmark set does not scale with the
+    corpus. Distinct positions first, so the driver pulls ≤ k·|grams|
+    ints, not the gram strings."""
+    positions = (
+        grams.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}), "
+                    f"i -> pmod(xxhash64({gram_col}, i), {m_bits}))"
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in positions:
+        p = row["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_maybe_contains(bitmap_col: str, gram_col: str, *,
+                         m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """Membership-screen expression over a bitmap array<bigint> column:
+    true iff all k seeded positions of the gram are set. Pure codegen —
+    the Bloom screen never leaves the JVM expression pipeline."""
+    return F.expr(
+        f"forall(transform(sequence(0, {k - 1}), "
+        f"i -> pmod(xxhash64({gram_col}, i), {m_bits})), "
+        f"p -> (element_at({bitmap_col}, CAST(p DIV 64 AS INT) + 1) "
+        f"& shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH eval_grams AS (
+        SELECT DISTINCT UNNEST({_duck_ngrams(DECONTAM_N)}) AS gram
+        FROM documents WHERE {_EVAL_PRED}
+    ),
+    corpus_grams AS (
+        SELECT doc_id, UNNEST({_duck_ngrams(DECONTAM_N)}) AS gram
+        FROM documents WHERE NOT ({_EVAL_PRED})
+    )
+    SELECT doc_id, COUNT(DISTINCT c.gram) AS n_shared
+    FROM corpus_grams c
+    JOIN eval_grams e ON c.gram = e.gram
+    GROUP BY doc_id
+    """,
+    tags=("X3", "J3"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination: identical answer to
+    ``decontaminate_ngram`` (the oracle is the SAME exact SQL — Bloom
+    false positives are removed by the exact semi-join, false negatives
+    cannot exist), but the corpus gram stream is screened map-side
+    against a 16 KiB bitmap before any join. Scale shape: corpus side is
+    scan → tokenize → explode → k-hash bitmap probe (all codegen) —
+    ~100% of grams die in the map with zero shuffle; only Bloom
+    survivors reach the exact verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.expr(_EVAL_PRED))
+    corpus = docs.filter(~F.expr(_EVAL_PRED))
+
+    def grams(df):
+        return df.withColumn("toks", F.split("text", " ")).select(
+            "doc_id", F.explode(F.expr(_spark_ngrams(DECONTAM_N))).alias("gram")
+        )
+
+    eval_grams = grams(eval_docs)
+    bitmap = bloom_build(eval_grams)
+    candidates = (
+        grams(corpus)
+        .withColumn("__bloom", F.lit(bitmap))
+        .filter(bloom_maybe_contains("__bloom", "gram"))
+        .drop("__bloom")
+    )
+    return decontaminate(candidates, eval_grams)
+
+
 # --- Repetition signals (Gopher-style quality filter) ----------------------
 
 

@@ -476,3 +476,108 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ann_ivf_topk(queries, corpus, cent)
+
+
+# --- SemDedup: cluster-blocked embedding near-dup --------------------------
+#
+# sim_neardup_blocked blocks the pair-quadratic on a GIVEN key (label).
+# SemDedup (Abbas et al., 2023) derives the blocking key from the data:
+# cluster the embedding space, then score pairs only within a cluster —
+# near-dups are near in space, so they co-cluster, and the all-pairs n²
+# collapses to Σ|cluster|². The codebook here is the same deterministic
+# strided sample the IVF query uses (real SemDedup runs k-means; the
+# plan — broadcast codebook, narrow-map assignment, equi-join on the
+# cluster id — is identical, and determinism is what the oracle needs).
+
+SEMDEDUP_THRESHOLD = 0.4  # drop b if cos(a, b) >= τ for some lower-id a
+
+
+@register(
+    "sim_semdedup",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centv
+        FROM embeddings
+        WHERE vec_id % {IVF_STRIDE} = 5
+    ),
+    assigned AS (
+        SELECT vec_id, cv, centroid_id FROM (
+            SELECT c.vec_id, c.embedding AS cv, cent.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY ROUND({duckdb_cosine('c.embedding', 'cent.centv')}, 6) DESC,
+                                cent.centroid_id) AS rn
+            FROM embeddings c CROSS JOIN cent
+        ) WHERE rn = 1
+    )
+    SELECT b.vec_id, b.centroid_id,
+           COUNT(*) AS n_dups,
+           ROUND(MAX({duckdb_cosine('a.cv', 'b.cv')}), 6) AS max_cosine
+    FROM assigned a
+    JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {duckdb_cosine('a.cv', 'b.cv')} >= {SEMDEDUP_THRESHOLD}
+    GROUP BY b.vec_id, b.centroid_id
+    """,
+    tags=("X1", "X2", "X3"),
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style embedding dedup (X1/X3 composition): assign every
+    vector to its nearest codebook centroid (Voronoi cell), score cosine
+    pairs ONLY within a cell, and report the drop-list — each vector that
+    has a lower-id near-duplicate (cos ≥ {SEMDEDUP_THRESHOLD}) in its
+    cell, with its dup count and strongest match. Keep-set = corpus
+    anti-join this result.
+
+    Scale shape: the codebook is bounded (broadcast), assignment is a
+    narrow map (one WindowGroupLimit over corpus × codebook, corpus never
+    shuffles for it), and the pair stage is an equi-join on centroid_id —
+    Σ|cell|² like every blocked near-dup here, with cell size controlled
+    by codebook granularity (more centroids → smaller cells; production
+    SemDedup uses ~100k k-means clusters for exactly this reason).
+    Cross-cell near-dups are the documented recall trade: boundary pairs
+    land in different cells, the price of killing n². The codebook is the
+    IVF query's deterministic strided sample so the oracle can reproduce
+    the assignment bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_STRIDE == 5).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+    )
+    corpus = _with_norm(
+        emb.select("vec_id", F.col("embedding").alias("cv")), "cv", "cn"
+    )
+    cent_cos = F.round(
+        F.try_divide(
+            F.expr(spark_dot("cv", "centv")),
+            F.col("cn") * F.expr(f"SQRT({spark_dot('centv', 'centv')})"),
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(cent_cos.desc(), F.col("centroid_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1)
+        .select("vec_id", "cv", "cn", "centroid_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = F.try_divide(
+        F.expr(spark_dot("a.cv", "b.cv")), F.col("a.cn") * F.col("b.cn")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= SEMDEDUP_THRESHOLD)
+        .groupBy(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.centroid_id").alias("centroid_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.round(F.max(pair_cos), 6).alias("max_cosine"),
+        )
+    )

@@ -162,6 +162,7 @@ def all_queries() -> dict[str, Query]:
     # so `import reactivestreams_kinesis_spark` stays cheap.
     from reactivestreams_kinesis_spark.queries import (  # noqa: F401
         aggregates,
+        formats,
         functions_scalar,
         joins,
         llm_dedup,

@@ -1,0 +1,122 @@
+"""Text-format connectors (JSONL / CSV) for the documents table.
+
+LLM corpora ship as JSON-lines far more often than parquet (Common Crawl
+derivatives, RedPajama, Dolma all distribute .jsonl[.gz]); a user of this
+engine needs to point the same queries at those files. The rules that
+matter at 100 TB:
+
+- ALWAYS pass an explicit schema. ``spark.read.json`` without one runs a
+  full extra pass over the data just to infer types (and infers them from
+  whatever subset it samples — schema drift between runs). Same for CSV.
+- JSONL and CSV are splittable when uncompressed (and when compressed with
+  a splittable codec); a single .json.gz blob is ONE task no matter the
+  cluster size — shard source files at write time.
+- Malformed rows: surface, don't silently drop — ``mode=PERMISSIVE`` with
+  a ``columnNameOfCorruptRecord`` quarantine column, so a corrupt record
+  becomes a filterable row instead of a killed job (FAILFAST) or silent
+  loss (DROPMALFORMED).
+
+The reference reads opaque Kinesis record payloads and leaves decoding to
+the consumer (``ShardProducerSpec.scala:41-42``); these readers are that
+decode step for the two dominant text container formats.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _conversion_dir(sf_dir: str, fmt: str) -> str:
+    """Process-stable conversion cache dir for a fixture path: the fixture
+    parquet is immutable per sf_dir, so one conversion per (path, format)
+    serves every query in the session."""
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"rsk_fmt_{fmt}_{key}")
+
+
+def documents_as_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize the documents table as sharded JSONL or CSV files (the
+    fixture-conversion step a real deployment would not need — its corpus
+    already IS jsonl). Written once per process; sharded by Spark's
+    partitioning so the files are parallel-readable like any real dump."""
+    out = _conversion_dir(sf_dir, fmt)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from reactivestreams_kinesis_spark.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        writer = docs.write.mode("overwrite")
+        if fmt == "jsonl":
+            writer.json(out)
+        elif fmt == "csv":
+            # lossless-text CSV contract (mirrored by read_documents_csv):
+            # Spark's writer defaults TRIM leading/trailing whitespace and
+            # write empty string and NULL identically — both silently
+            # corrupt real corpora. Distinct nullValue token + no trimming
+            # + quote-escaping makes the roundtrip byte-exact, including
+            # embedded newlines (auto-quoted by the writer).
+            (
+                writer.option("header", "true")
+                .option("escape", '"')
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
+                .option("nullValue", "\\N")
+                .csv(out)
+            )
+        else:
+            raise ValueError(f"unsupported format: {fmt}")
+    return out
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, corrupt_col: str | None = None
+) -> DataFrame:
+    """JSONL documents reader: explicit schema (zero inference passes).
+    With ``corrupt_col``, malformed lines surface as rows whose quarantine
+    column holds the raw record (PERMISSIVE mode) — filterable into a
+    dead-letter sink instead of killing the job (FAILFAST) or vanishing
+    (DROPMALFORMED)."""
+    schema = DOCUMENTS_SCHEMA
+    if corrupt_col is not None:
+        schema = T.StructType(
+            [*DOCUMENTS_SCHEMA.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+    reader = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV documents reader: explicit schema, header line, and the exact
+    mirror of the writer's lossless-text contract (no whitespace trimming,
+    distinct NULL token, quote-escaping). ``multiLine`` is required for
+    text fields containing newlines — and it makes each CSV FILE a single
+    parse unit (non-splittable), which is the documented reason to prefer
+    JSONL for newline-bearing corpora at scale: JSONL escapes newlines so
+    the format stays line-splittable."""
+    return (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )

@@ -50,6 +50,7 @@ EDGE_QUERY_NAMES = (
     "text_token_regex",
     "text_vocab_topk",
     "text_redact_pii",
+    "text_heavy_hitters_cms",
     "text_repetition",
     "dedup_exact",
     "dedup_jaccard_pairs",
@@ -62,6 +63,8 @@ EDGE_QUERY_NAMES = (
     "pack_sequences",
     "pipeline_end_to_end",
     "decontaminate_ngram",
+    "decontaminate_bloom",
+    "src_format_roundtrip",
     "multimodal_plumbing",
     "multimodal_features",
     "udf_pandas_scalar",
@@ -157,6 +160,7 @@ EDGE_EMBED_QUERY_NAMES = (
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_neardup_blocked",
+    "sim_semdedup",
     "sim_embed_enrich",
 )
 
