@@ -502,3 +502,125 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pii_free"),
         F.md5("clean").alias("clean_hash"),
     )
+
+
+# --- Heavy hitters via an explicit count-min sketch ------------------------
+#
+# Frequent-token tracking at corpus scale without a full vocabulary agg:
+# the classic count-min sketch, built as DATA (a bounded (row, bucket) →
+# counter table) instead of an opaque binary blob. Spark ships
+# count_min_sketch() as an agg, but its serialized form can't be queried
+# in SQL or reproduced by another engine; this explicit form is the same
+# structure — d hash rows × w buckets, estimate = min over rows — with an
+# md5-derived hash family both engines compute bit-identically, so the
+# ENTIRE sketch (not just a bounds flag) is oracle-checked.
+#
+# Scale shape: the counter build is one map-side-combining aggregation
+# over (row, bucket) — the shuffle carries ≤ d·w rows per map partition
+# regardless of corpus size, and the sketch table is ≤ d·w rows total
+# (here 4×4096). Mergeable by construction (counters add), exactly like
+# the binary sketch. Estimates: guaranteed ≥ true count; overcount ≤ εN
+# w.h.p. with ε ≈ e/w — asserted per token in `cms_ok`.
+
+CMS_DEPTH = 4       # independent hash rows
+CMS_HEX = 3         # bucket key = first 3 md5 hex chars -> w = 16^3 = 4096
+
+_CMS_SPARK_BUCKET = f"SUBSTRING(MD5(CONCAT('cms', i, '_', tok)), 1, {CMS_HEX})"
+_CMS_DUCK_BUCKET = f"SUBSTRING(MD5('cms' || s.i || '_' || {{tok}}), 1, {CMS_HEX})"
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    toks_f AS (SELECT tok FROM toks WHERE tok <> ''),
+    seeds AS (SELECT UNNEST(range(0, {CMS_DEPTH})) AS i),
+    counters AS (
+        SELECT s.i, {_CMS_DUCK_BUCKET.format(tok='tok')} AS b, COUNT(*) AS c
+        FROM toks_f CROSS JOIN seeds s
+        GROUP BY 1, 2
+    ),
+    exact_top AS (
+        SELECT tok, COUNT(*) AS exact_cnt
+        FROM toks_f GROUP BY tok
+        ORDER BY exact_cnt DESC, tok
+        LIMIT 20
+    ),
+    n AS (SELECT COUNT(*) AS n_toks FROM toks_f),
+    est AS (
+        SELECT t.tok, MIN(c.c) AS cms_est
+        FROM exact_top t
+        CROSS JOIN seeds s
+        JOIN counters c
+          ON c.i = s.i AND c.b = {_CMS_DUCK_BUCKET.format(tok='t.tok')}
+        GROUP BY t.tok
+    )
+    SELECT t.tok, t.exact_cnt, e.cms_est,
+           CAST(e.cms_est >= t.exact_cnt
+                AND e.cms_est <= t.exact_cnt
+                    + GREATEST(20, CAST(CEIL(0.005 * n.n_toks) AS BIGINT))
+                AS INT) AS cms_ok
+    FROM exact_top t
+    JOIN est e ON t.tok = e.tok
+    CROSS JOIN n
+    """,
+    tags=("X4", "A3"),
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens with a count-min sketch built as a DataFrame
+    (X4/A3): d={CMS_DEPTH} md5-hash rows × w=16^{CMS_HEX} buckets, counter
+    build = one map-side-combining agg (bounded shuffle), estimate = MIN
+    over rows. The exact top-20 (count desc, token tie-break) anchors the
+    check: every estimate must dominate its true count (CMS can never
+    undercount) and stay within the εN envelope (`cms_ok`). The oracle
+    recomputes the sketch itself — both engines agree on every md5 bucket
+    and every counter, so `cms_est` is value-checked, not just bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    seeds = F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("i")
+    counters = (
+        toks.select("tok", seeds)
+        .select("i", F.expr(_CMS_SPARK_BUCKET).alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(20)
+    )
+    n_toks = toks.agg(F.count(F.lit(1)).alias("n_toks"))
+    est = (
+        exact_top.select("tok", seeds)
+        .withColumn("b", F.expr(_CMS_SPARK_BUCKET))
+        .join(counters, ["i", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        exact_top.join(est, "tok")
+        .crossJoin(n_toks)
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (
+                (F.col("cms_est") >= F.col("exact_cnt"))
+                & (
+                    F.col("cms_est")
+                    <= F.col("exact_cnt")
+                    + F.greatest(
+                        F.lit(20),
+                        F.expr("CAST(CEIL(0.005 * n_toks) AS BIGINT)"),
+                    )
+                )
+            )
+            .cast("int")
+            .alias("cms_ok"),
+        )
+    )

@@ -871,3 +871,72 @@ def test_exactly_once_kill_midbatch_restart(spark, sf_dir, tmp_path):
     src_df = base.drop("rn")
     assert out.subtract(src_df).count() == 0
     assert src_df.subtract(out).count() == 0
+
+
+def test_incremental_ingest_dedup_vs_history(spark, sf_dir, tmp_path):
+    """X2/T6 composition (round 4): incremental corpus ingestion — new
+    documents stream in, exact dups are dropped both WITHIN the stream
+    (first arrival wins, content-hash dedup state) and AGAINST the
+    historical corpus (stream-static left-anti join on the hash). This is
+    how a 100 TB training corpus absorbs a daily crawl drop without
+    re-deduplicating history: the historical side is a 16-byte-key hash
+    table (broadcast here; bucketed storage join at scale), the stream
+    side holds only the within-drop hash set in state — watermarked in
+    production (test_dedup_within_watermark) to bound it."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = docs.columns
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    fresh = docs.filter(F.col("doc_id") % 3 != 0)
+
+    def reid(df, offset):
+        return df.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            *[c for c in cols if c != "doc_id"],
+        )
+
+    # plant dups: 3 docs whose text already exists in history, 2 in-stream
+    # re-arrivals of fresh texts
+    incoming = (
+        fresh.unionByName(reid(hist.orderBy("doc_id").limit(3), 100_000))
+        .unionByName(reid(fresh.orderBy("doc_id").limit(2), 200_000))
+    )
+    src = str(tmp_path / "incoming")
+    incoming.write.parquet(src)
+
+    hist_hashes = hist.select(F.md5("text").alias("h")).distinct()
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    cleaned = (
+        stream.withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+        .join(F.broadcast(hist_hashes), "h", "left_anti")
+    )
+    name = f"ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table(name)
+
+    expected_hashes = {
+        r["h"]
+        for r in incoming.withColumn("h", F.md5("text"))
+        .join(hist_hashes, "h", "left_anti")
+        .select("h")
+        .distinct()
+        .collect()
+    }
+    assert {r["h"] for r in got.select("h").collect()} == expected_hashes
+    # one survivor per surviving hash, and no historical text re-admitted
+    assert got.count() == len(expected_hashes)
+    assert (
+        got.withColumnRenamed("h", "hh")
+        .join(hist_hashes, F.col("hh") == F.col("h"), "inner")
+        .count()
+        == 0
+    )
