@@ -277,3 +277,53 @@ register_sql(
     per-dimension totals plus the grand total in ONE Expand + shuffle.
     One SQL text runs on both engines (register_sql).""",
 )
+
+
+@register(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT
+        COUNT(DISTINCT o_custkey) AS exact_custs,
+        COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_parts,
+        CAST(1 AS INT) AS merged_ok,
+        CAST(1 AS INT) AS direct_ok
+    FROM orders
+    """,
+    tags=("A3",),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (A3, the incremental path): build
+    one DataSketches HLL sketch PER MONTH of orders (`hll_sketch_agg`),
+    then union the monthly sketches (`hll_union_agg`) into the global
+    distinct-customer estimate — the pattern that lets a 100 TB pipeline
+    keep per-day/per-partition sketches (KBs each, mergeable, re-usable)
+    and answer "distinct users this quarter" without ever re-scanning:
+    merging sketches is associative and lossless, unlike merging counts.
+    Sketch bytes are engine-specific, so the driver-checkable form is the
+    same bounds pattern as `agg_approx_count_distinct`: `merged_ok` /
+    `direct_ok` assert the union-of-parts estimate AND the single-pass
+    estimate each land within 10% of the exact count (deterministic for
+    fixed input). The month count rides along so the oracle pins that the
+    merge actually spanned multiple partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return direct.crossJoin(merged).select(
+        "exact_custs",
+        "n_parts",
+        (F.abs(F.col("merged_est") - F.col("exact_custs")) <= 0.10 * F.col("exact_custs"))
+        .cast("int")
+        .alias("merged_ok"),
+        (F.abs(F.col("direct_est") - F.col("exact_custs")) <= 0.10 * F.col("exact_custs"))
+        .cast("int")
+        .alias("direct_ok"),
+    )
