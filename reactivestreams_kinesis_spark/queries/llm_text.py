@@ -529,9 +529,7 @@ _CMS_SPARK_BUCKET = f"SUBSTRING(MD5(CONCAT('cms', i, '_', tok)), 1, {CMS_HEX})"
 _CMS_DUCK_BUCKET = f"SUBSTRING(MD5('cms' || s.i || '_' || {{tok}}), 1, {CMS_HEX})"
 
 
-@register(
-    "text_heavy_hitters_cms",
-    oracle=f"""
+CMS_HH_ORACLE = f"""
     WITH toks AS (
         SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -565,29 +563,36 @@ _CMS_DUCK_BUCKET = f"SUBSTRING(MD5('cms' || s.i || '_' || {{tok}}), 1, {CMS_HEX}
     FROM exact_top t
     JOIN est e ON t.tok = e.tok
     CROSS JOIN n
-    """,
-    tags=("X4", "A3"),
-)
-def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter tokens with a count-min sketch built as a DataFrame
-    (X4/A3): d={CMS_DEPTH} md5-hash rows × w=16^{CMS_HEX} buckets, counter
-    build = one map-side-combining agg (bounded shuffle), estimate = MIN
-    over rows. The exact top-20 (count desc, token tie-break) anchors the
-    check: every estimate must dominate its true count (CMS can never
-    undercount) and stay within the εN envelope (`cms_ok`). The oracle
-    recomputes the sketch itself — both engines agree on every md5 bucket
-    and every counter, so `cms_est` is value-checked, not just bounded."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+    """
+
+
+def cms_tokens(docs: DataFrame) -> DataFrame:
+    """Token stream for the sketch: split on space, drop empties."""
+    return docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    seeds = F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("i")
-    counters = (
-        toks.select("tok", seeds)
+
+
+_CMS_SEEDS = f"sequence(0, {CMS_DEPTH - 1})"
+
+
+def cms_counters(toks: DataFrame) -> DataFrame:
+    """The sketch itself: (row i, bucket b) -> counter. One
+    map-side-combining aggregation; works identically on a batch token
+    frame or a streaming one (counters are pure adds — the streaming twin
+    maintains this exact aggregate incrementally)."""
+    return (
+        toks.select("tok", F.explode(F.expr(_CMS_SEEDS)).alias("i"))
         .select("i", F.expr(_CMS_SPARK_BUCKET).alias("b"))
         .groupBy("i", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def cms_report(toks: DataFrame, counters: DataFrame) -> DataFrame:
+    """Estimate + check report over a counter table (however it was
+    built): exact top-20 anchor, MIN-over-rows estimates, domination and
+    eps*N envelope flags."""
     exact_top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
@@ -596,7 +601,7 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_toks = toks.agg(F.count(F.lit(1)).alias("n_toks"))
     est = (
-        exact_top.select("tok", seeds)
+        exact_top.select("tok", F.explode(F.expr(_CMS_SEEDS)).alias("i"))
         .withColumn("b", F.expr(_CMS_SPARK_BUCKET))
         .join(counters, ["i", "b"])
         .groupBy("tok")
@@ -624,3 +629,18 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cms_ok"),
         )
     )
+
+
+@register("text_heavy_hitters_cms", oracle=CMS_HH_ORACLE, tags=("X4", "A3"))
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens with a count-min sketch built as a DataFrame
+    (X4/A3): d={CMS_DEPTH} md5-hash rows × w=16^{CMS_HEX} buckets, counter
+    build = one map-side-combining agg (bounded shuffle), estimate = MIN
+    over rows. The exact top-20 (count desc, token tie-break) anchors the
+    check: every estimate must dominate its true count (CMS can never
+    undercount) and stay within the εN envelope (`cms_ok`). The oracle
+    recomputes the sketch itself — both engines agree on every md5 bucket
+    and every counter, so `cms_est` is value-checked, not just bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = cms_tokens(docs)
+    return cms_report(toks, cms_counters(toks))

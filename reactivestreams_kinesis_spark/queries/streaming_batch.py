@@ -229,3 +229,43 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     captured = _run_to_memory(windowed, "complete")
     return captured.select(F.col("win.start").alias("win_start"), "n")
+
+
+from reactivestreams_kinesis_spark.queries.llm_text import (  # noqa: E402
+    CMS_HH_ORACLE,
+    cms_counters,
+    cms_report,
+    cms_tokens,
+)
+
+
+@register(
+    "stream_heavy_hitters_cms",
+    oracle=CMS_HH_ORACLE,  # the batch CMS oracle, verbatim
+    tags=("T3", "A3", "X4"),
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained INCREMENTALLY over a document stream
+    (A3/X4 streaming twin of ``text_heavy_hitters_cms``): the (row,
+    bucket) counter aggregation runs as a complete-mode streaming agg
+    over file-replayed documents — counters are pure adds, so the drained
+    streaming state must equal the batch-built sketch bit-for-bit — and
+    the estimate report is then computed from the CAPTURED counter table.
+    Same oracle as the batch query: if incremental maintenance diverged
+    from the batch sketch by one count in one bucket, the value hash
+    breaks. This is the production shape for streaming frequency
+    tracking: the sketch is the only state (d·w bounded rows), and any
+    point-in-time snapshot of it answers heavy-hitter queries."""
+    from reactivestreams_kinesis_spark.sources.text_formats import (
+        DOCUMENTS_SCHEMA,
+    )
+
+    docs_stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    counters = _run_to_memory(cms_counters(cms_tokens(docs_stream)), "complete")
+    batch_toks = cms_tokens(load_table(spark, sf_dir, "documents"))
+    return cms_report(batch_toks, counters)
+

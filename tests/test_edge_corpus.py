@@ -51,6 +51,7 @@ EDGE_QUERY_NAMES = (
     "text_vocab_topk",
     "text_redact_pii",
     "text_heavy_hitters_cms",
+    "stream_heavy_hitters_cms",
     "text_repetition",
     "dedup_exact",
     "dedup_jaccard_pairs",
