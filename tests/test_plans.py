@@ -333,3 +333,26 @@ def test_skew_split_hot_branch_broadcasts(spark, sf_dir):
     normal join — i.e. the plan contains BOTH join flavors."""
     df = QUERIES["join_skew_split"].fn(spark, sf_dir)
     assert has_operator(df, "BroadcastHashJoin"), explain_string(df)
+
+
+def test_cms_counter_build_is_one_partial_agg(spark, sf_dir):
+    """The count-min counter build must be ONE aggregation with map-side
+    partial aggregation on (i, b): the shuffle then carries at most
+    d·w rows per map partition regardless of corpus size — the property
+    that makes the sketch cheaper than the exact vocabulary agg it
+    approximates. Exactly one shuffle exchange, two HashAggregate phases
+    (partial + final), no join anywhere in the counter build."""
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.queries.llm_text import (
+        cms_counters,
+        cms_tokens,
+    )
+
+    counters = cms_counters(cms_tokens(load_table(spark, sf_dir, "documents")))
+    simple = explain_string(counters, "simple")
+    assert count_exchanges(counters) == 1
+    assert simple.count("HashAggregate") == 2
+    assert "partial_count" in simple  # map-side combine before the shuffle
+    assert "Join" not in simple
+    # and the scan reads ONLY the text column (pruned)
+    assert "ReadSchema: struct<text:string>" in simple
