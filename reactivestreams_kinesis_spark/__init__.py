@@ -46,6 +46,10 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.operators.multimodal import extract_features
 
         return extract_features
+    if name in ("sorted_write", "compact_parquet"):
+        from reactivestreams_kinesis_spark.operators import layout
+
+        return getattr(layout, name)
     if name == "all_queries":
         from reactivestreams_kinesis_spark.queries.registry import all_queries
 
@@ -90,6 +94,8 @@ __all__ = [
     "salted_join",
     "skew_split_join",
     "extract_features",
+    "sorted_write",
+    "compact_parquet",
     "all_queries",
     *_DEDUP_OPS,
     *_SIM_OPS,

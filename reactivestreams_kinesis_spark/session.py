@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) writes NO row-group min/max stats for
+        # timestamps — silently disabling data skipping on every time
+        # column this engine writes; micros keeps stats + modern interop
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
         # default; read as int64 nanos and convert in the catalog layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,133 @@
+"""Table-layout operators (round 4): sorted writes proved via parquet
+footer min/max intervals, compaction proved via file sizes — both
+verified at the STORAGE level (pyarrow footer reads), not just "the data
+survived", because the scan-cost win lives entirely in the footers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.layout import (
+    compact_parquet,
+    sorted_write,
+)
+
+
+def _rowgroup_intervals(out_dir: str, col: str) -> list[tuple]:
+    """(min, max) of `col` for every row group in every file."""
+    spans = []
+    for f in os.listdir(out_dir):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(out_dir, f)).metadata
+        idx = meta.schema.names.index(col)
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(idx).statistics
+            spans.append((stats.min, stats.max))
+    return spans
+
+
+def test_sorted_write_produces_tight_rowgroups(spark, sf_dir, tmp_path):
+    """Clustered layout: after sorted_write on l_shipdate, row-group
+    min/max intervals must be near-disjoint slices of the key domain —
+    each covering a small fraction — instead of every row group spanning
+    the whole domain (the unsorted baseline, also measured here). This is
+    the property parquet row-group skipping prunes on."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    lo, hi = li.agg(F.min("l_shipdate"), F.max("l_shipdate")).first()
+    domain = (hi - lo).total_seconds() or 1.0
+
+    unsorted_dir = str(tmp_path / "unsorted")
+    li.repartition(8).write.parquet(unsorted_dir)
+    sorted_dir = str(tmp_path / "sorted")
+    sorted_write(li, sorted_dir, "l_shipdate", n_files=8)
+
+    def avg_span(d):
+        spans = _rowgroup_intervals(d, "l_shipdate")
+        return sum((b - a).total_seconds() for a, b in spans) / len(spans) / domain
+
+    unsorted_frac = avg_span(unsorted_dir)
+    sorted_frac = avg_span(sorted_dir)
+    # hash-shuffled row groups span ~the whole domain; range+sorted ones
+    # must cover a small slice (1/8 of the domain at 8 files, plus skew)
+    assert unsorted_frac > 0.9
+    assert sorted_frac < 0.25
+    # and nothing was lost in the rewrite
+    assert spark.read.parquet(sorted_dir).count() == li.count()
+
+
+def test_sorted_layout_skips_rowgroups_at_scan(spark, sf_dir, tmp_path):
+    """End-to-end: a range scan over the clustered layout reads fewer
+    rows out of parquet than over the unsorted one (numOutputRows of the
+    scan node reflects row-group pruning)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    sorted_dir = str(tmp_path / "scan_sorted")
+    sorted_write(li, sorted_dir, "l_shipdate", n_files=8)
+
+    pred = "l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-02-01'"
+    df = spark.read.parquet(sorted_dir).filter(pred)
+    n = df.count()
+    # correctness of the pruned read
+    assert n == li.filter(pred).count()
+    # storage-level proof: at least one whole file's footer interval
+    # misses the month, so its row groups can't have been read
+    spans = _rowgroup_intervals(sorted_dir, "l_shipdate")
+    import datetime
+
+    tz = spans[0][0].tzinfo  # stats carry the file's UTC offset
+    jan = (
+        datetime.datetime(1995, 1, 1, tzinfo=tz),
+        datetime.datetime(1995, 2, 1, tzinfo=tz),
+    )
+    outside = [s for s in spans if s[1] < jan[0] or s[0] >= jan[1]]
+    assert outside, "clustering failed: every row group overlaps the probe month"
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """Compaction: a directory of many tiny files becomes few
+    near-target-size files with identical content; file count derives
+    from BYTES, not input file count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    small_dir = str(tmp_path / "small")
+    li.repartition(64).write.parquet(small_dir)  # 64 tiny files
+    n_small = len([f for f in os.listdir(small_dir) if f.endswith(".parquet")])
+    assert n_small == 64
+
+    out_dir = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(os.path.join(small_dir, f))
+        for f in os.listdir(small_dir)
+        if f.endswith(".parquet")
+    )
+    # target ~ half the data -> expect 2 files
+    n = compact_parquet(spark, small_dir, out_dir, target_file_bytes=total // 2 + 1)
+    n_out = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+    assert n == n_out == 2
+    a = spark.read.parquet(small_dir)
+    b = spark.read.parquet(out_dir)
+    assert a.count() == b.count()
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_compact_with_clustering_restores_sort(spark, sf_dir, tmp_path):
+    """Compaction with cluster_col re-sorts while it rewrites."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_orderkey")
+    small_dir = str(tmp_path / "small2")
+    li.repartition(32).write.parquet(small_dir)
+    out_dir = str(tmp_path / "compacted2")
+    compact_parquet(
+        spark, small_dir, out_dir, target_file_bytes=1 << 40, cluster_col="l_shipdate"
+    )
+    spans = _rowgroup_intervals(out_dir, "l_shipdate")
+    # single target file; its row groups must be internally ordered:
+    # non-overlapping consecutive (min, max) intervals when sorted by min
+    spans.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max <= b_min or a_max == b_max  # tight or touching
