@@ -386,3 +386,89 @@ def test_connected_components_fixed_rounds(spark, monkeypatch):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, src_col="a", dst_col="b", rounds=2)
+
+
+_gram2 = st.integers(0, 40)
+
+
+@given(
+    corpus=st.lists(st.tuples(st.integers(0, 8), _gram2), min_size=0, max_size=40),
+    eval_grams=st.lists(_gram2, min_size=0, max_size=8),
+)
+@_SETTINGS
+def test_bloom_screen_preserves_decontamination(spark, corpus, eval_grams):
+    """Bloom prefilter correctness, property form: with a DELIBERATELY
+    tiny bitmap (m=1024, k=3 — real false positives), (1) no eval-set
+    gram is ever screened out (no false negatives, the safety property),
+    and (2) decontaminate over the screened candidates equals
+    decontaminate over the full posting set — false positives cost work,
+    never correctness."""
+    from reactivestreams_kinesis_spark import (
+        bloom_build,
+        bloom_maybe_contains,
+        decontaminate,
+    )
+
+    corpus_df = spark.createDataFrame(
+        [(d, f"g{g}") for d, g in corpus] or [(0, "g0")], "doc_id long, gram string"
+    )
+    eval_df = spark.createDataFrame(
+        [(f"g{g}",) for g in eval_grams] or [("g0",)], "gram string"
+    )
+    if not corpus:
+        corpus_df = corpus_df.filter(F.lit(False))
+    if not eval_grams:
+        eval_df = eval_df.filter(F.lit(False))
+
+    bitmap = bloom_build(eval_df, m_bits=1024, k=3)
+    screened = corpus_df.withColumn("__bloom", F.lit(bitmap)).filter(
+        bloom_maybe_contains("__bloom", "gram", m_bits=1024, k=3)
+    ).drop("__bloom")
+
+    eval_set = {f"g{g}" for g in eval_grams}
+    survivors = {(r.doc_id, r.gram) for r in screened.collect()}
+    for d, g in corpus:
+        if f"g{g}" in eval_set:
+            assert (d, f"g{g}") in survivors  # no false negatives
+
+    full = {
+        (r.doc_id, r.n_shared)
+        for r in decontaminate(corpus_df, eval_df).collect()
+    }
+    via_bloom = {
+        (r.doc_id, r.n_shared)
+        for r in decontaminate(screened, eval_df).collect()
+    }
+    assert via_bloom == full
+
+
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FFF),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_cms_never_undercounts(spark, toks):
+    """The count-min invariant on arbitrary (incl. multi-byte) token
+    streams: every reported estimate dominates the true count, and the
+    exact counts in the report match a Python Counter."""
+    from collections import Counter
+
+    from reactivestreams_kinesis_spark.queries.llm_text import (
+        cms_counters,
+        cms_report,
+    )
+
+    toks_df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    report = cms_report(toks_df, cms_counters(toks_df)).collect()
+    truth = Counter(toks)
+    assert report  # at least one token -> non-empty top-k
+    for r in report:
+        assert r.exact_cnt == truth[r.tok]
+        assert r.cms_est >= r.exact_cnt
