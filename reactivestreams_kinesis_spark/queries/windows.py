@@ -228,3 +228,102 @@ def win_frames_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(running).alias("second_order_key"),
         F.last("o_orderkey").over(full).alias("final_order_key"),
     )
+
+
+# --- Funnel analysis (ordered event-sequence matching) ---------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH pop AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts2
+        FROM events e JOIN v ON e.user_id = v.user_id
+         AND CAST(e.ts AS TIMESTAMP) > v.ts1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts3
+        FROM events e JOIN c ON e.user_id = c.user_id
+         AND CAST(e.ts AS TIMESTAMP) > c.ts2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT steps_completed, COUNT(*) AS n_users,
+           CAST(COALESCE(SUM(conv_us), 0) AS BIGINT) AS sum_convert_us
+    FROM (
+        SELECT pop.user_id,
+            CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS steps_completed,
+            CASE WHEN p.user_id IS NOT NULL
+                 THEN epoch_us(p.ts3) - epoch_us(v.ts1) END AS conv_us
+        FROM pop
+        LEFT JOIN v ON pop.user_id = v.user_id
+        LEFT JOIN c ON pop.user_id = c.user_id
+        LEFT JOIN p ON pop.user_id = p.user_id
+    )
+    GROUP BY steps_completed
+    """,
+    tags=("W2", "A1", "A7"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (ordered event-sequence matching): how many users
+    progressed view → click → purchase IN THAT ORDER (strictly increasing
+    timestamps — a click before the first view does not count), plus the
+    summed first-view→first-qualifying-purchase latency for full
+    conversions.
+
+    Scale shape: events filtered to the step types, ONE groupBy(user)
+    collecting the sorted per-user step-event sequence, and
+    the funnel state machine runs as a higher-order `aggregate` fold over
+    that array (pure codegen, no Python, no joins). Per-user sequences
+    are bounded by the step-type filter; a user with millions of step
+    events would call for a windowed pre-dedup first. The oracle computes
+    the same funnel by the textbook three-way conditional-min join chain
+    — an INDEPENDENT algorithm, so agreement checks the semantics, not
+    the implementation. Latencies are summed exactly (bigint micros, no
+    float averaging). The population branch (all distinct users) and the
+    fold branch both hash-partition on user_id, so the final left join
+    reuses their exchanges."""
+    events = load_table(spark, sf_dir, "events")
+    steps = events.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+    fold = f"""
+        aggregate(
+            array_sort(collect_list(struct(ts, event_type))),
+            named_struct('step', 0,
+                         'ts1', CAST(NULL AS TIMESTAMP),
+                         'tsl', CAST(NULL AS TIMESTAMP)),
+            (acc, e) -> CASE
+                WHEN acc.step = 0 AND e.event_type = '{FUNNEL_STEPS[0]}'
+                    THEN named_struct('step', 1, 'ts1', e.ts, 'tsl', e.ts)
+                WHEN acc.step = 1 AND e.event_type = '{FUNNEL_STEPS[1]}'
+                     AND e.ts > acc.tsl
+                    THEN named_struct('step', 2, 'ts1', acc.ts1, 'tsl', e.ts)
+                WHEN acc.step = 2 AND e.event_type = '{FUNNEL_STEPS[2]}'
+                     AND e.ts > acc.tsl
+                    THEN named_struct('step', 3, 'ts1', acc.ts1, 'tsl', e.ts)
+                ELSE acc
+            END)
+    """
+    per_user = steps.groupBy("user_id").agg(F.expr(fold).alias("f"))
+    population = events.select("user_id").distinct()
+    per_user = population.join(per_user, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("f.step"), F.lit(0)).alias("steps_completed"),
+        F.when(
+            F.col("f.step") == 3,
+            F.unix_micros("f.tsl") - F.unix_micros("f.ts1"),
+        ).alias("conv_us"),
+    )
+    return per_user.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.coalesce(F.sum("conv_us"), F.lit(0)).cast("long").alias("sum_convert_us"),
+    )
