@@ -327,3 +327,66 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.coalesce(F.sum("conv_us"), F.lit(0)).cast("long").alias("sum_convert_us"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id,
+               date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+        FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('week', c.cohort_week, a.act_week) AS INT)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM cohort c
+    JOIN activity a ON c.user_id = a.user_id
+    WHERE a.act_week >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+    tags=("A1", "A2", "J1"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week (their
+    cohort), counted once per subsequent week of ANY activity — the
+    standard (cohort_week, week_offset) retention triangle. Weeks are
+    epoch-aligned `date_trunc` so both engines agree on boundaries;
+    offsets are whole-week differences of already-truncated stamps
+    (exact integers — no float time math).
+
+    Scale shape: cohort = one agg on (user); activity = one distinct on
+    (user, week) — both hash-partition on user_id, the join reuses those
+    exchanges, and the final matrix agg touches only (cohort_week,
+    offset) pairs. Nothing event-sized shuffles twice."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    (F.unix_micros("act_week") - F.unix_micros("cohort_week"))
+                    / (7 * 24 * 3600 * 1_000_000)
+                )
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
