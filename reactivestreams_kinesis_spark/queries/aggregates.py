@@ -327,3 +327,46 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("direct_ok"),
     )
+
+
+register_sql(
+    "agg_moments_exact",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(sq / n, 6) AS mean_qty,
+           ROUND((n * sqq - sq * sq) / (CAST(n AS DOUBLE) * n), 6) AS var_qty,
+           ROUND((n * sqp - sq * sp) / (CAST(n AS DOUBLE) * n), 6)
+               AS covar_qty_price,
+           ROUND((n * sqp - sq * sp)
+                 / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)), 6)
+               AS corr_qty_price
+    FROM s
+    """,
+    tables=["lineitem"],
+    tags=("A1", "A6"),
+    doc="""Statistical moments with EXACT cross-engine parity (A-family
+    depth): population variance, covariance, and Pearson correlation of
+    (quantity, price) per return flag — computed from exact DECIMAL power
+    sums (n, Σx, Σx², Σxy), so the only engine-dependent step (float
+    summation order) never happens: sums are decimal-exact, and every
+    double operation after the cast evaluates the same formula on
+    identical values. This is also the SCALABLE form: power sums are one
+    map-side-combining aggregate (mergeable across partitions — unlike
+    two-pass mean-then-deviation variance), the textbook single-pass
+    moment pattern. Native F.corr/F.var_pop float-fold in engine-specific
+    order and cannot be oracle-checked bit-exactly; this can.""",
+)
