@@ -581,3 +581,114 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(pair_cos), 6).alias("max_cosine"),
         )
     )
+
+
+# --- Embedding quantization (int8) -----------------------------------------
+#
+# The standard memory lever for vector search at scale: symmetric int8
+# scalar quantization cuts embedding storage 4x (float32 -> int8 + one
+# float scale per vector), which at 100 TB of embeddings is the
+# difference between in-memory ANN lists and disk spills. Quantize and
+# dequantize are pure higher-order expressions; the query reports
+# per-label reconstruction fidelity so the recall cost is measured, not
+# assumed. round() on identical doubles is identical in both engines, so
+# the quantized vectors — and therefore the fidelity numbers — are
+# oracle-checked bit-exactly.
+
+QUANT_BITS_MAX = 127  # symmetric int8 range
+
+
+def quantize_int8(vec: str) -> str:
+    """Spark fragment: symmetric int8 quantization of a float array —
+    q_i = round(x_i * 127 / max|x|), stored with its scale. Zero vectors
+    quantize to zeros with scale 0 (guarded divide)."""
+    return (
+        f"transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_BITS_MAX} "
+        f"/ nullif(array_max(transform({vec}, y -> abs(CAST(y AS DOUBLE)))), 0.0)"
+        f") AS INT))"
+    )
+
+
+def _duck_quantize(vec: str) -> str:
+    return (
+        f"list_transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_BITS_MAX} "
+        f"/ nullif(list_max(list_transform({vec}, y -> abs(CAST(y AS DOUBLE)))), 0.0)"
+        f") AS INT))"
+    )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH q AS (
+        SELECT label,
+               embedding,
+               {_duck_quantize('embedding')} AS qv,
+               list_max(list_transform(embedding,
+                        y -> abs(CAST(y AS DOUBLE)))) / {QUANT_BITS_MAX} AS scale
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT label,
+               {duckdb_dot('embedding', 'embedding')} AS fdot,
+               LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP(qv, qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   * scale * scale AS qdot
+        FROM q
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(fdot), 6) AS avg_sq_norm,
+           ROUND(MAX(CASE WHEN fdot > 0
+                          THEN ABS(SQRT(qdot) - SQRT(fdot)) / SQRT(fdot)
+                          ELSE 0 END), 6) AS max_norm_rel_err
+    FROM scored
+    GROUP BY label
+    """,
+    tags=("X1", "X5"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with a fidelity report (X1
+    storage path): quantize every vector (4x smaller), dequantize via its
+    scale, and report per-label worst-case relative norm error — the
+    quantity that bounds cosine drift in downstream ANN. All expression
+    work (transform/round/aggregate), no UDF; at scale the quantized
+    corpus is what the IVF/LSH lists would hold, with full-precision
+    re-scoring only for the final top-k. The oracle recomputes the exact
+    same quantization — round() on identical doubles agrees across
+    engines — so this is value-checked, not bounds-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        "embedding",
+        F.expr(quantize_int8("embedding")).alias("qv"),
+        F.expr(
+            f"array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) "
+            f"/ {QUANT_BITS_MAX}"
+        ).alias("scale"),
+    )
+    scored = q.select(
+        "label",
+        F.expr(spark_dot("embedding", "embedding")).alias("fdot"),
+        (
+            F.expr(
+                "aggregate(zip_with(qv, qv, (x, y) -> CAST(x AS DOUBLE) "
+                "* CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            * F.col("scale")
+            * F.col("scale")
+        ).alias("qdot"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("fdot"), 6).alias("avg_sq_norm"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("fdot") > 0,
+                    F.abs(F.sqrt("qdot") - F.sqrt("fdot")) / F.sqrt("fdot"),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("max_norm_rel_err"),
+    )

@@ -162,6 +162,7 @@ EDGE_EMBED_QUERY_NAMES = (
     "sim_ann_ivf",
     "sim_neardup_blocked",
     "sim_semdedup",
+    "sim_quantize_int8",
     "sim_embed_enrich",
 )
 
