@@ -321,3 +321,45 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_extendedprice") > F.col("p95"))
         ).alias("clipped"),
     )
+
+
+register_sql(
+    "rel_skew_profile",
+    """
+    WITH per_key AS (
+        SELECT l_suppkey AS key, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys,
+               MAX(cnt) AS max_cnt,
+               MIN(cnt) AS min_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows
+        FROM per_key
+    ),
+    heavy AS (
+        SELECT key, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+        FROM per_key
+    )
+    SELECT h.rk, h.key, h.cnt,
+           s.n_keys, s.n_rows,
+           ROUND(CAST(h.cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
+               AS skew_factor,
+           ROUND(CAST(s.max_cnt AS DOUBLE) / s.min_cnt, 6) AS max_min_ratio
+    FROM heavy h CROSS JOIN stats s
+    WHERE h.rk <= 5
+    """,
+    tables=["lineitem"],
+    tags=("A1", "W1", "O2"),
+    doc="""Join-key skew diagnosis (the measurement that decides between
+    plain AQE, `skew_split_join`, and salting — BASELINE.md's join-skew
+    remedy ladder assumes you KNOW the hot keys; this query finds them):
+    per-key row counts, the 5 heaviest keys with their skew factor
+    (count ÷ mean count — 1.0 is perfectly uniform), and the global
+    max/min spread. One SQL text runs on both engines. Scale shape: one
+    map-side-combining count per key, a tiny top-5 (TakeOrdered over the
+    key-count table), and a one-row stats broadcast — nothing row-scale
+    shuffles twice. Run it on a join's build/probe keys BEFORE choosing a
+    skew remedy.""",
+)

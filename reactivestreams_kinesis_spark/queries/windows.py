@@ -390,3 +390,42 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("W2", "A1"),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event transition matrix (Markov-chain counts): for every user's
+    time-ordered event sequence, count (previous event → next event)
+    pairs — the input to funnel discovery, anomaly scoring ("error after
+    purchase spiked"), and next-event models. Ordering carries the
+    event_id tie-breaker so simultaneous events sequence identically in
+    both engines.
+
+    Scale shape: one window shuffle on user_id (each user's history
+    co-locates), then a transition-pair aggregation whose key domain is
+    |event_types|² — tiny — so the second agg is map-side dominated."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
