@@ -197,3 +197,51 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale, "c_custkey bigint, c_nationkey int, bal_scaled double"
     )
     return scaled.withColumn("bal_scaled", F.round("bal_scaled", 6))
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 30
+    ),
+    u AS (
+        SELECT doc_id,
+               CAST(UNNEST(range(1, len(toks) + 1)) AS INT) AS pos,
+               UNNEST(toks) AS tok
+        FROM t
+    )
+    SELECT doc_id, pos, tok, CAST(LENGTH(tok) AS INT) AS tok_len
+    FROM u WHERE tok <> ''
+    """,
+    tags=("P1",),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.11 — the real table-function surface, not just the
+    applyInPandas 'UDTF-ish' form): a LATERAL-joined generator yielding
+    one (pos, tok, tok_len) row per token. Like ``udf_row_scalar`` this
+    is a deliberate surface proof on a bounded slice (doc_id < 30): row
+    UDTFs run Python per input row — the policy keeps them off hot paths
+    (the oracle-twin tokenizations elsewhere are all `split`/`explode`
+    expressions). Unicode lengths are CHARACTER counts in both engines
+    (Python len vs DuckDB LENGTH)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                if tok != "":
+                    yield i, tok, len(tok)
+
+    spark.udtf.register("rsk_tokenize_udtf", TokenizeUDTF)
+    docs = load_table(spark, sf_dir, "documents")
+    view = f"rsk_udtf_docs_{abs(hash(sf_dir)) % 10_000}"
+    docs.filter(F.col("doc_id") < 30).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.pos, t.tok, t.tok_len
+        FROM {view} AS d, LATERAL rsk_tokenize_udtf(d.text) AS t
+        """
+    )

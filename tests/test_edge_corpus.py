@@ -70,6 +70,7 @@ EDGE_QUERY_NAMES = (
     "multimodal_features",
     "udf_pandas_scalar",
     "udf_row_scalar",
+    "udf_python_udtf",
     "fn_posexplode",
 )
 
