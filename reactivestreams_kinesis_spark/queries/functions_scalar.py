@@ -364,3 +364,41 @@ def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(event_type AS INT)").alias("type_as_int"),
         F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)").alias("k_safe"),
     )
+
+
+@register(
+    "fn_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+               AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("P1",),
+)
+def fn_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via Spark 4's VARIANT type (P1 decode, the
+    modern form): ``parse_json`` turns the JSON payload column into a
+    binary variant ONCE at the scan edge, and every later access is a
+    typed ``variant_get`` path lookup — at 100 TB this beats per-access
+    string re-parsing (``get_json_object``) because the parse cost is
+    paid once and the variant encoding is shredded/binary, and it beats
+    rigid ``from_json`` structs when payload schemas drift (unknown keys
+    keep riding along untyped). The oracle reads the same numbers with
+    DuckDB's JSON path functions — typed extraction must agree exactly
+    with the string-parse route."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
