@@ -330,25 +330,20 @@ register_sql(
         SELECT l_suppkey AS key, COUNT(*) AS cnt
         FROM lineitem GROUP BY l_suppkey
     ),
-    stats AS (
-        SELECT COUNT(*) AS n_keys,
-               MAX(cnt) AS max_cnt,
-               MIN(cnt) AS min_cnt,
-               CAST(SUM(cnt) AS BIGINT) AS n_rows
-        FROM per_key
-    ),
-    heavy AS (
+    ranked AS (
         SELECT key, cnt,
-               ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk,
+               COUNT(*) OVER () AS n_keys,
+               MAX(cnt) OVER () AS max_cnt,
+               MIN(cnt) OVER () AS min_cnt,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n_rows
         FROM per_key
     )
-    SELECT h.rk, h.key, h.cnt,
-           s.n_keys, s.n_rows,
-           ROUND(CAST(h.cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
-               AS skew_factor,
-           ROUND(CAST(s.max_cnt AS DOUBLE) / s.min_cnt, 6) AS max_min_ratio
-    FROM heavy h CROSS JOIN stats s
-    WHERE h.rk <= 5
+    SELECT rk, key, cnt, n_keys, n_rows,
+           ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor,
+           ROUND(CAST(max_cnt AS DOUBLE) / min_cnt, 6) AS max_min_ratio
+    FROM ranked
+    WHERE rk <= 5
     """,
     tables=["lineitem"],
     tags=("A1", "W1", "O2"),
@@ -357,9 +352,11 @@ register_sql(
     remedy ladder assumes you KNOW the hot keys; this query finds them):
     per-key row counts, the 5 heaviest keys with their skew factor
     (count ÷ mean count — 1.0 is perfectly uniform), and the global
-    max/min spread. One SQL text runs on both engines. Scale shape: one
-    map-side-combining count per key, a tiny top-5 (TakeOrdered over the
-    key-count table), and a one-row stats broadcast — nothing row-scale
-    shuffles twice. Run it on a join's build/probe keys BEFORE choosing a
-    skew remedy.""",
+    max/min spread. One SQL text runs on both engines. Scale shape: ONE
+    fact scan feeding one map-side-combining count per key; rank and
+    global stats come from windows over the per-KEY table (dimension
+    cardinality — small by definition of a key worth diagnosing), so the
+    fact table is read once (the CTE-per-branch form scanned it twice —
+    caught by explain). Run it on a join's build/probe keys BEFORE
+    choosing a skew remedy.""",
 )

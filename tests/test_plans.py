@@ -358,3 +358,12 @@ def test_cms_counter_build_is_one_partial_agg(spark, sf_dir):
     assert "Join" not in simple
     # and the scan reads ONLY the text column (pruned)
     assert "ReadSchema: struct<text:string>" in simple
+
+
+def test_skew_profile_single_fact_scan(spark, sf_dir):
+    """rel_skew_profile must read the fact table ONCE: rank and global
+    stats both derive from windows over the per-key count table, not
+    from re-aggregating the fact scan per branch (the CTE-per-branch
+    form silently scanned lineitem twice)."""
+    plan = explain_string(QUERIES["rel_skew_profile"].fn(spark, sf_dir), "simple")
+    assert plan.count("FileScan") == 1
