@@ -554,11 +554,17 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(cent_cos.desc(), F.col("centroid_id"))
+    # persisted: the pair stage references the assignment twice (a/b
+    # sides of the self-join) — without the cache the broadcast-window
+    # assignment would execute twice (caught by the round-4 scan audit);
+    # released by the caller's released_caches scope like every shared
+    # fan-out intermediate here
     assigned = (
         corpus.crossJoin(F.broadcast(centroids))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 1)
         .select("vec_id", "cv", "cn", "centroid_id")
+        .persist()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

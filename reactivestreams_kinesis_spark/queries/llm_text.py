@@ -593,13 +593,17 @@ def cms_report(toks: DataFrame, counters: DataFrame) -> DataFrame:
     """Estimate + check report over a counter table (however it was
     built): exact top-20 anchor, MIN-over-rows estimates, domination and
     eps*N envelope flags."""
-    exact_top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), "tok")
-        .limit(20)
+    # vocab (distinct tokens + counts) is persisted and reused three
+    # times — top-k anchor, total-token count, and the estimate join —
+    # so the corpus token stream is scanned for it exactly once; caching
+    # the vocab is cheap (vocabulary-sized), caching the exploded token
+    # stream would not be (corpus-sized). Round-4 scan-audit fix:
+    # previously each use re-scanned and re-tokenized the corpus.
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
     )
-    n_toks = toks.agg(F.count(F.lit(1)).alias("n_toks"))
+    exact_top = vocab.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
+    n_toks = vocab.agg(F.sum("exact_cnt").alias("n_toks"))
     est = (
         exact_top.select("tok", F.explode(F.expr(_CMS_SEEDS)).alias("i"))
         .withColumn("b", F.expr(_CMS_SPARK_BUCKET))

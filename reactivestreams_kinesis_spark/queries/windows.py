@@ -281,8 +281,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed first-view→first-qualifying-purchase latency for full
     conversions.
 
-    Scale shape: events filtered to the step types, ONE groupBy(user)
-    collecting the sorted per-user step-event sequence, and
+    Scale shape — ONE scan, ONE shuffle: a single groupBy(user) collects
+    the sorted per-user step-event sequence (a NULL-skipping CASE inside
+    collect_list keeps only step events while still emitting a group row
+    for every user, so no separate population branch or join), and
     the funnel state machine runs as a higher-order `aggregate` fold over
     that array (pure codegen, no Python, no joins). Per-user sequences
     are bounded by the step-type filter; a user with millions of step
@@ -290,14 +292,19 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same funnel by the textbook three-way conditional-min join chain
     — an INDEPENDENT algorithm, so agreement checks the semantics, not
     the implementation. Latencies are summed exactly (bigint micros, no
-    float averaging). The population branch (all distinct users) and the
-    fold branch both hash-partition on user_id, so the final left join
-    reuses their exchanges."""
+    float averaging)."""
     events = load_table(spark, sf_dir, "events")
-    steps = events.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+    # ONE scan: collect_list skips NULLs, so the CASE keeps only step
+    # events while every user (even step-less ones) still gets a group
+    # row — no separate population branch, no join (plan-pinned).
+    step_struct = (
+        "CASE WHEN event_type IN ('"
+        + "', '".join(FUNNEL_STEPS)
+        + "') THEN struct(ts, event_type) END"
+    )
     fold = f"""
         aggregate(
-            array_sort(collect_list(struct(ts, event_type))),
+            array_sort(collect_list({step_struct})),
             named_struct('step', 0,
                          'ts1', CAST(NULL AS TIMESTAMP),
                          'tsl', CAST(NULL AS TIMESTAMP)),
@@ -313,11 +320,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE acc
             END)
     """
-    per_user = steps.groupBy("user_id").agg(F.expr(fold).alias("f"))
-    population = events.select("user_id").distinct()
-    per_user = population.join(per_user, "user_id", "left").select(
+    per_user = events.groupBy("user_id").agg(F.expr(fold).alias("f")).select(
         "user_id",
-        F.coalesce(F.col("f.step"), F.lit(0)).alias("steps_completed"),
+        F.col("f.step").alias("steps_completed"),
         F.when(
             F.col("f.step") == 3,
             F.unix_micros("f.tsl") - F.unix_micros("f.ts1"),
@@ -361,22 +366,34 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets are whole-week differences of already-truncated stamps
     (exact integers — no float time math).
 
-    Scale shape: cohort = one agg on (user); activity = one distinct on
-    (user, week) — both hash-partition on user_id, the join reuses those
-    exchanges, and the final matrix agg touches only (cohort_week,
-    offset) pairs. Nothing event-sized shuffles twice."""
+    Scale shape — ONE scan: a single (user, week) aggregation carrying a
+    min-signup-ts flag, the cohort week assigned by a user-partitioned
+    window over the weekly rows (reusing the agg's partitioning), then
+    the matrix agg over (cohort_week, offset) pairs. The fact table is
+    read once where the cohort⋈activity join form read it twice
+    (caught by the scan audit)."""
     events = load_table(spark, sf_dir, "events")
-    cohort = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
-    )
-    activity = events.select(
+    # ONE scan: per-(user, week) rows with a signup flag, then the
+    # cohort week arrives by window-min over each user's weeks — the
+    # window reuses the aggregation's user-keyed partitioning, so the
+    # fact table is read once and shuffled once
+    weekly = events.groupBy(
         "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
-    ).distinct()
+    ).agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup_ts")
+    )
+    w = Window.partitionBy("user_id")
+    weekly = weekly.withColumn(
+        "cohort_week",
+        F.date_trunc("week", F.min("first_signup_ts").over(w)),
+    )
     return (
-        cohort.join(activity, "user_id")
-        .filter(F.col("act_week") >= F.col("cohort_week"))
+        weekly.filter(
+            F.col("cohort_week").isNotNull()
+            & (F.col("act_week") >= F.col("cohort_week"))
+        )
         .groupBy(
             "cohort_week",
             (
