@@ -367,3 +367,15 @@ def test_skew_profile_single_fact_scan(spark, sf_dir):
     form silently scanned lineitem twice)."""
     plan = explain_string(QUERIES["rel_skew_profile"].fn(spark, sf_dir), "simple")
     assert plan.count("FileScan") == 1
+
+
+def test_event_analytics_single_scan(spark, sf_dir):
+    """events_funnel and events_cohort_retention each read the events
+    table ONCE: the funnel folds a NULL-skipping CASE collect_list (no
+    population join), the cohort derives its week by window over the
+    single (user, week) aggregation. Regressing to a two-branch join
+    shape doubles the 100 TB fact scan."""
+    for name in ("events_funnel", "events_cohort_retention"):
+        plan = explain_string(QUERIES[name].fn(spark, sf_dir), "simple")
+        assert plan.count("FileScan") == 1, name
+        assert "Join" not in plan, name
