@@ -46,6 +46,9 @@ SHIFTS = {
     "part": {"p_partkey": KEY_OFF},
     "nation": {},
     "region": {},
+    # events: more users at constant per-user history depth — the right
+    # scaling model for the event analytics (funnel/cohort/transitions)
+    "events": {"event_id": ORDER_OFF, "user_id": KEY_OFF},
 }
 
 

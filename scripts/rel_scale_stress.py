@@ -38,6 +38,10 @@ QUERIES = (
     "win_running_total",
     "win_topk_per_group",
     "agg_grouping_sets",
+    # round-4 event analytics (x10 events = 10x users, same history depth)
+    "events_funnel",
+    "events_cohort_retention",
+    "events_transitions",
 )
 
 
