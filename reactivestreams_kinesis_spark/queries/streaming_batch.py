@@ -269,3 +269,36 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_toks = cms_tokens(load_table(spark, sf_dir, "documents"))
     return cms_report(batch_toks, counters)
 
+
+
+@register(
+    "stream_dedup_corpus",
+    oracle="SELECT DISTINCT MD5(text) AS content_hash FROM documents",
+    tags=("T6", "X2"),
+)
+def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exact-dedup as a STREAM (X2's streaming form, distinct from
+    the keyed-event dedup of ``stream_dedup_keys``): documents replay
+    through the file source, ``dropDuplicates`` on the content hash keeps
+    each text's first arrival, and the drained hash set must equal the
+    batch DISTINCT — the projection is hashes only, because WHICH
+    duplicate row survives depends on arrival order (nondeterministic
+    under parallel file reads) while the surviving hash SET does not.
+    State = one 32-hex row per distinct text, the same bounded-state
+    argument as the batch md5 group-by; in production the watermarked
+    variant (``test_dedup_within_watermark``) bounds it further. The
+    companion test ``test_incremental_ingest_dedup_vs_history`` composes
+    this with a stream-static anti-join against the historical corpus."""
+    from reactivestreams_kinesis_spark.sources.text_formats import (
+        DOCUMENTS_SCHEMA,
+    )
+
+    docs_stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = docs_stream.select(
+        F.md5("text").alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+    return _run_to_memory(deduped, "append")

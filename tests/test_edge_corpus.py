@@ -52,6 +52,7 @@ EDGE_QUERY_NAMES = (
     "text_redact_pii",
     "text_heavy_hitters_cms",
     "stream_heavy_hitters_cms",
+    "stream_dedup_corpus",
     "text_repetition",
     "dedup_exact",
     "dedup_jaccard_pairs",
