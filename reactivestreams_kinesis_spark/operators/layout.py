@@ -67,7 +67,18 @@ def compact_parquet(
     bytes — never from file count, which is exactly the number compaction
     exists to fix. With ``cluster_col`` the rewrite also restores
     clustering (compaction is the natural moment to re-sort). Returns the
-    number of files written."""
+    number of files written.
+
+    ``in_dir``/``out_dir`` must be LOCAL filesystem paths: the byte-size
+    walk uses ``os.walk`` (object-store URIs would need the Hadoop
+    FileSystem API instead), and compaction must never write over the
+    directory it is reading — Spark fails mid-write on that, after
+    having deleted output, so it is rejected up front."""
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            f"compact_parquet cannot write over its input: {in_dir!r} — "
+            "compact into a sibling directory, then swap"
+        )
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(in_dir)

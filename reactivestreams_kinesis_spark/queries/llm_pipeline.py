@@ -560,6 +560,7 @@ def bloom_build(grams: DataFrame, *, m_bits: int = BLOOM_M_BITS,
     pin in `decontaminate`: a benchmark set does not scale with the
     corpus. Distinct positions first, so the driver pulls ≤ k·|grams|
     ints, not the gram strings."""
+    _validate_bloom_params(m_bits, k)
     positions = (
         grams.select(
             F.explode(
@@ -579,11 +580,25 @@ def bloom_build(grams: DataFrame, *, m_bits: int = BLOOM_M_BITS,
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def _validate_bloom_params(m_bits: int, k: int) -> None:
+    """Both ends of the Bloom contract hash positions in [0, m_bits) into
+    m_bits//64 words; a non-multiple-of-64 m_bits makes the top partial
+    word unreachable — IndexError at build time, or an out-of-range
+    element_at at probe time (ANSI error on Spark 4; silent false negative
+    under non-ANSI, defeating the no-false-negative contract). Fail fast
+    in BOTH entry points instead."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
 def bloom_maybe_contains(bitmap_col: str, gram_col: str, *,
                          m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
     """Membership-screen expression over a bitmap array<bigint> column:
     true iff all k seeded positions of the gram are set. Pure codegen —
     the Bloom screen never leaves the JVM expression pipeline."""
+    _validate_bloom_params(m_bits, k)
     return F.expr(
         f"forall(transform(sequence(0, {k - 1}), "
         f"i -> pmod(xxhash64({gram_col}, i), {m_bits})), "

@@ -23,6 +23,8 @@ decode step for the two dominant text container formats.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
 import tempfile
 
@@ -42,11 +44,23 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 
 def _conversion_dir(sf_dir: str, fmt: str) -> str:
-    """Process-stable conversion cache dir for a fixture path: the fixture
-    parquet is immutable per sf_dir, so one conversion per (path, format)
-    serves every query in the session."""
-    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"rsk_fmt_{fmt}_{key}")
+    """Conversion cache dir for a fixture path. The dir lives in the
+    shared system temp dir and survives across processes, so the key must
+    change when the FIXTURE changes, not just the path: a regenerated
+    documents.parquet (new seed / scale) at the same path would otherwise
+    silently reuse the stale dump. The key therefore includes a content
+    fingerprint (mtime+size of every file under documents.parquet)."""
+    path_key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = sorted(glob.glob(os.path.join(src, "**"), recursive=True)) or [src]
+    fp = hashlib.md5()
+    for p in parts:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            fp.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return os.path.join(
+        tempfile.gettempdir(), f"rsk_fmt_{fmt}_{path_key}_{fp.hexdigest()[:12]}"
+    )
 
 
 def documents_as_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:

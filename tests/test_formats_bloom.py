@@ -150,3 +150,45 @@ def test_semdedup_drop_list_semantics(spark, sf_dir):
         assert n_kept + n_dropped == n_total
     finally:
         dropped.unpersist()
+
+
+def test_bloom_param_validation():
+    """Both Bloom entry points reject an m_bits that is not a positive
+    multiple of 64 (positions could exceed the packed word array: build
+    IndexError / probe false negative) and k < 1 (everything 'matches')."""
+    import pandas as pd  # noqa: F401 — ensures pandas present for DataFrame-less path
+
+    from reactivestreams_kinesis_spark.queries.llm_pipeline import (
+        _validate_bloom_params,
+    )
+
+    for bad_m in (1000, 0, -64, 63):
+        with pytest.raises(ValueError):
+            _validate_bloom_params(bad_m, 5)
+    with pytest.raises(ValueError):
+        _validate_bloom_params(128, 0)
+    with pytest.raises(ValueError):
+        bloom_maybe_contains("b", "g", m_bits=1000)
+    _validate_bloom_params(128, 1)  # ok
+
+
+def test_conversion_cache_invalidated_by_fixture_change(spark, tmp_path):
+    """The cross-process conversion cache must key on fixture CONTENT, not
+    just path: regenerate documents.parquet at the same path and the cache
+    dir must change (stale dumps are never reused)."""
+    from reactivestreams_kinesis_spark.sources.text_formats import _conversion_dir
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.range(3).selectExpr(
+        "id AS doc_id", "'a' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    first = _conversion_dir(sf, "jsonl")
+    # regenerate the fixture in place (new content, same path)
+    spark.range(5).selectExpr(
+        "id AS doc_id", "'b' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    second = _conversion_dir(sf, "jsonl")
+    assert first != second

@@ -131,3 +131,14 @@ def test_compact_with_clustering_restores_sort(spark, sf_dir, tmp_path):
     spans.sort()
     for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
         assert a_max <= b_min or a_max == b_max  # tight or touching
+
+
+def test_compact_parquet_rejects_in_place(spark, sf_dir, tmp_path):
+    """Compacting a directory onto itself would have Spark delete the
+    input mid-write; the helper rejects it before any I/O."""
+    import pytest
+
+    d = str(tmp_path / "inplace")
+    load_table(spark, sf_dir, "region").write.parquet(d)
+    with pytest.raises(ValueError, match="cannot write over its input"):
+        compact_parquet(spark, d, d)
