@@ -125,6 +125,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",            # T5
     "stream_dedup_keys",            # T6
     "stream_stateful_user_stats",   # T7
+    # round-5 reallocation: J8/T2 had no driver row while two rows carried
+    # the same X3 clustering family; the redundant variants
+    # (dedup_components, text_simhash) moved past the cutoff — still
+    # bit-exact-checked by the local oracle mirror.
+    "stream_static_enrich",         # J8 stream-static broadcast join
+    "stream_watermark_late",        # T2 late-drop + append finalization
     # windows
     "win_rank_customers",           # W1
     "win_lag_lead_events",          # W2
@@ -140,11 +146,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # itself stays bit-exact-checked by the local oracle mirror.
     "dedup_exact",                  # X2
     "dedup_components_lsh",         # X3 (LSH + CC composition)
-    "dedup_components",             # X3
     # text analysis
     "text_stats",                   # X4
     "text_tfidf_topk",              # X4 W4
-    "text_simhash",                 # X4 X3
     # multimodal + UDF surface (§2.11)
     "multimodal_plumbing",          # X5
     "multimodal_features",          # X5

@@ -302,3 +302,168 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash")
     ).dropDuplicates(["content_hash"])
     return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("J8", "S6"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join (J8): the events stream enriched against the
+    static customer dimension — the canonical streaming-ETL shape (facts
+    arrive, dimensions sit in the warehouse). The static side is pinned
+    broadcast (bounded dimension), so each microbatch joins map-side with
+    zero shuffle of stream rows; the drained join must equal the batch
+    inner join. The segment×type rollup happens on the CAPTURED table so
+    the streaming stage stays stateless append (per-batch join only —
+    no watermark, no state store), exactly how Spark executes
+    stream–static joins in production."""
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = stream.join(
+        F.broadcast(customer),
+        stream.user_id == customer.c_custkey,
+        "inner",
+    ).select("c_mktsegment", "event_type", "value")
+    captured = _run_to_memory(joined, "append")
+    return captured.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)"
+        ).alias("sum_value"),
+    )
+
+
+# --- watermark late-data semantics under the oracle (T2) --------------------
+#
+# Spark's exact late-data rules, pinned empirically (see
+# tests/test_streaming.py::test_watermark_boundary_semantics):
+#   - the watermark value is milliseconds: floor(max_event_time_us / 1000)
+#     minus the delay in ms; the filter literal is that value * 1000 (us);
+#   - the filter applied while executing micro-batch N uses the watermark
+#     computed from data through batch N-2 (the update commits one batch
+#     after the data that produced it);
+#   - a late row is dropped iff its window END <= watermark (equality
+#     drops);
+#   - at the final (no-data) flush, a window is emitted in append mode iff
+#     its END <= the final watermark (equality emits).
+# The fixture replay is arranged so every one of those rules is visible in
+# the answer, and the oracle recomputes them in portable SQL.
+
+_WM_DELAY_MS = 3 * 86400 * 1000  # 3 days
+_DAY_US = 86400 * 1_000_000
+_T_LATE = "2024-01-26 00:00:00"  # arrival batch 3 = events before this (late)
+_T_LOCK = "2024-01-28 00:00:00"  # arrival batch 2 = events from here (locks wm)
+
+
+def _late_replay_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events fixture as a 3-batch arrival history: the
+    mid-range bulk arrives first (establishes the watermark), the newest
+    slice second (locks that watermark in for late filtering), and the
+    oldest slice LAST (the late cohort, straddling the watermark cutoff).
+    One file per cohort + maxFilesPerTrigger=1 makes the micro-batch
+    sequence deterministic; file mtimes force the replay order."""
+    import os
+
+    from reactivestreams_kinesis_spark.sources.text_formats import fixture_cache_dir
+
+    out = fixture_cache_dir(sf_dir, "late_replay", "events")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        cohorts = [
+            ("f1", (F.col("ts") >= _T_LATE) & (F.col("ts") < _T_LOCK)),
+            ("f2", F.col("ts") >= _T_LOCK),
+            ("f3", F.col("ts") < _T_LATE),
+        ]
+        for i, (name, pred) in enumerate(cohorts):
+            sub = os.path.join(out, name)
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(sub)
+            for root, _, files in os.walk(sub):
+                for f in files:
+                    t = 1_000_000 + i * 100
+                    os.utime(os.path.join(root, f), (t, t))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+_WM_ORACLE = f"""
+    WITH wm1 AS (
+        SELECT (CAST(floor(epoch_us(MAX(ts)) / 1000) AS BIGINT) - {_WM_DELAY_MS}) * 1000 AS us
+        FROM events
+        WHERE ts >= TIMESTAMP '{_T_LATE}' AND ts < TIMESTAMP '{_T_LOCK}'
+    ),
+    wmf AS (
+        SELECT (CAST(floor(epoch_us(MAX(ts)) / 1000) AS BIGINT) - {_WM_DELAY_MS}) * 1000 AS us
+        FROM events
+    ),
+    kept AS (
+        SELECT e.*,
+               (CAST(floor(epoch_us(e.ts) / {_DAY_US}) AS BIGINT) + 1) * {_DAY_US} AS win_end_us
+        FROM events e
+        WHERE e.ts >= TIMESTAMP '{_T_LATE}'
+           OR (CAST(floor(epoch_us(e.ts) / {_DAY_US}) AS BIGINT) + 1) * {_DAY_US}
+              > (SELECT us FROM wm1)
+    )
+    SELECT
+        make_timestamp(win_end_us - {_DAY_US}) AS win_start,
+        event_type,
+        COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+    FROM kept
+    WHERE win_end_us <= (SELECT us FROM wmf)
+    GROUP BY 1, 2
+"""
+
+
+@register("stream_watermark_late", oracle=_WM_ORACLE, tags=("T2", "T3", "T8"))
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop (T2) under the value oracle: a
+    daily-window append-mode aggregation over a 3-batch replay of the
+    events fixture where the OLDEST slice arrives last. The late cohort
+    straddles the watermark cutoff, so part of it is genuinely dropped
+    (window end <= watermark) and part survives; and append mode only
+    emits windows the final watermark has passed — both boundaries are
+    recomputed exactly by the oracle SQL from the same fixture (module
+    docstring pins the empirical rules, equality behavior included).
+    State at scale is bounded by the watermark: expired windows leave the
+    store every batch, which is the entire point of T2."""
+    src = _late_replay_fixture(spark, sf_dir)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    windowed = (
+        stream.withWatermark("ts", "3 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+    captured = _run_to_memory(windowed, "append")
+    return captured.select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+    )

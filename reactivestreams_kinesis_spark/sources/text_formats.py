@@ -43,15 +43,16 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
-def _conversion_dir(sf_dir: str, fmt: str) -> str:
-    """Conversion cache dir for a fixture path. The dir lives in the
-    shared system temp dir and survives across processes, so the key must
-    change when the FIXTURE changes, not just the path: a regenerated
-    documents.parquet (new seed / scale) at the same path would otherwise
-    silently reuse the stale dump. The key therefore includes a content
-    fingerprint (mtime+size of every file under documents.parquet)."""
+def fixture_cache_dir(sf_dir: str, tag: str, table: str = "documents") -> str:
+    """Cross-process cache dir for a derived copy of a fixture table
+    (format dumps, replay splits). The dir lives in the shared system temp
+    dir and survives across processes, so the key must change when the
+    FIXTURE changes, not just the path: a regenerated parquet (new seed /
+    scale) at the same path would otherwise silently serve a stale
+    derivative. The key therefore includes a content fingerprint
+    (mtime+size of every file under the source table)."""
     path_key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     parts = sorted(glob.glob(os.path.join(src, "**"), recursive=True)) or [src]
     fp = hashlib.md5()
     for p in parts:
@@ -59,8 +60,12 @@ def _conversion_dir(sf_dir: str, fmt: str) -> str:
             st = os.stat(p)
             fp.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
     return os.path.join(
-        tempfile.gettempdir(), f"rsk_fmt_{fmt}_{path_key}_{fp.hexdigest()[:12]}"
+        tempfile.gettempdir(), f"rsk_{tag}_{path_key}_{fp.hexdigest()[:12]}"
     )
+
+
+def _conversion_dir(sf_dir: str, fmt: str) -> str:
+    return fixture_cache_dir(sf_dir, f"fmt_{fmt}", "documents")
 
 
 def documents_as_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:

@@ -940,3 +940,63 @@ def test_incremental_ingest_dedup_vs_history(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_watermark_boundary_semantics(spark, tmp_path):
+    """T2 exact rules that the `stream_watermark_late` oracle recomputes in
+    SQL — pinned here so a Spark behavior change breaks THIS test with a
+    readable story instead of a value-hash mismatch:
+    - the late filter for micro-batch N uses the watermark from data
+      through batch N-2 (the update commits one batch late);
+    - a late row is dropped iff its window END <= watermark (== drops);
+    - the final flush emits a window iff END <= final watermark (== emits).
+    """
+    import datetime as dt
+
+    src = str(tmp_path / "wm_bounds")
+    schema = "ts timestamp, k bigint"
+
+    def mk(rows, name, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src + "/" + name
+        )
+        for root, _, fs in os.walk(src + "/" + name):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t = lambda h, m, s=0: dt.datetime(2024, 1, 1, h, m, s)
+    mk([(t(12, 0), 1)], "f1", 1_000_000)  # wm_a = 11:50
+    mk([(t(12, 5), 2)], "f2", 1_000_100)  # wm_b = 11:55 = final wm
+    mk(
+        [
+            (t(11, 52, 30), 100),  # end 11:53 > wm_a: kept iff filter lags
+            (t(11, 49, 30), 101),  # end 11:50 == wm_a: equality must drop
+            (t(11, 48, 10), 102),  # end 11:49 < wm_a: dropped
+            (t(11, 55, 30), 103),  # end 11:56 > final wm: stays in state
+            (t(11, 54, 30), 104),  # end 11:55 == final wm: equality emits
+        ],
+        "f3",
+        1_000_200,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.collect_set("k").alias("ks"))
+    )
+    name = f"wmb_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    emitted = {k for r in spark.table(name).collect() for k in r.ks}
+    assert emitted == {100, 104}, (
+        f"watermark boundary semantics changed: emitted {sorted(emitted)} — "
+        "update the stream_watermark_late oracle to match"
+    )
