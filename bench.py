@@ -9,6 +9,13 @@ Headline queries are the registry entries flagged ``bench=True`` — one per
 major operator family (scan+agg, fact-fact join, 6-table join, window,
 MinHash LSH dedup, vector top-k). Each is executed to completion through the
 noop sink (full plan runs, nothing materializes driver-side).
+
+``SPARK_GRAFT_BENCH_QUERIES`` (comma-separated registry names) selects a
+SECONDARY set under identical timing semantics without disturbing the
+headline set's round-over-round comparability — e.g. the event-analytics
+family recorded in BASELINE.md:
+
+    SPARK_GRAFT_BENCH_QUERIES=events_funnel,events_cohort_retention,events_transitions python bench.py
 """
 
 from __future__ import annotations
@@ -33,7 +40,15 @@ def main() -> None:
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else -1.0
 
     spark = get_spark(app_name="rsk-spark-bench")
-    queries = {name: q for name, q in all_queries().items() if q.bench}
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if override:
+        registry = all_queries()
+        unknown = [n for n in override.split(",") if n not in registry]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        queries = {n: registry[n] for n in override.split(",")}
+    else:
+        queries = {name: q for name, q in all_queries().items() if q.bench}
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -190,23 +190,48 @@ def skew_split_join(
     return rest.unionByName(hot)
 
 
+def derive_bin_width(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> float:
+    """Data-derived bin width for ``range_join``: the MEDIAN interval
+    width, from one small stats aggregate (``percentile_approx``). The
+    median keeps the typical interval at ~2 exploded bins — the knob's
+    whole job — and is robust to a few huge outlier intervals that would
+    drag a mean. Degenerate inputs (empty, all-NULL, or all zero-width
+    intervals) fall back to 1.0: binning is EXACT at any width, so the
+    fallback can only cost performance, never rows."""
+    row = intervals.agg(
+        F.percentile_approx(F.col(end_col) - F.col(start_col), 0.5).alias("w")
+    ).collect()[0]
+    w = row["w"]
+    if w is None or float(w) <= 0:
+        return 1.0
+    return float(w)
+
+
 def range_join(
     intervals: DataFrame,
     points: DataFrame,
     start_col: str,
     end_col: str,
     point_col: str,
-    bin_width: float,
+    bin_width: float | None = None,
 ) -> DataFrame:
     """Exact interval-point range join via binning — the scale path for
     big×big range predicates that Spark otherwise plans as a (broadcast)
     nested-loop join with |intervals| × |points| predicate evaluations.
 
     Each interval [start, end] explodes to the bins of width ``bin_width``
-    it overlaps (``width / bin_width + 1`` rows — pick ``bin_width`` near
-    the typical interval width so this is ~2); each point hashes to ONE
-    bin; a bin equi-join produces candidates and the real predicate
-    refines them. Exactness: any (interval, point) pair with
+    it overlaps (``width / bin_width + 1`` rows — the width should sit
+    near the typical interval width so this is ~2); each point hashes to
+    ONE bin; a bin equi-join produces candidates and the real predicate
+    refines them. ``bin_width=None`` (default) derives it from the data
+    as the median interval width (``derive_bin_width`` — one small stats
+    aggregate, a bounded driver action), removing the one knob a naive
+    caller can set catastrophically: a width 100× below the interval
+    width explodes every interval to ~100 bin rows. Pass the constant
+    explicitly to keep the plan single-pass when the width is known.
+    Exactness holds at ANY width: any (interval, point) pair with
     start ≤ p ≤ end shares the bin floor(p / bin_width), which the
     interval's bin range covers by construction, and duplicate candidates
     are impossible because a point owns exactly one bin. Same trick as
@@ -219,6 +244,8 @@ def range_join(
     collide between the two sides (rename before calling, as with any
     Spark join).
     """
+    if bin_width is None:
+        bin_width = derive_bin_width(intervals, start_col, end_col)
     b = F.lit(bin_width)
     binned_intervals = intervals.withColumn(
         "__bin",

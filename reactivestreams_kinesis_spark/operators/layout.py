@@ -92,3 +92,77 @@ def compact_parquet(
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def zorder_expr(cols: list[str], mins: dict, maxs: dict, *, bits: int = 16):
+    """Z-order (Morton) key as a pure-codegen expression: each cluster
+    column is min-max scaled onto a ``bits``-bit integer grid, then the
+    per-column bits are interleaved so locality in the key implies
+    locality in EVERY clustered dimension at once. ``mins``/``maxs`` are
+    the column bounds (one stats aggregate at write time — literals in
+    the expression, so the whole key stays inside whole-stage codegen:
+    arithmetic + shiftleft/`&`/`|` only, no UDF)."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    cells = []
+    for c in cols:
+        lo, hi = float(mins[c]), float(maxs[c])
+        span = hi - lo if hi > lo else 1.0
+        cells.append(
+            f"CAST(LEAST(CAST({(1 << bits) - 1} AS BIGINT), "
+            f"FLOOR(((CAST({c} AS DOUBLE) - {lo}d) / {span}d) * {(1 << bits)}d)) "
+            f"AS BIGINT)"
+        )
+    terms = " | ".join(
+        f"shiftleft(shiftright(__cell{i}__, b) & 1, b * {k} + {i})"
+        for i in range(k)
+    )
+    expr = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc | {terms})"
+    )
+    for i, cell in enumerate(cells):
+        expr = expr.replace(f"__cell{i}__", f"({cell})")
+    return F.expr(expr)
+
+
+def interleaved_write(
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    *,
+    n_files: int | None = None,
+    bits: int = 16,
+) -> str:
+    """Write ``df`` clustered on the Z-ORDER interleaving of ``cols``:
+    one stats pass derives each column's bounds, the Morton key is a
+    codegen bit-interleave of the min-max-scaled columns, and the write
+    range-partitions + sorts on that key. Where ``sorted_write`` makes
+    row-group intervals tight in ONE dimension (and useless in the
+    others), the Z-curve makes every row group cover a small HYPER-BOX:
+    a scan filtering on any clustered column — or several at once —
+    skips row groups whose box misses the predicate. The standard
+    multi-dimensional data-skipping layout (Delta/Iceberg `ZORDER BY`),
+    here as a plain DataFrame write; measured skip rates in SCALING.md."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).collect()[0]
+    mins = {c: stats[f"min_{c}"] for c in cols}
+    maxs = {c: stats[f"max_{c}"] for c in cols}
+    keyed = df.withColumn("__z", zorder_expr(cols, mins, maxs, bits=bits))
+    writer = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files is not None
+        else keyed.repartitionByRange("__z")
+    )
+    (
+        writer.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir

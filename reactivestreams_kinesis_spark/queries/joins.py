@@ -475,7 +475,9 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.25 s vs 7.22 s — BASELINE.md "Range join", round 4), a gap that
     grows as |S|×|C| while the binned cost stays near-linear. Left
     semantics composed by joining the aggregated inner result back to
-    the supplier side."""
+    the supplier side. The bin width is DERIVED (round 5): the median
+    interval width stats-aggregate picks 200.0 here — exercising the
+    default a naive caller gets, instead of a hand-tuned constant."""
     from reactivestreams_kinesis_spark.operators.joins import range_join
 
     supplier = load_table(spark, sf_dir, "supplier").select(
@@ -484,7 +486,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_acctbal") + 100).alias("hi"),
     )
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    inner = range_join(supplier, customer, "lo", "hi", "c_acctbal", bin_width=200.0)
+    inner = range_join(supplier, customer, "lo", "hi", "c_acctbal")
     counts = inner.groupBy("s_suppkey").agg(
         F.count("c_custkey").alias("n_peer_customers")
     )

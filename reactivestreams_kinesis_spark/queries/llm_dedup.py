@@ -608,6 +608,137 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same contract as ``connected_components``
+    (component id = min node id), but convergence is O(log n) ROUNDS
+    REGARDLESS OF GRAPH DIAMETER, where min-label propagation needs one
+    round per hop. A 64-deep dup chain costs ~64 propagation joins (or
+    trips the fixed-rounds budget) versus ≤ 2·log₂(n) star rounds —
+    property-tested on exactly that planted chain.
+
+    Edge set is kept canonical (a > b). Per round:
+    - large-star: every node links its LARGER neighbors to its minimum
+      (incl. itself) — long chains fold toward local minima;
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to the group minimum — stars flatten onto their roots.
+    Both are one groupBy-min + one self-join on the grouped key (the
+    exchange is reused) + a distinct; each round materializes via
+    localCheckpoint (iterative lineage truncation) and the loop stops
+    when the (count, hash-sum) signature stabilizes. Convergence is then
+    PROVEN exactly: every original edge must connect same-label nodes
+    (label(min)=min is invariant, so constant-per-component labels are
+    the component minima); on failure the loop continues, and raises at
+    ``max_rounds`` like the propagation modes do.
+
+    ``stats['rounds']`` reports the star rounds used when a dict is
+    passed (the chain property test reads it)."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    original = edges
+
+    def signature(e: DataFrame) -> tuple:
+        # decimal accumulator: a long sum of xxhash64 values overflows
+        # (ANSI arithmetic error on Spark 4)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        d = e.select("a", "b").unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        return (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical edges already point larger -> smaller (a > b)
+        mins = e.groupBy("a").agg(F.min("b").alias("m"))
+        relinked = (
+            e.join(mins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        roots = mins.select("a", F.col("m").alias("b"))
+        return relinked.unionByName(roots).distinct()
+
+    sig = signature(edges)
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = signature(new_edges)
+        edges, prev_sig, sig = new_edges, sig, new_sig
+        if new_sig != prev_sig:
+            continue
+        # signature stable -> exact convergence proof: label every node
+        # with its (min) parent in the star graph and require every
+        # ORIGINAL edge to connect same-label nodes
+        labels = (
+            nodes.join(
+                edges.groupBy("a").agg(F.min("b").alias("parent")),
+                nodes.doc_id == F.col("a"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("parent", "doc_id").alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        la = labels.select(
+            F.col("doc_id").alias("a"), F.col("component_id").alias("ca")
+        )
+        lb = labels.select(
+            F.col("doc_id").alias("b"), F.col("component_id").alias("cb")
+        )
+        disagreeing = (
+            original.join(la, "a").join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .count()
+        )
+        if disagreeing == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    return labels
+
+
 @register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("X3",))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment (X3 final stage): connected components
@@ -633,27 +764,23 @@ _COMPONENTS_LSH_ORACLE = _components_oracle_over(_MINHASH_ORACLE)
 def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB near-dup clustering composition: MinHash+LSH candidate
     pairs (band collisions only — never Σ df² over the full inverted
-    index) → exact Jaccard verify on candidates → connected components in
-    FIXED-ROUNDS mode (one driver action, no per-round count barrier —
-    band-blocked dup clusters are tiny, so a small round budget covers the
-    diameter; the final round proves the fixpoint, and a
-    longer-than-budget dup chain degrades to adaptive pacing instead of
-    failing the run).
+    index) → exact Jaccard verify on candidates → connected components by
+    STAR CONTRACTION (round-5 default, per round-4 verdict #4: the
+    previous fixed-rounds min-propagation converged in O(diameter) rounds,
+    so a pathological 64-deep dup chain cost 64 joins or tripped the
+    adaptive fallback late; large-star/small-star alternation is
+    O(log n) rounds regardless of diameter, with an exact convergence
+    proof — see ``connected_components_star``; the propagation modes
+    remain available on ``connected_components`` for known-tiny-diameter
+    graphs).
 
     Scale shape: candidate generation is banded-bucket joins (never
-    Σ df² over the full inverted index), components cost one join + agg
-    per round — see the BASELINE.md scale-ladder table for the measured
-    x1→x10 exponents vs the exhaustive-Jaccard baseline.
+    Σ df² over the full inverted index), components cost ~log n rounds of
+    groupBy-min + keyed self-join — see the BASELINE.md scale-ladder
+    table for the measured x1→x10 exponents vs the exhaustive-Jaccard
+    baseline.
     """
     toks = _shingle_postings(spark, sf_dir).persist()
-    # rounds=4 covers diameter ≤ 3 (LSH dup clusters measure 2-3 across
-    # every tier of the scale ladder); the adaptive fallback makes a
-    # deeper chain cost extra counted rounds, not a failure, so the
-    # budget is sized to the TYPICAL case — each round is a join+agg
-    # stage pair, and halving the budget from 8 nearly halved the
-    # measured x1 wall time (BASELINE.md scale ladder)
-    return connected_components(
-        minhash_lsh_pairs(toks).select("doc_a", "doc_b"),
-        rounds=4,
-        fallback_to_adaptive=True,
+    return connected_components_star(
+        minhash_lsh_pairs(toks).select("doc_a", "doc_b")
     )

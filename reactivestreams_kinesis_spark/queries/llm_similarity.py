@@ -360,6 +360,72 @@ IVF_STRIDE = 50  # 1 centroid per 50 corpus vectors
 IVF_NPROBE = 2   # lists probed per query
 
 
+def _nearest_centroids(df, centroids, *, vec, key, norm_col, n):
+    """Attach the ``n`` nearest codebook centroids to each row of ``df``:
+    broadcast the (tiny) codebook, score rounded cosines, keep the top-n
+    per row via one WindowGroupLimit. Ranking uses the ROUNDED cosine +
+    centroid_id tie-break so both engines agree exactly."""
+    cos = F.round(
+        F.try_divide(
+            F.expr(spark_dot(vec, "centv")),
+            F.col(norm_col) * F.expr(f"SQRT({spark_dot('centv', 'centv')})"),
+        ),
+        6,
+    )
+    w = Window.partitionBy(key).orderBy(cos.desc(), F.col("centroid_id"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn", "centv")
+    )
+
+
+LLOYD_ITERS = 2      # refinement passes over the strided init
+LLOYD_ROUND_DP = 4   # centroid coordinates quantized to this grid
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    iters: int = LLOYD_ITERS,
+    vec: str = "cv",
+    key: str = "vec_id",
+    round_dp: int = LLOYD_ROUND_DP,
+) -> DataFrame:
+    """Seeded Lloyd (k-means) refinement of a codebook as bounded
+    DataFrame jobs: each pass assigns every corpus vector to its nearest
+    centroid (broadcast codebook, one WindowGroupLimit — the same plan as
+    query-time assignment) and recomputes each centroid as the per-dim
+    mean of its members (posexplode → groupBy(centroid, dim) avg →
+    array rebuild). Deterministic across engines: assignment ranks the
+    ROUNDED cosine with a centroid_id tie-break, and every mean is
+    quantized to the ``round_dp`` grid, so double-summation-order noise
+    (~1e-16 relative) cannot flip a coordinate. Empty clusters simply
+    drop out of the GROUP BY in both engines. Cost: ``iters`` × (one
+    narrow map over the corpus + one centroid-sized shuffle) — no
+    all-pairs stage anywhere, so the refinement scales exactly like
+    query-time assignment does."""
+    corpus = _with_norm(corpus.select(key, vec), vec, "__ln")
+    for _ in range(iters):
+        assigned = _nearest_centroids(
+            corpus, centroids, vec=vec, key=key, norm_col="__ln", n=1
+        )
+        centroids = (
+            assigned.select("centroid_id", F.posexplode(vec).alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+                ).alias("centv")
+            )
+        )
+    return centroids
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -371,29 +437,17 @@ def ann_ivf_topk(
     """IVF list/probe approximate top-k — the reusable, knob-exposed form
     of ``sim_ann_ivf``. ``queries``: (query_id, qv); ``corpus``:
     (vec_id, cv); ``centroids``: (centroid_id, centv) — any codebook
-    (k-means output, strided sample). Raise ``nprobe`` for recall at
-    linear probe cost; list count is whatever the codebook provides."""
+    (``lloyd_refine`` output, strided sample). Raise ``nprobe`` for
+    recall at linear probe cost; list count is whatever the codebook
+    provides."""
     corpus = _with_norm(corpus, "cv", "cn")
     queries = _with_norm(queries, "qv", "qn")
-
-    def nearest(df, vec, key, norm_col, n):
-        cos = F.round(
-            F.try_divide(
-                F.expr(spark_dot(vec, "centv")),
-                F.col(norm_col) * F.expr(f"SQRT({spark_dot('centv', 'centv')})"),
-            ),
-            6,
-        )
-        w = Window.partitionBy(key).orderBy(cos.desc(), F.col("centroid_id"))
-        return (
-            df.crossJoin(F.broadcast(centroids))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .drop("rn", "centv")
-        )
-
-    assigned = nearest(corpus, "cv", "vec_id", "cn", 1)
-    probes = nearest(queries, "qv", "query_id", "qn", nprobe)
+    assigned = _nearest_centroids(
+        corpus, centroids, vec="cv", key="vec_id", norm_col="cn", n=1
+    )
+    probes = _nearest_centroids(
+        queries, centroids, vec="qv", key="query_id", norm_col="qn", n=nprobe
+    )
     scored = probes.join(assigned, "centroid_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -407,14 +461,49 @@ def ann_ivf_topk(
     return _topk_per_query(scored, k)
 
 
-@register(
-    "sim_ann_ivf",
-    oracle=f"""
-    WITH cent AS (
+def _lloyd_oracle_ctes(iters: int = LLOYD_ITERS) -> str:
+    """DuckDB CTE chain computing the SAME seeded Lloyd refinement as
+    ``lloyd_refine``, unrolled: cent0 = strided init, then per pass an
+    argmax assignment (rounded cosine + id tie-break) and a per-dim mean
+    quantized to the {LLOYD_ROUND_DP}-dp grid (multiple UNNESTs in one
+    SELECT zip positionally; list(... ORDER BY pos) rebuilds the array).
+    The final codebook is ``cent{iters}``."""
+    parts = [
+        f"""cent0 AS (
         SELECT vec_id AS centroid_id, embedding AS centv
         FROM embeddings
         WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_STRIDE} = 5
-    ),
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(f"""assign_it{i} AS (
+        SELECT vec_id, cv, centroid_id FROM (
+            SELECT c.vec_id, c.embedding AS cv, k.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY ROUND({duckdb_cosine('c.embedding', 'k.centv')}, 6) DESC,
+                                k.centroid_id) AS rn
+            FROM embeddings c CROSS JOIN cent{i} k
+            WHERE c.vec_id >= {N_QUERIES}
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""cent{i + 1} AS (
+        SELECT centroid_id, list(m ORDER BY pos) AS centv FROM (
+            SELECT centroid_id, pos, ROUND(AVG(v), {LLOYD_ROUND_DP}) AS m FROM (
+                SELECT centroid_id, UNNEST(cv) AS v,
+                       UNNEST(range(len(cv))) AS pos
+                FROM assign_it{i}
+            ) GROUP BY centroid_id, pos
+        ) GROUP BY centroid_id
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH {_lloyd_oracle_ctes()},
+    cent AS (SELECT * FROM cent{LLOYD_ITERS}),
     assigned AS (
         SELECT vec_id, cv, centroid_id FROM (
             SELECT c.vec_id, c.embedding AS cv, cent.centroid_id,
@@ -457,6 +546,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes — production vector stores (FAISS-style) use exactly this
     list/probe plan.
 
+    The codebook is LEARNED: a deterministic strided sample seeds
+    {LLOYD_ITERS} Lloyd iterations (``lloyd_refine`` — assign = the same
+    broadcast-argmax plan as query time, update = groupBy-avg quantized
+    to the {LLOYD_ROUND_DP}-dp grid), and the oracle unrolls the
+    identical passes in SQL, so list geometry follows the DATA rather
+    than the id sequence — the property recall at real scale depends on
+    (measured recall/nprobe table in BASELINE.md).
+
     Scale shape: the codebook is tiny → broadcast to both assignment and
     probing; list assignment is a narrow map over the corpus (argmax over
     broadcast centroids via one WindowGroupLimit); the probe join is an
@@ -464,9 +561,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus per query instead of all of it. The brute-force twin
     (``sim_cosine_topk``) is the recall oracle. Ranking always uses the
     ROUNDED cosine + id tie-break for cross-engine determinism. Knobs
-    live on ``ann_ivf_topk``; this is the oracle-checked instantiation."""
+    live on ``ann_ivf_topk`` / ``lloyd_refine``; this is the
+    oracle-checked instantiation."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(
+    init = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
     ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv"))
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
@@ -475,6 +573,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # materialize the (centroid-count-sized) learned codebook once —
+    # assignment and probing both broadcast it, and without the checkpoint
+    # each reference would recompute the full iterative refinement DAG
+    cent = lloyd_refine(corpus, init).localCheckpoint(eager=True)
     return ann_ivf_topk(queries, corpus, cent)
 
 

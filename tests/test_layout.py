@@ -142,3 +142,55 @@ def test_compact_parquet_rejects_in_place(spark, sf_dir, tmp_path):
     load_table(spark, sf_dir, "region").write.parquet(d)
     with pytest.raises(ValueError, match="cannot write over its input"):
         compact_parquet(spark, d, d)
+
+
+def _band_overlap_fractions(out_dir, col, bands):
+    """Fraction of row groups a band-predicate scan must read, per band."""
+    spans = _rowgroup_intervals(out_dir, col)
+    return [
+        sum(1 for lo, hi in spans if not (hi < b[0] or lo > b[1])) / len(spans)
+        for b in bands
+    ]
+
+
+def test_interleaved_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs linear sort for multi-dimensional data skipping: a
+    linear sort prunes its own column (~selectivity) but reads 100% of
+    row groups when the filter is on the OTHER column; the interleaved
+    layout must prune meaningfully on EITHER column from one layout —
+    the measured sf0.1 table lives in SCALING.md (z reads ~30% on either
+    single-column band vs 100% for the wrong linear layout, and beats
+    both on the two-predicate box)."""
+    from reactivestreams_kinesis_spark.operators.layout import interleaved_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    # 10%-selective bands at several positions, avoiding domain edges
+    positions = [0.05, 0.15, 0.3, 0.6, 0.8]
+    pk_bands = [(int(pk_hi * f), int(pk_hi * (f + 0.1))) for f in positions]
+    sk_bands = [(int(sk_hi * f), int(sk_hi * (f + 0.1))) for f in positions]
+
+    lin_dir = str(tmp_path / "lin_pk")
+    sorted_write(li, lin_dir, "l_partkey", n_files=32)
+    z_dir = str(tmp_path / "zorder")
+    interleaved_write(li, z_dir, ["l_partkey", "l_suppkey"], n_files=32)
+
+    # content identical regardless of layout
+    a, b = spark.read.parquet(lin_dir), spark.read.parquet(z_dir)
+    assert a.count() == b.count() and a.subtract(b).count() == 0
+
+    mean = lambda v: sum(v) / len(v)
+    # linear layout: great on its own column, useless on the other
+    lin_own = mean(_band_overlap_fractions(lin_dir, "l_partkey", pk_bands))
+    lin_other = mean(_band_overlap_fractions(lin_dir, "l_suppkey", sk_bands))
+    assert lin_own <= 0.3
+    assert lin_other >= 0.95, "linear sort should not prune the unsorted column"
+    # z-order: meaningful pruning on BOTH columns from one layout
+    z_pk = mean(_band_overlap_fractions(z_dir, "l_partkey", pk_bands))
+    z_sk = mean(_band_overlap_fractions(z_dir, "l_suppkey", sk_bands))
+    assert z_pk <= 0.6 and z_sk <= 0.6, (z_pk, z_sk)
+    # mixed single-column workload: z strictly beats the linear layout
+    assert (z_pk + z_sk) / 2 < (lin_own + lin_other) / 2

@@ -472,3 +472,86 @@ def test_cms_never_undercounts(spark, toks):
     for r in report:
         assert r.exact_cnt == truth[r.tok]
         assert r.cms_est >= r.exact_cnt
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_star_contraction_matches_union_find(spark, edges):
+    """Star contraction must reach the same partition as driver-side
+    union-find on any random edge list (self-loops and duplicates
+    included) — the same property the propagation mode is held to."""
+    from reactivestreams_kinesis_spark.queries.llm_dedup import (
+        connected_components_star,
+    )
+
+    if all(a == b for a, b in edges):
+        edges = edges + [(0, 1)]  # star CC needs at least one real edge
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {
+        n: min(m for m in parent if find(m) == find(n))
+        for n in parent
+        # pure self-loop nodes never reach the pair graph input contract
+        if any(a != b and n in (a, b) for a, b in edges)
+    }
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(df, src_col="a", dst_col="b").collect()
+    }
+    assert got == expected
+
+
+def test_star_contraction_chain_round_bound(spark):
+    """Round-4 verdict #4: a planted 64-deep dup chain is the diameter
+    pathology — min-label propagation needs ~64 rounds (or trips the
+    fixed-budget fallback late), star contraction must finish in
+    <= 2*log2(n) rounds. Also plants a disjoint pair and a star to prove
+    multi-component labeling in the same run."""
+    import math
+
+    from reactivestreams_kinesis_spark.queries.llm_dedup import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = (
+        [(i, i + 1) for i in range(n - 1)]
+        + [(1000, 1001)]
+        + [(2000, 2000 + i) for i in range(1, 5)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    stats: dict = {}
+    labels = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(
+            df, src_col="a", dst_col="b", stats=stats
+        ).collect()
+    }
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[1000] == labels[1001] == 1000
+    assert all(labels[2000 + i] == 2000 for i in range(5))
+    bound = 2 * int(math.log2(n))
+    assert stats["rounds"] <= bound, (
+        f"star contraction used {stats['rounds']} rounds on a {n}-chain "
+        f"(bound {bound})"
+    )

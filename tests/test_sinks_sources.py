@@ -300,8 +300,11 @@ def test_ann_recall_floors(spark, sf_dir):
     """The approximate similarity paths must beat chance against their
     brute-force recall oracle: multi-probe LSH measured 0.52 recall@5 on
     the fixture (single-bucket probing was 0.08 ≈ 1/16 chance), IVF with
-    nprobe=2 measured 0.52 at sf0.001. Floors sit below measurement but
-    far above the ~0.08 chance line so a probing regression fails loudly."""
+    the round-5 Lloyd-learned codebook and nprobe=2 measured 0.52 at
+    sf0.001 (strided init alone had been the round-4 0.25-floor case;
+    the learned/strided recall-vs-nprobe table lives in BASELINE.md).
+    Floors sit below measurement but far above the ~0.08 chance line so
+    a probing regression fails loudly."""
     from reactivestreams_kinesis_spark.queries.registry import all_queries
 
     q = all_queries()
@@ -309,7 +312,7 @@ def test_ann_recall_floors(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in q["sim_cosine_topk"].fn(spark, sf_dir).collect()
     }
-    for name, floor in [("sim_ann_lsh", 0.4), ("sim_ann_ivf", 0.25)]:
+    for name, floor in [("sim_ann_lsh", 0.4), ("sim_ann_ivf", 0.4)]:
         approx = {
             (r.query_id, r.neighbor_id)
             for r in q[name].fn(spark, sf_dir).collect()
@@ -450,3 +453,39 @@ def test_range_join_binned_equivalence(spark):
         "iid", "pid"
     )
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, binned.collect()))
+
+
+def test_range_join_derived_bin_width(spark):
+    """A caller omitting bin_width must get the data-derived median
+    interval width — on width-200 intervals the auto default picks
+    ~200, not a 100×-wrong constant (2.0 would explode every interval
+    to ~101 bin rows) — and the auto-mode result must equal the
+    explicit-width result exactly (binning is exact at any width, so
+    the derivation can only affect performance)."""
+    from reactivestreams_kinesis_spark.operators.joins import (
+        derive_bin_width,
+        range_join,
+    )
+
+    intervals = spark.range(200).selectExpr(
+        "id AS iid", "CAST(id * 10 AS DOUBLE) AS lo",
+        "CAST(id * 10 + 200 AS DOUBLE) AS hi"
+    )
+    points = spark.range(500).selectExpr("id AS pid", "CAST(id * 5 AS DOUBLE) AS v")
+    w = derive_bin_width(intervals, "lo", "hi")
+    assert 100.0 <= w <= 400.0, f"derived width {w} far from the 200 median"
+
+    auto = range_join(intervals, points, "lo", "hi", "v").select("iid", "pid")
+    explicit = range_join(
+        intervals, points, "lo", "hi", "v", bin_width=200.0
+    ).select("iid", "pid")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+    # degenerate inputs: all zero-width / empty -> safe 1.0 fallback
+    degen = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 9.0, 9.0)], "iid int, lo double, hi double"
+    )
+    assert derive_bin_width(degen, "lo", "hi") == 1.0
+    assert derive_bin_width(degen.filter("iid > 99"), "lo", "hi") == 1.0

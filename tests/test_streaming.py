@@ -1000,3 +1000,66 @@ def test_watermark_boundary_semantics(spark, tmp_path):
         f"watermark boundary semantics changed: emitted {sorted(emitted)} — "
         "update the stream_watermark_late oracle to match"
     )
+
+
+def test_resharding_continuity(spark, sf_dir, tmp_path):
+    """S1/T9 (round 5): a shard-count change mid-stream — the emulated
+    form of a Kinesis shard split, which the single-shard reference
+    cannot represent (ShardPublisher.java:24) — must not break checkpoint
+    continuity. Phase 1 drains 2-shard-routed records under a checkpoint;
+    phase 2 appends records routed over 4 shards (same hash routing, new
+    shard count, exactly like a split re-keying the hash ranges) and
+    restarts from the SAME checkpoint. Exactly-once must hold across the
+    reshard: nothing lost, nothing reprocessed, and both shard layouts
+    coexist in the committed sink."""
+    records2 = events_as_records(spark, sf_dir, n_shards=2)
+    records4 = events_as_records(spark, sf_dir, n_shards=4)
+    cutoff = (
+        records2.select("sequenceNumber")
+        .orderBy("sequenceNumber")
+        .limit(300)
+        .agg(F.max("sequenceNumber"))
+        .collect()[0][0]
+    )
+    first = records2.filter(F.col("sequenceNumber") <= cutoff)
+    second = records4.filter(F.col("sequenceNumber") > cutoff)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            read_record_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    n1 = run()
+    assert n1 == first.count()
+    second.coalesce(2).write.mode("append").parquet(src)
+    n2 = run()
+    assert n2 == second.count(), "restart must process ONLY the post-reshard files"
+
+    out = spark.read.schema(RECORD_SCHEMA).parquet(sink_dir)
+    total = first.count() + second.count()
+    assert out.count() == total
+    assert out.select("sequenceNumber").distinct().count() == total
+    # the committed stream carries both shard layouts, split intact:
+    # phase-1 rows on the 2-shard routing, phase-2 rows on the 4-shard one
+    pre = out.filter(F.col("sequenceNumber") <= cutoff)
+    post = out.filter(F.col("sequenceNumber") > cutoff)
+    pre_ids = {r.shardId for r in pre.select("shardId").distinct().collect()}
+    post_ids = {r.shardId for r in post.select("shardId").distinct().collect()}
+    assert pre_ids == {f"shardId-{i:012d}" for i in range(2)}
+    assert post_ids == {f"shardId-{i:012d}" for i in range(4)}
+    # exact content parity with the union of both phases
+    expected = first.unionByName(second)
+    assert out.subtract(expected).count() == 0
+    assert expected.subtract(out).count() == 0
