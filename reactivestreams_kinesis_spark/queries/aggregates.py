@@ -370,3 +370,64 @@ register_sql(
     moment pattern. Native F.corr/F.var_pop float-fold in engine-specific
     order and cannot be oracle-checked bit-exactly; this can.""",
 )
+
+
+@register(
+    "agg_rollup_merge",
+    oracle="""
+    SELECT
+        date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+        event_type,
+        COUNT(*) AS n,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value,
+        MIN(value) AS min_value,
+        MAX(value) AS max_value,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*), 6) AS DOUBLE)
+            AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("A1", "A6"),
+)
+def agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (A1/A6, the incremental path for
+    sums — `agg_hll_mergeable`'s counterpart for plain aggregates): a
+    DAY-grain partial-aggregate table (count / decimal sum / min / max —
+    every one mergeable) is MERGED up to the month answer instead of
+    re-aggregating raw events (week grain here — the fixture spans one
+    month, so weeks give the merge 5 serving groups over 30 daily
+    partials); avg is derived at merge time as
+    sum/count, never averaged-of-averages. The oracle computes the month
+    grain DIRECTLY from raw events, proving the two-level decomposition
+    exact — the identity that lets a 100 TB pipeline maintain per-day
+    partials (re-aggregating only new partitions on ingest) and serve
+    any coarser rollup from KBs of partials with zero raw re-scans.
+    Decimal sums make the merge associativity exact; a double sum would
+    drift between the one-pass and two-pass groupings."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "d").alias("wk"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("merged_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "wk",
+            "event_type",
+            "n",
+            F.expr("CAST(ROUND(merged_dec, 6) AS DOUBLE)").alias("sum_value"),
+            "min_value",
+            "max_value",
+            F.expr("CAST(ROUND(merged_dec / n, 6) AS DOUBLE)").alias("avg_value"),
+        )
+    )

@@ -29,11 +29,17 @@ from reactivestreams_kinesis_spark.queries.registry import register
         DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank,
         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
         NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
-        ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
-            AS bal_pct_rank,
-        ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
-            AS bal_cume_dist
+        CASE WHEN COUNT(*) OVER w_n = 1 THEN CAST(0 AS DOUBLE)
+             ELSE CAST((2000000 * (RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) - 1)
+                        + (COUNT(*) OVER w_n - 1))
+                       // (2 * (COUNT(*) OVER w_n - 1)) AS DOUBLE) / 1000000
+        END AS bal_pct_rank,
+        CAST((2000000 * COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + COUNT(*) OVER w_n)
+             // (2 * COUNT(*) OVER w_n) AS DOUBLE) / 1000000 AS bal_cume_dist
     FROM customer
+    WINDOW w_n AS (PARTITION BY c_nationkey)
     """,
     tags=("W1",),
 )
@@ -41,15 +47,40 @@ def win_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking + distribution functions (W1) partitioned by nation:
     rank/dense_rank/row_number/ntile plus percent_rank/cume_dist. All
     specs share PARTITION BY c_nationkey so they reuse ONE exchange
-    (ascending/descending sorts differ, but the shuffle is shared);
-    percent_rank/cume_dist are value-deterministic under ties and rounded
-    for the (n-1)-division float parity."""
+    (ascending/descending sorts differ, but the shuffle is shared).
+
+    percent_rank/cume_dist are computed by their DEFINING integer ratios
+    ((rank-1)/(n-1), ties-inclusive-count/n) with half-up rounding to
+    6dp done entirely in bigint micro-units: the sf0.1 oracle run caught
+    the native-fn form drifting by 1e-6 — nation 11 holds exactly 640
+    customers, so cume_dist values k/640 terminate at 7 decimals and
+    ROUND(..., 6) lands on the half boundary, where Spark rounds
+    half-up and DuckDB half-even. Integer arithmetic
+    (floor((2e6·k + n) / 2n)) is the one formulation both engines agree
+    on at EVERY partition size; no rounding-scale choice dodges all
+    power-of-two×five partition sizes."""
     customer = load_table(spark, sf_dir, "customer")
     by_bal = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
     by_bal_key = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     by_bal_asc = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    w_n = Window.partitionBy("c_nationkey")
+    n = F.count(F.lit(1)).over(w_n)
+    r_asc = F.rank().over(by_bal_asc)
+    k_cume = F.count(F.lit(1)).over(
+        by_bal_asc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def micro_ratio(num, den):
+        """round-half-up(num/den, 6dp) in exact bigint arithmetic."""
+        return (
+            ((F.lit(2000000) * num + den) / (F.lit(2) * den))
+            .cast("bigint")  # exact: quotient distances from integers >= 1/(2n) >> double ulp
+            .cast("double")
+            / F.lit(1000000)
+        )
+
     return customer.select(
         "c_custkey",
         "c_nationkey",
@@ -58,8 +89,10 @@ def win_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(by_bal).alias("bal_dense_rank"),
         F.row_number().over(by_bal_key).alias("rn"),
         F.ntile(4).over(by_bal_key).alias("quartile"),
-        F.round(F.percent_rank().over(by_bal_asc), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(by_bal_asc), 6).alias("bal_cume_dist"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise(micro_ratio(r_asc - 1, n - 1))
+        .alias("bal_pct_rank"),
+        micro_ratio(k_cume, n).alias("bal_cume_dist"),
     )
 
 
