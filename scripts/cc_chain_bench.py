@@ -13,8 +13,11 @@ Run on a quiet box: python scripts/cc_chain_bench.py [max_depth_exponent]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from reactivestreams_kinesis_spark.queries.llm_dedup import (
     connected_components,
@@ -42,9 +45,11 @@ def main() -> None:
             ),
         }
         for mode, fn in runs.items():
-            if mode == "propagation" and depth > 128:
-                # d driver-blocking rounds: measured through depth 128,
-                # extrapolation is linear-in-depth by construction
+            if mode == "propagation" and depth > 16:
+                # adaptive propagation pays d rounds AND a per-round cost
+                # that grows with the accumulated plan lineage — measured
+                # 8 s at depth 8 vs 1034 s at depth 16; deeper tiers are
+                # hours. That cliff IS the result; don't re-pay it.
                 continue
             stats: dict = {}
             t0 = time.perf_counter()
