@@ -1,8 +1,8 @@
-"""Format-connector queries: the documents table consumed via JSONL and
-CSV (``sources/text_formats``) instead of parquet, proving the readers
-reproduce the exact table content — the oracle runs against the parquet
-view, so any roundtrip loss (type coercion, quote mangling, row drops)
-breaks the value hash.
+"""Format-connector queries: the documents table consumed via JSONL,
+CSV, and ORC (``sources/text_formats``) instead of parquet, proving the
+readers reproduce the exact table content — the oracle runs against the
+parquet view, so any roundtrip loss (type coercion, quote mangling, row
+drops) breaks the value hash.
 """
 
 from __future__ import annotations
@@ -15,6 +15,7 @@ from reactivestreams_kinesis_spark.sources.text_formats import (
     documents_as_format,
     read_documents_csv,
     read_documents_jsonl,
+    read_documents_orc,
 )
 
 _FMT_ORACLE = """
@@ -29,15 +30,21 @@ _FMT_ORACLE = """
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_toks
     FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'orc' AS fmt, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_toks
+    FROM documents GROUP BY lang
 """
 
 
 @register("src_format_roundtrip", oracle=_FMT_ORACLE, tags=("S5", "P1"))
 def src_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents via the JSONL and CSV connectors (S5 source surface, P1
-    payload decode): convert the fixture once per process, read each dump
-    back with the explicit-schema readers, and aggregate per (format,
-    lang) — counts, char sums, and a token-sum over the decoded text so a
+    """Documents via the JSONL, CSV, and ORC connectors (S5 source
+    surface, P1 payload decode): convert the fixture once per process,
+    read each dump back with the explicit-schema readers, and aggregate
+    per (format, lang) — counts, char sums, and a token-sum over the decoded text so a
     whitespace/quote mangling in either container format cannot cancel
     out. The oracle aggregates the parquet view twice (once per format
     tag), so the hash only matches if both connectors reproduce the
@@ -52,4 +59,7 @@ def src_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jsonl = read_documents_jsonl(spark, documents_as_format(spark, sf_dir, "jsonl"))
     csv = read_documents_csv(spark, documents_as_format(spark, sf_dir, "csv"))
-    return agg(jsonl, "jsonl").unionByName(agg(csv, "csv"))
+    orc = read_documents_orc(spark, documents_as_format(spark, sf_dir, "orc"))
+    return (
+        agg(jsonl, "jsonl").unionByName(agg(csv, "csv")).unionByName(agg(orc, "orc"))
+    )

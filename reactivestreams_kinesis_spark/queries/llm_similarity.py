@@ -800,3 +800,152 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_norm_rel_err"),
     )
+
+
+# --- IVF over an int8-quantized index with exact re-rank --------------------
+#
+# The composition a production vector store actually runs: the inverted
+# lists hold 4x-smaller int8 vectors (sim_quantize_int8's lever), probing
+# scores candidates on the DEQUANTIZED approximations, and only the
+# shortlist is re-scored at full precision against the source of truth.
+# Quantization noise can reorder the shortlist's tail but the exact
+# re-rank restores the final top-k wherever the true neighbor made the
+# shortlist — the standard recall/storage trade, here oracle-checked.
+
+IVF_RERANK = 3  # shortlist size = IVF_RERANK * k candidates per query
+
+
+@register(
+    "sim_ann_ivf_int8",
+    oracle=f"""
+    WITH {_lloyd_oracle_ctes()},
+    cent AS (SELECT * FROM cent{LLOYD_ITERS}),
+    qc AS (
+        SELECT vec_id, embedding AS cv,
+               {_duck_quantize('embedding')} AS qv,
+               list_max(list_transform(embedding,
+                        y -> abs(CAST(y AS DOUBLE)))) / {QUANT_BITS_MAX} AS scale
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    dq AS (
+        SELECT vec_id, cv,
+               list_transform(qv, x -> CAST(x AS DOUBLE) * scale) AS dv
+        FROM qc
+    ),
+    assigned AS (
+        SELECT vec_id, cv, dv, centroid_id FROM (
+            SELECT d.vec_id, d.cv, d.dv, k.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY ROUND({duckdb_cosine('d.dv', 'k.centv')}, 6) DESC,
+                                k.centroid_id) AS rn
+            FROM dq d CROSS JOIN cent k
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, quv, centroid_id FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS quv, k.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({duckdb_cosine('q.embedding', 'k.centv')}, 6) DESC,
+                                k.centroid_id) AS rn
+            FROM embeddings q CROSS JOIN cent k
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    shortlist AS (
+        SELECT query_id, quv, vec_id, cv FROM (
+            SELECT p.query_id, p.quv, a.vec_id, a.cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY ROUND({duckdb_cosine('p.quv', 'a.dv')}, 6) DESC,
+                                a.vec_id) AS rn
+            FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+        ) WHERE rn <= {TOP_K * IVF_RERANK}
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROUND({duckdb_cosine('quv', 'cv')}, 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND({duckdb_cosine('quv', 'cv')}, 6) DESC,
+                            vec_id) AS rn
+        FROM shortlist
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("X1",),
+)
+def sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over an int8-quantized index with exact re-rank (X1, the
+    storage-lever composition): inverted lists hold symmetric-int8
+    vectors (4× smaller — `sim_quantize_int8`), the Lloyd-learned
+    codebook routes probes, candidates are scored on the DEQUANTIZED
+    approximations, and only the {IVF_RERANK}·k shortlist per query is
+    re-scored at full precision against the source embeddings — so the
+    expensive full-precision vectors are touched for 15 rows per query,
+    not nprobe/n_lists of the corpus. Every stage is deterministic
+    (round() agrees on identical doubles across engines; rounded-score +
+    id tie-breaks), so the whole composition is value-checked by the
+    oracle, quantization noise included."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv"))
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("quv")
+    )
+    cent = lloyd_refine(corpus, init).localCheckpoint(eager=True)
+
+    # the quantized index: int8 vector + per-vector scale, dequantized view
+    dq = corpus.select(
+        "vec_id",
+        "cv",
+        F.expr(quantize_int8("cv")).alias("qv"),
+        F.expr(
+            f"array_max(transform(cv, y -> abs(CAST(y AS DOUBLE)))) "
+            f"/ {QUANT_BITS_MAX}"
+        ).alias("scale"),
+    ).withColumn("dv", F.expr("transform(qv, x -> CAST(x AS DOUBLE) * scale)"))
+    dq = _with_norm(dq, "dv", "dn")
+    assigned = _nearest_centroids(
+        dq.select("vec_id", "cv", "dv", "dn"), cent,
+        vec="dv", key="vec_id", norm_col="dn", n=1,
+    )
+    probes = _nearest_centroids(
+        _with_norm(queries, "quv", "qn"), cent,
+        vec="quv", key="query_id", norm_col="qn", n=IVF_NPROBE,
+    )
+    approx = probes.join(assigned, "centroid_id").select(
+        "query_id",
+        "quv",
+        "qn",
+        "vec_id",
+        "cv",
+        F.round(
+            F.try_divide(F.expr(spark_dot("quv", "dv")), F.col("qn") * F.col("dn")),
+            6,
+        ).alias("approx_cos"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= TOP_K * IVF_RERANK)
+        .drop("rn", "approx_cos")
+    )
+    exact = shortlist.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.try_divide(
+                F.expr(spark_dot("quv", "cv")),
+                F.col("qn") * F.expr(f"SQRT({spark_dot('cv', 'cv')})"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return _topk_per_query(exact, TOP_K)

@@ -317,17 +317,21 @@ def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static join (J8): the events stream enriched against the
     static customer dimension — the canonical streaming-ETL shape (facts
-    arrive, dimensions sit in the warehouse). The static side is pinned
-    broadcast (bounded dimension), so each microbatch joins map-side with
-    zero shuffle of stream rows; the drained join must equal the batch
-    inner join. The segment×type rollup happens on the CAPTURED table so
-    the streaming stage stays stateless append (per-batch join only —
-    no watermark, no state store), exactly how Spark executes
-    stream–static joins in production."""
+    arrive, dimensions sit in the warehouse). The static side is NOT
+    pinned broadcast: customer scales with SF, and the repo-wide guard
+    (`test_no_pinned_broadcast_on_scaling_frames`) forbids broadcast pins
+    on scaling frames — Spark's size estimation broadcasts the small dim
+    per microbatch at test SF and degrades to a shuffle join when the
+    dimension outgrows the threshold, which is the right plan at both
+    ends. The drained join must equal the batch inner join. The
+    segment×type rollup happens on the CAPTURED table so the streaming
+    stage stays stateless append (per-batch join only — no watermark, no
+    state store), exactly how Spark executes stream–static joins in
+    production."""
     stream = read_events_stream(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     joined = stream.join(
-        F.broadcast(customer),
+        customer,
         stream.user_id == customer.c_custkey,
         "inner",
     ).select("c_mktsegment", "event_type", "value")

@@ -81,6 +81,11 @@ def documents_as_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         writer = docs.write.mode("overwrite")
         if fmt == "jsonl":
             writer.json(out)
+        elif fmt == "orc":
+            # the other columnar container warehouses actually hold (Hive
+            # lineage); schema+stats live in the file like parquet, so the
+            # reader needs no explicit-schema/quote contract at all
+            writer.orc(out)
         elif fmt == "csv":
             # lossless-text CSV contract (mirrored by read_documents_csv):
             # Spark's writer defaults TRIM leading/trailing whitespace and
@@ -118,6 +123,16 @@ def read_documents_jsonl(
     if corrupt_col is not None:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return reader.json(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC documents reader. Schema travels in the file (columnar
+    container, like parquet), so unlike the text formats there is no
+    inference pass to avoid and no quoting contract to mirror — the
+    reader is one call; the roundtrip oracle still proves content
+    exactness. Splittable by stripe, so a 100 TB directory parallelizes
+    like parquet does."""
+    return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
 
 
 def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
