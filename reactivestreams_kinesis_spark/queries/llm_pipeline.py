@@ -732,3 +732,60 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_bigram_ratio"),
         (ratio > 0.1).alias("repetitive"),
     )
+
+
+# --- deterministic weighted sampling (priority sampling) --------------------
+
+_MD5_U32 = "SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 8)"
+SAMPLE_WEIGHTED_K = 20
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT lang, doc_id, priority FROM (
+        SELECT lang, doc_id,
+               ROUND(CAST(n_chars AS DOUBLE) /
+                     ((CAST(('0x' || {_MD5_U32}) AS UBIGINT) + 0.5) / 4294967296.0),
+                     6) AS priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(n_chars AS DOUBLE) /
+                            ((CAST(('0x' || {_MD5_U32}) AS UBIGINT) + 0.5) / 4294967296.0)
+                            DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {SAMPLE_WEIGHTED_K}
+    """,
+    tags=("X-pipeline", "W4"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — priority sampling (Duffield,
+    Lund & Thorup): each doc draws u ∈ (0,1) from md5(doc_id) (first 8
+    hex chars → uniform 32-bit int, +0.5, /2³²), gets priority w/u with
+    w = n_chars, and the top-{SAMPLE_WEIGHTED_K} priorities per language
+    are the sample — inclusion probability ∝ weight (length-proportional
+    here: the token-budget-weighted corpus subset), with the estimator
+    guarantees of the DLT scheme. Complements ``sample_hash``'s two
+    uniform flavors; same seeded-hash determinism (no engine RNG, new
+    rows sample themselves, reruns agree).
+
+    Numeric portability is why this is PRIORITY sampling and not the
+    Efraimidis–Spirakis u^(1/w) exponential scheme: every step here —
+    hex→int, +0.5, divide by 2³² (a power of two), one final division —
+    is IEEE-exact or correctly-rounded identically in Spark and DuckDB,
+    whereas pow()/ln() may differ by an ulp between libm builds and flip
+    a rank at the cut. W4 shape: one WindowGroupLimit keeps
+    {SAMPLE_WEIGHTED_K} rows per language per task before the tiny final
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(f"CAST(CONV({_MD5_U32}, 16, 10) AS DOUBLE)") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    priority = F.col("n_chars").cast("double") / u
+    w = Window.partitionBy("lang").orderBy(priority.desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("priority", F.round(priority, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_WEIGHTED_K)
+        .select("lang", "doc_id", "priority")
+    )

@@ -60,6 +60,7 @@ EDGE_QUERY_NAMES = (
     "dedup_components",
     "dedup_components_lsh",
     "sample_hash",
+    "sample_weighted",
     "split_train_val_test",
     "mix_corpora",
     "pack_sequences",

@@ -1063,3 +1063,54 @@ def test_resharding_continuity(spark, sf_dir, tmp_path):
     expected = first.unionByName(second)
     assert out.subtract(expected).count() == 0
     assert expected.subtract(out).count() == 0
+
+
+def test_stream_static_join_sees_dimension_updates(spark, sf_dir, tmp_path):
+    """J8 semantics production code relies on: the slowly-changing-
+    dimension refresh pattern — a dimension directory overwritten between
+    checkpointed runs enriches later stream batches with the NEW values,
+    while rows already committed keep the values they joined at process
+    time, and the checkpoint guarantees the stream itself is never
+    reprocessed (so no row is re-enriched under the new dimension).
+    Pinned because this combination (offset checkpoint + re-resolved
+    static side) is exactly how periodic-restart streaming ETL handles
+    SCD without replaying the fact stream."""
+    dim_dir = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    spark.createDataFrame(
+        [(1, "v1")], "user_id bigint, seg string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "user_id bigint, k bigint").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        dim = spark.read.parquet(dim_dir)
+        stream = spark.readStream.schema("user_id bigint, k bigint").parquet(src)
+        q = (
+            stream.join(dim, "user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_batch([(1, 100)])
+    # dimension update BETWEEN batches: same key, new attribute value
+    spark.createDataFrame(
+        [(1, "v2")], "user_id bigint, seg string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    run_batch([(1, 200)])
+
+    got = {
+        (r.k, r.seg)
+        for r in spark.read.schema("user_id bigint, k bigint, seg string")
+        .parquet(sink)
+        .collect()
+    }
+    assert got == {(100, "v1"), (200, "v2")}, got
