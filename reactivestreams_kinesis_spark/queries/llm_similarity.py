@@ -406,7 +406,11 @@ def lloyd_refine(
     drop out of the GROUP BY in both engines. Cost: ``iters`` × (one
     narrow map over the corpus + one centroid-sized shuffle) — no
     all-pairs stage anywhere, so the refinement scales exactly like
-    query-time assignment does."""
+    query-time assignment does. At 100 TB, pass a deterministic hash
+    SAMPLE of the corpus (md5-bucket filter, ``sample_hash`` style) as
+    ``corpus`` here — centroid quality needs only a representative
+    subset, so the full corpus is touched once at final assignment, not
+    per Lloyd pass."""
     corpus = _with_norm(corpus.select(key, vec), vec, "__ln")
     for _ in range(iters):
         assigned = _nearest_centroids(
