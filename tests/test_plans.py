@@ -379,3 +379,33 @@ def test_event_analytics_single_scan(spark, sf_dir):
         plan = explain_string(QUERIES[name].fn(spark, sf_dir), "simple")
         assert plan.count("FileScan") == 1, name
         assert "Join" not in plan, name
+
+
+def test_rollup_merge_two_level_aggregation(spark, sf_dir):
+    """agg_rollup_merge must be exactly the two-level mergeable shape:
+    one fact scan, and no more than two shuffle exchanges (day-grain
+    partial table, week-grain merge) — a third exchange would mean the
+    merge re-derived something from raw events."""
+    df = QUERIES["agg_rollup_merge"].fn(spark, sf_dir)
+    plan = explain_string(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert count_exchanges(df) <= 2, explain_string(df)
+
+
+def test_sample_weighted_uses_window_group_limit(spark, sf_dir):
+    """sample_weighted's per-language top-k must push the k-limit into
+    WindowGroupLimit (partial top-k per task before the shuffle) — the
+    W4 plan property that keeps the 100 TB sort local."""
+    df = QUERIES["sample_weighted"].fn(spark, sf_dir)
+    assert has_operator(df, "WindowGroupLimit"), explain_string(df)
+
+
+def test_ivf_int8_no_cartesian_product(spark, sf_dir):
+    """sim_ann_ivf_int8: every join keys on centroid_id or vec_id — the
+    only nested-loop-style operator allowed is the broadcast codebook
+    cross join feeding assignment/probing; a CartesianProduct anywhere
+    means the quantized-list equi-join degenerated to all-pairs."""
+    df = QUERIES["sim_ann_ivf_int8"].fn(spark, sf_dir)
+    plan = explain_string(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
