@@ -372,9 +372,7 @@ register_sql(
 )
 
 
-@register(
-    "agg_rollup_merge",
-    oracle="""
+ROLLUP_WEEK_ORACLE = """
     SELECT
         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
         event_type,
@@ -386,9 +384,35 @@ register_sql(
             AS avg_value
     FROM events
     GROUP BY 1, 2
-    """,
-    tags=("A1", "A6"),
-)
+    """
+
+
+def merge_day_partials_to_week(daily: DataFrame) -> DataFrame:
+    """Merge a day-grain partial-aggregate table (d, event_type, n,
+    sum_dec, min_value, max_value) up to the week answer — shared by the
+    batch rollup query and its streaming-maintenance twin so the merge
+    arithmetic cannot drift between them."""
+    return (
+        daily.groupBy(F.date_trunc("week", "d").alias("wk"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("merged_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "wk",
+            "event_type",
+            "n",
+            F.expr("CAST(ROUND(merged_dec, 6) AS DOUBLE)").alias("sum_value"),
+            "min_value",
+            "max_value",
+            F.expr("CAST(ROUND(merged_dec / n, 6) AS DOUBLE)").alias("avg_value"),
+        )
+    )
+
+
+@register("agg_rollup_merge", oracle=ROLLUP_WEEK_ORACLE, tags=("A1", "A6"))
 def agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-rollup maintenance (A1/A6, the incremental path for
     sums — `agg_hll_mergeable`'s counterpart for plain aggregates): a
@@ -413,21 +437,4 @@ def agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
-    return (
-        daily.groupBy(F.date_trunc("week", "d").alias("wk"), "event_type")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_dec").alias("merged_dec"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
-        .select(
-            "wk",
-            "event_type",
-            "n",
-            F.expr("CAST(ROUND(merged_dec, 6) AS DOUBLE)").alias("sum_value"),
-            "min_value",
-            "max_value",
-            F.expr("CAST(ROUND(merged_dec / n, 6) AS DOUBLE)").alias("avg_value"),
-        )
-    )
+    return merge_day_partials_to_week(daily)

@@ -471,3 +471,59 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return captured.select(
         F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
     )
+
+
+from reactivestreams_kinesis_spark.queries.aggregates import (  # noqa: E402
+    ROLLUP_WEEK_ORACLE,
+    merge_day_partials_to_week,
+)
+
+
+@register(
+    "stream_rollup_merge",
+    oracle=ROLLUP_WEEK_ORACLE,  # the batch rollup oracle, verbatim
+    tags=("A8", "T3", "A6"),
+)
+def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance AS A STREAM (A6/A8 — the
+    streaming twin of ``agg_rollup_merge``, completing the incremental
+    story the same way ``stream_heavy_hitters_cms`` does for sketches):
+    the DAY-grain partial-aggregate table (count / decimal sum / min /
+    max — all mergeable, so pure adds against the state store) is
+    maintained as a complete-mode streaming aggregation over a 3-batch
+    replay of the events fixture (the late-arrival fixture, so the
+    partials genuinely update across micro-batches, old days included —
+    complete mode has no watermark, nothing drops), and the WEEK answer
+    is merged from the CAPTURED partial table by the exact same merge
+    stage the batch query uses. Same oracle as the batch query: one
+    miscounted add in one day partial breaks the value hash. State is
+    bounded by days × event_types — the production shape for streaming
+    ingest into a rollup table."""
+    src = _late_replay_fixture(spark, sf_dir)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    daily = stream.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    captured = _run_to_memory(daily, "complete")
+    return merge_day_partials_to_week(captured)
