@@ -360,3 +360,108 @@ register_sql(
     caught by explain). Run it on a join's build/probe keys BEFORE
     choosing a skew remedy.""",
 )
+
+
+@register(
+    "rel_cdc_latest_snapshot",
+    oracle="""
+    SELECT user_id, last_type, epoch_us(CAST(last_ts AS TIMESTAMP)) AS last_ts_us,
+           n_changes
+    FROM (
+        SELECT user_id,
+               event_type AS last_type,
+               ts AS last_ts,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND last_type <> 'error'
+    """,
+    tags=("W1", "P3"),
+)
+def rel_cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction (last-writer-wins snapshot): the
+    events table read as a change log — per key (user_id) keep only the
+    LATEST change by (ts, event_id), and drop keys whose final record is
+    a tombstone ('error' plays the delete op here). This is the
+    upsert/delete merge every lakehouse table format performs on read or
+    compaction (Delta/Iceberg MERGE, SCD type 1), expressed as the W4
+    latest-per-key window — at 100 TB the ROW_NUMBER shuffle is one
+    exchange on the key, and a sorted/bucketed layout on (user_id, ts)
+    removes even that (SCALING.md layout section). Timestamps compare as
+    µs integers so the snapshot hash is engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_changes"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("last_type") != "error"))
+        .drop("rn")
+        .select("user_id", "last_type", "last_ts_us", "n_changes")
+    )
+
+
+@register(
+    "rel_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts_us, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS attr_value,
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER w2 AS valid_to_us,
+           CAST(LEAD(ts_us) OVER w2 IS NULL AS INT) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+    tags=("W2", "W3"),
+)
+def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build (validity intervals from a
+    change log): collapse consecutive duplicate attribute values per key
+    (lag filter), then close each surviving version's interval with the
+    next version's start (lead) — open-ended + is_current on the latest.
+    The warehouse pattern that turns an event stream into a
+    point-in-time-joinable dimension (the as-of join J7 is its query-side
+    dual). Two window passes over one shuffle key; timestamps stay µs
+    integers end to end so interval boundaries hash identically in both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.lead("ts_us").over(w2).isNull().cast("int").alias("is_current"),
+    )
