@@ -227,7 +227,11 @@ def range_join(
     ONE bin; a bin equi-join produces candidates and the real predicate
     refines them. ``bin_width=None`` (default) derives it from the data
     as the median interval width (``derive_bin_width`` — one small stats
-    aggregate, a bounded driver action), removing the one knob a naive
+    aggregate, a bounded driver action that runs EAGERLY at
+    DataFrame-construction time: with the ``None`` default this builder
+    executes a Spark job on call instead of staying lazy — pass
+    ``bin_width`` explicitly in plan-only / dry-planning contexts),
+    removing the one knob a naive
     caller can set catastrophically: a width 100× below the interval
     width explodes every interval to ~100 bin rows. Pass the constant
     explicitly to keep the plan single-pass when the width is known.

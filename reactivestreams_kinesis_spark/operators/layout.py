@@ -28,6 +28,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def sorted_write(
@@ -53,6 +54,36 @@ def sorted_write(
     return out_dir
 
 
+def partitioned_write(
+    df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    *,
+    cluster_col: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as hive-style ``col=value/`` directories — the
+    coarsest of the three write-side layout levers (directory pruning:
+    a filter on a partition column never LISTS the other directories,
+    let alone reads them; ``sorted_write`` and ``interleaved_write``
+    prune at the row-group level below it). Partition columns must be
+    low-cardinality (each value is a directory; a high-cardinality
+    partition key recreates the small-files problem ``compact_parquet``
+    exists to fix). With ``cluster_col`` the rows inside each directory
+    are additionally sorted so row-group min/max pruning stacks on top
+    of the directory pruning — the full lever set in one write. The
+    directory-pruning contract is pinned by
+    ``test_partitioned_write_prunes_on_read`` (PartitionFilters in the
+    scan plan, not PushedFilters)."""
+    writer = df
+    if cluster_col is not None:
+        writer = writer.repartition(*[F.col(c) for c in partition_cols]).sortWithinPartitions(
+            *partition_cols, cluster_col
+        )
+    writer.write.partitionBy(*partition_cols).mode(mode).parquet(out_dir)
+    return out_dir
+
+
 def compact_parquet(
     spark,
     in_dir: str,
@@ -74,7 +105,7 @@ def compact_parquet(
     FileSystem API instead), and compaction must never write over the
     directory it is reading — Spark fails mid-write on that, after
     having deleted output, so it is rejected up front."""
-    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+    if os.path.realpath(in_dir) == os.path.realpath(out_dir):
         raise ValueError(
             f"compact_parquet cannot write over its input: {in_dir!r} — "
             "compact into a sibling directory, then swap"
@@ -101,10 +132,19 @@ def zorder_expr(cols: list[str], mins: dict, maxs: dict, *, bits: int = 16):
     locality in EVERY clustered dimension at once. ``mins``/``maxs`` are
     the column bounds (one stats aggregate at write time — literals in
     the expression, so the whole key stays inside whole-stage codegen:
-    arithmetic + shiftleft/`&`/`|` only, no UDF)."""
-    from pyspark.sql import functions as F
+    arithmetic + shiftleft/`&`/`|` only, no UDF).
+
+    The interleaved key must stay below the BIGINT sign bit (the sort on
+    a negative key would invert for high cells), so ``bits`` is reduced
+    to ``63 // len(cols)`` whenever ``bits * len(cols) > 63`` — e.g. 4
+    cluster columns at the default 16 quietly become 15-bit grids, which
+    costs one grid level of resolution, never correctness."""
 
     k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_expr needs at least one cluster column")
+    if bits * k > 63:
+        bits = 63 // k
     cells = []
     for c in cols:
         lo, hi = float(mins[c]), float(maxs[c])
@@ -130,6 +170,28 @@ def zorder_expr(cols: list[str], mins: dict, maxs: dict, *, bits: int = 16):
             return x
 
         return F.expr(f"{spread(cells[0])} | shiftleft({spread(cells[1])}, 1)")
+    if k == 3 and bits <= 21:
+        # 3-way branchless spread (insert two zeros between bits): the
+        # 21-bit magic-mask ladder — 21 bits x 3 columns fills 63 bits
+        # exactly, still sign-safe. Masks are the standard Morton3D
+        # constants; emitted as BIGINT literals (`L`) since they exceed
+        # INT range.
+        def spread3(cell: str) -> str:
+            x = f"({cell})"
+            for shift, mask in (
+                (32, 0x1F00000000FFFF),
+                (16, 0x1F0000FF0000FF),
+                (8, 0x100F00F00F00F00F),
+                (4, 0x10C30C30C30C30C3),
+                (2, 0x1249249249249249),
+            ):
+                x = f"((({x}) | shiftleft(({x}), {shift})) & {mask}L)"
+            return x
+
+        return F.expr(
+            f"{spread3(cells[0])} | shiftleft({spread3(cells[1])}, 1) "
+            f"| shiftleft({spread3(cells[2])}, 2)"
+        )
     terms = " | ".join(
         f"shiftleft(shiftright(__cell{i}__, b) & 1, b * {k} + {i})"
         for i in range(k)
@@ -161,7 +223,6 @@ def interleaved_write(
     skips row groups whose box misses the predicate. The standard
     multi-dimensional data-skipping layout (Delta/Iceberg `ZORDER BY`),
     here as a plain DataFrame write; measured skip rates in SCALING.md."""
-    from pyspark.sql import functions as F
 
     stats = df.agg(
         *[F.min(c).alias(f"min_{c}") for c in cols],

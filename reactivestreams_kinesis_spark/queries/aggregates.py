@@ -417,12 +417,12 @@ def agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-rollup maintenance (A1/A6, the incremental path for
     sums — `agg_hll_mergeable`'s counterpart for plain aggregates): a
     DAY-grain partial-aggregate table (count / decimal sum / min / max —
-    every one mergeable) is MERGED up to the month answer instead of
-    re-aggregating raw events (week grain here — the fixture spans one
-    month, so weeks give the merge 5 serving groups over 30 daily
-    partials); avg is derived at merge time as
-    sum/count, never averaged-of-averages. The oracle computes the month
-    grain DIRECTLY from raw events, proving the two-level decomposition
+    every one mergeable) is MERGED up to the WEEK answer instead of
+    re-aggregating raw events (the fixture spans one month, so weeks
+    give the merge 5 serving groups over 30 daily partials); avg is
+    derived at merge time as sum/count, never averaged-of-averages. The
+    oracle computes the week grain DIRECTLY from raw events, proving the
+    two-level decomposition
     exact — the identity that lets a 100 TB pipeline maintain per-day
     partials (re-aggregating only new partitions on ingest) and serve
     any coarser rollup from KBs of partials with zero raw re-scans.

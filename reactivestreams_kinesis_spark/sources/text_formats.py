@@ -49,8 +49,11 @@ def fixture_cache_dir(sf_dir: str, tag: str, table: str = "documents") -> str:
     dir and survives across processes, so the key must change when the
     FIXTURE changes, not just the path: a regenerated parquet (new seed /
     scale) at the same path would otherwise silently serve a stale
-    derivative. The key therefore includes a content fingerprint
-    (mtime+size of every file under the source table)."""
+    derivative. The key fingerprints every file under the source table by
+    mtime+size PLUS a real content sample (first/last 256 bytes — for
+    parquet that spans the magic header and the footer metadata, which
+    changes with any rewrite), so even a timestamp-preserving regeneration
+    of equal size (``cp -p``, archive restore) misses the stale cache."""
     path_key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
     src = os.path.join(sf_dir, f"{table}.parquet")
     parts = sorted(glob.glob(os.path.join(src, "**"), recursive=True)) or [src]
@@ -59,6 +62,11 @@ def fixture_cache_dir(sf_dir: str, tag: str, table: str = "documents") -> str:
         if os.path.isfile(p):
             st = os.stat(p)
             fp.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+            with open(p, "rb") as fh:
+                fp.update(fh.read(256))
+                if st.st_size > 256:
+                    fh.seek(-min(256, st.st_size - 256), os.SEEK_END)
+                    fp.update(fh.read(256))
     return os.path.join(
         tempfile.gettempdir(), f"rsk_{tag}_{path_key}_{fp.hexdigest()[:12]}"
     )

@@ -87,8 +87,11 @@ def kinesis_record_sink(
 
 
 def write_partitioned(df, out_dir: str, partition_cols: list[str], mode: str = "overwrite") -> None:
-    """Partitioned parquet write — the storage layout that turns filters on
-    the partition columns into directory pruning at read time (the 100 TB
-    counterpart of the PushedFilters the plan tests pin). Hive-style
-    ``col=value/`` directories; readers get partition pruning for free."""
-    df.write.partitionBy(*partition_cols).mode(mode).parquet(out_dir)
+    """Partitioned parquet write — thin delegate kept for the sink-side
+    call sites; the canonical layout lever (with the directory-pruning
+    contract and optional within-partition clustering) lives beside
+    ``sorted_write``/``interleaved_write`` in
+    ``operators.layout.partitioned_write``."""
+    from reactivestreams_kinesis_spark.operators.layout import partitioned_write
+
+    partitioned_write(df, out_dir, partition_cols, mode=mode)

@@ -194,3 +194,132 @@ def test_interleaved_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert z_pk <= 0.6 and z_sk <= 0.6, (z_pk, z_sk)
     # mixed single-column workload: z strictly beats the linear layout
     assert (z_pk + z_sk) / 2 < (lin_own + lin_other) / 2
+
+
+def _naive_morton(cells: list[int], bits: int) -> int:
+    """Reference interleave (bit-at-a-time) the branchless paths must match."""
+    k, out = len(cells), 0
+    for b in range(bits):
+        for i, c in enumerate(cells):
+            out |= ((c >> b) & 1) << (b * k + i)
+    return out
+
+
+def test_zorder3_branchless_matches_reference(spark, sf_dir):
+    """The k=3 magic-mask spread is bit-identical to the naive interleave
+    at both the default 16 and the maximal 21 bits, and never reaches the
+    BIGINT sign bit (21 x 3 = 63)."""
+    from reactivestreams_kinesis_spark.operators.layout import zorder_expr
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .limit(500)
+    )
+    bounds = li.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in ("l_partkey", "l_suppkey", "l_quantity")],
+        *[F.max(c).alias(f"hi_{c}") for c in ("l_partkey", "l_suppkey", "l_quantity")],
+    ).first()
+    cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    mins = {c: bounds[f"lo_{c}"] for c in cols}
+    maxs = {c: bounds[f"hi_{c}"] for c in cols}
+
+    def py_cell(v, lo, hi, bits):
+        span = float(hi) - float(lo) if hi > lo else 1.0
+        return min((1 << bits) - 1, int(((float(v) - float(lo)) / span) * (1 << bits)))
+
+    for bits in (16, 21):
+        rows = li.withColumn("z", zorder_expr(cols, mins, maxs, bits=bits)).collect()
+        assert rows
+        for r in rows:
+            cells = [py_cell(r[c], mins[c], maxs[c], bits) for c in cols]
+            assert r["z"] == _naive_morton(cells, bits), (bits, r)
+            assert r["z"] >= 0
+
+
+def test_zorder_bits_autoreduce_stays_sign_safe(spark, sf_dir):
+    """4 cluster columns at the default bits=16 would interleave into bit
+    63 (the sign) and invert the sort for high cells; zorder_expr must
+    auto-reduce to 63 // k bits instead of emitting negative keys."""
+    from reactivestreams_kinesis_spark.operators.layout import zorder_expr
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .limit(500)
+    )
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    bounds = li.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    mins = {c: bounds[f"lo_{c}"] for c in cols}
+    maxs = {c: bounds[f"hi_{c}"] for c in cols}
+    # force every column to its top grid cell to probe the high bits
+    top = li.withColumn("z", zorder_expr(cols, mins, {c: mins[c] for c in cols}, bits=16))
+    vals = [r["z"] for r in top.select("z").collect()]
+    assert vals and all(v >= 0 for v in vals)
+    assert max(v.bit_length() for v in vals) <= 60  # 15 bits x 4 cols
+
+
+def test_interleaved_write_skips_three_dimensions(spark, sf_dir, tmp_path):
+    """k=3 Z-order (the new branchless path): one layout must prune
+    meaningfully on EACH of the three columns, where a linear sort prunes
+    only its own; measured sf0.1 three-predicate-box numbers in
+    SCALING.md."""
+    from reactivestreams_kinesis_spark.operators.layout import interleaved_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    his = li.agg(*[F.max(c).alias(c) for c in cols]).first()
+    positions = [0.05, 0.3, 0.6]
+    bands = {
+        c: [(type(his[c])(float(his[c]) * f), type(his[c])(float(his[c]) * (f + 0.15))) for f in positions]
+        for c in cols
+    }
+
+    lin_dir = str(tmp_path / "lin3")
+    sorted_write(li, lin_dir, "l_partkey", n_files=32)
+    z_dir = str(tmp_path / "z3")
+    interleaved_write(li, z_dir, cols, n_files=32)
+
+    a, b = spark.read.parquet(lin_dir), spark.read.parquet(z_dir)
+    assert a.count() == b.count() and a.subtract(b).count() == 0
+
+    mean = lambda v: sum(v) / len(v)
+    fracs = {c: mean(_band_overlap_fractions(z_dir, c, bands[c])) for c in cols}
+    # linear layout reads ~everything on the two unsorted columns
+    assert mean(_band_overlap_fractions(lin_dir, "l_suppkey", bands["l_suppkey"])) >= 0.95
+    # z-order prunes on every clustered dimension (k=3 dilutes per-column
+    # locality vs k=2, so the bar is looser than the 2-D test's 0.6)
+    for c in cols:
+        assert fracs[c] <= 0.8, fracs
+
+
+def test_partitioned_write_with_clustering(spark, sf_dir, tmp_path):
+    """layout.partitioned_write: hive directories per partition value,
+    and with cluster_col the row groups INSIDE each directory carry tight
+    min/max intervals — directory pruning and row-group pruning from one
+    write."""
+    from reactivestreams_kinesis_spark.operators.layout import partitioned_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_part")
+    partitioned_write(docs, out, ["lang"], cluster_col="n_chars")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    dirs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert sorted(dirs) == sorted(f"lang={l}" for l in langs)
+    # read back with a partition filter: plan prunes at directory level
+    got = spark.read.parquet(out).filter(F.col("lang") == langs[0])
+    from reactivestreams_kinesis_spark.plans.inspect import explain_string
+
+    plan = explain_string(got, "formatted")
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert got.count() == docs.filter(F.col("lang") == langs[0]).count()
+    # row groups within one partition dir are internally ordered on n_chars
+    one = os.path.join(out, dirs[0])
+    spans = sorted(_rowgroup_intervals(one, "n_chars"))
+    for (_, a_max), (b_min, _) in zip(spans, spans[1:]):
+        assert a_max <= b_min
