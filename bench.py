@@ -34,11 +34,34 @@ from reactivestreams_kinesis_spark.session import (
 )
 
 
+def _box_busy_frac(sample_s: float = 0.25) -> float:
+    """Fraction of ALL cpus busy with someone else's work, sampled while
+    this process is idle (before the JVM exists) — the contention guard:
+    twice (r3, r5) a driver bench record was inflated by box load and
+    needed a judge re-run to adjudicate; this makes a contaminated run
+    self-evident from the artifact. Reads /proc/stat twice; near 0.0 on a
+    quiet box."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t0, i0 = snap()
+    time.sleep(sample_s)
+    t1, i1 = snap()
+    dt = t1 - t0
+    return round(1.0 - (i1 - i0) / dt, 4) if dt else -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else -1.0
 
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
+    pre_busy_frac = _box_busy_frac()
+    wall_start = time.perf_counter()
     spark = get_spark(app_name="rsk-spark-bench")
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if override:
@@ -81,6 +104,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # contention fingerprint (BASELINE.md "Reading the load
+                # fingerprint"): pre_busy_frac is the box's busy fraction
+                # sampled while this process was idle — >0.2 means the
+                # timings above competed with someone else's work and the
+                # round-over-round comparison should use per-query RATIOS
+                # against a clean round, not absolutes.
+                "load": {
+                    "cpus": os.cpu_count(),
+                    "loadavg_start": loadavg_start,
+                    "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+                    "pre_busy_frac": pre_busy_frac,
+                    "wall_sec": round(time.perf_counter() - wall_start, 3),
+                },
             }
         )
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.session import persist_once
 
 N_HASHES = 8
 BAND_SIZE = 2
@@ -191,7 +192,7 @@ def jaccard_pairs(
     # sides); without a persist each one re-runs scan → shingle explode →
     # hot-agg → anti-join. MEMORY_AND_DISK (the default) spills rather than
     # OOMs; at 100 TB this is where you'd checkpoint postings to storage.
-    toks = toks.persist()
+    toks = persist_once(toks)
     # sizes AFTER the candidate prune: the semi-join keeps every posting of
     # a surviving doc, so per-doc counts are identical — and the aggregate
     # then only runs over candidate docs (same pushdown rationale as the
@@ -315,6 +316,44 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def minhash_bands(
+    toks: DataFrame, *, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, bkey, bval) band rows from shingle postings — the
+    signature+banding stage factored out of ``minhash_lsh_candidates`` so
+    the incremental path can join NEW-batch bands against the full band
+    set instead of self-joining everything. In production the history's
+    band rows are precomputed at ingest and stored (they are tiny: n_bands
+    rows of 16 hex chars per doc); only the new batch hashes per run."""
+    if n_hashes % band_size:
+        raise ValueError("n_hashes must be divisible by band_size")
+    n_bands = n_hashes // band_size
+    n_digests = -(-n_hashes * 8 // 32)  # 32 hex chars (4 slices) per md5
+    hexcat = F.concat(
+        *[F.md5(F.concat(F.lit("x" * j), F.col("tok"))) for j in range(n_digests)]
+    )
+    hashed = toks.select("doc_id", hexcat.alias("hexcat"))
+    band_aggs = [
+        F.concat(
+            *[
+                F.min(F.substring("hexcat", (band * band_size + j) * 8 + 1, 8))
+                for j in range(band_size)
+            ]
+        ).alias(f"band{band}")
+        for band in range(n_bands)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*band_aggs)
+    # one posexplode pass over the signature rows — NOT a per-band union,
+    # which would re-run the whole signature aggregate (and the postings
+    # scan below it) once per band; the position doubles as the band key
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "bkey", "bval"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     toks: DataFrame, *, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
 ) -> DataFrame:
@@ -337,33 +376,7 @@ def minhash_lsh_candidates(
     Candidate probability at Jaccard j is 1-(1-j^band_size)^n_bands —
     raise n_hashes (wider signature) for recall, band_size for precision.
     """
-    if n_hashes % band_size:
-        raise ValueError("n_hashes must be divisible by band_size")
-    n_bands = n_hashes // band_size
-    n_digests = -(-n_hashes * 8 // 32)  # 32 hex chars (4 slices) per md5
-    hexcat = F.concat(
-        *[F.md5(F.concat(F.lit("x" * j), F.col("tok"))) for j in range(n_digests)]
-    )
-    hashed = toks.select("doc_id", hexcat.alias("hexcat"))
-    band_aggs = [
-        F.concat(
-            *[
-                F.min(F.substring("hexcat", (band * band_size + j) * 8 + 1, 8))
-                for j in range(band_size)
-            ]
-        ).alias(f"band{band}")
-        for band in range(n_bands)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*band_aggs)
-    # one posexplode pass over the signature rows — NOT a per-band union,
-    # which would re-run the whole signature aggregate (and the postings
-    # scan below it) once per band; the position doubles as the band key
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
-            "bkey", "bval"
-        ),
-    )
+    bands = minhash_bands(toks, n_hashes=n_hashes, band_size=band_size)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -394,7 +407,8 @@ def minhash_lsh_pairs(
         # filter); persisting the small pair set avoids re-running the
         # whole signature/banding DAG per consumer. At 100 TB this is
         # where you'd checkpoint candidates to storage instead.
-    ).persist()
+    )
+    cand = persist_once(cand)
     return jaccard_pairs(
         toks,
         cand,
@@ -420,7 +434,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # raw postings feed three branches (signature, hot-shingle agg, the
     # anti-join's left side) — persist so scan+explode runs once.
-    toks = _shingle_postings(spark, sf_dir).persist()
+    toks = persist_once(_shingle_postings(spark, sf_dir))
     return minhash_lsh_pairs(toks)
 
 
@@ -581,7 +595,7 @@ def connected_components(
     converged = False
     prev_cached = None
     for _round in range(max_rounds):
-        updated = propagate(labels).persist()
+        updated = persist_once(propagate(labels))
         changed = updated.filter(
             F.col("component_id") != F.col("prev_component_id")
         ).count()
@@ -780,7 +794,172 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table for the measured x1→x10 exponents vs the exhaustive-Jaccard
     baseline.
     """
-    toks = _shingle_postings(spark, sf_dir).persist()
+    toks = persist_once(_shingle_postings(spark, sf_dir))
     return connected_components_star(
         minhash_lsh_pairs(toks).select("doc_a", "doc_b")
+    )
+
+
+# --- Incremental ingest near-dup dedup (round 6) ---------------------------
+#
+# The production shape of X3 at 100 TB: the deduplicated HISTORY corpus is
+# immutable; each ingest run must decide which NEW docs to drop — against
+# the history and within the batch — WITHOUT ever re-pairing history with
+# itself. Re-running dedup_minhash_lsh over history+batch would redo the
+# Σ|bucket|² work on the (huge, already-clean) history every run; here the
+# band join is bands(all) ⋈ bands(new), so candidate cost scales with the
+# BATCH, history contributing only bucket-collision partners. History band
+# rows are precomputed at ingest in production (tiny: N_BANDS 16-hex rows
+# per doc — see minhash_bands docstring); the fixture recomputes them
+# because it has no prior run to read from.
+
+_INCR_HIST = "SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2) < '80'"  # ~50/50
+
+
+_INCR_ORACLE = f"""
+    WITH toks_raw AS (
+        SELECT doc_id, UNNEST({_DUCK_SHINGLES}) AS tok
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, {_INCR_HIST} AS is_hist
+        FROM documents
+    ),
+    hot AS (
+        SELECT tok FROM toks_raw GROUP BY tok HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    ),
+    capped AS (
+        SELECT doc_id, tok FROM toks_raw
+        WHERE tok NOT IN (SELECT tok FROM hot)
+    ),
+    hashes AS (
+        SELECT doc_id, seeds.s AS s,
+               SUBSTRING(MD5(tok) || MD5('x' || tok), seeds.s * 8 + 1, 8) AS h
+        FROM toks_raw, (SELECT UNNEST(RANGE({N_HASHES})) AS s) seeds
+    ),
+    sig AS (
+        SELECT doc_id, {", ".join(_band_exprs_sql())}
+        FROM hashes GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS bkey, band{b} AS bval FROM sig" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN flags fx ON x.doc_id = fx.doc_id
+        JOIN bands y ON x.bkey = y.bkey AND x.bval = y.bval
+        JOIN flags fy ON y.doc_id = fy.doc_id
+        WHERE NOT fy.is_hist
+          AND x.doc_id <> y.doc_id
+          AND (fx.is_hist OR x.doc_id < y.doc_id)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN capped a ON a.doc_id = c.doc_a
+        JOIN capped b ON b.doc_id = c.doc_b AND b.tok = a.tok
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_common / (sa.sz + sb.sz - i.n_common * CAST(1 AS DOUBLE)), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common / (sa.sz + sb.sz - i.n_common * CAST(1 AS DOUBLE)) >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_b AS doc_id,
+           COUNT(*) AS n_dup_sources,
+           MAX(jaccard) AS max_jaccard
+    FROM verified
+    GROUP BY doc_b
+"""
+
+
+@register("dedup_incremental_lsh", oracle=_INCR_ORACLE, tags=("X3", "X2", "T6"))
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of an ingest batch against an immutable
+    history (X3's production ingest shape): documents split
+    deterministically (md5 bucket < '80' = history, rest = new batch);
+    a NEW doc drops if it has a Jaccard-≥-{JACCARD_THRESHOLD} near-dup
+    in the history (any id order — history never drops) or a LOWER-ID
+    near-dup within the batch. Returns the drop list with dup counts and
+    the strongest match.
+
+    The scale property is in the candidate stage: band rows of the new
+    batch join the FULL band set, so history×history pairs are never
+    generated — per-run cost follows the batch size plus collisions, not
+    |history|² (the whole point of incremental ingest; a full re-dedup
+    per batch would re-pay the corpus-quadratic every run). Signatures
+    for history would be read from storage in production
+    (``minhash_bands``); candidates then pass the same hot-capped exact
+    Jaccard verify as ``dedup_minhash_lsh``, restricted to candidate
+    docs. The streaming twin of the policy is
+    ``test_incremental_ingest_dedup_vs_history`` (exact dedup); this is
+    the near-dup version under the value oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = persist_once(shingle_postings(docs))
+    is_hist = F.expr(_INCR_HIST)
+    flags = docs.select("doc_id", is_hist.alias("is_hist"))
+
+    bands = minhash_bands(toks).join(flags, "doc_id")
+    x = bands.alias("x")
+    y = bands.filter(~F.col("is_hist")).alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") != F.col("y.doc_id"))
+            & (F.col("x.is_hist") | (F.col("x.doc_id") < F.col("y.doc_id"))),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify, mirroring jaccard_pairs but with (history, new)
+    # ordering: hot cap df over FULL postings (matches the oracle's
+    # global HAVING), then postings pruned to candidate docs — the
+    # semi-join keeps every posting of a surviving doc, so sizes are
+    # unchanged by the prune.
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("tok")
+    )
+    capped = toks.join(hot, "tok", "left_anti")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    capped = persist_once(capped.join(cand_docs, "doc_id", "left_semi"))
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common") * F.lit(1.0)
+    )
+    verified = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    return verified.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_dup_sources"),
+        F.max("jaccard").alias("max_jaccard"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.session import persist_once
 
 # first two md5 hex chars of the doc id: uniform over 256 buckets
 _BUCKET = "SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 2)"
@@ -402,12 +403,12 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `kept` fans out to the shingle postings AND the final survivor
     # anti-join; persist so quality-filter + exact-dedup run once, not per
     # consumer (each recompute would re-scan the corpus).
-    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi").persist()
+    kept = persist_once(quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi"))
     postings = kept.withColumn("toks", F.split("text", " ")).select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok")
     )
     near_losers = (
-        minhash_lsh_pairs(postings.persist())
+        minhash_lsh_pairs(persist_once(postings))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -25,6 +25,7 @@ from reactivestreams_kinesis_spark.functions.vector import (
     spark_dot,
 )
 from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.session import persist_once
 
 def _with_norm(df, vec: str, norm_name: str):
     """Attach ||v|| once per vector — pair-scoring then does ONE dot per pair
@@ -384,6 +385,18 @@ def _nearest_centroids(df, centroids, *, vec, key, norm_col, n):
 LLOYD_ITERS = 2      # refinement passes over the strided init
 LLOYD_ROUND_DP = 4   # centroid coordinates quantized to this grid
 
+# Codebook learning runs on a DETERMINISTIC HASH SAMPLE of the corpus
+# (md5 first hex digit < '8' → ~50%), not the full corpus: centroid
+# quality needs only a representative subset, so the per-pass Lloyd
+# assignment cost becomes scale-free (sample size is a knob, not a
+# function of corpus size) while the FULL corpus is still touched
+# exactly once at final list assignment. md5 hex is identical across
+# engines, so the oracle selects the identical sample. Measured at
+# sf0.1: recall@5 identical to full-corpus Lloyd at every nprobe
+# (BASELINE.md "Sampled codebook learning").
+LLOYD_SAMPLE_SPARK = "substring(md5(CAST(vec_id AS STRING)), 1, 1) < '8'"
+LLOYD_SAMPLE_DUCK = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'"
+
 
 def lloyd_refine(
     corpus: DataFrame,
@@ -465,18 +478,30 @@ def ann_ivf_topk(
     return _topk_per_query(scored, k)
 
 
-def _lloyd_oracle_ctes(iters: int = LLOYD_ITERS) -> str:
+def _lloyd_oracle_ctes(
+    iters: int = LLOYD_ITERS,
+    *,
+    assign_where: str | None = None,
+    init_where: str | None = None,
+) -> str:
     """DuckDB CTE chain computing the SAME seeded Lloyd refinement as
     ``lloyd_refine``, unrolled: cent0 = strided init, then per pass an
     argmax assignment (rounded cosine + id tie-break) and a per-dim mean
     quantized to the {LLOYD_ROUND_DP}-dp grid (multiple UNNESTs in one
     SELECT zip positionally; list(... ORDER BY pos) rebuilds the array).
-    The final codebook is ``cent{iters}``."""
+    The final codebook is ``cent{iters}``. ``assign_where`` selects the
+    learning corpus (default: the IVF corpus restricted to the hash
+    sample, matching the Spark side's sampled learning); ``init_where``
+    selects the strided seed rows."""
+    if assign_where is None:
+        assign_where = f"c.vec_id >= {N_QUERIES} AND {LLOYD_SAMPLE_DUCK}"
+    if init_where is None:
+        init_where = f"vec_id >= {N_QUERIES} AND vec_id % {IVF_STRIDE} = 5"
     parts = [
         f"""cent0 AS (
         SELECT vec_id AS centroid_id, embedding AS centv
         FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_STRIDE} = 5
+        WHERE {init_where}
     )"""
     ]
     for i in range(iters):
@@ -488,7 +513,7 @@ def _lloyd_oracle_ctes(iters: int = LLOYD_ITERS) -> str:
                        ORDER BY ROUND({duckdb_cosine('c.embedding', 'k.centv')}, 6) DESC,
                                 k.centroid_id) AS rn
             FROM embeddings c CROSS JOIN cent{i} k
-            WHERE c.vec_id >= {N_QUERIES}
+            WHERE {assign_where}
         ) WHERE rn = 1
     )""")
         parts.append(f"""cent{i + 1} AS (
@@ -577,10 +602,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # learn on the deterministic hash sample (scale-free build cost; the
+    # full corpus is only touched once, at final list assignment below);
     # materialize the (centroid-count-sized) learned codebook once —
     # assignment and probing both broadcast it, and without the checkpoint
     # each reference would recompute the full iterative refinement DAG
-    cent = lloyd_refine(corpus, init).localCheckpoint(eager=True)
+    sample = corpus.filter(F.expr(LLOYD_SAMPLE_SPARK))
+    cent = lloyd_refine(sample, init).localCheckpoint(eager=True)
     return ann_ivf_topk(queries, corpus, cent)
 
 
@@ -590,10 +618,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDedup (Abbas et al., 2023) derives the blocking key from the data:
 # cluster the embedding space, then score pairs only within a cluster —
 # near-dups are near in space, so they co-cluster, and the all-pairs n²
-# collapses to Σ|cluster|². The codebook here is the same deterministic
-# strided sample the IVF query uses (real SemDedup runs k-means; the
-# plan — broadcast codebook, narrow-map assignment, equi-join on the
-# cluster id — is identical, and determinism is what the oracle needs).
+# collapses to Σ|cluster|². Round 6: the codebook is the LLOYD-LEARNED
+# one (seeded by the strided sample, refined on the hash sample — the
+# same learning path as sim_ann_ivf, oracle-unrolled identically). This
+# matters for SemDedup specifically because the pair cost is Σ|cell|²:
+# data-following centroids balance the Voronoi cells, and the measured
+# max-cell shrink directly cuts the quadratic term (cell-size histogram
+# in BASELINE.md "SemDedup cell balance").
 
 SEMDEDUP_THRESHOLD = 0.4  # drop b if cos(a, b) >= τ for some lower-id a
 
@@ -601,11 +632,8 @@ SEMDEDUP_THRESHOLD = 0.4  # drop b if cos(a, b) >= τ for some lower-id a
 @register(
     "sim_semdedup",
     oracle=f"""
-    WITH cent AS (
-        SELECT vec_id AS centroid_id, embedding AS centv
-        FROM embeddings
-        WHERE vec_id % {IVF_STRIDE} = 5
-    ),
+    WITH {_lloyd_oracle_ctes(assign_where=LLOYD_SAMPLE_DUCK, init_where=f"vec_id % {IVF_STRIDE} = 5")},
+    cent AS (SELECT * FROM cent{LLOYD_ITERS}),
     assigned AS (
         SELECT vec_id, cv, centroid_id FROM (
             SELECT c.vec_id, c.embedding AS cv, cent.centroid_id,
@@ -642,16 +670,25 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by codebook granularity (more centroids → smaller cells; production
     SemDedup uses ~100k k-means clusters for exactly this reason).
     Cross-cell near-dups are the documented recall trade: boundary pairs
-    land in different cells, the price of killing n². The codebook is the
-    IVF query's deterministic strided sample so the oracle can reproduce
-    the assignment bit-for-bit."""
+    land in different cells, the price of killing n². The codebook is
+    Lloyd-learned from the deterministic hash sample (strided seed, same
+    passes the oracle unrolls) — one codebook pipeline for IVF and
+    SemDedup. On this synthetic corpus the strided cells were already
+    near-balanced, so the learning buys only a marginal balance gain
+    (max |cell| 73→69 at sf0.1 — honest histogram in BASELINE.md); the
+    value is the shared learning path plus the guarantee that cells
+    follow data geometry on corpora where the id-order DOESN'T mix the
+    space (real corpora cluster by source/time, where a strided sample
+    skews badly)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % IVF_STRIDE == 5).select(
+    init = emb.filter(F.col("vec_id") % IVF_STRIDE == 5).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
     )
     corpus = _with_norm(
         emb.select("vec_id", F.col("embedding").alias("cv")), "cv", "cn"
     )
+    sample = corpus.select("vec_id", "cv").filter(F.expr(LLOYD_SAMPLE_SPARK))
+    centroids = lloyd_refine(sample, init).localCheckpoint(eager=True)
     cent_cos = F.round(
         F.try_divide(
             F.expr(spark_dot("cv", "centv")),
@@ -670,8 +707,8 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 1)
         .select("vec_id", "cv", "cn", "centroid_id")
-        .persist()
     )
+    assigned = persist_once(assigned)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = F.try_divide(
@@ -901,7 +938,10 @@ def sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("quv")
     )
-    cent = lloyd_refine(corpus, init).localCheckpoint(eager=True)
+    # sampled codebook learning — same scale-free-build rationale as
+    # sim_ann_ivf; the int8 lists still index the FULL corpus
+    sample = corpus.filter(F.expr(LLOYD_SAMPLE_SPARK))
+    cent = lloyd_refine(sample, init).localCheckpoint(eager=True)
 
     # the quantized index: int8 vector + per-vector scale, dequantized view
     dq = corpus.select(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.session import persist_once
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -191,7 +192,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame, so unpersisting here would defeat the sharing; once the
     # caller drops the result, Spark's ContextCleaner reclaims the
     # unreachable cached RDD.
-    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = persist_once(exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_counts, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
@@ -600,7 +601,7 @@ def cms_report(toks: DataFrame, counters: DataFrame) -> DataFrame:
     # stream would not be (corpus-sized). Round-4 scan-audit fix:
     # previously each use re-scanned and re-tokenized the corpus.
     vocab = (
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
+        persist_once(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")))
     )
     exact_top = vocab.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
     n_toks = vocab.agg(F.sum("exact_cnt").alias("n_toks"))

@@ -94,10 +94,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk",              # X1 J4 W4
     "dedup_minhash_lsh",            # X3
     "pipeline_end_to_end",          # X2 X3 X4 X-pipeline
-    # aggregates
+    # aggregates — round-6 rotation: agg_collect_set (A7, the least
+    # scale-interesting family; still bit-exact in the local mirror)
+    # ceded its slot to agg_rollup_merge, the incremental-rollup
+    # flagship that had never had a driver row
     "agg_distinct_counts",          # A1 A2
     "agg_percentiles",              # A4 exact + approx bound
-    "agg_collect_set",              # A7
+    "agg_rollup_merge",             # A1 A6 — day partials merged to week
     "agg_approx_count_distinct",    # A3
     "agg_grouping_sets",            # A5
     # scalar function families (§2.8)
@@ -107,8 +110,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fn_array_vector",
     "fn_json",                      # json + map + P1
     "fn_conditional_null",
-    # joins
-    "join_left_outer",              # J2
+    # joins — round-6 rotation: q13 carries J2 (outer join + distribution,
+    # a first-ever-driver-checked TPC-H shape) so the bare join_left_outer
+    # variant moved past the cutoff
+    "q13_customer_distribution",    # J2 A1 O1
     "join_semi_anti",               # J3
     # J5/J6: the binned rewrite carries the driver row (same oracle as
     # the theta form, but it is the plan you'd run at scale — round-4
@@ -131,13 +136,24 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # bit-exact-checked by the local oracle mirror.
     "stream_static_enrich",         # J8 stream-static broadcast join
     "stream_watermark_late",        # T2 late-drop + append finalization
-    # windows
+    # round 6: J9 gets its first driver row (the last join id without
+    # one), plus the two streaming flagships that had only mirror checks
+    "stream_stream_join",           # J9 — drained vs batch range join
+    "stream_temporal_enrich",       # J8 J6 W2 — SCD2 point-in-time enrich
+    "stream_rollup_merge",          # A8 A6 — rollup maintained as a stream
+    # windows — round-6 rotation: W4 stays driver-covered by
+    # sim_cosine_topk (bench) and sample_weighted below, so
+    # win_topk_per_group ceded its slot; rel_cdc_latest_snapshot brings
+    # the CDC compaction flagship (W1 P3) into the driver set
     "win_rank_customers",           # W1
     "win_lag_lead_events",          # W2
-    "win_topk_per_group",           # W4
-    # similarity
-    "sim_ann_lsh",                  # X1
-    "sim_neardup_blocked",          # X1 X2
+    "rel_cdc_latest_snapshot",      # W1 P3 — CDC last-writer-wins
+    # similarity — round-6 rotation: sim_ann_ivf_int8 (the production
+    # ANN composition: learned IVF + int8 lists + exact re-rank)
+    # replaces sim_ann_lsh as X1's scale representative;
+    # sim_neardup_blocked's ids (X1/X2) stay covered by
+    # sim_cosine_topk/dedup_exact
+    "sim_ann_ivf_int8",             # X1
     "sim_embed_enrich",             # X6
     # dedup — dedup_components_lsh is the 100 TB clustering composition
     # (LSH candidates + fixed-rounds CC); it replaced dedup_jaccard_pairs
@@ -146,17 +162,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # itself stays bit-exact-checked by the local oracle mirror.
     "dedup_exact",                  # X2
     "dedup_components_lsh",         # X3 (LSH + CC composition)
-    # text analysis
+    # text analysis — round-6 rotation: text_tfidf_topk's ids (X4/W4)
+    # remain covered by text_stats and the bench set
     "text_stats",                   # X4
-    "text_tfidf_topk",              # X4 W4
-    # multimodal + UDF surface (§2.11)
+    # multimodal + UDF surface (§2.11) — multimodal_features' ids (X5,
+    # §2.11 pandas paths) remain covered by multimodal_plumbing and the
+    # three udf_* rows
     "multimodal_plumbing",          # X5
-    "multimodal_features",          # X5
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
     "udf_row_scalar",
-    # pipeline ops
-    "sample_hash",                  # X-pipeline
+    # pipeline ops — round-6 rotation: sample_weighted (priority
+    # sampling, engine-portable arithmetic) replaces sample_hash as the
+    # sampling representative
+    "sample_weighted",              # X-pipeline W4
     "pack_sequences",               # X-pipeline W3
 )
 

@@ -446,6 +446,15 @@ def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers end to end so interval boundaries hash identically in both
     engines."""
     events = load_table(spark, sf_dir, "events")
+    return build_scd2_dimension(events)
+
+
+def build_scd2_dimension(events: DataFrame) -> DataFrame:
+    """The SCD2 interval build shared by the batch query above and the
+    streaming point-in-time enrichment (``stream_temporal_enrich``):
+    change-log → (user_id, attr_value, valid_from_us, valid_to_us,
+    is_current). Factored so both consumers provably build the SAME
+    dimension."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = events.select(
         "user_id",

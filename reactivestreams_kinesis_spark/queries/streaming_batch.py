@@ -527,3 +527,165 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     captured = _run_to_memory(daily, "complete")
     return merge_day_partials_to_week(captured)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT b.event_id AS buy_id,
+           c.event_id AS click_id,
+           b.user_id AS user_id,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+    FROM events b JOIN events c
+      ON b.user_id = c.user_id
+     AND c.ts <= b.ts
+     AND c.ts >= b.ts - INTERVAL 1 HOUR
+    WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("J9", "T2"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join (J9) under the value oracle — the last
+    join id to get a driver row (its mechanics were pinned by
+    ``test_stream_stream_join`` since round 3): purchases joined to the
+    same user's clicks within the preceding hour, both sides REAL streams
+    with watermarks and the event-time range bound Spark requires to
+    bound join state (state older than watermark - 1h is evicted every
+    batch — the 100 TB property; without the bound both sides' state
+    grows forever). Drained AvailableNow the whole fixture arrives before
+    any watermark advances, so the emitted pair SET equals the batch
+    range join the oracle computes — the same drain-equivalence argument
+    that carried J8 (`stream_static_enrich`). Output is per-pair rows
+    (ids + µs gap — integers end to end), so one extra or dropped pair
+    breaks the value hash."""
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = buys.join(
+        clicks,
+        (F.col("b_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "buy_id",
+        "click_id",
+        F.col("b_user").alias("user_id"),
+        (F.unix_micros("buy_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+_SCD2_DIM_CTE = """
+    ordered AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'error')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts_us, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+        SELECT user_id,
+               event_type AS attr_value,
+               ts_us AS valid_from_us,
+               LEAD(ts_us) OVER w2 AS valid_to_us
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+"""
+
+
+@register(
+    "stream_temporal_enrich",
+    oracle=f"""
+    WITH {_SCD2_DIM_CTE}
+    SELECT d.attr_value,
+           e.event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.user_id
+     AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= d.valid_from_us
+     AND (d.valid_to_us IS NULL OR epoch_us(CAST(e.ts AS TIMESTAMP)) < d.valid_to_us)
+    WHERE e.event_type IN ('view', 'click')
+    GROUP BY 1, 2
+    """,
+    tags=("J8", "J6", "W2"),
+)
+def stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment — the streaming dual of the
+    as-of join (J7) and the canonical warehouse-streaming pattern: each
+    arriving interaction event (view/click) joins the SCD2 dimension
+    version whose validity interval contains its event time. The
+    dimension is the user's LIFECYCLE state (last signup/purchase/error
+    transition), built by `build_scd2_dimension` — the exact builder
+    `rel_scd2_intervals` registers — so this row driver-checks the SCD2
+    interval logic too: one wrong interval boundary misroutes events
+    between lifecycle versions and breaks the hash. (Building the dim
+    from a DIFFERENT event subset than the enriched stream keeps the
+    join non-degenerate — enriching a change-log against its own SCD2
+    form would tautologically return each event's own type.) Stream–
+    static join with an equi-key (user_id) plus interval containment:
+    per micro-batch Spark plans it as a batch hash join on the key with
+    the containment as a post-join filter — stateless append, no
+    watermark needed, which is why temporal enrichment scales where a
+    stream–stream join would hold state. Intervals half-open [from, to)
+    — an event AT a change point belongs to the new version; inner join
+    drops interactions preceding the user's first lifecycle event;
+    µs-integer boundaries end to end. The rollup happens on the
+    CAPTURED table (as in `stream_static_enrich`) so the streaming
+    stage stays a pure per-batch join."""
+    from reactivestreams_kinesis_spark.queries.relational import (
+        build_scd2_dimension,
+    )
+
+    lifecycle = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    dim = build_scd2_dimension(lifecycle).select(
+        F.col("user_id").alias("d_user"), "attr_value", "valid_from_us", "valid_to_us"
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click"))
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    enriched = stream.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        "inner",
+    ).select("attr_value", "event_type", "value")
+    captured = _run_to_memory(enriched, "append")
+    return captured.groupBy("attr_value", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)"
+        ).alias("sum_value"),
+    )

@@ -115,6 +115,27 @@ def released_caches(spark: SparkSession):
             df.unpersist(blocking=True)
 
 
+def persist_once(df: DataFrame, *args, **kwargs) -> DataFrame:
+    """``persist()`` that no-ops when the plan is ALREADY in the
+    CacheManager — the single entry point for query-internal persists.
+
+    Why: the bench's best-of-2 semantics rebuild the same lazy plan and
+    re-run it inside one ``released_caches`` scope, so trial 2's persist
+    hits trial 1's plan-matched cache entry and the JVM logs ``WARN
+    CacheManager: Asked to cache already cached data`` — harmless (the
+    second call is a no-op) but noise that can mask a real caching bug.
+    Checking ``lookupCachedData`` first keeps bench stderr clean, and the
+    skipped persist is still released on scope exit because trial 1's
+    call was tracked. Falls back to a plain persist if the internal JVM
+    surface ever moves."""
+    try:
+        jcm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        already = jcm.lookupCachedData(df._jdf).isDefined()
+    except Exception:  # pragma: no cover - internal API drift
+        already = False
+    return df if already else df.persist(*args, **kwargs)
+
+
 def cached_rdd_count(spark: SparkSession) -> int:
     """Number of RDDs currently holding storage (cached blocks) — the
     observable released_caches() zeroes out; exposed for tests/bench."""
