@@ -1,0 +1,76 @@
+"""Persisted IVF index (round 6): the inverted lists as a hive-partitioned
+layout — probe equivalence with the in-memory IVF path, and the
+storage-level proof that a probe reads only the probed directories.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.ann_index import (
+    build_ivf_index,
+    probe_ivf_index,
+)
+from reactivestreams_kinesis_spark.plans.inspect import explain_string
+from reactivestreams_kinesis_spark.queries.llm_similarity import (
+    IVF_STRIDE,
+    LLOYD_SAMPLE_SPARK,
+    N_QUERIES,
+    ann_ivf_topk,
+    lloyd_refine,
+)
+
+
+def _fixture(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    init = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv"))
+    cent = lloyd_refine(
+        corpus.filter(F.expr(LLOYD_SAMPLE_SPARK)), init
+    ).localCheckpoint(eager=True)
+    return corpus, queries, cent
+
+
+def test_ivf_index_probe_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted-index probe must return exactly the in-memory
+    ann_ivf_topk answer for the same codebook — the layout changes WHERE
+    the lists live, never the math."""
+    corpus, queries, cent = _fixture(spark, sf_dir)
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(corpus, cent, idx)
+    got = probe_ivf_index(spark, idx, queries, k=5, nprobe=2)
+    want = ann_ivf_topk(queries, corpus, cent, k=5, nprobe=2)
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+
+def test_ivf_index_probe_prunes_directories(spark, sf_dir, tmp_path):
+    """Storage-level contract: the probe scan carries PartitionFilters on
+    centroid_id (directory pruning — unprobed cells are never listed),
+    and the cell directories on disk cover the whole corpus exactly."""
+    corpus, queries, cent = _fixture(spark, sf_dir)
+    idx = str(tmp_path / "ivf_idx2")
+    build_ivf_index(corpus, cent, idx)
+
+    cell_dirs = [d for d in os.listdir(idx) if d.startswith("centroid_id=")]
+    assert len(cell_dirs) > 1  # partitioned layout, one dir per list
+    assert spark.read.parquet(idx).count() == corpus.count()
+
+    probed = probe_ivf_index(spark, idx, queries, k=5, nprobe=1)
+    plan = explain_string(probed, "formatted")
+    m = re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    # nprobe=1 over N_QUERIES queries: at most one probed cell per query
+    assert len(m.group(1).split(",")) <= N_QUERIES
+    assert probed.count() > 0
