@@ -1,0 +1,112 @@
+"""Snapshot isolation / time travel (round 6): manifest-published parquet
+versions — append/overwrite lineage, reader isolation under compaction,
+the exclusive-create commit point, and vacuum retention.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    compact_snapshot,
+    latest_version,
+    read_snapshot,
+    snapshot_commit,
+    vacuum,
+)
+
+
+def test_snapshot_append_overwrite_time_travel(spark, sf_dir, tmp_path):
+    """v0 append, v1 append, v2 overwrite: every version stays readable
+    with exactly its committed content."""
+    t = str(tmp_path / "tbl")
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+    )
+    r = r.select("r_regionkey", "r_name")
+    assert snapshot_commit(r, t) == 0
+    assert snapshot_commit(n, t) == 1                      # append
+    assert snapshot_commit(r, t, mode="overwrite") == 2    # replace
+    assert latest_version(t) == 2
+    assert read_snapshot(spark, t, 0).count() == r.count()
+    assert read_snapshot(spark, t, 1).count() == r.count() + n.count()
+    assert read_snapshot(spark, t, 2).count() == r.count()
+    # latest == v2, and content (not just counts) matches
+    assert read_snapshot(spark, t).subtract(r).count() == 0
+
+
+def test_snapshot_reader_isolation_under_compaction(spark, sf_dir, tmp_path):
+    """A reader bound to vN is unaffected by a compaction that publishes
+    v(N+1): its files are immutable and still on disk — the property a
+    directory-listing read cannot have (compact_parquet must REJECT the
+    in-place case; snapshot compaction makes it safe)."""
+    t = str(tmp_path / "tbl2")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    snapshot_commit(li.repartition(16), t)
+    v0 = read_snapshot(spark, t, 0)
+    before = v0.count()
+    v0_files = {f["path"] for f in v0.select(F.input_file_name().alias("path")).distinct().collect()}
+    assert len(v0_files) == 16
+
+    v1 = compact_snapshot(spark, t, target_file_bytes=1 << 40)  # 1 file
+    assert v1 == 1
+    # old reader still sees its exact file set and content
+    assert v0.count() == before
+    v1_files = {
+        f["path"]
+        for f in read_snapshot(spark, t, 1)
+        .select(F.input_file_name().alias("path"))
+        .distinct()
+        .collect()
+    }
+    assert len(v1_files) == 1 and v1_files.isdisjoint(v0_files)
+    assert read_snapshot(spark, t, 1).subtract(read_snapshot(spark, t, 0)).count() == 0
+
+
+def test_snapshot_commit_race_retries(spark, sf_dir, tmp_path):
+    """The exclusive-create commit point: a manifest squatting on the
+    next version forces the committer to retry and land one higher —
+    append recomputed against the new tip (optimistic concurrency)."""
+    import json
+
+    t = str(tmp_path / "tbl3")
+    r = load_table(spark, sf_dir, "region")
+    snapshot_commit(r, t)
+    # simulate a concurrent winner for v1: same file set as v0
+    with open(os.path.join(t, "_snapshots", "v000000001.json"), "x") as f:
+        json.dump(
+            {"version": 1, "parent": 0, "op": "append",
+             "files": json.load(open(os.path.join(t, "_snapshots", "v000000000.json")))["files"]},
+            f,
+        )
+    v = snapshot_commit(r, t)  # loser must retry past the squatted v1
+    assert v == 2
+    # append parent was the squatted tip: v2 = v1 files + new commit
+    assert read_snapshot(spark, t, 2).count() == 2 * r.count()
+
+
+def test_snapshot_vacuum_retention(spark, sf_dir, tmp_path):
+    """vacuum(keep_from_version=k) deletes exactly the files no retained
+    version references; retained versions still read, older ones are
+    gone."""
+    import pytest
+
+    t = str(tmp_path / "tbl4")
+    r = load_table(spark, sf_dir, "region")
+    snapshot_commit(r, t)                       # v0
+    snapshot_commit(r, t)                       # v1 = v0 files + new
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)  # v2 overwrite
+    deleted = vacuum(t, keep_from_version=2)
+    # v0's files were shared into v1 (append) but v2 replaced everything:
+    # both commits' data files are unreferenced now
+    assert deleted, "expected unreferenced files to be removed"
+    assert read_snapshot(spark, t, 2).count() == 2 * r.count()
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0).count()
+    # the deleted files are really off disk
+    assert all(not os.path.exists(p) for p in deleted)
