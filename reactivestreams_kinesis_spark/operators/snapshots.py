@@ -52,11 +52,26 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def find_txn(table_dir: str, txn_id: str) -> int | None:
+    """Version committed under ``txn_id``, or None. One scan of the
+    (bounded) manifest set — production would keep a txn index, but the
+    contract is the same: a txn id appears in at most one manifest."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        return None
+    for v in range(tip, -1, -1):
+        mp = _manifest_path(table_dir, v)
+        if os.path.exists(mp) and _read_manifest(table_dir, v).get("txn") == txn_id:
+            return v
+    return None
+
+
 def snapshot_commit(
     df: DataFrame,
     table_dir: str,
     *,
     mode: str = "append",
+    txn_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return it.
 
@@ -69,9 +84,21 @@ def snapshot_commit(
     set — append semantics compose under the race, which is exactly what
     a listing-coupled write cannot offer. Crash before the manifest
     publish leaves only unreferenced files (reclaimed by ``vacuum``),
-    never a half-visible table."""
+    never a half-visible table.
+
+    ``txn_id`` makes the commit IDEMPOTENT: if any manifest already
+    carries the id, that version is returned without writing — the
+    Delta-style contract that lets a streaming ``foreachBatch`` replay an
+    epoch after a crash without duplicating rows (the checkpoint replays
+    the batch; the txn check makes the replay a no-op). The id is checked
+    again inside the publish loop, so even two racing replays of the same
+    epoch commit exactly once."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported snapshot mode: {mode!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
     os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     df.write.parquet(commit_dir)
@@ -82,6 +109,11 @@ def snapshot_commit(
     )
     while True:
         tip = latest_version(table_dir)
+        if txn_id is not None:
+            done = find_txn(table_dir, txn_id)
+            if done is not None:
+                return done  # a racing twin of this txn won; our files
+                # are orphans until vacuum(clean_orphans=True)
         version = 0 if tip is None else tip + 1
         if mode == "append" and tip is not None:
             files = _read_manifest(table_dir, tip)["files"] + new_files
@@ -93,6 +125,8 @@ def snapshot_commit(
             "op": mode,
             "files": files,
         }
+        if txn_id is not None:
+            manifest["txn"] = txn_id
         try:
             # exclusive create IS the commit point: exactly one writer can
             # create v{N}; a loser re-reads the tip and retries
@@ -146,12 +180,20 @@ def compact_snapshot(
     return snapshot_commit(compacted, table_dir, mode="overwrite")
 
 
-def vacuum(table_dir: str, *, keep_from_version: int) -> list[str]:
+def vacuum(
+    table_dir: str, *, keep_from_version: int, clean_orphans: bool = False
+) -> list[str]:
     """Delete data files unreferenced by every version >=
     ``keep_from_version`` and drop the older manifests — the explicit,
     separate step that makes time travel a RETENTION POLICY rather than
     unbounded storage. Returns the deleted file paths. Never touches a
-    file any retained version references."""
+    file any retained version references.
+
+    ``clean_orphans`` additionally removes data files referenced by NO
+    manifest at all — debris of crashed or race-losing commits. Only safe
+    when no commit is in flight (an in-flight commit's files are by
+    definition unreferenced until its manifest publishes); production
+    systems gate this on a modification-time retention window instead."""
     tip = latest_version(table_dir)
     if tip is None or keep_from_version > tip:
         raise ValueError(f"keep_from_version {keep_from_version} beyond tip {tip}")
@@ -170,4 +212,39 @@ def vacuum(table_dir: str, *, keep_from_version: int) -> list[str]:
                     os.remove(p)
                     deleted.append(p)
         os.remove(mp)
+    if clean_orphans:
+        for d in os.listdir(table_dir):
+            if not d.startswith("data-"):
+                continue
+            for f in os.listdir(os.path.join(table_dir, d)):
+                rel = os.path.join(d, f)
+                if f.endswith(".parquet") and rel not in live:
+                    p = os.path.join(table_dir, rel)
+                    os.remove(p)
+                    deleted.append(p)
     return deleted
+
+
+def snapshot_stream_sink(
+    records: DataFrame, table_dir: str, checkpoint_dir: str
+):
+    """Streaming ingest into a snapshot table with EXACTLY-ONCE appends:
+    ``foreachBatch`` commits each micro-batch under the deterministic txn
+    id ``stream-<epoch>``, so a post-crash replay of an epoch (Spark's
+    at-least-once foreachBatch contract) finds the txn already committed
+    and no-ops — the idempotence turning at-least-once into exactly-once,
+    the same protocol the file sink's transaction log implements and
+    Delta's ``txnAppId``/``txnVersion`` exposes. Readers meanwhile get a
+    consistent version per micro-batch instead of seeing half-written
+    files appear mid-listing. Returns the started StreamingQuery
+    (AvailableNow)."""
+
+    def commit_batch(batch: DataFrame, epoch_id: int) -> None:
+        snapshot_commit(batch, table_dir, mode="append", txn_id=f"stream-{epoch_id}")
+
+    return (
+        records.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -110,3 +110,68 @@ def test_snapshot_vacuum_retention(spark, sf_dir, tmp_path):
         read_snapshot(spark, t, 0).count()
     # the deleted files are really off disk
     assert all(not os.path.exists(p) for p in deleted)
+
+
+def test_snapshot_txn_idempotent_commit(spark, sf_dir, tmp_path):
+    """The same txn_id commits exactly once — the second call returns the
+    existing version and publishes nothing (Delta txnAppId semantics)."""
+    t = str(tmp_path / "tbl5")
+    r = load_table(spark, sf_dir, "region")
+    v1 = snapshot_commit(r, t, txn_id="epoch-0")
+    v2 = snapshot_commit(r, t, txn_id="epoch-0")
+    assert v1 == v2 == 0
+    assert latest_version(t) == 0
+    assert read_snapshot(spark, t).count() == r.count()
+    # a new txn does append
+    assert snapshot_commit(r, t, txn_id="epoch-1") == 1
+    assert read_snapshot(spark, t).count() == 2 * r.count()
+
+
+def test_snapshot_stream_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming appends land one committed version per micro-batch, total
+    content equals the source exactly, and replaying an epoch's commit
+    (the at-least-once foreachBatch case) does not duplicate rows."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_stream_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t = str(tmp_path / "tbl6")
+    q = snapshot_stream_sink(
+        stream.select("event_id", "user_id"), t, str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(300)
+    tip = latest_version(t)
+    assert tip == 2  # one version per micro-batch (3 files, 1 per trigger)
+    got = read_snapshot(spark, t)
+    assert got.count() == events.count()
+    assert got.select("event_id").subtract(events.select("event_id")).count() == 0
+    # crash-replay simulation: re-commit epoch 0's batch under its txn id
+    replay = spark.read.parquet(src).limit(10).select("event_id", "user_id")
+    assert snapshot_commit(replay, t, txn_id="stream-0") == 0
+    assert read_snapshot(spark, t).count() == events.count()
+
+
+def test_snapshot_vacuum_clean_orphans(spark, sf_dir, tmp_path):
+    """Files written by a commit that never published (crash before the
+    manifest) are invisible to readers and reclaimed only by
+    clean_orphans."""
+    import uuid as _uuid
+
+    t = str(tmp_path / "tbl7")
+    r = load_table(spark, sf_dir, "region")
+    snapshot_commit(r, t)
+    # simulate a crashed commit: data files, no manifest
+    orphan_dir = os.path.join(t, f"data-{_uuid.uuid4().hex[:12]}")
+    r.write.parquet(orphan_dir)
+    assert read_snapshot(spark, t).count() == r.count()  # invisible
+    deleted = vacuum(t, keep_from_version=0, clean_orphans=True)
+    assert deleted and all("data-" in p for p in deleted)
+    assert read_snapshot(spark, t).count() == r.count()  # table intact
