@@ -993,3 +993,55 @@ def sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return _topk_per_query(exact, TOP_K)
+
+
+# --- Persisted IVF index under the value oracle (round 6) ------------------
+
+from reactivestreams_kinesis_spark.queries.registry import REGISTRY  # noqa: E402
+
+_IVF_ORACLE = REGISTRY["sim_ann_ivf"].oracle  # probe ≡ in-memory IVF
+
+
+@register("sim_ann_ivf_persisted", oracle=_IVF_ORACLE, tags=("X1", "S5"))
+def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the PERSISTED index (X1 + the storage layout lever):
+    the inverted lists live as a hive-partitioned parquet table
+    (``operators/ann_index.py`` — one directory per Voronoi cell, probes
+    become PartitionFilters directory pruning), built once per fixture
+    into the content-fingerprinted cross-process cache and probed here.
+    Same learned-codebook geometry as ``sim_ann_ivf``, so the SAME
+    oracle: storage changes WHERE the lists live, never the answer — one
+    wrong file in one cell directory breaks the hash. This is the query
+    a production vector store actually serves (index built by an ingest
+    job, probed by many)."""
+    import os
+
+    from reactivestreams_kinesis_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from reactivestreams_kinesis_spark.sources.text_formats import (
+        fixture_cache_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    idx = fixture_cache_dir(sf_dir, "ivf_index", "embeddings")
+    if not os.path.exists(idx + "__codebook"):
+        init = emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
+        ).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+        )
+        cent = lloyd_refine(
+            corpus.filter(F.expr(LLOYD_SAMPLE_SPARK)), init
+        ).localCheckpoint(eager=True)
+        build_ivf_index(corpus, cent, idx)
+    return probe_ivf_index(
+        spark, idx, queries, k=TOP_K, nprobe=IVF_NPROBE
+    )

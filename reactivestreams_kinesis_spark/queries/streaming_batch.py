@@ -689,3 +689,47 @@ def stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)"
         ).alias("sum_value"),
     )
+
+
+@register(
+    "stream_snapshot_ingest",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("T9", "S5", "S6"),
+)
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a SNAPSHOT TABLE under the value oracle
+    (T9 + the round-6 manifest protocol): the events fixture replays
+    through the file source, ``snapshot_stream_sink`` commits one table
+    version per micro-batch under the deterministic txn id
+    ``stream-<epoch>``, and the latest snapshot must equal the source
+    EXACTLY — one duplicated replay or half-visible file breaks the
+    hash. Exactly-once here is carried by txn idempotence (a replayed
+    epoch finds its txn committed and no-ops) rather than the file
+    sink's transaction log — the lakehouse variant of the T9 guarantee,
+    with reader isolation thrown in (a reader of version N is untouched
+    by in-flight commits). The table builds once per fixture into the
+    content-fingerprinted cache; concurrent builders are safe because
+    the deterministic txn ids make their commits mutually idempotent."""
+    import os
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        latest_version,
+        read_snapshot,
+        snapshot_stream_sink,
+    )
+    from reactivestreams_kinesis_spark.sources.text_formats import (
+        fixture_cache_dir,
+    )
+
+    table = fixture_cache_dir(sf_dir, "snap_ingest", "events")
+    if latest_version(table) is None:
+        stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+        q = snapshot_stream_sink(
+            stream.select("event_id", "user_id", "event_type"),
+            table,
+            os.path.join(table, "_checkpoint"),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("snapshot ingest did not drain in 300s")
+    return read_snapshot(spark, table)
