@@ -649,3 +649,69 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = cms_tokens(docs)
     return cms_report(toks, cms_counters(toks))
+
+
+# --- Overlapping document chunking (round 6) -------------------------------
+
+CHUNK_LEN = 200     # chars per chunk
+CHUNK_STRIDE = 150  # stride; CHUNK_LEN - CHUNK_STRIDE = 50 chars of overlap
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text, LENGTH(text) AS n FROM documents
+    ),
+    ks AS (
+        SELECT doc_id, text, n,
+               CASE WHEN n > {CHUNK_LEN}
+                    THEN (n - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                    ELSE 0 END AS last_k
+        FROM sized
+    )
+    SELECT doc_id,
+           k AS chunk_idx,
+           LENGTH(SUBSTR(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS chunk_len,
+           MD5(SUBSTR(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS chunk_md5
+    FROM ks, UNNEST(range(0, last_k + 1)) AS t(k)
+    """,
+    tags=("X4", "X-pipeline", "§2.8-string"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (the standard training/RAG prep
+    step this family lacked): fixed {CHUNK_LEN}-char windows at stride
+    {CHUNK_STRIDE} ({CHUNK_LEN - CHUNK_STRIDE} chars of overlap so no
+    boundary context is lost), last chunk ragged, short docs → one
+    chunk. Chunk count is pure integer arithmetic
+    (ceil((n - len) / stride) + 1 via integer division — identical in
+    both engines), the explode is one ``posexplode(sequence(...))`` per
+    doc (narrow map, no shuffle — chunking 100 TB is embarrassingly
+    parallel), and chunk CONTENT is value-checked through its md5, so an
+    off-by-one in any window boundary breaks the hash. Downstream ops
+    (dedup, embedding, packing) key on (doc_id, chunk_idx)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "text", F.length("text").alias("n"))
+    last_k = F.when(
+        F.col("n") > CHUNK_LEN,
+        F.floor((F.col("n") - CHUNK_LEN + CHUNK_STRIDE - 1) / CHUNK_STRIDE),
+    ).otherwise(0)
+    ks = sized.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), last_k.cast("int"))).alias("_p", "k"),
+    )
+    chunk = F.expr(f"substring(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})")
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_idx"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+text_chunk_overlap.__doc__ = (
+    text_chunk_overlap.__doc__.replace("{CHUNK_LEN - CHUNK_STRIDE}", str(CHUNK_LEN - CHUNK_STRIDE))
+    .replace("{CHUNK_LEN}", str(CHUNK_LEN))
+    .replace("{CHUNK_STRIDE}", str(CHUNK_STRIDE))
+)
