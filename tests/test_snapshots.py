@@ -175,3 +175,36 @@ def test_snapshot_vacuum_clean_orphans(spark, sf_dir, tmp_path):
     deleted = vacuum(t, keep_from_version=0, clean_orphans=True)
     assert deleted and all("data-" in p for p in deleted)
     assert read_snapshot(spark, t).count() == r.count()  # table intact
+
+
+def test_snapshot_changes_incremental_read(spark, sf_dir, tmp_path):
+    """snapshot_changes reads exactly the rows appended in the version
+    range — the batch CDC feed — and refuses to diff across an overwrite
+    (history rewrite)."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl8")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+    )
+    snapshot_commit(r, t)   # v0
+    snapshot_commit(n, t)   # v1 append
+    snapshot_commit(r, t)   # v2 append
+    delta = snapshot_changes(spark, t, from_version=0, to_version=1)
+    assert delta.count() == n.count()
+    assert delta.subtract(n).count() == 0
+    # open range = through tip; v1+v2 additions
+    both = snapshot_changes(spark, t, from_version=0)
+    assert both.count() == n.count() + r.count()
+    # an overwrite in range invalidates incremental reads
+    snapshot_commit(n, t, mode="overwrite")  # v3
+    with pytest.raises(ValueError, match="not an append"):
+        snapshot_changes(spark, t, from_version=0)
+    # but a range ending before it still works
+    assert snapshot_changes(spark, t, from_version=1, to_version=2).count() == r.count()
