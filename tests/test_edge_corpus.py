@@ -59,6 +59,8 @@ EDGE_QUERY_NAMES = (
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_components_lsh",
+    "dedup_incremental_lsh",
+    "text_chunk_overlap",
     "sample_hash",
     "sample_weighted",
     "split_train_val_test",
@@ -166,6 +168,8 @@ EDGE_EMBED_QUERY_NAMES = (
     "sim_neardup_blocked",
     "sim_semdedup",
     "sim_quantize_int8",
+    "sim_ann_ivf_int8",
+    "sim_ann_ivf_persisted",
     "sim_embed_enrich",
 )
 
