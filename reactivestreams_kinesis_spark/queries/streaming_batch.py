@@ -733,3 +733,36 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("snapshot ingest did not drain in 300s")
     return read_snapshot(spark, table)
+
+
+@register(
+    "src_snapshot_table_read",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("S5", "S1"),
+)
+def src_snapshot_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `snapshot_table` CUSTOM DATA SOURCE under the value oracle
+    (S5 — a first-class format implemented through Spark 4's public
+    Python Data Source API, `sources/snapshot_source.py`): batch-read
+    the manifest-committed ingest table (built by
+    `stream_snapshot_ingest`'s sink if this runs first) through
+    ``spark.read.format("snapshot_table")`` — planning binds to the
+    manifest (uncommitted files invisible, time travel by version), one
+    InputPartition per data file read executor-side as Arrow batches.
+    Must equal the raw events fixture exactly; distinct read path from
+    `read_snapshot` (which unions concrete parquet paths driver-side)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        latest_version,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+    from reactivestreams_kinesis_spark.sources.text_formats import (
+        fixture_cache_dir,
+    )
+
+    table = fixture_cache_dir(sf_dir, "snap_ingest", "events")
+    if latest_version(table) is None:
+        stream_snapshot_ingest(spark, sf_dir)  # builds + caches the table
+    register_snapshot_source(spark)
+    return spark.read.format("snapshot_table").option("path", table).load()

@@ -1,0 +1,172 @@
+"""`snapshot_table` — a custom Spark DataSource over manifest-committed
+tables (round 6), batch AND streaming, via the public Python Data Source
+API (`pyspark.sql.datasource`, Spark 4).
+
+Why a custom source: the built-in parquet reader binds to a directory
+LISTING, so it sees a snapshot table's uncommitted files (data lands
+before the manifest publishes) and can't time-travel; and the built-in
+file STREAM source would likewise surface pre-commit files. This source
+binds every read to a MANIFEST:
+
+- batch: ``spark.read.format("snapshot_table").option("path", dir)``
+  reads exactly the tip version's file set (``option("version", n)`` for
+  time travel) — same contract as ``read_snapshot``, expressed as a
+  first-class format.
+- streaming: ``spark.readStream.format("snapshot_table")`` follows the
+  table's APPEND lineage with **table versions as streaming offsets** —
+  each micro-batch covers the files added by versions (start, end], the
+  checkpoint stores the last processed version, and restart resumes
+  from it exactly-once. Uncommitted files are invisible by construction
+  (only manifest-referenced files are ever planned), which the plain
+  file source cannot promise. An overwrite/compaction in range fails the
+  read loudly (history rewrite — same rule as ``snapshot_changes``).
+
+Scale shape: planning touches only manifests (file NAMES); each data
+file is one ``InputPartition`` read executor-side as Arrow record
+batches (pyarrow), so read parallelism tracks the file count exactly
+like the native reader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    _manifest_path,
+    _read_manifest,
+    latest_version,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _version_files(table_dir: str, version: int) -> list[str]:
+    return [
+        os.path.join(table_dir, f)
+        for f in _read_manifest(table_dir, version)["files"]
+    ]
+
+
+def _read_parquet_batches(path: str) -> Iterator:
+    """Executor-side file read: Arrow record batches straight from the
+    parquet file (zero row-by-row Python)."""
+    import pyarrow.parquet as pq
+
+    yield from pq.ParquetFile(path).iter_batches()
+
+
+class SnapshotTableDataSource(DataSource):
+    """See module docstring. Options: ``path`` (table dir, required);
+    ``version`` (batch time travel, default tip); ``startingVersion``
+    (stream resume point — first batch covers startingVersion+1..tip,
+    default -1 = the table's full history)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_table"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_table requires .option('path', <table dir>)")
+        return path
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow.parquet as pq
+
+        table_dir = self._table_dir()
+        tip = latest_version(table_dir)
+        if tip is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+        version = int(self.options.get("version", tip))
+        files = _version_files(table_dir, version)
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        table_dir = self._table_dir()
+        tip = latest_version(table_dir)
+        version = int(self.options.get("version", tip))
+        return _SnapshotBatchReader(_version_files(table_dir, version))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SnapshotStreamReader(
+            self._table_dir(), int(self.options.get("startingVersion", -1))
+        )
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    def __init__(self, files: list[str]):
+        self._files = files
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(p) for p in self._files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_parquet_batches(partition.path)
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """Offsets are table versions: ``{"version": N}`` = processed through
+    manifest N. Planning a batch (start, end] lists the files in
+    manifest[end] that manifest[start] lacks — pure manifest metadata,
+    executor reads untouched. Append-only lineage is enforced per
+    planned range."""
+
+    def __init__(self, table_dir: str, starting_version: int):
+        self._dir = table_dir
+        self._start = starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        tip = latest_version(self._dir)
+        return {"version": self._start if tip is None else tip}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        sv, ev = start["version"], end["version"]
+        if ev <= sv:
+            return []
+        for v in range(max(sv + 1, 1), ev + 1):
+            if os.path.exists(_manifest_path(self._dir, v)) and (
+                _read_manifest(self._dir, v)["op"] != "append"
+            ):
+                raise ValueError(
+                    f"snapshot_table stream: version {v} is not an append — "
+                    "streaming cannot cross an overwrite/compaction"
+                )
+        base: set[str] = set()
+        if sv >= 0:
+            base = set(_read_manifest(self._dir, sv)["files"])
+        target = _read_manifest(self._dir, ev)["files"]
+        return [
+            _FilePartition(os.path.join(self._dir, f))
+            for f in target
+            if f not in base
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_parquet_batches(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint; nothing to release
+
+
+def register_snapshot_source(spark) -> None:
+    """Register the format with a session (idempotent):
+    ``spark.read.format("snapshot_table")`` afterwards."""
+    spark.dataSource.register(SnapshotTableDataSource)

@@ -1,0 +1,110 @@
+"""`snapshot_table` custom DataSource (round 6): batch reads bound to a
+manifest (time travel, uncommitted files invisible) and streaming with
+table versions as offsets (resume from checkpoint, append-only guard).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    snapshot_commit,
+)
+from reactivestreams_kinesis_spark.sources.snapshot_source import (
+    register_snapshot_source,
+)
+
+
+def _events_slice(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+
+def test_snapshot_source_batch_and_time_travel(spark, sf_dir, tmp_path):
+    """format('snapshot_table') reads the tip by default, any version via
+    option, and never sees uncommitted (manifest-less) files."""
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    t = str(tmp_path / "tbl")
+    snapshot_commit(ev.filter(F.col("event_id") % 2 == 0), t)  # v0
+    snapshot_commit(ev.filter(F.col("event_id") % 2 == 1), t)  # v1
+    # uncommitted debris: data files with no manifest
+    ev.limit(17).write.parquet(os.path.join(t, f"data-{uuid.uuid4().hex[:12]}"))
+
+    tip = spark.read.format("snapshot_table").option("path", t).load()
+    assert tip.count() == ev.count()
+    assert tip.subtract(ev).count() == 0 and ev.subtract(tip).count() == 0
+    v0 = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == ev.filter(F.col("event_id") % 2 == 0).count()
+
+
+def test_snapshot_source_stream_versions_as_offsets(spark, sf_dir, tmp_path):
+    """Streaming: each appended version arrives as (at least) one
+    micro-batch; after a full drain the sink equals the table; a RESTART
+    with more versions appended resumes from the checkpointed version and
+    reads only the delta."""
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    t = str(tmp_path / "tbl2")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    thirds = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    snapshot_commit(thirds[0], t)  # v0
+    snapshot_commit(thirds[1], t)  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == thirds[0].count() + thirds[1].count()
+
+    snapshot_commit(thirds[2], t)  # v2 appended after the first drain
+    drain()
+    final = spark.read.parquet(out)
+    # exactly-once across the restart: no re-read of v0/v1
+    assert final.count() == ev.count()
+    assert final.subtract(ev).count() == 0 and ev.subtract(final).count() == 0
+
+
+def test_snapshot_source_stream_rejects_overwrite(spark, sf_dir, tmp_path):
+    """An overwrite in the unprocessed range fails the stream loudly
+    (history rewrite), matching snapshot_changes' contract."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    t = str(tmp_path / "tbl3")
+    snapshot_commit(ev, t)                        # v0
+    snapshot_commit(ev.limit(5), t, mode="overwrite")  # v1 rewrite
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError), match="not an append"):
+        q.awaitTermination(300)
