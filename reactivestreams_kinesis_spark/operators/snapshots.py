@@ -93,13 +93,10 @@ def snapshot_commit(
     the batch; the txn check makes the replay a no-op). The id is checked
     again inside the publish loop, so even two racing replays of the same
     epoch commit exactly once."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unsupported snapshot mode: {mode!r}")
     if txn_id is not None:
         done = find_txn(table_dir, txn_id)
         if done is not None:
             return done
-    os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     df.write.parquet(commit_dir)
     new_files = sorted(
@@ -107,6 +104,26 @@ def snapshot_commit(
         for f in os.listdir(commit_dir)
         if f.endswith(".parquet")
     )
+    return publish_manifest(table_dir, new_files, mode=mode, txn_id=txn_id)
+
+
+def publish_manifest(
+    table_dir: str,
+    new_files: list[str],
+    *,
+    mode: str = "append",
+    txn_id: str | None = None,
+) -> int:
+    """The commit protocol proper, decoupled from HOW the data files were
+    written (``snapshot_commit`` writes them with a DataFrame write; the
+    ``snapshot_table`` custom sink's executor tasks write them with
+    pyarrow and hand the names here). ``new_files`` are table-relative
+    paths that already exist on disk; this publishes the manifest making
+    them visible, with the exclusive-create/retry/txn semantics described
+    on ``snapshot_commit``."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported snapshot mode: {mode!r}")
+    os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     while True:
         tip = latest_version(table_dir)
         if txn_id is not None:

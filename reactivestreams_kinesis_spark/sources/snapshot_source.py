@@ -32,11 +32,16 @@ from __future__ import annotations
 import os
 from typing import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -44,6 +49,7 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
     _manifest_path,
     _read_manifest,
     latest_version,
+    publish_manifest,
 )
 
 
@@ -107,6 +113,12 @@ class SnapshotTableDataSource(DataSource):
             self._table_dir(), int(self.options.get("startingVersion", -1))
         )
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SnapshotBatchWriter(self._table_dir(), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _SnapshotStreamWriter(self._table_dir())
+
 
 class _SnapshotBatchReader(DataSourceReader):
     def __init__(self, files: list[str]):
@@ -164,6 +176,96 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint; nothing to release
+
+
+@dataclass
+class _FileMessage(WriterCommitMessage):
+    """Executor → driver: the one file this task staged (None if the
+    partition was empty)."""
+
+    rel_path: str | None
+    rows: int
+
+
+def _stage_partition(table_dir: str, batches) -> _FileMessage:
+    """Executor-side: stream this task's Arrow batches into ONE staged
+    parquet file under ``data-tasks/``. The file is INVISIBLE until the
+    driver's commit publishes a manifest referencing it — which is the
+    whole two-phase protocol: task failures/speculative duplicates leave
+    only unreferenced files (vacuum debris), never partial table state."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    writer = None
+    rel = os.path.join("data-tasks", f"part-{_uuid.uuid4().hex}.parquet")
+    path = os.path.join(table_dir, rel)
+    rows = 0
+    try:
+        for batch in batches:
+            if writer is None:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return _FileMessage(rel_path=rel if rows else None, rows=rows)
+
+
+def _clean_staged(table_dir: str, messages) -> None:
+    for m in messages:
+        if m is not None and m.rel_path:
+            p = os.path.join(table_dir, m.rel_path)
+            if os.path.exists(p):
+                os.remove(p)
+
+
+class _SnapshotBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot_table")``: tasks stage files, the
+    driver's commit publishes ONE manifest — an atomic all-or-nothing
+    batch write with snapshot semantics (mode('overwrite') → an
+    overwrite commit; default append)."""
+
+    def __init__(self, table_dir: str, overwrite: bool):
+        self._dir = table_dir
+        self._mode = "overwrite" if overwrite else "append"
+
+    def write(self, iterator) -> _FileMessage:
+        return _stage_partition(self._dir, iterator)
+
+    def commit(self, messages) -> None:
+        files = sorted(m.rel_path for m in messages if m and m.rel_path)
+        publish_manifest(self._dir, files, mode=self._mode)
+
+    def abort(self, messages) -> None:
+        _clean_staged(self._dir, messages)
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot_table")``: one manifest per
+    micro-batch, committed under the deterministic txn id
+    ``dsw-<batchId>`` — a replayed epoch (foreachBatch-style
+    at-least-once) finds its txn published and no-ops, making the sink
+    exactly-once end to end through the PUBLIC sink API rather than a
+    foreachBatch closure. Empty batches publish nothing."""
+
+    def __init__(self, table_dir: str):
+        self._dir = table_dir
+
+    def write(self, iterator) -> _FileMessage:
+        return _stage_partition(self._dir, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(m.rel_path for m in messages if m and m.rel_path)
+        if files:
+            publish_manifest(
+                self._dir, files, mode="append", txn_id=f"dsw-{batchId}"
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        _clean_staged(self._dir, messages)
 
 
 def register_snapshot_source(spark) -> None:

@@ -108,3 +108,61 @@ def test_snapshot_source_stream_rejects_overwrite(spark, sf_dir, tmp_path):
     )
     with pytest.raises((StreamingQueryException, Py4JJavaError), match="not an append"):
         q.awaitTermination(300)
+
+
+def test_snapshot_source_batch_writer(spark, sf_dir, tmp_path):
+    """df.write.format('snapshot_table'): tasks stage Arrow batches, the
+    driver publishes one manifest — append then overwrite lineage, read
+    back via the same source."""
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    t = str(tmp_path / "wtbl")
+    # Python data sources accept only explicit Append/Overwrite modes
+    ev.limit(100).write.format("snapshot_table").option("path", t).mode("append").save()
+    ev.write.format("snapshot_table").option("path", t).mode("overwrite").save()
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    assert got.count() == ev.count()
+    assert got.subtract(ev).count() == 0 and ev.subtract(got).count() == 0
+    # v0 still time-travels to the first 100 rows
+    v0 = (
+        spark.read.format("snapshot_table")
+        .option("path", t).option("version", 0).load()
+    )
+    assert v0.count() == 100
+
+
+def test_snapshot_source_stream_writer_exactly_once(spark, sf_dir, tmp_path):
+    """writeStream.format('snapshot_table'): one txn-tagged manifest per
+    micro-batch; the drained table equals the source, and a replayed
+    epoch's publish is a no-op (txn idempotence through the sink API)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        latest_version,
+        publish_manifest,
+        read_snapshot,
+    )
+
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    src = str(tmp_path / "src2")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t = str(tmp_path / "wtbl2")
+    q = (
+        stream.writeStream.format("snapshot_table")
+        .option("path", t)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert latest_version(t) == 2  # one version per micro-batch
+    got = read_snapshot(spark, t)
+    assert got.count() == ev.count()
+    assert got.subtract(ev).count() == 0
+    # replaying epoch 0's publish under its txn id must not add a version
+    assert publish_manifest(t, ["data-tasks/bogus.parquet"], txn_id="dsw-0") == 0
+    assert latest_version(t) == 2
