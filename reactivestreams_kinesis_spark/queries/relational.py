@@ -474,3 +474,80 @@ def build_scd2_dimension(events: DataFrame) -> DataFrame:
         F.lead("ts_us").over(w2).alias("valid_to_us"),
         F.lead("ts_us").over(w2).isNull().cast("int").alias("is_current"),
     )
+
+
+# --- Z-order key under the value oracle (round 6) --------------------------
+
+_Z_BITS = 16
+_Z_GRID = 1 << _Z_BITS
+_Z_COLS = ("l_partkey", "l_suppkey", "l_quantity")
+
+
+def _duck_cell(col: str, lo: str, hi: str) -> str:
+    span = f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END)"
+    return (
+        f"LEAST({_Z_GRID - 1}, CAST(FLOOR(((CAST({col} AS DOUBLE) - {lo}) "
+        f"/ {span}) * {_Z_GRID}) AS BIGINT))"
+    )
+
+
+# the interleave fully unrolled (bits x cols literal terms) so the key is
+# one per-row expression — no grouping, which matters because the synthetic
+# fixture has duplicate (orderkey, linenumber) pairs and a bit-sum GROUP BY
+# would collapse distinct rows
+_ZKEY_TERMS = " | ".join(
+    f"(((c{i} >> {b}) & 1) << {b * len(_Z_COLS) + i})"
+    for b in range(_Z_BITS)
+    for i in range(len(_Z_COLS))
+)
+
+_ZKEY_ORACLE = f"""
+    WITH bounds AS (
+        SELECT {", ".join(
+            f"CAST(MIN({c}) AS DOUBLE) AS lo{i}, CAST(MAX({c}) AS DOUBLE) AS hi{i}"
+            for i, c in enumerate(_Z_COLS)
+        )}
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT l_orderkey, l_linenumber,
+               {", ".join(
+                   f"{_duck_cell(c, f'lo{i}', f'hi{i}')} AS c{i}"
+                   for i, c in enumerate(_Z_COLS)
+               )}
+        FROM lineitem, bounds
+        WHERE l_orderkey % 37 = 0
+    )
+    SELECT l_orderkey, l_linenumber, CAST({_ZKEY_TERMS} AS BIGINT) AS zkey
+    FROM cells
+"""
+
+
+@register("layout_zorder_key", oracle=_ZKEY_ORACLE, tags=("P4",))
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-column Morton (Z-order) key under the VALUE ORACLE: the
+    branchless magic-mask interleave `interleaved_write` clusters by
+    (`operators/layout.py:zorder_expr`, k=3 21-bit ladder) computed per
+    row and hash-compared against DuckDB's naive bit-at-a-time
+    interleave. A wrong mask constant, a sign-bit overflow (the advisor's
+    k·bits > 63 class), or drifted min-max scaling flips key bits and
+    breaks the hash — the write-side clustering math gets the same
+    bit-exact gate as every query operator. Bounds come from one stats
+    aggregate over the full table (literals in the expression, exactly as
+    the write path embeds them — float literals round-trip via repr);
+    a deterministic 1/37 orderkey sample bounds the output."""
+    from reactivestreams_kinesis_spark.operators.layout import zorder_expr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_Z_COLS
+    )
+    bounds = li.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in _Z_COLS],
+        *[F.max(c).alias(f"hi_{c}") for c in _Z_COLS],
+    ).first()
+    mins = {c: bounds[f"lo_{c}"] for c in _Z_COLS}
+    maxs = {c: bounds[f"hi_{c}"] for c in _Z_COLS}
+    key = zorder_expr(list(_Z_COLS), mins, maxs, bits=_Z_BITS)
+    return li.filter(F.col("l_orderkey") % 37 == 0).select(
+        "l_orderkey", "l_linenumber", key.alias("zkey")
+    )
