@@ -555,3 +555,58 @@ def test_star_contraction_chain_round_bound(spark):
         f"star contraction used {stats['rounds']} rounds on a {n}-chain "
         f"(bound {bound})"
     )
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 3), st.none()),
+            st.tuples(st.just("overwrite"), st.integers(1, 3), st.none()),
+            st.tuples(st.just("append"), st.integers(1, 3), st.text("ab", min_size=1, max_size=2)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_manifest_protocol_matches_model(tmp_path_factory, ops):
+    """The snapshot commit protocol (publish_manifest) against a pure
+    Python model over random op sequences: version monotonicity, file-set
+    lineage (append extends parent, overwrite replaces), and txn
+    idempotence (a repeated txn id returns the original version and never
+    re-publishes). Filesystem-only — no Spark involved, so this drills
+    the protocol itself, fast."""
+    import os
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        latest_version,
+        publish_manifest,
+    )
+
+    table = str(tmp_path_factory.mktemp("snap_model"))
+    model: list[list[str]] = []  # model[v] = expected file set of version v
+    txn_seen: dict[str, int] = {}
+    counter = 0
+    for op, n_files, txn in ops:
+        new = []
+        for _ in range(n_files):
+            rel = f"data-m/f{counter}.parquet"
+            counter += 1
+            os.makedirs(os.path.join(table, "data-m"), exist_ok=True)
+            open(os.path.join(table, rel), "w").close()
+            new.append(rel)
+        v = publish_manifest(table, new, mode=op, txn_id=txn)
+        if txn is not None and txn in txn_seen:
+            # idempotent replay: original version, no new manifest
+            assert v == txn_seen[txn]
+            assert latest_version(table) == len(model) - 1
+            continue
+        if txn is not None:
+            txn_seen[txn] = v
+        expected = (model[-1] if (op == "append" and model) else []) + new
+        model.append(expected)
+        assert v == len(model) - 1
+        assert latest_version(table) == v
+    for v, expected in enumerate(model):
+        assert _read_manifest(table, v)["files"] == expected
