@@ -715,3 +715,75 @@ text_chunk_overlap.__doc__ = (
     .replace("{CHUNK_LEN}", str(CHUNK_LEN))
     .replace("{CHUNK_STRIDE}", str(CHUNK_STRIDE))
 )
+
+
+@register(
+    "pipeline_chunk_dedup",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, text, LENGTH(text) AS n FROM documents
+    ),
+    ks AS (
+        SELECT doc_id, text,
+               CASE WHEN n > {CHUNK_LEN}
+                    THEN (n - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                    ELSE 0 END AS last_k
+        FROM sized
+    ),
+    chunks AS (
+        SELECT doc_id, k AS chunk_idx,
+               MD5(SUBSTR(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS chunk_md5
+        FROM ks, UNNEST(range(0, last_k + 1)) AS t(k)
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("X-pipeline", "X2", "X4"),
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup (the composition `text_chunk_overlap`
+    exists for): chunk every document into the standard overlapping
+    windows, dedup the CHUNKS globally by content hash (first owner by
+    (doc_id, chunk_idx) keeps each chunk — the policy that strips
+    boilerplate repeated across documents, which doc-level dedup cannot
+    see), and report per document how many of its chunks survive. Same
+    scale shape as `dedup_exact` one level down: the shuffle carries
+    16-byte hashes + ids, never text; chunking itself is a narrow map.
+    One wrongly-deduped chunk changes some doc's n_kept and breaks the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sized = docs.select("doc_id", "text", F.length("text").alias("n"))
+    last_k = F.when(
+        F.col("n") > CHUNK_LEN,
+        F.floor((F.col("n") - CHUNK_LEN + CHUNK_STRIDE - 1) / CHUNK_STRIDE),
+    ).otherwise(0)
+    chunks = sized.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), last_k.cast("int"))).alias("_p", "k"),
+    ).select(
+        "doc_id",
+        F.col("k").alias("chunk_idx"),
+        F.md5(
+            F.expr(f"substring(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})")
+        ).alias("chunk_md5"),
+    )
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

@@ -61,6 +61,7 @@ EDGE_QUERY_NAMES = (
     "dedup_components_lsh",
     "dedup_incremental_lsh",
     "text_chunk_overlap",
+    "pipeline_chunk_dedup",
     "sample_hash",
     "sample_weighted",
     "split_train_val_test",
