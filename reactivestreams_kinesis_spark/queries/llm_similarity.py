@@ -1002,6 +1002,37 @@ from reactivestreams_kinesis_spark.queries.registry import REGISTRY  # noqa: E40
 _IVF_ORACLE = REGISTRY["sim_ann_ivf"].oracle  # probe ≡ in-memory IVF
 
 
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture, content-fingerprinted cache) the persisted
+    hive-partitioned IVF index over the embeddings corpus and return its
+    directory. Same sampled-Lloyd codebook as ``sim_ann_ivf``; shared by
+    the batch probe (`sim_ann_ivf_persisted`) and the streaming probe
+    (`stream_ann_probe`) — one ingest job, many probe jobs."""
+    import os
+
+    from reactivestreams_kinesis_spark.operators.ann_index import build_ivf_index
+    from reactivestreams_kinesis_spark.sources.text_formats import (
+        fixture_cache_dir,
+    )
+
+    idx = fixture_cache_dir(sf_dir, "ivf_index", "embeddings")
+    if not os.path.exists(idx + "__codebook"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            "vec_id", F.col("embedding").alias("cv")
+        )
+        init = emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
+        ).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+        )
+        cent = lloyd_refine(
+            corpus.filter(F.expr(LLOYD_SAMPLE_SPARK)), init
+        ).localCheckpoint(eager=True)
+        build_ivf_index(corpus, cent, idx)
+    return idx
+
+
 @register("sim_ann_ivf_persisted", oracle=_IVF_ORACLE, tags=("X1", "S5"))
 def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over the PERSISTED index (X1 + the storage layout lever):
@@ -1014,34 +1045,83 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong file in one cell directory breaks the hash. This is the query
     a production vector store actually serves (index built by an ingest
     job, probed by many)."""
-    import os
+    from reactivestreams_kinesis_spark.operators.ann_index import probe_ivf_index
 
-    from reactivestreams_kinesis_spark.operators.ann_index import (
-        build_ivf_index,
-        probe_ivf_index,
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    idx = _ensure_ivf_index(spark, sf_dir)
+    return probe_ivf_index(
+        spark, idx, queries, k=TOP_K, nprobe=IVF_NPROBE
+    )
+
+
+@register("stream_ann_probe", oracle=_IVF_ORACLE, tags=("X1", "J8", "T1", "S5"))
+def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING probe of the persisted IVF index (X1 × J8): query vectors
+    arrive as a micro-batched stream (file replay, one file per trigger —
+    the reference's demand-bounded pull, F1/F2) and each micro-batch is
+    served by the same partition-pruned probe plan the batch path uses,
+    via ``foreachBatch`` — the shape a production vector store runs when
+    probe traffic is a queue, not a table. Per-batch top-k is globally
+    correct because a query vector is ONE row, so every candidate for a
+    given query_id lives in that query's own micro-batch (no cross-batch
+    state needed — stateless serving, arbitrarily shardable). The drained
+    union of all batches must hash-equal the one-shot in-memory IVF
+    oracle: a dropped batch, double-served file, or wrong-cell probe
+    breaks it. Scale: the streaming side is |queries|-proportional only;
+    the index side reads nprobe directories per batch regardless of
+    corpus size."""
+    import os
+    import tempfile
+    import uuid
+
+    from reactivestreams_kinesis_spark.operators.ann_index import probe_ivf_index
     from reactivestreams_kinesis_spark.sources.text_formats import (
         fixture_cache_dir,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        "vec_id", F.col("embedding").alias("cv")
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    idx = fixture_cache_dir(sf_dir, "ivf_index", "embeddings")
-    if not os.path.exists(idx + "__codebook"):
-        init = emb.filter(
-            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
-        ).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+    idx = _ensure_ivf_index(spark, sf_dir)
+
+    # stage the query vectors one-file-per-query so AvailableNow replays
+    # them across several genuine micro-batches (cached per fixture)
+    qdir = fixture_cache_dir(sf_dir, "ann_query_stream", "embeddings")
+    if not os.path.exists(qdir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+            .repartition(N_QUERIES, "query_id")
+            .write.mode("overwrite")
+            .parquet(qdir)
         )
-        cent = lloyd_refine(
-            corpus.filter(F.expr(LLOYD_SAMPLE_SPARK)), init
-        ).localCheckpoint(eager=True)
-        build_ivf_index(corpus, cent, idx)
-    return probe_ivf_index(
-        spark, idx, queries, k=TOP_K, nprobe=IVF_NPROBE
+
+    qschema = spark.read.parquet(qdir).schema
+    stream = (
+        spark.readStream.schema(qschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
     )
+
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(tempfile.gettempdir(), f"rsk_ann_probe_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"rsk_ann_probe_ckpt_{run}")
+
+    def _probe_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        probe_ivf_index(
+            spark, idx, batch, k=TOP_K, nprobe=IVF_NPROBE
+        ).write.mode("append").parquet(out)
+
+    query = (
+        stream.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("streaming ANN probe did not drain in 300s")
+    return spark.read.parquet(out)
