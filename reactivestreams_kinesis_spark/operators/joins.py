@@ -138,6 +138,7 @@ def skew_split_join(
     how: str = "inner",
     hot_threshold: int = 100_000,
     hot_keys: list | None = None,
+    detect: str = "collect",
 ) -> DataFrame:
     """Split-treatment equi-join for single-hot-key skew: hot keys route
     through a broadcast of their (few) build rows, everything else
@@ -156,11 +157,25 @@ def skew_split_join(
     key; an N:N hot key needs aggregation before the join, not a join
     strategy.
 
-    ``hot_keys=None`` detects hot keys with one count-aggregate job over
-    the probe side — a bounded driver action (≤ |left| / hot_threshold
-    keys can exceed the threshold). Pass the known hot keys explicitly
-    (the null-key / celebrity-entity case is usually known upfront) to
-    keep the plan single-pass.
+    ``hot_keys=None`` detects hot keys per ``detect``:
+
+    - ``detect="collect"`` (default) runs one count-aggregate job over
+      the probe side eagerly — a bounded driver action (≤ |left| /
+      hot_threshold keys can exceed the threshold) — and routes via a
+      literal ``isin``. One extra job at CONSTRUCTION time, but the
+      returned plan is then literal-filtered single-pass.
+    - ``detect="lazy"`` keeps the builder lazy: the bounded hot-key
+      frame stays IN the plan, broadcast, and both sides split via
+      broadcast semi/anti joins against it. No driver action ever runs
+      — the detection aggregate executes with the query, and its four
+      uses collapse to one evaluation through Spark's broadcast
+      exchange reuse (``ReusedExchange``, plan-pinned). Prefer this in
+      composed/dry-planning contexts; the trade-off is four extra
+      (reused) broadcast joins in the plan vs "collect"'s one
+      up-front job.
+
+    Pass the known hot keys explicitly (the null-key / celebrity-entity
+    case is usually known upfront) to skip detection entirely.
 
     Only ``inner`` and ``left`` are supported, matching ``salted_join``:
     the branch split is exact for those (a left row lands in exactly one
@@ -170,6 +185,24 @@ def skew_split_join(
         raise ValueError(
             f"skew_split_join supports how='inner'/'left', got {how!r}"
         )
+    if detect not in ("collect", "lazy"):
+        raise ValueError(f"detect must be 'collect' or 'lazy', got {detect!r}")
+    if hot_keys is None and detect == "lazy":
+        hot = F.broadcast(
+            left.groupBy(key)
+            .count()
+            .filter(F.col("count") > hot_threshold)
+            .select(key)
+        )
+        # null keys never match a semi join, so they fall through to the
+        # anti branch — same routing as the eager version's isNull() arm
+        hot_left = left.join(hot, key, "semi")
+        rest_left = left.join(hot, key, "anti")
+        hot_build = right.join(hot, key, "semi")
+        rest_right = right.join(hot, key, "anti")
+        hot_branch = hot_left.join(F.broadcast(hot_build), key, how)
+        rest = rest_left.join(rest_right, key, how)
+        return rest.unionByName(hot_branch)
     if hot_keys is None:
         hot_keys = [
             r[0]

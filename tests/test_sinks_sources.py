@@ -409,6 +409,53 @@ def test_skew_split_join_equivalence(spark, sf_dir):
             assert split.subtract(plain).count() == 0, (how, hot_keys)
 
 
+def test_skew_split_join_lazy_equivalence_and_no_driver_job(spark, sf_dir):
+    """detect='lazy' must (a) return the same rows as the plain join and
+    the eager split (inner AND left, with planted hot + NULL keys), and
+    (b) never run a driver action at construction time — pinned by
+    poisoning DataFrame.collect during the builder call."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.joins import skew_split_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.pmod(F.hash("o_orderkey"), F.lit(10)) < 3, F.lit(7).cast("bigint"))
+        .when(F.pmod(F.hash("o_orderkey"), F.lit(97)) == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")),
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("inner", "left"):
+        plain = skewed.join(customer, "o_custkey", how).select(
+            "o_orderkey", "o_custkey", "c_name"
+        )
+        with mock.patch.object(
+            DataFrame,
+            "collect",
+            side_effect=AssertionError("lazy detect ran a driver collect"),
+        ):
+            lazy = skew_split_join(
+                skewed, customer, "o_custkey", how=how,
+                hot_threshold=100, detect="lazy",
+            ).select("o_orderkey", "o_custkey", "c_name")
+        assert plain.count() == lazy.count(), how
+        assert plain.subtract(lazy).count() == 0, how
+        assert lazy.subtract(plain).count() == 0, how
+    # the four in-plan uses of the detection aggregate must collapse via
+    # broadcast exchange reuse, not evaluate four times — AQE inserts the
+    # reuse at runtime, so execute THIS DataFrame then read its final plan
+    lazy.collect()
+    executed = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed
+
+
 def test_skew_split_join_rejects_outer_modes(spark, sf_dir):
     import pytest
 
@@ -418,6 +465,8 @@ def test_skew_split_join_rejects_outer_modes(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError):
         skew_split_join(orders, orders, "o_orderkey", how="full")
+    with pytest.raises(ValueError):
+        skew_split_join(orders, orders, "o_orderkey", detect="eager")
 
 
 def test_range_join_binned_equivalence(spark):
