@@ -188,12 +188,15 @@ def skew_split_join(
     if detect not in ("collect", "lazy"):
         raise ValueError(f"detect must be 'collect' or 'lazy', got {detect!r}")
     if hot_keys is None and detect == "lazy":
-        hot = F.broadcast(
+        # bounded: at most |left| / hot_threshold keys can exceed the
+        # count threshold, independent of scale factor
+        hot_key_frame = (
             left.groupBy(key)
             .count()
             .filter(F.col("count") > hot_threshold)
             .select(key)
         )
+        hot = F.broadcast(hot_key_frame)
         # null keys never match a semi join, so they fall through to the
         # anti branch — same routing as the eager version's isNull() arm
         hot_left = left.join(hot, key, "semi")

@@ -89,6 +89,9 @@ _BOUNDED_BROADCAST_ROOTS = {
     # skew_split_join hot build rows: |hot_keys| x (build rows per key),
     # bounded by the documented 1:few-per-key caller contract
     "hot_build",
+    # skew_split_join lazy detection: ≤ |left| / hot_threshold keys can
+    # exceed the count threshold, at any scale factor
+    "hot_key_frame",
 }
 
 
