@@ -31,6 +31,37 @@ from pyspark.sql import DataFrame, SparkSession
 _SNAPDIR = "_snapshots"
 
 
+def _merge_schema(parent: dict | None, new: dict | None) -> dict | None:
+    """Widen a parent manifest schema with the new commit's columns —
+    ADD-COLUMN evolution only: a column present in both must keep its
+    exact type (no silent widening/narrowing — a type change is a table
+    rewrite, not a commit side effect). Field order is parent-first so
+    existing readers see a stable prefix."""
+    if parent is None or new is None:
+        return new if parent is None else parent
+    from pyspark.sql.types import StructType
+
+    ps = StructType.fromJson(parent)
+    ns = StructType.fromJson(new)
+    by_name = {f.name: f for f in ps.fields}
+    out = list(ps.fields)
+    for f in ns.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            # an added column is NULL in every pre-evolution file, so it
+            # is nullable at the table level even if this commit's df
+            # wasn't (e.g. a non-null literal)
+            from pyspark.sql.types import StructField
+
+            out.append(StructField(f.name, f.dataType, nullable=True))
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r}: "
+                f"{have.dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return StructType(out).jsonValue()
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _SNAPDIR, f"v{version:09d}.json")
 
@@ -92,7 +123,13 @@ def snapshot_commit(
     epoch after a crash without duplicating rows (the checkpoint replays
     the batch; the txn check makes the replay a no-op). The id is checked
     again inside the publish loop, so even two racing replays of the same
-    epoch commit exactly once."""
+    epoch commit exactly once.
+
+    The commit records ``df``'s schema in the manifest; an append whose
+    df carries NEW columns widens the table schema (add-column
+    evolution, ``_merge_schema``) — readers of the new version see the
+    new column as NULL for pre-evolution files, old versions read their
+    own schema unchanged."""
     if txn_id is not None:
         done = find_txn(table_dir, txn_id)
         if done is not None:
@@ -104,7 +141,13 @@ def snapshot_commit(
         for f in os.listdir(commit_dir)
         if f.endswith(".parquet")
     )
-    return publish_manifest(table_dir, new_files, mode=mode, txn_id=txn_id)
+    return publish_manifest(
+        table_dir,
+        new_files,
+        mode=mode,
+        txn_id=txn_id,
+        schema=df.schema.jsonValue(),
+    )
 
 
 def publish_manifest(
@@ -113,6 +156,8 @@ def publish_manifest(
     *,
     mode: str = "append",
     txn_id: str | None = None,
+    schema: dict | None = None,
+    base_files: list[str] | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -120,9 +165,18 @@ def publish_manifest(
     pyarrow and hand the names here). ``new_files`` are table-relative
     paths that already exist on disk; this publishes the manifest making
     them visible, with the exclusive-create/retry/txn semantics described
-    on ``snapshot_commit``."""
+    on ``snapshot_commit``.
+
+    ``schema`` (a StructType.jsonValue dict) is recorded in the manifest;
+    appends merge it with the parent's via ``_merge_schema`` (re-merged
+    against the CURRENT tip on every retry of the race loop, so a
+    concurrent evolution composes). ``base_files`` (overwrite mode only)
+    lets a copy-on-write commit RETAIN named parent files alongside the
+    new ones — the MERGE primitive: the published set is base + new."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported snapshot mode: {mode!r}")
+    if base_files and mode != "overwrite":
+        raise ValueError("base_files is a copy-on-write overwrite feature")
     os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     while True:
         tip = latest_version(table_dir)
@@ -132,16 +186,21 @@ def publish_manifest(
                 return done  # a racing twin of this txn won; our files
                 # are orphans until vacuum(clean_orphans=True)
         version = 0 if tip is None else tip + 1
+        out_schema = schema
         if mode == "append" and tip is not None:
-            files = _read_manifest(table_dir, tip)["files"] + new_files
+            parent_manifest = _read_manifest(table_dir, tip)
+            files = parent_manifest["files"] + new_files
+            out_schema = _merge_schema(parent_manifest.get("schema"), schema)
         else:
-            files = list(new_files)
+            files = list(base_files or []) + list(new_files)
         manifest = {
             "version": version,
             "parent": tip,
             "op": mode,
             "files": files,
         }
+        if out_schema is not None:
+            manifest["schema"] = out_schema
         if txn_id is not None:
             manifest["txn"] = txn_id
         try:
@@ -159,7 +218,15 @@ def read_snapshot(
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest) — reads exactly the
     manifest's file set, so a concurrent compaction/overwrite/append
-    publishing v(N+1) cannot change or break this reader."""
+    publishing v(N+1) cannot change or break this reader. When the
+    manifest carries a schema (every commit since schema evolution
+    landed), the read DECLARES it: files written before an add-column
+    evolution simply surface NULL for the new column — each version
+    reads with ITS OWN schema, which is what makes evolution and time
+    travel compose. Manifests from before the schema field fall back to
+    footer inference (uniform-schema tables, unchanged behavior)."""
+    from pyspark.sql.types import StructType
+
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -168,6 +235,9 @@ def read_snapshot(
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
     if not paths:
         raise ValueError(f"version {version} is empty")
+    if manifest.get("schema") is not None:
+        schema = StructType.fromJson(manifest["schema"])
+        return spark.read.schema(schema).parquet(*paths)
     return spark.read.parquet(*paths)
 
 
@@ -233,6 +303,95 @@ def compact_snapshot(
     n_files = max(1, math.ceil(total / target_file_bytes))
     compacted = spark.read.parquet(*paths).repartition(n_files)
     return snapshot_commit(compacted, table_dir, mode="overwrite")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    *,
+    delete_col: str | None = None,
+    txn_id: str | None = None,
+) -> int:
+    """MERGE (upsert + optional delete) as a COPY-ON-WRITE commit — the
+    Delta/Iceberg MERGE INTO reduced to the manifest primitives. Matched
+    keys take the update row (last-writer-wins), unmatched update keys
+    insert, and rows flagged true in ``delete_col`` delete their key.
+
+    The scale property is FILE granularity: one pass over the current
+    version (semi-join against the bounded distinct update keys) names
+    the files that contain a matched key; ONLY those files rewrite —
+    their surviving rows (anti-join) plus all upserts become the new
+    files, and the published manifest is (untouched files, verbatim) +
+    (new files). A merge touching 0.1% of files costs 0.1% of a full
+    rewrite, at any table size; untouched data is never read twice nor
+    rewritten. The touched-file list is the one driver-side action,
+    bounded by the manifest's file count — metadata, not data.
+
+    Update columns absent from the table (or vice versa) widen through
+    the same add-column evolution as append commits: survivors and
+    upserts union by name with missing columns NULL.
+
+    Publishes with ``op=overwrite`` — a merge rewrites history, so
+    incremental readers (``snapshot_changes``, the streaming source)
+    correctly refuse to diff across it, exactly like compaction."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    current = read_snapshot(spark, table_dir, tip)
+    upd_keys = updates.select(key).distinct()
+
+    from pyspark.sql import functions as F
+
+    # name the files owning a matched key: bounded driver list (≤ |files|)
+    touched_rows = (
+        current.withColumn("__file", F.input_file_name())
+        .join(upd_keys, key, "semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    # input_file_name is a URI; manifest paths are table-relative
+    # (<data-dir>/<part file>) — match on the last two path components
+    touched = {"/".join(r["__file"].split("/")[-2:]) for r in touched_rows}
+    untouched = [f for f in manifest["files"] if f not in touched]
+
+    if delete_col is not None:
+        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        upserts = updates
+    if touched:
+        touched_paths = [os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
+        reader = spark.read
+        if manifest.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        survivors = reader.parquet(*touched_paths).join(upd_keys, key, "anti")
+        rewrite = survivors.unionByName(upserts, allowMissingColumns=True)
+    else:
+        rewrite = upserts
+    commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
+    rewrite.write.parquet(commit_dir)
+    new_files = sorted(
+        os.path.join(os.path.basename(commit_dir), f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    return publish_manifest(
+        table_dir,
+        new_files,
+        mode="overwrite",
+        txn_id=txn_id,
+        schema=_merge_schema(manifest.get("schema"), rewrite.schema.jsonValue()),
+        base_files=untouched,
+    )
 
 
 def vacuum(

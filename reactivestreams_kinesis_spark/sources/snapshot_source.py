@@ -65,12 +65,30 @@ def _version_files(table_dir: str, version: int) -> list[str]:
     ]
 
 
-def _read_parquet_batches(path: str) -> Iterator:
+def _read_parquet_batches(path: str, arrow_schema=None) -> Iterator:
     """Executor-side file read: Arrow record batches straight from the
-    parquet file (zero row-by-row Python)."""
+    parquet file (zero row-by-row Python). With ``arrow_schema`` (the
+    table's DECLARED schema), batches are padded to it — a file written
+    before an add-column evolution surfaces NULL for the newer columns,
+    same contract as `read_snapshot`'s declared-schema read."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    yield from pq.ParquetFile(path).iter_batches()
+    pf = pq.ParquetFile(path)
+    if arrow_schema is None or pf.schema_arrow.equals(arrow_schema):
+        yield from pf.iter_batches()
+        return
+    present = set(pf.schema_arrow.names)
+    cols = [n for n in arrow_schema.names if n in present]
+    for b in pf.iter_batches(columns=cols):
+        by_name = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+        arrays = [
+            by_name[f.name].cast(f.type)
+            if f.name in by_name
+            else pa.nulls(b.num_rows, f.type)
+            for f in arrow_schema
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 class SnapshotTableDataSource(DataSource):
@@ -99,6 +117,11 @@ class SnapshotTableDataSource(DataSource):
         if tip is None:
             raise FileNotFoundError(f"no snapshots in {table_dir!r}")
         version = int(self.options.get("version", tip))
+        manifest = _read_manifest(table_dir, version)
+        if manifest.get("schema") is not None:
+            # the version's DECLARED schema (add-column evolution): the
+            # source of truth over any single file's footer
+            return StructType.fromJson(manifest["schema"])
         files = _version_files(table_dir, version)
         return from_arrow_schema(pq.read_schema(files[0]))
 
@@ -106,18 +129,20 @@ class SnapshotTableDataSource(DataSource):
         table_dir = self._table_dir()
         tip = latest_version(table_dir)
         version = int(self.options.get("version", tip))
-        return _SnapshotBatchReader(_version_files(table_dir, version))
+        return _SnapshotBatchReader(_version_files(table_dir, version), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(
-            self._table_dir(), int(self.options.get("startingVersion", -1))
+            self._table_dir(),
+            int(self.options.get("startingVersion", -1)),
+            schema,
         )
 
     def writer(self, schema: StructType, overwrite: bool):
-        return _SnapshotBatchWriter(self._table_dir(), overwrite)
+        return _SnapshotBatchWriter(self._table_dir(), overwrite, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        return _SnapshotStreamWriter(self._table_dir())
+        return _SnapshotStreamWriter(self._table_dir(), schema)
 
 
 _SIMPLE = (int, float, str, bool)
@@ -177,9 +202,17 @@ def _arrow_expr(triples: Sequence[tuple]):
 
 
 class _SnapshotBatchReader(DataSourceReader):
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], schema: StructType | None = None):
         self._files = files
+        self._schema = schema
         self._pushed: list[tuple] = []
+
+    def _arrow_schema(self):
+        if self._schema is None:
+            return None
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self._schema)
 
     def pushFilters(self, filters):
         """Real pushdown (Spark 4.1 Python DS API): supported predicates
@@ -203,10 +236,14 @@ class _SnapshotBatchReader(DataSourceReader):
         if self._pushed:
             import pyarrow.dataset as pads
 
-            dset = pads.dataset(partition.path, format="parquet")
+            # pyarrow dataset does the evolution padding itself when the
+            # declared schema names columns a file lacks (reads as null)
+            dset = pads.dataset(
+                partition.path, format="parquet", schema=self._arrow_schema()
+            )
             yield from dset.to_batches(filter=_arrow_expr(self._pushed))
         else:
-            yield from _read_parquet_batches(partition.path)
+            yield from _read_parquet_batches(partition.path, self._arrow_schema())
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -216,9 +253,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     executor reads untouched. Append-only lineage is enforced per
     planned range."""
 
-    def __init__(self, table_dir: str, starting_version: int):
+    def __init__(
+        self,
+        table_dir: str,
+        starting_version: int,
+        schema: StructType | None = None,
+    ):
         self._dir = table_dir
         self._start = starting_version
+        self._schema = schema
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -250,7 +293,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        yield from _read_parquet_batches(partition.path)
+        arrow_schema = None
+        if self._schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(self._schema)
+        yield from _read_parquet_batches(partition.path, arrow_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint; nothing to release
@@ -306,16 +354,19 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
     batch write with snapshot semantics (mode('overwrite') → an
     overwrite commit; default append)."""
 
-    def __init__(self, table_dir: str, overwrite: bool):
+    def __init__(
+        self, table_dir: str, overwrite: bool, schema: StructType | None = None
+    ):
         self._dir = table_dir
         self._mode = "overwrite" if overwrite else "append"
+        self._schema = None if schema is None else schema.jsonValue()
 
     def write(self, iterator) -> _FileMessage:
         return _stage_partition(self._dir, iterator)
 
     def commit(self, messages) -> None:
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
-        publish_manifest(self._dir, files, mode=self._mode)
+        publish_manifest(self._dir, files, mode=self._mode, schema=self._schema)
 
     def abort(self, messages) -> None:
         _clean_staged(self._dir, messages)
@@ -329,8 +380,9 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     exactly-once end to end through the PUBLIC sink API rather than a
     foreachBatch closure. Empty batches publish nothing."""
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, schema: StructType | None = None):
         self._dir = table_dir
+        self._schema = None if schema is None else schema.jsonValue()
 
     def write(self, iterator) -> _FileMessage:
         return _stage_partition(self._dir, iterator)
@@ -339,7 +391,11 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
         if files:
             publish_manifest(
-                self._dir, files, mode="append", txn_id=f"dsw-{batchId}"
+                self._dir,
+                files,
+                mode="append",
+                txn_id=f"dsw-{batchId}",
+                schema=self._schema,
             )
 
     def abort(self, messages, batchId: int) -> None:

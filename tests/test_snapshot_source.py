@@ -193,3 +193,34 @@ def test_snapshot_source_filter_pushdown(spark, sf_dir, tmp_path):
     # the physical plan's Filter (if any) no longer carries user_id
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "PythonScan" in plan or "BatchScan" in plan, plan
+
+
+def test_snapshot_source_schema_evolution_padded_read(spark, sf_dir, tmp_path):
+    """After an add-column append, format('snapshot_table') declares the
+    manifest schema: pre-evolution files read with the new column NULL
+    (Arrow batches padded executor-side), both on the plain scan and
+    under filter pushdown; time travel to v0 reads v0's own schema."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "evosrc")
+    ev = _events_slice(spark, sf_dir)
+    snapshot_commit(ev, t)
+    snapshot_commit(ev.withColumn("flag", F.lit(7)), t)
+
+    df = spark.read.format("snapshot_table").option("path", t).load()
+    assert df.columns == ["event_id", "user_id", "flag"]
+    n = ev.count()
+    assert df.count() == 2 * n
+    assert df.filter(F.col("flag").isNull()).count() == n
+    assert df.filter(F.col("flag") == 7).count() == n
+    # pushdown path (pyarrow dataset) must pad identically
+    assert (
+        df.filter(F.col("event_id") >= 0).filter(F.col("flag").isNull()).count()
+        == n
+    )
+    v0 = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.columns == ["event_id", "user_id"]

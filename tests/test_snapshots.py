@@ -208,3 +208,121 @@ def test_snapshot_changes_incremental_read(spark, sf_dir, tmp_path):
         snapshot_changes(spark, t, from_version=0)
     # but a range ending before it still works
     assert snapshot_changes(spark, t, from_version=1, to_version=2).count() == r.count()
+
+
+def test_snapshot_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """Add-column evolution: an append whose df carries a NEW column
+    widens the table schema; the new version reads pre-evolution files
+    with the column NULL, old versions read their own (narrower) schema,
+    and a type-changing append is refused."""
+    import pytest
+
+    t = str(tmp_path / "evo")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    snapshot_commit(r, t)
+    widened = r.withColumn("r_score", F.col("r_regionkey") * 10)
+    snapshot_commit(widened, t)  # append with a new column
+
+    latest = read_snapshot(spark, t)
+    assert latest.columns == ["r_regionkey", "r_name", "r_score"]
+    n = r.count()
+    assert latest.count() == 2 * n
+    # pre-evolution rows surface NULL; evolved rows carry values
+    assert latest.filter(F.col("r_score").isNull()).count() == n
+    assert latest.filter(F.col("r_score") == F.col("r_regionkey") * 10).count() == n
+    # time travel reads v0 with v0's OWN schema
+    assert read_snapshot(spark, t, 0).columns == ["r_regionkey", "r_name"]
+    # type change is a rewrite, not an evolution
+    with pytest.raises(Exception, match="cannot change column"):
+        snapshot_commit(
+            r.withColumn("r_score", F.lit("not-a-number")), t
+        )
+
+
+def test_snapshot_merge_upsert_file_granular(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE: updates win over matched rows, unmatched keys
+    insert, delete-flagged keys vanish — and files owning NO matched key
+    survive VERBATIM in the new manifest (the 100 TB property: a merge
+    rewrites only the files it touches)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "mrg")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # 5 files partitioned BY KEY RANGE so update keys localize to files
+    snapshot_commit(n.repartitionByRange(5, "n_nationkey"), t)
+    files_v0 = _read_manifest(t, 0)["files"]
+    assert len(files_v0) == 5
+
+    updates = spark.createDataFrame(
+        [
+            (0, "UPDATED-0", False),    # update an existing key
+            (1, "UPDATED-1", False),    # update in the same range/file
+            (999, "INSERTED", False),   # brand-new key
+            (2, None, True),            # delete key 2
+        ],
+        "n_nationkey int, n_name string, _del boolean",
+    )
+    v1 = merge_upsert(spark, t, updates, "n_nationkey", delete_col="_del")
+    assert v1 == 1
+
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_snapshot(spark, t).collect()
+    }
+    assert got[0] == "UPDATED-0" and got[1] == "UPDATED-1"
+    assert got[999] == "INSERTED"
+    assert 2 not in got
+    base = {r["n_nationkey"]: r["n_name"] for r in n.collect()}
+    for k, v in base.items():
+        if k not in (0, 1, 2):
+            assert got[k] == v, k
+    assert len(got) == len(base) - 1 + 1  # one delete, one insert
+
+    # file granularity: keys 0,1,2 live in ONE range file; the other
+    # four v0 files must appear verbatim in v1's manifest
+    files_v1 = set(_read_manifest(t, 1)["files"])
+    survivors = [f for f in files_v0 if f in files_v1]
+    assert len(survivors) == 4
+    # time travel: v0 unchanged
+    v0 = {r["n_nationkey"]: r["n_name"] for r in read_snapshot(spark, t, 0).collect()}
+    assert v0 == base
+
+
+def test_snapshot_merge_upsert_txn_idempotent(spark, sf_dir, tmp_path):
+    """A replayed merge (same txn id) must no-op and return the committed
+    version — the foreachBatch crash-replay contract, same as appends."""
+    from reactivestreams_kinesis_spark.operators.snapshots import merge_upsert
+
+    t = str(tmp_path / "mrgtxn")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n, t)
+    upd = spark.createDataFrame(
+        [(0, "X")], "n_nationkey int, n_name string"
+    )
+    v1 = merge_upsert(spark, t, upd, "n_nationkey", txn_id="merge-epoch-7")
+    v_replay = merge_upsert(spark, t, upd, "n_nationkey", txn_id="merge-epoch-7")
+    assert v1 == v_replay == 1
+    assert latest_version(t) == 1
+    assert read_snapshot(spark, t).filter(F.col("n_name") == "X").count() == 1
+
+
+def test_snapshot_merge_schema_evolving_updates(spark, sf_dir, tmp_path):
+    """A merge whose updates carry a new column widens the schema through
+    the same add-column path as appends: survivors and untouched files
+    read the column as NULL."""
+    from reactivestreams_kinesis_spark.operators.snapshots import merge_upsert
+
+    t = str(tmp_path / "mrgevo")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n.repartitionByRange(5, "n_nationkey"), t)
+    upd = spark.createDataFrame(
+        [(0, "X", 1.5)], "n_nationkey int, n_name string, score double"
+    )
+    merge_upsert(spark, t, upd, "n_nationkey")
+    latest = read_snapshot(spark, t)
+    assert latest.columns == ["n_nationkey", "n_name", "score"]
+    assert latest.filter(F.col("score").isNotNull()).count() == 1
+    assert latest.count() == n.count()
