@@ -97,6 +97,130 @@ def find_txn(table_dir: str, txn_id: str) -> int | None:
     return None
 
 
+def _file_stats(path: str) -> dict:
+    """Per-file min/max/null-count from the parquet FOOTER — pure metadata,
+    no data read: row-group statistics aggregated per top-level column.
+    Only JSON-safe primitive stats are kept (int/float/str/bool); columns
+    without usable statistics simply don't appear (and are never pruned
+    on). Cost per commit is one footer read per NEW file, driver-side and
+    bounded — the same metadata pass any lakehouse commit performs."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set = set()  # any row group without usable stats disqualifies
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (prune on top-level only)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str, bool)) or isinstance(
+                mn, bytes
+            ):
+                bad.add(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    out = {}
+    for c in mins:
+        if c not in bad:
+            out[c] = {"min": mins[c], "max": maxs[c], "nulls": nulls.get(c, 0)}
+    return out
+
+
+def _stats_exclude(stats: dict, col: str, op: str, value) -> bool:
+    """True iff the file's [min, max] PROVES no row satisfies
+    ``col op value``. Unknown columns/ops keep the file — pruning is an
+    optimization, never a filter."""
+    cs = stats.get(col)
+    if cs is None or "min" not in cs:
+        return False
+    mn, mx = cs["min"], cs["max"]
+    try:
+        if op == "=":
+            return value < mn or value > mx
+        if op == "in":
+            return all(v < mn or v > mx for v in value)
+        if op == ">":
+            return mx <= value
+        if op == ">=":
+            return mx < value
+        if op == "<":
+            return mn >= value
+        if op == "<=":
+            return mn > value
+    except TypeError:
+        return False  # incomparable types (schema drift): keep the file
+    return False
+
+
+def prune_files(manifest: dict, predicates: list[tuple]) -> list[str]:
+    """Manifest-level data skipping: the files of ``manifest`` that MIGHT
+    contain a row satisfying every ``(col, op, value)`` predicate
+    (op ∈ =, <, <=, >, >=; conjunctive). Files without stats always
+    survive. Pure driver-side metadata — the 100 TB point: a selective
+    scan plans against the manifest's stats and never LISTS, let alone
+    reads, the excluded files, exactly the Iceberg/Delta skipping model."""
+    stats = manifest.get("stats") or {}
+    return [
+        f
+        for f in manifest["files"]
+        if not any(
+            _stats_exclude(stats.get(f, {}), c, op, v) for (c, op, v) in predicates
+        )
+    ]
+
+
+def scan_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Predicate-pruned snapshot read: ``prune_files`` drops files whose
+    stats exclude the conjunction, the survivors read under the declared
+    schema, and the SAME predicates re-apply as DataFrame filters (the
+    stats prune is file-granular; row exactness stays with the engine).
+    Equivalent rows to ``read_snapshot(...).filter(...)`` always."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    version = tip if version is None else version
+    manifest = _read_manifest(table_dir, version)
+    survivors = prune_files(manifest, predicates)
+    if not survivors:
+        # provably empty: an empty frame with the version's schema
+        if manifest.get("schema") is not None:
+            schema = StructType.fromJson(manifest["schema"])
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            os.path.join(table_dir, manifest["files"][0])
+        ).limit(0)
+    reader = spark.read
+    if manifest.get("schema") is not None:
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    df = reader.parquet(*[os.path.join(table_dir, f) for f in survivors])
+    import operator as _pyop
+
+    ops = {"=": _pyop.eq, ">": _pyop.gt, ">=": _pyop.ge, "<": _pyop.lt, "<=": _pyop.le}
+    for c, op, v in predicates:
+        df = df.filter(ops[op](F.col(c), F.lit(v)))
+    return df
+
+
 def snapshot_commit(
     df: DataFrame,
     table_dir: str,
@@ -147,6 +271,7 @@ def snapshot_commit(
         mode=mode,
         txn_id=txn_id,
         schema=df.schema.jsonValue(),
+        new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
     )
 
 
@@ -158,6 +283,7 @@ def publish_manifest(
     txn_id: str | None = None,
     schema: dict | None = None,
     base_files: list[str] | None = None,
+    new_stats: dict | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -172,7 +298,12 @@ def publish_manifest(
     against the CURRENT tip on every retry of the race loop, so a
     concurrent evolution composes). ``base_files`` (overwrite mode only)
     lets a copy-on-write commit RETAIN named parent files alongside the
-    new ones — the MERGE primitive: the published set is base + new."""
+    new ones — the MERGE primitive: the published set is base + new.
+
+    ``new_stats`` maps each new file to its footer min/max stats
+    (``_file_stats``); the manifest carries per-file stats forward
+    (appends extend the parent's, retained base files keep theirs) so
+    ``prune_files``/``scan_snapshot`` can skip files at plan time."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported snapshot mode: {mode!r}")
     if base_files and mode != "overwrite":
@@ -187,12 +318,19 @@ def publish_manifest(
                 # are orphans until vacuum(clean_orphans=True)
         version = 0 if tip is None else tip + 1
         out_schema = schema
+        out_stats = dict(new_stats or {})
         if mode == "append" and tip is not None:
             parent_manifest = _read_manifest(table_dir, tip)
             files = parent_manifest["files"] + new_files
             out_schema = _merge_schema(parent_manifest.get("schema"), schema)
+            out_stats = {**(parent_manifest.get("stats") or {}), **out_stats}
         else:
             files = list(base_files or []) + list(new_files)
+            if base_files and tip is not None:
+                parent_stats = _read_manifest(table_dir, tip).get("stats") or {}
+                out_stats.update(
+                    {f: parent_stats[f] for f in base_files if f in parent_stats}
+                )
         manifest = {
             "version": version,
             "parent": tip,
@@ -201,6 +339,8 @@ def publish_manifest(
         }
         if out_schema is not None:
             manifest["schema"] = out_schema
+        if out_stats:
+            manifest["stats"] = out_stats
         if txn_id is not None:
             manifest["txn"] = txn_id
         try:
@@ -391,6 +531,7 @@ def merge_upsert(
         txn_id=txn_id,
         schema=_merge_schema(manifest.get("schema"), rewrite.schema.jsonValue()),
         base_files=untouched,
+        new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
     )
 
 

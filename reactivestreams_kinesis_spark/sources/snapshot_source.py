@@ -129,7 +129,9 @@ class SnapshotTableDataSource(DataSource):
         table_dir = self._table_dir()
         tip = latest_version(table_dir)
         version = int(self.options.get("version", tip))
-        return _SnapshotBatchReader(_version_files(table_dir, version), schema)
+        return _SnapshotBatchReader(
+            table_dir, _read_manifest(table_dir, version), schema
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(
@@ -201,9 +203,18 @@ def _arrow_expr(triples: Sequence[tuple]):
     return expr
 
 
+_PRUNE_OPS = {"eq": "=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<=", "in": "in"}
+
+
 class _SnapshotBatchReader(DataSourceReader):
-    def __init__(self, files: list[str], schema: StructType | None = None):
-        self._files = files
+    def __init__(
+        self,
+        table_dir: str,
+        manifest: dict,
+        schema: StructType | None = None,
+    ):
+        self._dir = table_dir
+        self._manifest = manifest
         self._schema = schema
         self._pushed: list[tuple] = []
 
@@ -230,9 +241,24 @@ class _SnapshotBatchReader(DataSourceReader):
         return unhandled
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePartition(p) for p in self._files]
+        """One InputPartition per data file — after MANIFEST-STATS
+        pruning: pushed predicates that the per-file min/max provably
+        exclude drop the file from planning entirely (no task, no open,
+        no footer read), the skipping layer ABOVE the row-group pruning
+        the pyarrow filter does inside surviving files."""
+        from reactivestreams_kinesis_spark.operators.snapshots import prune_files
+
+        preds = [
+            (col, _PRUNE_OPS[op], v)
+            for (op, col, v) in self._pushed
+            if op in _PRUNE_OPS
+        ]
+        files = prune_files(self._manifest, preds) if preds else self._manifest["files"]
+        return [_FilePartition(os.path.join(self._dir, f)) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:  # stats pruned every file: empty scan
+            return
         if self._pushed:
             import pyarrow.dataset as pads
 
@@ -340,6 +366,16 @@ def _stage_partition(table_dir: str, batches) -> _FileMessage:
     return _FileMessage(rel_path=rel if rows else None, rows=rows)
 
 
+def _staged_stats(table_dir: str, rel_paths) -> dict:
+    """Footer stats for the staged files at commit time — driver-side
+    here because the harness is single-machine; on a real cluster each
+    task would report its file's stats inside the WriterCommitMessage
+    (same protocol, stats ride the messages instead of a re-read)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import _file_stats
+
+    return {f: _file_stats(os.path.join(table_dir, f)) for f in rel_paths}
+
+
 def _clean_staged(table_dir: str, messages) -> None:
     for m in messages:
         if m is not None and m.rel_path:
@@ -366,7 +402,13 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
-        publish_manifest(self._dir, files, mode=self._mode, schema=self._schema)
+        publish_manifest(
+            self._dir,
+            files,
+            mode=self._mode,
+            schema=self._schema,
+            new_stats=_staged_stats(self._dir, files),
+        )
 
     def abort(self, messages) -> None:
         _clean_staged(self._dir, messages)
@@ -396,6 +438,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 mode="append",
                 txn_id=f"dsw-{batchId}",
                 schema=self._schema,
+                new_stats=_staged_stats(self._dir, files),
             )
 
     def abort(self, messages, batchId: int) -> None:

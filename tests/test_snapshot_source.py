@@ -224,3 +224,40 @@ def test_snapshot_source_schema_evolution_padded_read(spark, sf_dir, tmp_path):
         .load()
     )
     assert v0.columns == ["event_id", "user_id"]
+
+
+def test_snapshot_source_manifest_stats_file_skipping(spark, sf_dir, tmp_path):
+    """Pushed predicates consult the manifest's per-file stats at PLAN
+    time: files the min/max provably exclude never become InputPartitions
+    (no task, no footer read) — the skipping layer above the pyarrow
+    row-group filter. Checked at the reader-unit level (partition count)
+    and end-to-end (result equals the unpruned filter)."""
+    from pyspark.sql import datasource as ds
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        _SnapshotBatchReader,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "skip")
+    ev = _events_slice(spark, sf_dir)
+    snapshot_commit(ev.repartitionByRange(6, "event_id"), t)
+    manifest = _read_manifest(t, 0)
+
+    top = ev.agg(F.max("event_id")).collect()[0][0]
+    reader = _SnapshotBatchReader(t, manifest)
+    assert len(reader.partitions()) == 6
+    unhandled = reader.pushFilters([ds.EqualTo(attribute=("event_id",), value=top)])
+    assert list(unhandled) == []
+    assert len(reader.partitions()) == 1
+
+    df = spark.read.format("snapshot_table").option("path", t).load()
+    got = df.filter(F.col("event_id") == top)
+    want = ev.filter(F.col("event_id") == top)
+    assert got.count() == want.count() == 1
+    assert [r["user_id"] for r in got.collect()] == [
+        r["user_id"] for r in want.collect()
+    ]

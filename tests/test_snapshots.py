@@ -326,3 +326,62 @@ def test_snapshot_merge_schema_evolving_updates(spark, sf_dir, tmp_path):
     assert latest.columns == ["n_nationkey", "n_name", "score"]
     assert latest.filter(F.col("score").isNotNull()).count() == 1
     assert latest.count() == n.count()
+
+
+def test_snapshot_stats_prune_scan(spark, sf_dir, tmp_path):
+    """Manifest stats data skipping: a range-partitioned commit records
+    per-file min/max; a point/range scan prunes to the owning file(s)
+    driver-side and still returns exactly read_snapshot().filter()'s
+    rows (pruning is an optimization, never a filter)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        prune_files,
+        scan_snapshot,
+    )
+
+    t = str(tmp_path / "stats")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    snapshot_commit(c.repartitionByRange(8, "c_custkey"), t)
+    manifest = _read_manifest(t, 0)
+    assert len(manifest["files"]) == 8
+    assert all(f in manifest["stats"] for f in manifest["files"])
+
+    some_key = c.agg(F.max("c_custkey")).collect()[0][0]
+    # point predicate: exactly one range file can own the max key
+    assert len(prune_files(manifest, [("c_custkey", "=", some_key)])) == 1
+    got = scan_snapshot(spark, t, [("c_custkey", "=", some_key)])
+    want = read_snapshot(spark, t).filter(F.col("c_custkey") == some_key)
+    assert got.collect() == want.collect()
+    # range predicate prunes a strict subset and matches the plain filter
+    lo = c.agg(F.expr("percentile_approx(c_custkey, 0.9)")).collect()[0][0]
+    survivors = prune_files(manifest, [("c_custkey", ">=", lo)])
+    assert 0 < len(survivors) < 8
+    got = scan_snapshot(spark, t, [("c_custkey", ">=", lo)])
+    want = read_snapshot(spark, t).filter(F.col("c_custkey") >= lo)
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0
+    # a predicate outside the domain prunes EVERYTHING, schema preserved
+    empty = scan_snapshot(spark, t, [("c_custkey", "<", -1)])
+    assert empty.count() == 0
+    assert empty.columns == ["c_custkey", "c_name", "c_acctbal"]
+
+
+def test_snapshot_stats_survive_merge_and_append(spark, sf_dir, tmp_path):
+    """Stats carry through the lineage: appends extend the parent's map,
+    a copy-on-write merge keeps retained files' stats and records stats
+    for its rewritten files — every file of the new version has stats."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        merge_upsert,
+    )
+
+    t = str(tmp_path / "statsl")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n.repartitionByRange(5, "n_nationkey"), t)
+    snapshot_commit(n.limit(3), t)  # append
+    m1 = _read_manifest(t, 1)
+    assert all(f in m1["stats"] for f in m1["files"])
+    upd = spark.createDataFrame([(0, "X")], "n_nationkey int, n_name string")
+    merge_upsert(spark, t, upd, "n_nationkey")
+    m2 = _read_manifest(t, 2)
+    assert all(f in m2["stats"] for f in m2["files"])
