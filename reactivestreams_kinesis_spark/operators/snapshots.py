@@ -424,6 +424,9 @@ def compact_snapshot(
     table_dir: str,
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    zorder: bool = False,
+    bits: int = 16,
 ) -> int:
     """Compaction as a COMMIT: rewrite the current version's file set
     into files sized near ``target_file_bytes`` and publish the result as
@@ -431,7 +434,15 @@ def compact_snapshot(
     — this is how compaction becomes safe under concurrent readers, the
     guarantee ``compact_parquet``'s in-place guard can only approximate
     by refusing the dangerous case. File count derives from actual bytes
-    (same rule as ``compact_parquet``)."""
+    (same rule as ``compact_parquet``).
+
+    ``cluster_by`` makes the rewrite ALSO a clustering pass (the
+    OPTIMIZE ... ZORDER BY shape): range-partition + sort on the columns
+    (or on their Morton interleaving with ``zorder=True``, the
+    `interleaved_write` lever), so each rewritten file covers a tight
+    range and the manifest stats recorded at publish turn into an
+    effective prune index — compaction is exactly when clustering is
+    cheapest, the rows are being rewritten anyway."""
     import math
 
     tip = latest_version(table_dir)
@@ -441,7 +452,30 @@ def compact_snapshot(
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
     total = sum(os.path.getsize(p) for p in paths)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    compacted = spark.read.parquet(*paths).repartition(n_files)
+    df = read_snapshot(spark, table_dir, tip)
+    if not cluster_by:
+        compacted = df.repartition(n_files)
+    elif zorder:
+        from pyspark.sql import functions as F
+
+        from reactivestreams_kinesis_spark.operators.layout import zorder_expr
+
+        stats = df.agg(
+            *[F.min(c).alias(f"min_{c}") for c in cluster_by],
+            *[F.max(c).alias(f"max_{c}") for c in cluster_by],
+        ).collect()[0]
+        mins = {c: stats[f"min_{c}"] for c in cluster_by}
+        maxs = {c: stats[f"max_{c}"] for c in cluster_by}
+        compacted = (
+            df.withColumn("__z", zorder_expr(cluster_by, mins, maxs, bits=bits))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        compacted = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     return snapshot_commit(compacted, table_dir, mode="overwrite")
 
 

@@ -385,3 +385,46 @@ def test_snapshot_stats_survive_merge_and_append(spark, sf_dir, tmp_path):
     merge_upsert(spark, t, upd, "n_nationkey")
     m2 = _read_manifest(t, 2)
     assert all(f in m2["stats"] for f in m2["files"])
+
+
+def test_snapshot_clustered_compaction_enables_pruning(spark, sf_dir, tmp_path):
+    """Clustered compaction turns the manifest stats into a prune index:
+    on a hash-scattered table a point predicate prunes (almost) nothing
+    because every file spans the key domain; after
+    compact_snapshot(cluster_by=[key]) the same predicate prunes to one
+    file — and the answer is unchanged."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        compact_snapshot,
+        prune_files,
+        scan_snapshot,
+    )
+
+    t = str(tmp_path / "clus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snapshot_commit(c.repartition(8), t)  # hash scatter: files span the domain
+    # a MID-domain key: every scattered file's [min,max] straddles it
+    key = c.agg(F.expr("percentile_approx(c_custkey, 0.5)")).collect()[0][0]
+    m0 = _read_manifest(t, 0)
+    scattered = len(prune_files(m0, [("c_custkey", "=", key)]))
+    assert scattered >= 7  # stats are useless on a scattered layout
+
+    v1 = compact_snapshot(
+        spark, t, target_file_bytes=1, cluster_by=["c_custkey"]
+    )  # 1-byte target => keeps multiple files, range-clustered
+    m1 = _read_manifest(t, v1)
+    assert len(m1["files"]) > 1
+    assert len(prune_files(m1, [("c_custkey", "=", key)])) == 1
+    got = scan_snapshot(spark, t, [("c_custkey", "=", key)])
+    want = c.filter(F.col("c_custkey") == key)
+    assert got.collect() == want.collect()
+
+    # z-order variant stays row-equivalent and records stats for all files
+    v2 = compact_snapshot(
+        spark, t, target_file_bytes=1,
+        cluster_by=["c_custkey", "c_acctbal"], zorder=True,
+    )
+    m2 = _read_manifest(t, v2)
+    assert all(f in m2["stats"] for f in m2["files"])
+    assert read_snapshot(spark, t, v2).subtract(c).count() == 0
+    assert read_snapshot(spark, t, v2).count() == c.count()
