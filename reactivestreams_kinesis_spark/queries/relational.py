@@ -551,3 +551,81 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") % 37 == 0).select(
         "l_orderkey", "l_linenumber", key.alias("zkey")
     )
+
+
+@register(
+    "rel_merge_upsert",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    upd AS (
+        SELECT c_custkey, 'U:' || c_name AS c_name,
+               c_acctbal + 100.0 AS c_acctbal
+        FROM base WHERE c_custkey % 10 = 0
+    ),
+    ins AS (
+        SELECT CAST(1000000 + n_nationkey AS BIGINT) AS c_custkey,
+               n_name AS c_name,
+               CAST(n_nationkey AS DOUBLE) AS c_acctbal
+        FROM nation
+    ),
+    kept AS (SELECT * FROM base WHERE c_custkey % 10 NOT IN (0, 7))
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+    tags=("S5", "J3"),
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE under the value oracle (the lakehouse
+    MERGE INTO, `operators/snapshots.py:merge_upsert`): build a snapshot
+    table from customer, apply one merge batch carrying all three clause
+    kinds — updates (keys ≡0 mod 10: renamed + rebalanced), deletes
+    (keys ≡7 mod 10), inserts (25 nation-derived new keys) — and read
+    the committed result. The oracle states the merge SEMANTICS as pure
+    SQL over the fixture; one wrongly-rewritten or wrongly-retained file
+    in the copy-on-write commit breaks the hash. The table builds fresh
+    per call (uuid temp dir) so the merge always applies to a clean v0;
+    arithmetic stays IEEE-double (+100.0) so both engines agree bitwise.
+    At scale the semi-join file-pruning pass makes the rewrite
+    proportional to TOUCHED files, not table size (see merge_upsert)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        merge_upsert,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = os.path.join(
+        tempfile.gettempdir(), f"rsk_merge_q_{_uuid.uuid4().hex[:8]}"
+    )
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)
+
+    upd = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("U:"), F.col("c_name")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit(False).alias("_del"),
+    )
+    dels = base.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(True).alias("_del"),
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_name").alias("c_name"),
+        F.col("n_nationkey").cast("double").alias("c_acctbal"),
+        F.lit(False).alias("_del"),
+    )
+    merge_upsert(
+        spark, t, upd.unionByName(dels).unionByName(ins), "c_custkey",
+        delete_col="_del",
+    )
+    return read_snapshot(spark, t).select("c_custkey", "c_name", "c_acctbal")
