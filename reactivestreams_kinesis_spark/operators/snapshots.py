@@ -569,6 +569,85 @@ def merge_upsert(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    *,
+    txn_id: str | None = None,
+) -> int:
+    """DELETE by predicate as a copy-on-write commit (the DML triple's
+    third leg beside append and ``merge_upsert``). Two-stage file
+    targeting keeps the rewrite minimal: the manifest stats first EXCLUDE
+    files whose min/max prove no row matches (``prune_files`` — pure
+    metadata), then one scan of the surviving candidates names the files
+    that actually contain a match; ONLY those rewrite, keeping their
+    non-matching rows. Untouched files — stats-excluded or match-free —
+    carry into the new manifest verbatim. A delete matching nothing
+    publishes nothing and returns the current version.
+
+    ``predicates`` are conjunctive ``(col, op, value)`` triples (the
+    ``scan_snapshot`` format). Deletion is exact: rows where the
+    conjunction is TRUE go; FALSE or NULL stay."""
+    import operator as _pyop
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    candidates = prune_files(manifest, predicates)
+    if not candidates:
+        return tip
+    reader = spark.read
+    if manifest.get("schema") is not None:
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    cand_df = reader.parquet(
+        *[os.path.join(table_dir, f) for f in candidates]
+    )
+    ops = {"=": _pyop.eq, ">": _pyop.gt, ">=": _pyop.ge, "<": _pyop.lt, "<=": _pyop.le}
+    cond = F.lit(True)
+    for c, op, v in predicates:
+        cond = cond & ops[op](F.col(c), F.lit(v))
+    matches = F.coalesce(cond, F.lit(False))
+    touched_rows = (
+        cand_df.withColumn("__file", F.input_file_name())
+        .filter(matches)
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    touched = {"/".join(r["__file"].split("/")[-2:]) for r in touched_rows}
+    if not touched:
+        return tip
+    untouched = [f for f in manifest["files"] if f not in touched]
+    keep_df = reader.parquet(
+        *[os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
+    ).filter(~matches)
+    commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
+    keep_df.write.parquet(commit_dir)
+    new_files = sorted(
+        os.path.join(os.path.basename(commit_dir), f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    return publish_manifest(
+        table_dir,
+        new_files,
+        mode="overwrite",
+        txn_id=txn_id,
+        schema=manifest.get("schema"),
+        base_files=untouched,
+        new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
+    )
+
+
 def vacuum(
     table_dir: str, *, keep_from_version: int, clean_orphans: bool = False
 ) -> list[str]:

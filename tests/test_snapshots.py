@@ -428,3 +428,40 @@ def test_snapshot_clustered_compaction_enables_pruning(spark, sf_dir, tmp_path):
     assert all(f in m2["stats"] for f in m2["files"])
     assert read_snapshot(spark, t, v2).subtract(c).count() == 0
     assert read_snapshot(spark, t, v2).count() == c.count()
+
+
+def test_snapshot_delete_where_file_granular(spark, sf_dir, tmp_path):
+    """Predicate DELETE rewrites only the files that actually hold a
+    matching row (stats exclusion + one exact candidate scan); the rest
+    carry verbatim. Result equals the filter; time travel unchanged; a
+    no-match delete publishes no version."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        delete_where,
+    )
+
+    t = str(tmp_path / "delw")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snapshot_commit(c.repartitionByRange(8, "c_custkey"), t)
+    files_v0 = _read_manifest(t, 0)["files"]
+
+    # delete the lowest ~eighth of the key domain: range layout localizes
+    # the matches to the first file(s)
+    cut = c.agg(F.expr("percentile_approx(c_custkey, 0.125)")).collect()[0][0]
+    v1 = delete_where(spark, t, [("c_custkey", "<=", cut)])
+    assert v1 == 1
+    files_v1 = set(_read_manifest(t, 1)["files"])
+    retained = [f for f in files_v0 if f in files_v1]
+    assert len(retained) >= 6  # at most ~2 boundary files rewrote
+
+    got = read_snapshot(spark, t)
+    want = c.filter(F.col("c_custkey") > cut)
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0
+    # time travel intact
+    assert read_snapshot(spark, t, 0).count() == c.count()
+    # no-match delete: no new version
+    assert delete_where(spark, t, [("c_custkey", "<", -5)]) == 1
+    # txn idempotence
+    v2 = delete_where(spark, t, [("c_custkey", ">", cut + 10)], txn_id="d-1")
+    assert delete_where(spark, t, [("c_custkey", ">", cut + 10)], txn_id="d-1") == v2
