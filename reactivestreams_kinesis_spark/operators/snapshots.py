@@ -531,9 +531,7 @@ def merge_upsert(
         .distinct()
         .collect()
     )
-    # input_file_name is a URI; manifest paths are table-relative
-    # (<data-dir>/<part file>) — match on the last two path components
-    touched = {"/".join(r["__file"].split("/")[-2:]) for r in touched_rows}
+    touched = {_rel_from_uri(r["__file"]) for r in touched_rows}
     untouched = [f for f in manifest["files"] if f not in touched]
 
     if delete_col is not None:
@@ -541,18 +539,101 @@ def merge_upsert(
     else:
         upserts = updates
     if touched:
-        touched_paths = [os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
-        reader = spark.read
-        if manifest.get("schema") is not None:
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(manifest["schema"]))
-        survivors = reader.parquet(*touched_paths).join(upd_keys, key, "anti")
+        touched_paths = [
+            os.path.join(table_dir, f) for f in manifest["files"] if f in touched
+        ]
+        survivors = (
+            _declared_reader(spark, manifest)
+            .parquet(*touched_paths)
+            .join(upd_keys, key, "anti")
+        )
         rewrite = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         rewrite = upserts
+    return _commit_rewrite(
+        table_dir,
+        rewrite,
+        untouched=untouched,
+        schema=_merge_schema(manifest.get("schema"), rewrite.schema.jsonValue()),
+        txn_id=txn_id,
+    )
+
+
+def _rel_from_uri(uri: str) -> str:
+    """input_file_name URI → table-relative manifest path: manifests
+    store ``<data-dir>/<part file>``, the last two path components."""
+    return "/".join(uri.split("/")[-2:])
+
+
+def _declared_reader(spark: SparkSession, manifest: dict):
+    """A DataFrameReader declaring the manifest's schema when present
+    (evolution-aware reads), plain otherwise."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if manifest.get("schema") is not None:
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    return reader
+
+
+def _predicate_match(predicates: list[tuple]):
+    """Conjunctive (col, op, value) triples → a null-safe boolean Column
+    (NULL comparisons count as non-matching, the DML contract)."""
+    import operator as _pyop
+
+    from pyspark.sql import functions as F
+
+    ops = {"=": _pyop.eq, ">": _pyop.gt, ">=": _pyop.ge, "<": _pyop.lt, "<=": _pyop.le}
+    cond = F.lit(True)
+    for c, op, v in predicates:
+        cond = cond & ops[op](F.col(c), F.lit(v))
+    return F.coalesce(cond, F.lit(False))
+
+
+def _target_files(
+    spark: SparkSession, table_dir: str, manifest: dict, predicates: list[tuple]
+):
+    """The predicate-DML file-targeting pass shared by ``delete_where``
+    and ``update_where``: stats exclusion (``prune_files``, metadata)
+    then ONE exact scan of the candidates naming files that truly hold a
+    match. Returns (matches_column, touched_set, untouched_list), or
+    None when nothing can match."""
+    from pyspark.sql import functions as F
+
+    candidates = prune_files(manifest, predicates)
+    if not candidates:
+        return None
+    matches = _predicate_match(predicates)
+    cand_df = _declared_reader(spark, manifest).parquet(
+        *[os.path.join(table_dir, f) for f in candidates]
+    )
+    touched_rows = (
+        cand_df.withColumn("__file", F.input_file_name())
+        .filter(matches)
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    touched = {_rel_from_uri(r["__file"]) for r in touched_rows}
+    if not touched:
+        return None
+    untouched = [f for f in manifest["files"] if f not in touched]
+    return matches, touched, untouched
+
+
+def _commit_rewrite(
+    table_dir: str,
+    df: DataFrame,
+    *,
+    untouched: list[str],
+    schema: dict | None,
+    txn_id: str | None,
+) -> int:
+    """Write ``df`` as the rewrite files of a copy-on-write commit and
+    publish (overwrite op) with the untouched files retained and footer
+    stats recorded for the new files."""
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    rewrite.write.parquet(commit_dir)
+    df.write.parquet(commit_dir)
     new_files = sorted(
         os.path.join(os.path.basename(commit_dir), f)
         for f in os.listdir(commit_dir)
@@ -563,7 +644,7 @@ def merge_upsert(
         new_files,
         mode="overwrite",
         txn_id=txn_id,
-        schema=_merge_schema(manifest.get("schema"), rewrite.schema.jsonValue()),
+        schema=schema,
         base_files=untouched,
         new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
     )
@@ -589,10 +670,50 @@ def delete_where(
     ``predicates`` are conjunctive ``(col, op, value)`` triples (the
     ``scan_snapshot`` format). Deletion is exact: rows where the
     conjunction is TRUE go; FALSE or NULL stay."""
-    import operator as _pyop
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    targets = _target_files(spark, table_dir, manifest, predicates)
+    if targets is None:
+        return tip
+    matches, touched, untouched = targets
+    keep_df = _declared_reader(spark, manifest).parquet(
+        *[os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
+    ).filter(~matches)
+    return _commit_rewrite(
+        table_dir,
+        keep_df,
+        untouched=untouched,
+        schema=manifest.get("schema"),
+        txn_id=txn_id,
+    )
 
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list[tuple],
+    assignments: dict[str, object],
+    *,
+    txn_id: str | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE as a copy-on-write commit — the last leg
+    of the DML family (append / merge / delete / update). Same two-stage
+    file targeting as ``delete_where``: manifest stats exclude files that
+    cannot match, one exact scan names the files that do, ONLY those
+    rewrite — matching rows get ``assignments`` applied (each value a
+    Column expression or a literal; expressions may reference the row's
+    own columns, e.g. ``{"bal": F.col("bal") * 1.1}``), non-matching rows
+    in the same files rewrite unchanged. Untouched files carry verbatim;
+    no-match updates publish nothing; txn ids make replays no-op.
+    Assignments cannot change a column's type (same contract as schema
+    evolution: a type change is a table rewrite)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
 
     tip = latest_version(table_dir)
     if tip is None:
@@ -602,49 +723,38 @@ def delete_where(
         if done is not None:
             return done
     manifest = _read_manifest(table_dir, tip)
-    candidates = prune_files(manifest, predicates)
-    if not candidates:
+    targets = _target_files(spark, table_dir, manifest, predicates)
+    if targets is None:
         return tip
-    reader = spark.read
-    if manifest.get("schema") is not None:
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
-    cand_df = reader.parquet(
-        *[os.path.join(table_dir, f) for f in candidates]
-    )
-    ops = {"=": _pyop.eq, ">": _pyop.gt, ">=": _pyop.ge, "<": _pyop.lt, "<=": _pyop.le}
-    cond = F.lit(True)
-    for c, op, v in predicates:
-        cond = cond & ops[op](F.col(c), F.lit(v))
-    matches = F.coalesce(cond, F.lit(False))
-    touched_rows = (
-        cand_df.withColumn("__file", F.input_file_name())
-        .filter(matches)
-        .select("__file")
-        .distinct()
-        .collect()
-    )
-    touched = {"/".join(r["__file"].split("/")[-2:]) for r in touched_rows}
-    if not touched:
-        return tip
-    untouched = [f for f in manifest["files"] if f not in touched]
-    keep_df = reader.parquet(
+    matches, touched, untouched = targets
+    base = _declared_reader(spark, manifest).parquet(
         *[os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
-    ).filter(~matches)
-    commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    keep_df.write.parquet(commit_dir)
-    new_files = sorted(
-        os.path.join(os.path.basename(commit_dir), f)
-        for f in os.listdir(commit_dir)
-        if f.endswith(".parquet")
     )
-    return publish_manifest(
+    unknown = [c for c in assignments if c not in base.columns]
+    if unknown:
+        raise ValueError(f"update_where assigns unknown columns: {unknown}")
+    rewritten = base.select(
+        *[
+            F.when(
+                matches,
+                assignments[c]
+                if hasattr(assignments[c], "cast")
+                else F.lit(assignments[c]),
+            )
+            .otherwise(F.col(c))
+            .cast(base.schema[c].dataType)
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
+    return _commit_rewrite(
         table_dir,
-        new_files,
-        mode="overwrite",
-        txn_id=txn_id,
+        rewritten,
+        untouched=untouched,
         schema=manifest.get("schema"),
-        base_files=untouched,
-        new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
+        txn_id=txn_id,
     )
 
 

@@ -465,3 +465,46 @@ def test_snapshot_delete_where_file_granular(spark, sf_dir, tmp_path):
     # txn idempotence
     v2 = delete_where(spark, t, [("c_custkey", ">", cut + 10)], txn_id="d-1")
     assert delete_where(spark, t, [("c_custkey", ">", cut + 10)], txn_id="d-1") == v2
+
+
+def test_snapshot_update_where_file_granular(spark, sf_dir, tmp_path):
+    """Predicate UPDATE: matching rows take the assignments (expressions
+    may reference the row's own columns), non-matching rows — in touched
+    files and untouched files alike — are byte-identical; file
+    granularity and txn idempotence hold as for delete."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        update_where,
+    )
+
+    t = str(tmp_path / "updw")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    snapshot_commit(c.repartitionByRange(8, "c_custkey"), t)
+    files_v0 = _read_manifest(t, 0)["files"]
+    cut = c.agg(F.expr("percentile_approx(c_custkey, 0.125)")).collect()[0][0]
+
+    v1 = update_where(
+        spark, t, [("c_custkey", "<=", cut)],
+        {"c_acctbal": F.col("c_acctbal") * 2, "c_name": "CAPPED"},
+    )
+    assert v1 == 1
+    retained = [f for f in files_v0 if f in set(_read_manifest(t, 1)["files"])]
+    assert len(retained) >= 6
+
+    got = read_snapshot(spark, t)
+    want = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") <= cut, F.lit("CAPPED"))
+        .otherwise(F.col("c_name")).alias("c_name"),
+        F.when(F.col("c_custkey") <= cut, F.col("c_acctbal") * 2)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0
+    # unknown assignment column refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, t, [("c_custkey", ">", 0)], {"nope": 1})
+    # no-match predicate: no new version
+    assert update_where(spark, t, [("c_custkey", "<", -9)], {"c_name": "x"}) == 1
