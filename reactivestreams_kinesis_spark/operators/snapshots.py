@@ -803,6 +803,75 @@ def vacuum(
     return deleted
 
 
+def snapshot_stream_merge_sink(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    key: str,
+    order_cols: list[str],
+    delete_predicate=None,
+):
+    """Streaming CDC APPLY: maintain a snapshot table as the merged view
+    of a change stream — each micro-batch compacts to one row per key
+    (latest by ``order_cols``, descending) and applies as a
+    ``merge_upsert`` under the txn id ``merge-<epoch>``; rows whose
+    compacted form satisfies ``delete_predicate`` delete their key. This
+    is the Delta "streaming upsert with foreachBatch" pattern on the
+    manifest primitives: replayed epochs no-op (txn idempotence), and
+    cross-batch last-writer-wins holds whenever the stream delivers
+    changes in ``order_cols`` order across batches (true for the
+    `snapshot_table` change feed, whose offsets are the table's own
+    ordered versions). The per-batch compaction shuffles only the BATCH
+    on the merge key; the table-side cost is merge_upsert's
+    touched-files rewrite. Returns the started query (AvailableNow)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        compacted = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        txn = f"merge-{epoch_id}"
+        if delete_predicate is not None:
+            compacted = compacted.withColumn(
+                "__del", F.coalesce(delete_predicate, F.lit(False))
+            )
+            del_col = "__del"
+        else:
+            del_col = None
+        if latest_version(table_dir) is None:
+            keep = (
+                compacted.filter(~F.col(del_col)).drop(del_col)
+                if del_col
+                else compacted
+            )
+            snapshot_commit(keep, table_dir, txn_id=txn)
+        else:
+            merge_upsert(
+                batch.sparkSession,
+                table_dir,
+                compacted,
+                key,
+                delete_col=del_col,
+                txn_id=txn,
+            )
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def snapshot_stream_sink(
     records: DataFrame, table_dir: str, checkpoint_dir: str
 ):
