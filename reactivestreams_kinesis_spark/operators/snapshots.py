@@ -221,6 +221,56 @@ def scan_snapshot(
     return df
 
 
+def _check_constraints(df: DataFrame, constraints: dict | None) -> None:
+    """Enforce the table's CHECK constraints on ``df`` (the rows being
+    committed): one aggregate pass counting violations of every
+    constraint at once. SQL CHECK semantics — a row violates only when
+    the expression is FALSE; NULL/UNKNOWN passes. Raises with the
+    per-constraint violation counts; the caller's staged files become
+    vacuum debris, the table is untouched."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in constraints.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(row[n]) for n in constraints if (row[n] or 0) > 0}
+    if bad:
+        raise ValueError(f"CHECK constraint violation (rows per constraint): {bad}")
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """Attach a named CHECK constraint (a SQL boolean expression over the
+    table's columns) — the Delta `ALTER TABLE ADD CONSTRAINT` shape. The
+    CURRENT data validates first (one aggregate pass; a violating add is
+    refused), then a metadata-only version publishes carrying the
+    constraint; every later commit — append, merge, delete, update —
+    validates exactly its NEW/rewritten rows against the table's
+    constraints before its manifest publishes, so committed data always
+    satisfies them without ever re-scanning old files."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip)
+    merged = {**(manifest.get("constraints") or {}), name: expr}
+    _check_constraints(read_snapshot(spark, table_dir, tip), {name: expr})
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        schema=manifest.get("schema"),
+        constraints=merged,
+    )
+
+
 def snapshot_commit(
     df: DataFrame,
     table_dir: str,
@@ -265,6 +315,14 @@ def snapshot_commit(
         for f in os.listdir(commit_dir)
         if f.endswith(".parquet")
     )
+    tip = latest_version(table_dir)
+    if tip is not None:
+        # validate exactly the NEW rows (read back from the staged files —
+        # cheaper than recomputing df's plan) against table constraints
+        _check_constraints(
+            df.sparkSession.read.parquet(commit_dir),
+            _read_manifest(table_dir, tip).get("constraints"),
+        )
     return publish_manifest(
         table_dir,
         new_files,
@@ -284,6 +342,7 @@ def publish_manifest(
     schema: dict | None = None,
     base_files: list[str] | None = None,
     new_stats: dict | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -319,6 +378,11 @@ def publish_manifest(
         version = 0 if tip is None else tip + 1
         out_schema = schema
         out_stats = dict(new_stats or {})
+        # table-level metadata (constraints) inherits across every commit
+        # kind unless this publish explicitly replaces it
+        out_constraints = constraints
+        if out_constraints is None and tip is not None:
+            out_constraints = _read_manifest(table_dir, tip).get("constraints")
         if mode == "append" and tip is not None:
             parent_manifest = _read_manifest(table_dir, tip)
             files = parent_manifest["files"] + new_files
@@ -341,6 +405,8 @@ def publish_manifest(
             manifest["schema"] = out_schema
         if out_stats:
             manifest["stats"] = out_stats
+        if out_constraints:
+            manifest["constraints"] = out_constraints
         if txn_id is not None:
             manifest["txn"] = txn_id
         try:
@@ -631,7 +697,9 @@ def _commit_rewrite(
 ) -> int:
     """Write ``df`` as the rewrite files of a copy-on-write commit and
     publish (overwrite op) with the untouched files retained and footer
-    stats recorded for the new files."""
+    stats recorded for the new files. The rewritten rows validate against
+    the table's CHECK constraints before the manifest publishes (the
+    retained files already satisfied them at their own commit)."""
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     df.write.parquet(commit_dir)
     new_files = sorted(
@@ -639,6 +707,12 @@ def _commit_rewrite(
         for f in os.listdir(commit_dir)
         if f.endswith(".parquet")
     )
+    tip = latest_version(table_dir)
+    if tip is not None:
+        _check_constraints(
+            df.sparkSession.read.parquet(commit_dir),
+            _read_manifest(table_dir, tip).get("constraints"),
+        )
     return publish_manifest(
         table_dir,
         new_files,

@@ -508,3 +508,59 @@ def test_snapshot_update_where_file_granular(spark, sf_dir, tmp_path):
         update_where(spark, t, [("c_custkey", ">", 0)], {"nope": 1})
     # no-match predicate: no new version
     assert update_where(spark, t, [("c_custkey", "<", -9)], {"c_name": "x"}) == 1
+
+
+def test_snapshot_check_constraints(spark, sf_dir, tmp_path):
+    """CHECK constraints: a violating add is refused; once attached, every
+    commit kind validates its new/rewritten rows and a violation aborts
+    before the manifest publishes (table untouched, debris vacuumable);
+    NULL evaluates as pass (SQL CHECK); the constraint survives
+    compaction and keeps firing after it."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_constraint,
+        merge_upsert,
+        update_where,
+    )
+
+    t = str(tmp_path / "chk")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n, t)
+    # violating add refused (existing data already breaks it)
+    with pytest.raises(ValueError, match="violation"):
+        add_constraint(spark, t, "impossible", "n_nationkey < 0")
+    v = add_constraint(spark, t, "key_range", "n_nationkey BETWEEN 0 AND 500000")
+    assert v == 1  # metadata-only version
+
+    bad = spark.createDataFrame(
+        [(999999999, "TOO-BIG")], "n_nationkey int, n_name string"
+    )
+    with pytest.raises(ValueError, match="key_range"):
+        snapshot_commit(bad, t)
+    assert latest_version(t) == 1  # nothing published
+
+    # NULL passes (SQL CHECK: only FALSE violates)
+    nullish = spark.createDataFrame(
+        [(None, "NULLKEY")], "n_nationkey int, n_name string"
+    )
+    v2 = snapshot_commit(nullish, t)
+    assert v2 == 2
+
+    # merge and update validate their rewrites too
+    with pytest.raises(ValueError, match="key_range"):
+        merge_upsert(
+            spark, t,
+            spark.createDataFrame([(600000, "X")], "n_nationkey int, n_name string"),
+            "n_nationkey",
+        )
+    with pytest.raises(ValueError, match="key_range"):
+        update_where(
+            spark, t, [("n_nationkey", ">=", 0)], {"n_nationkey": 700000}
+        )
+
+    # survives compaction (overwrite commit) and still enforces after
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    with pytest.raises(ValueError, match="key_range"):
+        snapshot_commit(bad, t)
+    assert read_snapshot(spark, t).count() == n.count() + 1
