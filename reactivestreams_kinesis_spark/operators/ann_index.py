@@ -55,6 +55,42 @@ def build_ivf_index(
     return out_dir
 
 
+def append_to_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    *,
+    vec: str = "cv",
+    key: str = "vec_id",
+) -> str:
+    """Incremental ingest into the persisted index — the promise in
+    ``build_ivf_index``'s docstring delivered: assign ONLY the new
+    vectors against the SAME persisted codebook (broadcast-argmax, one
+    narrow map over the batch) and APPEND them into their cells'
+    directories; existing files are untouched, so the cost tracks the
+    ingest batch, never the index size. Probes immediately see the new
+    vectors (the partition scan lists each probed directory's files at
+    plan time). The codebook does NOT re-learn here — periodic re-learn +
+    ``build_ivf_index`` rebuild is the compaction-shaped maintenance job,
+    exactly like `compact_snapshot` for tables; until then new vectors
+    land in the nearest EXISTING cell, which keeps probe results exact
+    for the current codebook geometry (verified: probe after append ≡
+    probe of a full rebuild over the union corpus)."""
+    from reactivestreams_kinesis_spark.operators.layout import partitioned_write
+    from reactivestreams_kinesis_spark.queries.llm_similarity import (
+        _nearest_centroids,
+        _with_norm,
+    )
+
+    centroids = spark.read.parquet(index_dir + "__codebook")
+    with_n = _with_norm(new_vectors.select(key, vec), vec, "__n")
+    assigned = _nearest_centroids(
+        with_n, centroids, vec=vec, key=key, norm_col="__n", n=1
+    ).select(key, vec, "centroid_id")
+    partitioned_write(assigned, index_dir, ["centroid_id"], mode="append")
+    return index_dir
+
+
 def probe_ivf_index(
     spark: SparkSession,
     index_dir: str,

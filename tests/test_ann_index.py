@@ -74,3 +74,40 @@ def test_ivf_index_probe_prunes_directories(spark, sf_dir, tmp_path):
     # nprobe=1 over N_QUERIES queries: at most one probed cell per query
     assert len(m.group(1).split(",")) <= N_QUERIES
     assert probed.count() > 0
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """Incremental ingest: build the index on half the corpus, append the
+    other half against the persisted codebook — the probe over the
+    incrementally-built index must EQUAL the probe over a one-shot full
+    build (same codebook geometry ⇒ same cells ⇒ same answer), and the
+    append must not rewrite any pre-existing file."""
+    import glob
+
+    from reactivestreams_kinesis_spark.operators.ann_index import (
+        append_to_ivf_index,
+    )
+
+    corpus, queries, cent = _fixture(spark, sf_dir)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(half_a, cent, inc)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(inc, "**", "*.parquet"), recursive=True)
+    }
+    append_to_ivf_index(spark, inc, half_b)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(inc, "**", "*.parquet"), recursive=True)
+    }
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(after[p] == before[p] for p in before), "append rewrote a file"
+
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(corpus, cent, full)
+    got = probe_ivf_index(spark, inc, queries, k=5, nprobe=2)
+    want = probe_ivf_index(spark, full, queries, k=5, nprobe=2)
+    assert got.collect() == want.collect()
