@@ -584,20 +584,38 @@ def merge_upsert(
         if done is not None:
             return done
     manifest = _read_manifest(table_dir, tip)
-    current = read_snapshot(spark, table_dir, tip)
     upd_keys = updates.select(key).distinct()
 
     from pyspark.sql import functions as F
 
+    # stats pre-prune: files wholly outside the update keys' [min, max]
+    # cannot own a match, so the exact targeting scan reads only the
+    # overlapping candidates — for range-localized updates (the common
+    # CDC case on a clustered table) targeting becomes candidate-
+    # proportional instead of table-proportional; scattered keys degrade
+    # gracefully to the full scan. One tiny driver agg (two scalars).
+    bounds = upd_keys.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    candidates = manifest["files"]
+    if bounds["lo"] is not None:
+        candidates = prune_files(
+            manifest, [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
+        )
     # name the files owning a matched key: bounded driver list (≤ |files|)
-    touched_rows = (
-        current.withColumn("__file", F.input_file_name())
-        .join(upd_keys, key, "semi")
-        .select("__file")
-        .distinct()
-        .collect()
-    )
-    touched = {_rel_from_uri(r["__file"]) for r in touched_rows}
+    touched: set = set()
+    if candidates:
+        cand_df = _declared_reader(spark, manifest).parquet(
+            *[os.path.join(table_dir, f) for f in candidates]
+        )
+        touched_rows = (
+            cand_df.withColumn("__file", F.input_file_name())
+            .join(upd_keys, key, "semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched = {_rel_from_uri(r["__file"]) for r in touched_rows}
     untouched = [f for f in manifest["files"] if f not in touched]
 
     if delete_col is not None:
