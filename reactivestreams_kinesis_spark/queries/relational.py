@@ -629,3 +629,40 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="_del",
     )
     return read_snapshot(spark, t).select("c_custkey", "c_name", "c_acctbal")
+
+
+register_sql(
+    "rel_recursive_hierarchy",
+    """
+    WITH RECURSIVE chain (node, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, ch.root, ch.depth + 1
+        FROM customer c
+        JOIN chain ch
+          ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = ch.node
+        WHERE c.c_custkey >= 10
+    )
+    SELECT root, depth,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_keys,
+           MIN(node) AS min_key,
+           MAX(node) AS max_key
+    FROM chain
+    GROUP BY root, depth
+    """,
+    tables=["customer"],
+    tags=("J1", "A1", "O1"),
+    doc="""Recursive CTE (Spark 4's WITH RECURSIVE — the iterative-query
+    family): transitive closure over a derived decimal-digit hierarchy
+    (parent(k) = k div 10, so every customer key chains to a single-digit
+    root in ≤ log10(maxkey) steps), aggregated per (root, depth) so the
+    oracle value-checks every level of the traversal. ONE SQL text both
+    engines run verbatim (register_sql). Spark executes the recursion as
+    iterated joins under the same Catalyst plan machinery as everything
+    else — each level is an equi-join against the previous frontier, so
+    at scale the shuffle key is the parent key and AQE sizes each level's
+    exchange; depth is data-bounded (≤6 at any fixture SF), far under
+    spark.sql.cteRecursionLevelLimit.""",
+)
