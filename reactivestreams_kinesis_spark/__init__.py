@@ -50,6 +50,14 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.operators import layout
 
         return getattr(layout, name)
+    if name in _SNAPSHOT_OPS:
+        from reactivestreams_kinesis_spark.operators import snapshots
+
+        return getattr(snapshots, name)
+    if name in _ANN_INDEX_OPS:
+        from reactivestreams_kinesis_spark.operators import ann_index
+
+        return getattr(ann_index, name)
     if name == "all_queries":
         from reactivestreams_kinesis_spark.queries.registry import all_queries
 
@@ -79,6 +87,24 @@ _DEDUP_OPS = (
     "connected_components",
 )
 _SIM_OPS = ("cosine_topk", "ann_lsh_topk", "ann_ivf_topk")
+# Snapshot-table warehouse surface (operators/snapshots.py): commit
+# protocol, time travel, DML, constraints, maintenance, streaming sinks.
+_SNAPSHOT_OPS = (
+    "snapshot_commit",
+    "read_snapshot",
+    "scan_snapshot",
+    "snapshot_changes",
+    "latest_version",
+    "merge_upsert",
+    "delete_where",
+    "update_where",
+    "add_constraint",
+    "compact_snapshot",
+    "vacuum",
+    "snapshot_stream_sink",
+    "snapshot_stream_merge_sink",
+)
+_ANN_INDEX_OPS = ("build_ivf_index", "probe_ivf_index", "append_to_ivf_index")
 _PIPELINE_OPS = (
     "pack_assignments",
     "decontaminate",
@@ -99,6 +125,8 @@ __all__ = [
     "all_queries",
     *_DEDUP_OPS,
     *_SIM_OPS,
+    *_SNAPSHOT_OPS,
+    *_ANN_INDEX_OPS,
     *_PIPELINE_OPS,
     "__version__",
 ]
