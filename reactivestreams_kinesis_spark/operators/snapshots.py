@@ -138,12 +138,108 @@ def _file_stats(path: str) -> dict:
     return out
 
 
+def set_bloom_columns(spark: SparkSession, table_dir: str, cols: list[str]) -> int:
+    """Declare per-file BLOOM FILTER columns (int/string keys): every
+    later commit builds a small bloom over each new file's values for
+    these columns, stored in the manifest beside the min/max stats.
+    Blooms close the skipping gap min/max can't: on a hash-scattered
+    layout every file's [min, max] spans the key domain, so a point
+    lookup prunes nothing by range — but a key is genuinely IN only a
+    few files, and the bloom proves definite absence for the rest.
+    Publishing is a metadata-only version (existing files simply have no
+    bloom yet — pruning stays conservative for them until a rewrite).
+    Float columns are refused: binary-exact value canonicalization is
+    only sound for integers and strings."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(manifest["schema"])
+        for c in cols:
+            if c in schema.fieldNames() and schema[c].dataType.simpleString() in (
+                "float",
+                "double",
+            ):
+                raise ValueError(f"bloom column {c!r} is floating-point")
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        schema=manifest.get("schema"),
+        bloom_cols=cols,
+    )
+
+
+_BLOOM_K = 5
+
+
+def _bloom_hashes(value, m: int) -> list[int]:
+    """k deterministic bit indexes for ``value`` via double hashing over
+    the md5 halves. Canonical bytes: ``str(value)`` utf-8 — identical
+    for python/numpy ints and strings, the supported key types."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _file_bloom(path: str, col: str) -> dict | None:
+    """Build the bloom for one column of one staged file: read just that
+    column with pyarrow, size the bitmap at ~8 bits/distinct value
+    (power of two, ≥8192 → fpp ≈ 3% at k=5), set k bits per value.
+    Returns {"m": bits, "b64": bitmap} or None if the column is absent
+    or non-key-typed."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if col not in pf.schema_arrow.names:
+        return None
+    values = pf.read(columns=[col]).column(col)
+    pyvals = [v for v in values.to_pylist() if v is not None]
+    if pyvals and not isinstance(pyvals[0], (int, str)):
+        return None
+    m = 8192
+    while m < 8 * max(1, len(set(pyvals))):
+        m *= 2
+    bits = bytearray(m // 8)
+    for v in pyvals:
+        for idx in _bloom_hashes(v, m):
+            bits[idx // 8] |= 1 << (idx % 8)
+    return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[idx // 8] & (1 << (idx % 8))
+        for idx in _bloom_hashes(value, bloom["m"])
+    )
+
+
 def _stats_exclude(stats: dict, col: str, op: str, value) -> bool:
     """True iff the file's [min, max] PROVES no row satisfies
     ``col op value``. Unknown columns/ops keep the file — pruning is an
     optimization, never a filter."""
     cs = stats.get(col)
-    if cs is None or "min" not in cs:
+    if cs is None:
+        return False
+    if cs.get("bloom") is not None and op in ("=", "in"):
+        vals = value if op == "in" else (value,)
+        try:
+            if all(not _bloom_maybe_contains(cs["bloom"], v) for v in vals):
+                return True  # definite absence for every probed key
+        except Exception:
+            pass  # malformed bloom: fall through to range check
+    if "min" not in cs:
         return False
     mn, mx = cs["min"], cs["max"]
     try:
@@ -162,6 +258,27 @@ def _stats_exclude(stats: dict, col: str, op: str, value) -> bool:
     except TypeError:
         return False  # incomparable types (schema drift): keep the file
     return False
+
+
+def _commit_stats(table_dir: str, rel_paths) -> dict:
+    """Per-file stats for a commit's new files: footer min/max/nulls
+    always, plus blooms for the table's declared bloom columns (one
+    column read per file per bloom col — proportional to the COMMIT, the
+    same cost contract as the footer pass)."""
+    tip = latest_version(table_dir)
+    bloom_cols = []
+    if tip is not None:
+        bloom_cols = _read_manifest(table_dir, tip).get("bloom_cols") or []
+    out = {}
+    for f in rel_paths:
+        p = os.path.join(table_dir, f)
+        st = _file_stats(p)
+        for c in bloom_cols:
+            bl = _file_bloom(p, c)
+            if bl is not None:
+                st.setdefault(c, {})["bloom"] = bl
+        out[f] = st
+    return out
 
 
 def prune_files(manifest: dict, predicates: list[tuple]) -> list[str]:
@@ -329,7 +446,7 @@ def snapshot_commit(
         mode=mode,
         txn_id=txn_id,
         schema=df.schema.jsonValue(),
-        new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
+        new_stats=_commit_stats(table_dir, new_files),
     )
 
 
@@ -343,6 +460,7 @@ def publish_manifest(
     base_files: list[str] | None = None,
     new_stats: dict | None = None,
     constraints: dict | None = None,
+    bloom_cols: list | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -381,8 +499,13 @@ def publish_manifest(
         # table-level metadata (constraints) inherits across every commit
         # kind unless this publish explicitly replaces it
         out_constraints = constraints
-        if out_constraints is None and tip is not None:
-            out_constraints = _read_manifest(table_dir, tip).get("constraints")
+        out_bloom_cols = bloom_cols
+        if tip is not None:
+            tip_manifest = _read_manifest(table_dir, tip)
+            if out_constraints is None:
+                out_constraints = tip_manifest.get("constraints")
+            if out_bloom_cols is None:
+                out_bloom_cols = tip_manifest.get("bloom_cols")
         if mode == "append" and tip is not None:
             parent_manifest = _read_manifest(table_dir, tip)
             files = parent_manifest["files"] + new_files
@@ -407,6 +530,8 @@ def publish_manifest(
             manifest["stats"] = out_stats
         if out_constraints:
             manifest["constraints"] = out_constraints
+        if out_bloom_cols:
+            manifest["bloom_cols"] = out_bloom_cols
         if txn_id is not None:
             manifest["txn"] = txn_id
         try:
@@ -738,7 +863,7 @@ def _commit_rewrite(
         txn_id=txn_id,
         schema=schema,
         base_files=untouched,
-        new_stats={f: _file_stats(os.path.join(table_dir, f)) for f in new_files},
+        new_stats=_commit_stats(table_dir, new_files),
     )
 
 

@@ -367,13 +367,14 @@ def _stage_partition(table_dir: str, batches) -> _FileMessage:
 
 
 def _staged_stats(table_dir: str, rel_paths) -> dict:
-    """Footer stats for the staged files at commit time — driver-side
-    here because the harness is single-machine; on a real cluster each
-    task would report its file's stats inside the WriterCommitMessage
-    (same protocol, stats ride the messages instead of a re-read)."""
-    from reactivestreams_kinesis_spark.operators.snapshots import _file_stats
+    """Footer stats (+ declared blooms) for the staged files at commit
+    time — driver-side here because the harness is single-machine; on a
+    real cluster each task would report its file's stats inside the
+    WriterCommitMessage (same protocol, stats ride the messages instead
+    of a re-read)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import _commit_stats
 
-    return {f: _file_stats(os.path.join(table_dir, f)) for f in rel_paths}
+    return _commit_stats(table_dir, rel_paths)
 
 
 def _clean_staged(table_dir: str, messages) -> None:

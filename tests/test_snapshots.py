@@ -564,3 +564,51 @@ def test_snapshot_check_constraints(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="key_range"):
         snapshot_commit(bad, t)
     assert read_snapshot(spark, t).count() == n.count() + 1
+
+
+def test_snapshot_bloom_point_lookup_skipping(spark, sf_dir, tmp_path):
+    """Bloom file skipping closes the hash-scatter gap: on a scattered
+    layout min/max prunes nothing for a mid-domain point key, but after
+    set_bloom_columns + rewrite the bloom proves definite absence for
+    the non-owning files. Pruning stays exact (results equal the plain
+    filter), IN-lists prune when every key is absent, and a float bloom
+    column is refused."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        compact_snapshot,
+        prune_files,
+        scan_snapshot,
+        set_bloom_columns,
+    )
+
+    t = str(tmp_path / "bloom")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    snapshot_commit(c.repartition(8), t)  # hash scatter
+    key = c.agg(F.expr("percentile_approx(c_custkey, 0.5)")).collect()[0][0]
+    m0 = _read_manifest(t, 0)
+    assert len(prune_files(m0, [("c_custkey", "=", key)])) >= 7  # range: useless
+
+    with pytest.raises(ValueError, match="floating-point"):
+        set_bloom_columns(spark, t, ["c_acctbal"])
+    set_bloom_columns(spark, t, ["c_custkey"])
+    # metadata-only version: old files have no blooms yet -> conservative
+    m1 = _read_manifest(t, latest_version(t))
+    assert len(prune_files(m1, [("c_custkey", "=", key)])) >= 7
+
+    # rewrite (compaction into several files) builds the blooms
+    v = compact_snapshot(spark, t, target_file_bytes=1)
+    m2 = _read_manifest(t, v)
+    assert len(m2["files"]) > 1
+    assert all(
+        "bloom" in m2["stats"][f].get("c_custkey", {}) for f in m2["files"]
+    )
+    survivors = prune_files(m2, [("c_custkey", "=", key)])
+    assert len(survivors) < len(m2["files"])  # bloom prunes scattered files
+    got = scan_snapshot(spark, t, [("c_custkey", "=", key)])
+    want = c.filter(F.col("c_custkey") == key)
+    assert sorted(got.collect()) == sorted(want.collect())
+    # an absent key prunes EVERY file (bloom definite-absence)
+    assert prune_files(m2, [("c_custkey", "=", -424242)]) == []
+    assert scan_snapshot(spark, t, [("c_custkey", "=", -424242)]).count() == 0
