@@ -610,3 +610,40 @@ def test_manifest_protocol_matches_model(tmp_path_factory, ops):
         assert latest_version(table) == v
     for v, expected in enumerate(model):
         assert _read_manifest(table, v)["files"] == expected
+
+
+@given(
+    present=st.lists(
+        st.one_of(st.integers(-10**12, 10**12), st.text(min_size=0, max_size=30)),
+        min_size=0, max_size=300,
+    ),
+    absent=st.lists(st.integers(2 * 10**12, 3 * 10**12), min_size=0, max_size=50),
+)
+@settings(max_examples=60, deadline=None)
+def test_manifest_bloom_no_false_negatives(present, absent):
+    """The manifest bloom's soundness contract: every inserted value MUST
+    test maybe-present (a false negative would silently drop rows from a
+    pruned scan); disjoint absent keys mostly test absent (fpp sanity —
+    pruning power, not correctness)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _BLOOM_K,
+        _bloom_hashes,
+        _bloom_maybe_contains,
+    )
+    import base64
+
+    m = 8192
+    while m < 8 * max(1, len(set(present))):
+        m *= 2
+    bits = bytearray(m // 8)
+    for v in present:
+        for idx in _bloom_hashes(v, m):
+            bits[idx // 8] |= 1 << (idx % 8)
+    bloom = {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+    for v in present:
+        assert _bloom_maybe_contains(bloom, v), v  # soundness: never FN
+    distinct_absent = [a for a in set(absent) if a not in set(present)]
+    if len(distinct_absent) >= 20:
+        fp = sum(_bloom_maybe_contains(bloom, a) for a in distinct_absent)
+        assert fp / len(distinct_absent) < 0.5  # loose fpp sanity bound
+    assert _BLOOM_K == 5  # pinned: stored blooms embed this geometry
