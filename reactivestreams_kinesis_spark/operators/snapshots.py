@@ -174,6 +174,7 @@ def set_bloom_columns(spark: SparkSession, table_dir: str, cols: list[str]) -> i
 
 
 _BLOOM_K = 5
+_MERGE_BLOOM_PROBE_CAP = 5000  # max distinct update keys to bloom-probe
 
 
 def _bloom_hashes(value, m: int) -> list[int]:
@@ -717,16 +718,28 @@ def merge_upsert(
     # cannot own a match, so the exact targeting scan reads only the
     # overlapping candidates — for range-localized updates (the common
     # CDC case on a clustered table) targeting becomes candidate-
-    # proportional instead of table-proportional; scattered keys degrade
-    # gracefully to the full scan. One tiny driver agg (two scalars).
+    # proportional instead of table-proportional. Scattered keys, where
+    # the range spans everything, fall to the per-file BLOOMS when the
+    # table declares them and the key set is small enough to probe
+    # (≤ _MERGE_BLOOM_PROBE_CAP values — bounded driver data, checked by
+    # the same stats job). Keys neither localized nor bloomed degrade
+    # gracefully to the full targeting scan.
     bounds = upd_keys.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     candidates = manifest["files"]
     if bounds["lo"] is not None:
         candidates = prune_files(
             manifest, [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
         )
+        table_stats = manifest.get("stats") or {}
+        if bounds["n"] <= _MERGE_BLOOM_PROBE_CAP and any(
+            table_stats.get(f, {}).get(key, {}).get("bloom") for f in candidates
+        ):
+            probe_keys = [r[0] for r in upd_keys.collect()]
+            candidates = prune_files(manifest, [(key, "in", probe_keys)])
     # name the files owning a matched key: bounded driver list (≤ |files|)
     touched: set = set()
     if candidates:

@@ -612,3 +612,39 @@ def test_snapshot_bloom_point_lookup_skipping(spark, sf_dir, tmp_path):
     # an absent key prunes EVERY file (bloom definite-absence)
     assert prune_files(m2, [("c_custkey", "=", -424242)]) == []
     assert scan_snapshot(spark, t, [("c_custkey", "=", -424242)]).count() == 0
+
+
+def test_snapshot_merge_bloom_targeting_on_scattered_keys(spark, sf_dir, tmp_path):
+    """A merge whose update keys are scattered (range spans the domain)
+    still targets file-granularly when the table declares blooms: only
+    the files whose blooms admit an update key rewrite; the rest carry
+    verbatim — and the merge result equals the key-by-key expectation."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        compact_snapshot,
+        merge_upsert,
+        set_bloom_columns,
+    )
+
+    t = str(tmp_path / "mrgbloom")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    snapshot_commit(c.repartition(8), t)          # hash scatter
+    set_bloom_columns(spark, t, ["c_custkey"])
+    v = compact_snapshot(spark, t, target_file_bytes=1)  # rewrite -> blooms
+    files_pre = _read_manifest(t, v)["files"]
+    assert len(files_pre) > 4
+
+    lo = c.agg(F.min("c_custkey")).collect()[0][0]
+    hi = c.agg(F.max("c_custkey")).collect()[0][0]
+    # two extreme keys: their RANGE spans every file, blooms must save it
+    upd = spark.createDataFrame(
+        [(lo, "LOW"), (hi, "HIGH")], "c_custkey long, c_name string"
+    )
+    v2 = merge_upsert(spark, t, upd, "c_custkey")
+    files_post = set(_read_manifest(t, v2)["files"])
+    retained = [f for f in files_pre if f in files_post]
+    assert len(files_pre) - len(retained) <= 3  # only bloom-admitting files rewrote
+    got = {r["c_custkey"]: r["c_name"] for r in read_snapshot(spark, t).collect()}
+    assert got[lo] == "LOW" and got[hi] == "HIGH"
+    base = {r["c_custkey"]: r["c_name"] for r in c.collect()}
+    assert all(got[k] == v for k, v in base.items() if k not in (lo, hi))
