@@ -1125,3 +1125,39 @@ def snapshot_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_by_retention(
+    table_dir: str,
+    *,
+    retention_seconds: float,
+    now: float | None = None,
+    clean_orphans: bool = False,
+) -> list[str]:
+    """Time-based retention on top of ``vacuum``: keep every version
+    whose manifest was PUBLISHED within the window (commit mtime — the
+    exclusive-create timestamp), drop older history. This is the policy
+    shape production tables actually run ("7 days of time travel"),
+    mapped onto the version-based primitive: find the oldest version
+    still inside the window and delegate. The tip always survives, even
+    if older than the window — a retention sweep must never delete the
+    current table. ``now`` is injectable for deterministic tests."""
+    import time as _time
+
+    now = _time.time() if now is None else now
+    cutoff = now - retention_seconds
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    keep_from = tip
+    for v in range(tip, -1, -1):
+        mp = _manifest_path(table_dir, v)
+        if not os.path.exists(mp):
+            break
+        if os.path.getmtime(mp) >= cutoff:
+            keep_from = v
+        else:
+            break
+    return vacuum(
+        table_dir, keep_from_version=keep_from, clean_orphans=clean_orphans
+    )

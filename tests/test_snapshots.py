@@ -648,3 +648,39 @@ def test_snapshot_merge_bloom_targeting_on_scattered_keys(spark, sf_dir, tmp_pat
     assert got[lo] == "LOW" and got[hi] == "HIGH"
     base = {r["c_custkey"]: r["c_name"] for r in c.collect()}
     assert all(got[k] == v for k, v in base.items() if k not in (lo, hi))
+
+
+def test_snapshot_vacuum_by_retention_window(spark, sf_dir, tmp_path):
+    """Time-based retention: versions published before the window drop
+    (files and manifests), versions inside it survive, and the tip
+    survives even when it is older than the window."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _manifest_path,
+        vacuum_by_retention,
+    )
+
+    t = str(tmp_path / "ret")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey")
+    snapshot_commit(r, t, mode="overwrite")            # v0
+    snapshot_commit(r, t, mode="overwrite")            # v1
+    snapshot_commit(r, t, mode="overwrite")            # v2 (tip)
+    now = 1_000_000.0
+    os.utime(_manifest_path(t, 0), (now - 500, now - 500))
+    os.utime(_manifest_path(t, 1), (now - 100, now - 100))
+    os.utime(_manifest_path(t, 2), (now - 50, now - 50))
+
+    deleted = vacuum_by_retention(t, retention_seconds=200, now=now)
+    assert deleted  # v0's overwritten files dropped
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0)
+    assert read_snapshot(spark, t, 1).count() == r.count()
+    assert read_snapshot(spark, t, 2).count() == r.count()
+
+    # tip older than the window still survives
+    os.utime(_manifest_path(t, 1), (now - 900, now - 900))
+    os.utime(_manifest_path(t, 2), (now - 800, now - 800))
+    deleted2 = vacuum_by_retention(t, retention_seconds=200, now=now)
+    assert read_snapshot(spark, t).count() == r.count()
+    assert latest_version(t) == 2
