@@ -99,8 +99,11 @@ _SNAPSHOT_OPS = (
     "delete_where",
     "update_where",
     "add_constraint",
+    "set_bloom_columns",
+    "prune_files",
     "compact_snapshot",
     "vacuum",
+    "vacuum_by_retention",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",
 )
