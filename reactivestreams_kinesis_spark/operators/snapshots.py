@@ -31,6 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 _SNAPDIR = "_snapshots"
 
 
+class SnapshotConflictError(RuntimeError):
+    """Raised when an optimistic commit loses its race: the table tip
+    moved past the version the commit's file set was computed against.
+    Append commits never raise it (they re-read the tip and compose);
+    REWRITE commits (merge/delete/update/compaction) must, because their
+    untouched-file list came from the old tip — publishing anyway would
+    silently drop the concurrent commit's changes (the lost-update
+    anomaly Delta/Iceberg abort on). Callers retry by re-running the
+    whole operation against the new tip."""
+
+
 def _merge_schema(parent: dict | None, new: dict | None) -> dict | None:
     """Widen a parent manifest schema with the new commit's columns —
     ADD-COLUMN evolution only: a column present in both must keep its
@@ -395,6 +406,7 @@ def snapshot_commit(
     *,
     mode: str = "append",
     txn_id: str | None = None,
+    require_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return it.
 
@@ -448,6 +460,7 @@ def snapshot_commit(
         txn_id=txn_id,
         schema=df.schema.jsonValue(),
         new_stats=_commit_stats(table_dir, new_files),
+        require_parent=require_parent,
     )
 
 
@@ -462,6 +475,7 @@ def publish_manifest(
     new_stats: dict | None = None,
     constraints: dict | None = None,
     bloom_cols: list | None = None,
+    require_parent: int | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -477,6 +491,12 @@ def publish_manifest(
     concurrent evolution composes). ``base_files`` (overwrite mode only)
     lets a copy-on-write commit RETAIN named parent files alongside the
     new ones — the MERGE primitive: the published set is base + new.
+
+    ``require_parent`` is the optimistic-concurrency guard for REWRITE
+    commits: if the tip is no longer that version at publish time, raise
+    ``SnapshotConflictError`` instead of retrying — the commit's
+    retained-file list was computed against the stale tip and publishing
+    would lose the concurrent commit's changes. Appends never need it.
 
     ``new_stats`` maps each new file to its footer min/max stats
     (``_file_stats``); the manifest carries per-file stats forward
@@ -494,6 +514,11 @@ def publish_manifest(
             if done is not None:
                 return done  # a racing twin of this txn won; our files
                 # are orphans until vacuum(clean_orphans=True)
+        if require_parent is not None and tip != require_parent:
+            raise SnapshotConflictError(
+                f"tip moved to v{tip} since this rewrite read v{require_parent}; "
+                "re-run the operation against the new tip"
+            )
         version = 0 if tip is None else tip + 1
         out_schema = schema
         out_stats = dict(new_stats or {})
@@ -668,7 +693,11 @@ def compact_snapshot(
         compacted = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
-    return snapshot_commit(compacted, table_dir, mode="overwrite")
+    # conflict-guarded: a concurrent append between the compaction's read
+    # and its publish would otherwise be silently dropped
+    return snapshot_commit(
+        compacted, table_dir, mode="overwrite", require_parent=tip
+    )
 
 
 def merge_upsert(
@@ -778,6 +807,7 @@ def merge_upsert(
         untouched=untouched,
         schema=_merge_schema(manifest.get("schema"), rewrite.schema.jsonValue()),
         txn_id=txn_id,
+        require_parent=tip,
     )
 
 
@@ -850,6 +880,7 @@ def _commit_rewrite(
     untouched: list[str],
     schema: dict | None,
     txn_id: str | None,
+    require_parent: int | None = None,
 ) -> int:
     """Write ``df`` as the rewrite files of a copy-on-write commit and
     publish (overwrite op) with the untouched files retained and footer
@@ -877,6 +908,7 @@ def _commit_rewrite(
         schema=schema,
         base_files=untouched,
         new_stats=_commit_stats(table_dir, new_files),
+        require_parent=require_parent,
     )
 
 
@@ -921,6 +953,7 @@ def delete_where(
         untouched=untouched,
         schema=manifest.get("schema"),
         txn_id=txn_id,
+        require_parent=tip,
     )
 
 
@@ -985,6 +1018,7 @@ def update_where(
         untouched=untouched,
         schema=manifest.get("schema"),
         txn_id=txn_id,
+        require_parent=tip,
     )
 
 

@@ -684,3 +684,76 @@ def test_snapshot_vacuum_by_retention_window(spark, sf_dir, tmp_path):
     deleted2 = vacuum_by_retention(t, retention_seconds=200, now=now)
     assert read_snapshot(spark, t).count() == r.count()
     assert latest_version(t) == 2
+
+
+def test_snapshot_rewrite_conflict_detection(spark, sf_dir, tmp_path):
+    """Optimistic concurrency for REWRITE commits: a merge / delete /
+    compaction whose retained-file list was computed against a tip that
+    has since moved must ABORT (SnapshotConflictError) rather than
+    publish — publishing would silently drop the concurrent commit's
+    rows (the lost-update anomaly). Appends still compose across the
+    race, and a replayed committed txn still returns idempotently."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        SnapshotConflictError,
+        compact_snapshot,
+        merge_upsert,
+        publish_manifest,
+    )
+
+    t = str(tmp_path / "conflict")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n, t)  # v0
+
+    # direct protocol-level check: a rewrite publish bound to v0 loses
+    # to an append that landed v1
+    snapshot_commit(n.limit(1), t)  # v1 (the racing commit)
+    with pytest.raises(SnapshotConflictError, match="re-run"):
+        publish_manifest(t, [], mode="overwrite", base_files=[], require_parent=0)
+
+    # end-to-end: interleave an append inside a merge by racing the
+    # commit step — monkeypatch the rewrite commit to append first
+    import reactivestreams_kinesis_spark.operators.snapshots as S
+
+    real = S._commit_rewrite
+    def racing(table_dir, df, **kw):
+        snapshot_commit(n.limit(2), table_dir)  # concurrent append wins
+        return real(table_dir, df, **kw)
+    S._commit_rewrite = racing
+    try:
+        with pytest.raises(SnapshotConflictError):
+            merge_upsert(
+                spark, t,
+                spark.createDataFrame([(0, "X")], "n_nationkey int, n_name string"),
+                "n_nationkey",
+            )
+    finally:
+        S._commit_rewrite = real
+    # the racing append's rows are intact (nothing lost)
+    assert read_snapshot(spark, t).count() == n.count() + 1 + 2
+
+    # a clean retry against the new tip succeeds
+    merge_upsert(
+        spark, t,
+        spark.createDataFrame([(0, "X")], "n_nationkey int, n_name string"),
+        "n_nationkey",
+    )
+    assert (
+        read_snapshot(spark, t).filter(F.col("n_name") == "X").count() >= 1
+    )
+
+    # compaction is guarded the same way
+    tip_before = latest_version(t)
+    real_read = S.read_snapshot
+    def racing_read(spark_, table_dir, version=None):
+        df = real_read(spark_, table_dir, version)
+        if version == tip_before:  # compaction's bound read
+            snapshot_commit(n.limit(1), table_dir)
+        return df
+    S.read_snapshot = racing_read
+    try:
+        with pytest.raises(SnapshotConflictError):
+            compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    finally:
+        S.read_snapshot = real_read
