@@ -104,6 +104,9 @@ _SNAPSHOT_OPS = (
     "compact_snapshot",
     "vacuum",
     "vacuum_by_retention",
+    "table_stats_summary",
+    "describe_history",
+    "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",
 )

@@ -146,6 +146,7 @@ def _file_stats(path: str) -> dict:
     for c in mins:
         if c not in bad:
             out[c] = {"min": mins[c], "max": maxs[c], "nulls": nulls.get(c, 0)}
+    out["__rows"] = md.num_rows  # file row count: metadata-only COUNT(*)
     return out
 
 
@@ -1194,4 +1195,80 @@ def vacuum_by_retention(
             break
     return vacuum(
         table_dir, keep_from_version=keep_from, clean_orphans=clean_orphans
+    )
+
+
+def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
+    """Metadata-only table statistics — the Iceberg/Delta trick of
+    answering ``COUNT(*)`` / ``MIN`` / ``MAX`` from the manifest without
+    scanning a byte of data: fold the per-file stats. Returns
+    ``{"rows": n | None, "columns": {col: {"min", "max", "nulls"}}}``;
+    ``rows`` is None when any file predates stats recording (the honest
+    answer — a partial count would be wrong), and a column appears only
+    when EVERY file carries its stats (a per-file min/max can bound the
+    table only if no file is missing). Cost: zero I/O beyond the one
+    manifest read."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip if version is None else version)
+    stats = manifest.get("stats") or {}
+    files = manifest["files"]
+    per_file = [stats.get(f) for f in files]
+    rows = None
+    if all(s is not None and "__rows" in s for s in per_file):
+        rows = sum(s["__rows"] for s in per_file)
+    columns: dict = {}
+    if per_file and all(s is not None for s in per_file):
+        shared = set.intersection(
+            *(set(k for k in s if k != "__rows" and "min" in s[k]) for s in per_file)
+        ) if per_file else set()
+        for c in sorted(shared):
+            columns[c] = {
+                "min": min(s[c]["min"] for s in per_file),
+                "max": max(s[c]["max"] for s in per_file),
+                "nulls": sum(s[c].get("nulls", 0) for s in per_file),
+            }
+    return {"rows": rows, "columns": columns}
+
+
+def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a DataFrame: one row per retained version —
+    op, parent, file count, total bytes, row count (when stats carry
+    it), txn id. Pure manifest metadata; byte sizes stat only the
+    version's own files. The audit surface every lakehouse table
+    exposes, for this repo's commit protocol."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    rows = []
+    for v in range(tip + 1):
+        mp = _manifest_path(table_dir, v)
+        if not os.path.exists(mp):
+            continue  # vacuumed
+        m = _read_manifest(table_dir, v)
+        stats = m.get("stats") or {}
+        n_rows = None
+        if m["files"] and all("__rows" in stats.get(f, {}) for f in m["files"]):
+            n_rows = sum(stats[f]["__rows"] for f in m["files"])
+        total = 0
+        for f in m["files"]:
+            p = os.path.join(table_dir, f)
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+        rows.append(
+            (
+                v,
+                m.get("parent"),
+                m["op"],
+                len(m["files"]),
+                total,
+                n_rows,
+                m.get("txn"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, op string, n_files int, "
+        "total_bytes bigint, n_rows bigint, txn string",
     )

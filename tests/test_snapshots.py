@@ -757,3 +757,44 @@ def test_snapshot_rewrite_conflict_detection(spark, sf_dir, tmp_path):
             compact_snapshot(spark, t, target_file_bytes=1 << 40)
     finally:
         S.read_snapshot = real_read
+
+
+def test_snapshot_metadata_queries(spark, sf_dir, tmp_path):
+    """table_stats_summary answers COUNT/MIN/MAX from the manifest alone
+    (values equal a real scan), describe_history reports one audit row
+    per version with op/files/rows, and both stay honest after a vacuum
+    (missing versions skipped, stats still exact for the tip)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        describe_history,
+        table_stats_summary,
+        vacuum,
+    )
+
+    t = str(tmp_path / "meta")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snapshot_commit(c.repartition(4), t)      # v0
+    snapshot_commit(c.limit(10), t)           # v1 append
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)  # v2 overwrite
+
+    s = table_stats_summary(t)
+    want_rows = c.count() + 10
+    assert s["rows"] == want_rows
+    agg = c.agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).collect()[0]
+    assert s["columns"]["c_custkey"]["min"] == agg[0]
+    assert s["columns"]["c_custkey"]["max"] == agg[1]
+    # time travel: v0's summary counts only v0
+    assert table_stats_summary(t, version=0)["rows"] == c.count()
+
+    h = {r["version"]: r for r in describe_history(spark, t).collect()}
+    assert h[0]["op"] == "append" and h[0]["parent"] is None
+    assert h[1]["op"] == "append" and h[1]["parent"] == 0
+    assert h[2]["op"] == "overwrite" and h[2]["n_rows"] == want_rows
+    assert h[2]["n_files"] == 1 and h[2]["total_bytes"] > 0
+
+    vacuum(t, keep_from_version=2)
+    h2 = describe_history(spark, t).collect()
+    assert [r["version"] for r in h2] == [2]
+    assert table_stats_summary(t)["rows"] == want_rows
