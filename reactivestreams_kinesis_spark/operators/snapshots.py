@@ -176,12 +176,15 @@ def set_bloom_columns(spark: SparkSession, table_dir: str, cols: list[str]) -> i
                 "double",
             ):
                 raise ValueError(f"bloom column {c!r} is floating-point")
+    # require_parent: a concurrent commit between read and publish would
+    # otherwise race this metadata edit (same lost-update shape as DML)
     return publish_manifest(
         table_dir,
         [],
         mode="append",
         schema=manifest.get("schema"),
         bloom_cols=cols,
+        require_parent=tip,
     )
 
 
@@ -189,13 +192,38 @@ _BLOOM_K = 5
 _MERGE_BLOOM_PROBE_CAP = 5000  # max distinct update keys to bloom-probe
 
 
-def _bloom_hashes(value, m: int) -> list[int]:
-    """k deterministic bit indexes for ``value`` via double hashing over
-    the md5 halves. Canonical bytes: ``str(value)`` utf-8 — identical
-    for python/numpy ints and strings, the supported key types."""
+def _bloom_key(value) -> str | None:
+    """Canonical bloom key for ``value``, or None when the value is not a
+    supported EXACT key type. Strictly int (not bool) or str — a float
+    probe like 5.0 or a bool like True is SQL-equal to int 5 / 1 but
+    str()-canonicalizes differently ('5.0', 'True' vs '5', '1'), so
+    probing it against an int-built bloom would wrongly prove absence
+    and turn pruning into a filter. Such probes return None and fall
+    through to the (type-coercing, conservative) min/max check."""
+    if type(value) is bool:
+        return None
+    if isinstance(value, str):
+        return value
+    try:
+        import numpy as np
+
+        if isinstance(value, np.integer):
+            return str(int(value))
+        if isinstance(value, (np.floating, np.bool_)):
+            return None
+    except ImportError:
+        pass
+    if isinstance(value, int):
+        return str(value)
+    return None
+
+
+def _bloom_hashes(key: str, m: int) -> list[int]:
+    """k deterministic bit indexes for a canonical key (``_bloom_key``)
+    via double hashing over the md5 halves."""
     import hashlib
 
-    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    d = hashlib.md5(key.encode("utf-8")).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
     return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
@@ -215,26 +243,31 @@ def _file_bloom(path: str, col: str) -> dict | None:
     if col not in pf.schema_arrow.names:
         return None
     values = pf.read(columns=[col]).column(col)
-    pyvals = [v for v in values.to_pylist() if v is not None]
-    if pyvals and not isinstance(pyvals[0], (int, str)):
-        return None
+    keys = [_bloom_key(v) for v in values.to_pylist() if v is not None]
+    if any(k is None for k in keys):
+        return None  # non-key-typed column (bool/float/...): no bloom
     m = 8192
-    while m < 8 * max(1, len(set(pyvals))):
+    while m < 8 * max(1, len(set(keys))):
         m *= 2
     bits = bytearray(m // 8)
-    for v in pyvals:
-        for idx in _bloom_hashes(v, m):
+    for k in keys:
+        for idx in _bloom_hashes(k, m):
             bits[idx // 8] |= 1 << (idx % 8)
     return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
 
 
 def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """Maybe-present test; a value outside the canonical key domain
+    returns True (cannot prove absence — conservative)."""
     import base64
 
+    key = _bloom_key(value)
+    if key is None:
+        return True
     bits = base64.b64decode(bloom["b64"])
     return all(
         bits[idx // 8] & (1 << (idx % 8))
-        for idx in _bloom_hashes(value, bloom["m"])
+        for idx in _bloom_hashes(key, bloom["m"])
     )
 
 
@@ -343,12 +376,7 @@ def scan_snapshot(
     if manifest.get("schema") is not None:
         reader = reader.schema(StructType.fromJson(manifest["schema"]))
     df = reader.parquet(*[os.path.join(table_dir, f) for f in survivors])
-    import operator as _pyop
-
-    ops = {"=": _pyop.eq, ">": _pyop.gt, ">=": _pyop.ge, "<": _pyop.lt, "<=": _pyop.le}
-    for c, op, v in predicates:
-        df = df.filter(ops[op](F.col(c), F.lit(v)))
-    return df
+    return df.filter(_predicate_match(predicates))
 
 
 def _check_constraints(df: DataFrame, constraints: dict | None) -> None:
@@ -392,12 +420,15 @@ def add_constraint(
     manifest = _read_manifest(table_dir, tip)
     merged = {**(manifest.get("constraints") or {}), name: expr}
     _check_constraints(read_snapshot(spark, table_dir, tip), {name: expr})
+    # require_parent: the merged map was computed from THIS tip; a
+    # concurrent add_constraint would otherwise be silently dropped
     return publish_manifest(
         table_dir,
         [],
         mode="append",
         schema=manifest.get("schema"),
         constraints=merged,
+        require_parent=tip,
     )
 
 
@@ -449,10 +480,21 @@ def snapshot_commit(
     tip = latest_version(table_dir)
     if tip is not None:
         # validate exactly the NEW rows (read back from the staged files —
-        # cheaper than recomputing df's plan) against table constraints
+        # cheaper than recomputing df's plan) against table constraints,
+        # under the TABLE's widened schema: an append narrower than the
+        # evolved table must evaluate a constraint on the missing column
+        # as NULL (SQL CHECK passes), not fail resolution
+        tip_manifest = _read_manifest(table_dir, tip)
+        staged = df.sparkSession.read
+        table_schema = _merge_schema(
+            tip_manifest.get("schema"), df.schema.jsonValue()
+        )
+        if table_schema is not None:
+            from pyspark.sql.types import StructType
+
+            staged = staged.schema(StructType.fromJson(table_schema))
         _check_constraints(
-            df.sparkSession.read.parquet(commit_dir),
-            _read_manifest(table_dir, tip).get("constraints"),
+            staged.parquet(commit_dir), tip_manifest.get("constraints")
         )
     return publish_manifest(
         table_dir,
@@ -527,21 +569,20 @@ def publish_manifest(
         # kind unless this publish explicitly replaces it
         out_constraints = constraints
         out_bloom_cols = bloom_cols
-        if tip is not None:
-            tip_manifest = _read_manifest(table_dir, tip)
+        tip_manifest = None if tip is None else _read_manifest(table_dir, tip)
+        if tip_manifest is not None:
             if out_constraints is None:
                 out_constraints = tip_manifest.get("constraints")
             if out_bloom_cols is None:
                 out_bloom_cols = tip_manifest.get("bloom_cols")
-        if mode == "append" and tip is not None:
-            parent_manifest = _read_manifest(table_dir, tip)
-            files = parent_manifest["files"] + new_files
-            out_schema = _merge_schema(parent_manifest.get("schema"), schema)
-            out_stats = {**(parent_manifest.get("stats") or {}), **out_stats}
+        if mode == "append" and tip_manifest is not None:
+            files = tip_manifest["files"] + new_files
+            out_schema = _merge_schema(tip_manifest.get("schema"), schema)
+            out_stats = {**(tip_manifest.get("stats") or {}), **out_stats}
         else:
             files = list(base_files or []) + list(new_files)
-            if base_files and tip is not None:
-                parent_stats = _read_manifest(table_dir, tip).get("stats") or {}
+            if base_files and tip_manifest is not None:
+                parent_stats = tip_manifest.get("stats") or {}
                 out_stats.update(
                     {f: parent_stats[f] for f in base_files if f in parent_stats}
                 )
@@ -727,7 +768,11 @@ def merge_upsert(
 
     Update columns absent from the table (or vice versa) widen through
     the same add-column evolution as append commits: survivors and
-    upserts union by name with missing columns NULL.
+    upserts union by name with missing columns NULL. ``updates`` must
+    carry at most ONE row per key — duplicated keys are refused (the
+    Delta/Iceberg multiple-match error): which duplicate wins is the
+    caller's ordering decision, made BEFORE the merge
+    (``snapshot_stream_merge_sink`` compacts each batch that way).
 
     Publishes with ``op=overwrite`` — a merge rewrites history, so
     incremental readers (``snapshot_changes``, the streaming source)
@@ -754,11 +799,21 @@ def merge_upsert(
     # (≤ _MERGE_BLOOM_PROBE_CAP values — bounded driver data, checked by
     # the same stats job). Keys neither localized nor bloomed degrade
     # gracefully to the full targeting scan.
-    bounds = upd_keys.agg(
+    bounds = updates.agg(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(key).alias("n"),
     ).collect()[0]
+    if bounds["rows"] > bounds["n"]:
+        # Delta/Iceberg MERGE raise on multiple matches per key; silently
+        # inserting both rows would corrupt key uniqueness
+        raise ValueError(
+            f"merge_upsert: updates carry {bounds['rows'] - bounds['n']} "
+            f"extra row(s) for duplicated {key!r} values — compact the "
+            "batch to one row per key first (last-writer-wins is the "
+            "CALLER's ordering decision; see snapshot_stream_merge_sink)"
+        )
     candidates = manifest["files"]
     if bounds["lo"] is not None:
         candidates = prune_files(
@@ -787,7 +842,12 @@ def merge_upsert(
     untouched = [f for f in manifest["files"] if f not in touched]
 
     if delete_col is not None:
-        upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag = not a delete (the row upserts normally); a bare
+        # ~col would silently drop the row from BOTH branches and
+        # delete its key
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     else:
         upserts = updates
     if touched:
@@ -831,7 +891,10 @@ def _declared_reader(spark: SparkSession, manifest: dict):
 
 def _predicate_match(predicates: list[tuple]):
     """Conjunctive (col, op, value) triples → a null-safe boolean Column
-    (NULL comparisons count as non-matching, the DML contract)."""
+    (NULL comparisons count as non-matching, the DML contract). The ONE
+    translation of the predicate format — `scan_snapshot`, `delete_where`
+    and `update_where` all filter through it, so the op set cannot
+    diverge from what `prune_files` skips on."""
     import operator as _pyop
 
     from pyspark.sql import functions as F
@@ -839,7 +902,10 @@ def _predicate_match(predicates: list[tuple]):
     ops = {"=": _pyop.eq, ">": _pyop.gt, ">=": _pyop.ge, "<": _pyop.lt, "<=": _pyop.le}
     cond = F.lit(True)
     for c, op, v in predicates:
-        cond = cond & ops[op](F.col(c), F.lit(v))
+        if op == "in":
+            cond = cond & F.col(c).isin(list(v))
+        else:
+            cond = cond & ops[op](F.col(c), F.lit(v))
     return F.coalesce(cond, F.lit(False))
 
 
@@ -1076,11 +1142,14 @@ def snapshot_stream_merge_sink(
     key: str,
     order_cols: list[str],
     delete_predicate=None,
+    txn_scope: str | None = None,
 ):
     """Streaming CDC APPLY: maintain a snapshot table as the merged view
     of a change stream — each micro-batch compacts to one row per key
     (latest by ``order_cols``, descending) and applies as a
-    ``merge_upsert`` under the txn id ``merge-<epoch>``; rows whose
+    ``merge_upsert`` under the txn id ``merge-<scope>-<epoch>``
+    (scope: ``stream_txn_scope`` — two independent change streams on
+    one table never collide on epoch numbers); rows whose
     compacted form satisfies ``delete_predicate`` delete their key. This
     is the Delta "streaming upsert with foreachBatch" pattern on the
     manifest primitives: replayed epochs no-op (txn idempotence), and
@@ -1093,6 +1162,8 @@ def snapshot_stream_merge_sink(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    scope = stream_txn_scope(checkpoint_dir) if txn_scope is None else txn_scope
+
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -1104,7 +1175,7 @@ def snapshot_stream_merge_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        txn = f"merge-{epoch_id}"
+        txn = f"merge-{scope}-{epoch_id}"
         if delete_predicate is not None:
             compacted = compacted.withColumn(
                 "__del", F.coalesce(delete_predicate, F.lit(False))
@@ -1137,22 +1208,46 @@ def snapshot_stream_merge_sink(
     )
 
 
+def stream_txn_scope(checkpoint_dir: str) -> str:
+    """Stable per-stream txn namespace, derived from the checkpoint path
+    — the value Delta makes the user pick as ``txnAppId``. Epoch numbers
+    are only unique WITHIN one logical stream (one checkpoint); two
+    different streams appending to the same table would otherwise both
+    commit 'epoch 0' and the second's batch would be silently swallowed
+    as a replay. Stable across restarts of the same checkpoint (that is
+    what makes crash replays no-op); the unsolvable residue — deleting a
+    checkpoint but reusing its exact path — is the same caveat Delta's
+    txnAppId carries, and callers can pass an explicit scope instead."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+
 def snapshot_stream_sink(
-    records: DataFrame, table_dir: str, checkpoint_dir: str
+    records: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    txn_scope: str | None = None,
 ):
     """Streaming ingest into a snapshot table with EXACTLY-ONCE appends:
     ``foreachBatch`` commits each micro-batch under the deterministic txn
-    id ``stream-<epoch>``, so a post-crash replay of an epoch (Spark's
-    at-least-once foreachBatch contract) finds the txn already committed
-    and no-ops — the idempotence turning at-least-once into exactly-once,
-    the same protocol the file sink's transaction log implements and
-    Delta's ``txnAppId``/``txnVersion`` exposes. Readers meanwhile get a
-    consistent version per micro-batch instead of seeing half-written
-    files appear mid-listing. Returns the started StreamingQuery
-    (AvailableNow)."""
+    id ``stream-<scope>-<epoch>`` (scope: ``stream_txn_scope``), so a
+    post-crash replay of an epoch (Spark's at-least-once foreachBatch
+    contract) finds the txn already committed and no-ops — the
+    idempotence turning at-least-once into exactly-once, the same
+    protocol the file sink's transaction log implements and Delta's
+    ``txnAppId``/``txnVersion`` exposes — while a DIFFERENT stream
+    (different checkpoint) appending to the same table never collides.
+    Readers meanwhile get a consistent version per micro-batch instead
+    of seeing half-written files appear mid-listing. Returns the started
+    StreamingQuery (AvailableNow)."""
+    scope = stream_txn_scope(checkpoint_dir) if txn_scope is None else txn_scope
 
     def commit_batch(batch: DataFrame, epoch_id: int) -> None:
-        snapshot_commit(batch, table_dir, mode="append", txn_id=f"stream-{epoch_id}")
+        snapshot_commit(
+            batch, table_dir, mode="append", txn_id=f"stream-{scope}-{epoch_id}"
+        )
 
     return (
         records.writeStream.foreachBatch(commit_batch)

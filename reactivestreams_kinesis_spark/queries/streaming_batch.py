@@ -701,7 +701,9 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (T9 + the round-6 manifest protocol): the events fixture replays
     through the file source, ``snapshot_stream_sink`` commits one table
     version per micro-batch under the deterministic txn id
-    ``stream-<epoch>``, and the latest snapshot must equal the source
+    ``stream-<scope>-<epoch>`` (scope from the shared checkpoint path,
+    so concurrent builders of the same cached table stay mutually
+    idempotent), and the latest snapshot must equal the source
     EXACTLY — one duplicated replay or half-visible file breaks the
     hash. Exactly-once here is carried by txn idempotence (a replayed
     epoch finds its txn committed and no-ops) rather than the file

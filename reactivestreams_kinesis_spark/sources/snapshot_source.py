@@ -377,6 +377,69 @@ def _staged_stats(table_dir: str, rel_paths) -> dict:
     return _commit_stats(table_dir, rel_paths)
 
 
+def _validate_staged(table_dir: str, rel_paths, writer_schema_json) -> None:
+    """Enforce the table's CHECK constraints on the staged files before
+    the manifest publishes — the same commit-time contract
+    ``snapshot_commit`` honors; without this the sink API would be a
+    constraint bypass. The sink's ``commit`` hook runs in a worker
+    process with NO SparkSession, so validation runs on the embedded
+    local engine (DuckDB) straight over the staged parquet — bounded to
+    THIS commit's files, and sound because constraints live in the
+    repo's shared SQL dialect by policy (the same dual-dialect contract
+    every oracle depends on). Columns of the table schema absent from
+    the staged files project as NULL, so a narrower write evaluates a
+    constraint on an evolved column as NULL → pass (SQL CHECK). Raising
+    here aborts the commit: Spark calls the writer's ``abort``, which
+    removes the staged files."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _merge_schema,
+        _read_manifest,
+        latest_version,
+    )
+
+    tip = latest_version(table_dir)
+    if tip is None or not rel_paths:
+        return
+    manifest = _read_manifest(table_dir, tip)
+    constraints = manifest.get("constraints")
+    if not constraints:
+        return
+    try:
+        import duckdb
+    except ImportError:
+        raise RuntimeError(
+            "snapshot_table commit: CHECK constraints exist but no local "
+            "engine is available to validate them in the sink's commit "
+            "hook — write via snapshot_commit instead"
+        )
+    import pyarrow.parquet as pq
+
+    paths = [os.path.join(table_dir, f) for f in rel_paths]
+    present = set(pq.read_schema(paths[0]).names)
+    table_schema = _merge_schema(manifest.get("schema"), writer_schema_json)
+    table_cols = (
+        [f["name"] for f in table_schema["fields"]]
+        if table_schema is not None
+        else sorted(present)
+    )
+    sel = ", ".join(
+        f'"{c}"' if c in present else f'NULL AS "{c}"' for c in table_cols
+    )
+    con = duckdb.connect()
+    staged = f"(SELECT {sel} FROM read_parquet({paths!r}))"
+    bad = {}
+    for name, expr in constraints.items():
+        count = con.execute(
+            f"SELECT COUNT(*) FROM {staged} WHERE NOT COALESCE(({expr}), TRUE)"
+        ).fetchone()[0]
+        if count:
+            bad[name] = int(count)
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation (rows per constraint): {bad}"
+        )
+
+
 def _clean_staged(table_dir: str, messages) -> None:
     for m in messages:
         if m is not None and m.rel_path:
@@ -403,6 +466,7 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
+        _validate_staged(self._dir, files, self._schema)
         publish_manifest(
             self._dir,
             files,
@@ -433,6 +497,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
         if files:
+            _validate_staged(self._dir, files, self._schema)
             publish_manifest(
                 self._dir,
                 files,

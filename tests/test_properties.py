@@ -628,6 +628,7 @@ def test_manifest_bloom_no_false_negatives(present, absent):
     from reactivestreams_kinesis_spark.operators.snapshots import (
         _BLOOM_K,
         _bloom_hashes,
+        _bloom_key,
         _bloom_maybe_contains,
     )
     import base64
@@ -637,7 +638,9 @@ def test_manifest_bloom_no_false_negatives(present, absent):
         m *= 2
     bits = bytearray(m // 8)
     for v in present:
-        for idx in _bloom_hashes(v, m):
+        key = _bloom_key(v)
+        assert key is not None  # ints and strs are always canonical
+        for idx in _bloom_hashes(key, m):
             bits[idx // 8] |= 1 << (idx % 8)
     bloom = {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
     for v in present:

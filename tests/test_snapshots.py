@@ -154,8 +154,13 @@ def test_snapshot_stream_sink_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == events.count()
     assert got.select("event_id").subtract(events.select("event_id")).count() == 0
     # crash-replay simulation: re-commit epoch 0's batch under its txn id
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        stream_txn_scope,
+    )
+
+    scope = stream_txn_scope(str(tmp_path / "ckpt"))
     replay = spark.read.parquet(src).limit(10).select("event_id", "user_id")
-    assert snapshot_commit(replay, t, txn_id="stream-0") == 0
+    assert snapshot_commit(replay, t, txn_id=f"stream-{scope}-0") == 0
     assert read_snapshot(spark, t).count() == events.count()
 
 
@@ -798,3 +803,108 @@ def test_snapshot_metadata_queries(spark, sf_dir, tmp_path):
     h2 = describe_history(spark, t).collect()
     assert [r["version"] for r in h2] == [2]
     assert table_stats_summary(t)["rows"] == want_rows
+
+
+def test_snapshot_review_fixes_regressions(spark, sf_dir, tmp_path):
+    """Regression pins for the round-6 self-review findings: NULL delete
+    flags upsert (not delete); duplicated update keys are refused; a
+    type-mismatched bloom probe stays conservative; a narrower-than-
+    evolved append evaluates a constraint on the missing column as NULL
+    and passes."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _bloom_maybe_contains,
+        _file_bloom,
+        add_constraint,
+        merge_upsert,
+        prune_files,
+        _read_manifest,
+        set_bloom_columns,
+        compact_snapshot,
+    )
+
+    t = str(tmp_path / "rev")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n, t)
+
+    # NULL delete flag = plain upsert, key survives with the new value
+    upd = spark.createDataFrame(
+        [(0, "NULLFLAG", None)],
+        "n_nationkey int, n_name string, _del boolean",
+    )
+    merge_upsert(spark, t, upd, "n_nationkey", delete_col="_del")
+    got = {r["n_nationkey"]: r["n_name"] for r in read_snapshot(spark, t).collect()}
+    assert got[0] == "NULLFLAG"
+    assert len(got) == n.count()
+
+    # duplicated update keys refused (multiple-match error)
+    dup = spark.createDataFrame(
+        [(1, "A"), (1, "B")], "n_nationkey int, n_name string"
+    )
+    with pytest.raises(ValueError, match="duplicated"):
+        merge_upsert(spark, t, dup, "n_nationkey")
+
+    # bloom: float/bool probes of an int column cannot prove absence
+    sb = str(tmp_path / "revbloom")
+    snapshot_commit(n.repartition(4), sb)
+    set_bloom_columns(spark, sb, ["n_nationkey"])
+    v = compact_snapshot(spark, sb, target_file_bytes=1)
+    m = _read_manifest(sb, v)
+    assert len(prune_files(m, [("n_nationkey", "=", 5.0)])) >= 1  # conservative
+    assert len(prune_files(m, [("n_nationkey", "=", True)])) >= 1
+    some_file = m["files"][0]
+    bloom = m["stats"][some_file]["n_nationkey"]["bloom"]
+    assert _bloom_maybe_contains(bloom, 5.0)  # non-key type: maybe
+    # bool columns never build blooms
+    bvals = spark.createDataFrame([(True,), (False,)], "b boolean")
+    bdir = str(tmp_path / "bparq")
+    bvals.coalesce(1).write.parquet(bdir)
+    import glob
+
+    assert _file_bloom(glob.glob(bdir + "/*.parquet")[0], "b") is None
+
+    # narrower-than-evolved append under a constraint on the new column
+    te = str(tmp_path / "revevo")
+    snapshot_commit(n, te)
+    snapshot_commit(n.withColumn("score", F.col("n_nationkey") + 1), te)
+    add_constraint(spark, te, "pos_score", "score > 0")
+    v2 = snapshot_commit(n, te)  # no 'score' column: NULL -> passes
+    assert read_snapshot(spark, te, v2).filter(F.col("score").isNull()).count() >= n.count()
+
+
+def test_snapshot_source_writer_enforces_constraints(spark, sf_dir, tmp_path):
+    """The snapshot_table sink honors CHECK constraints: a violating
+    batch write aborts before the manifest publishes (table untouched,
+    staged files cleaned by the abort), a conforming write lands."""
+    import pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_constraint,
+        latest_version,
+        read_snapshot,
+        snapshot_commit,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "dscons")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    snapshot_commit(n, t)
+    add_constraint(spark, t, "key_cap", "n_nationkey < 100000")
+    tip = latest_version(t)
+
+    bad = spark.createDataFrame(
+        [(500000, "BAD")], "n_nationkey int, n_name string"
+    )
+    with pytest.raises(Exception, match="key_cap"):
+        bad.write.format("snapshot_table").option("path", t).mode("append").save()
+    assert latest_version(t) == tip  # nothing published
+
+    ok = spark.createDataFrame([(999, "OK")], "n_nationkey int, n_name string")
+    ok.write.format("snapshot_table").option("path", t).mode("append").save()
+    assert (
+        read_snapshot(spark, t).filter(F.col("n_name") == "OK").count() == 1
+    )
