@@ -144,7 +144,9 @@ class SnapshotTableDataSource(DataSource):
         return _SnapshotBatchWriter(self._table_dir(), overwrite, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        return _SnapshotStreamWriter(self._table_dir(), schema)
+        return _SnapshotStreamWriter(
+            self._table_dir(), schema, self.options.get("txnScope", "default")
+        )
 
 
 _SIMPLE = (int, float, str, bool)
@@ -482,14 +484,24 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
 class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("snapshot_table")``: one manifest per
     micro-batch, committed under the deterministic txn id
-    ``dsw-<batchId>`` — a replayed epoch (foreachBatch-style
+    ``dsw-<txnScope>-<batchId>`` — a replayed epoch (foreachBatch-style
     at-least-once) finds its txn published and no-ops, making the sink
     exactly-once end to end through the PUBLIC sink API rather than a
-    foreachBatch closure. Empty batches publish nothing."""
+    foreachBatch closure. Empty batches publish nothing. A SECOND
+    independent stream writing the same table must pass a distinct
+    ``.option("txnScope", ...)`` (Delta's txnAppId contract): batch ids
+    restart from 0 per query, so an unscoped second stream would collide
+    with the first's epoch 0 and be swallowed as a replay."""
 
-    def __init__(self, table_dir: str, schema: StructType | None = None):
+    def __init__(
+        self,
+        table_dir: str,
+        schema: StructType | None = None,
+        txn_scope: str = "default",
+    ):
         self._dir = table_dir
         self._schema = None if schema is None else schema.jsonValue()
+        self._scope = txn_scope
 
     def write(self, iterator) -> _FileMessage:
         return _stage_partition(self._dir, iterator)
@@ -502,7 +514,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 self._dir,
                 files,
                 mode="append",
-                txn_id=f"dsw-{batchId}",
+                txn_id=f"dsw-{self._scope}-{batchId}",
                 schema=self._schema,
                 new_stats=_staged_stats(self._dir, files),
             )

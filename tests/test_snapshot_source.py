@@ -164,7 +164,10 @@ def test_snapshot_source_stream_writer_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()
     assert got.subtract(ev).count() == 0
     # replaying epoch 0's publish under its txn id must not add a version
-    assert publish_manifest(t, ["data-tasks/bogus.parquet"], txn_id="dsw-0") == 0
+    assert (
+        publish_manifest(t, ["data-tasks/bogus.parquet"], txn_id="dsw-default-0")
+        == 0
+    )
     assert latest_version(t) == 2
 
 
