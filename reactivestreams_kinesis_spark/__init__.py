@@ -106,6 +106,7 @@ _SNAPSHOT_OPS = (
     "vacuum_by_retention",
     "table_stats_summary",
     "describe_history",
+    "restore_snapshot",
     "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",

@@ -354,8 +354,10 @@ def scan_snapshot(
     stats exclude the conjunction, the survivors read under the declared
     schema, and the SAME predicates re-apply as DataFrame filters (the
     stats prune is file-granular; row exactness stays with the engine).
-    Equivalent rows to ``read_snapshot(...).filter(...)`` always."""
-    from pyspark.sql import functions as F
+    Equivalent rows to ``read_snapshot(...).filter(...)`` always —
+    including under deletion vectors (the survivors read routes through
+    the DV anti-join; stats pruning stays sound because DVs only shrink
+    a file's live content)."""
     from pyspark.sql.types import StructType
 
     tip = latest_version(table_dir)
@@ -372,10 +374,7 @@ def scan_snapshot(
         return spark.read.parquet(
             os.path.join(table_dir, manifest["files"][0])
         ).limit(0)
-    reader = spark.read
-    if manifest.get("schema") is not None:
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
-    df = reader.parquet(*[os.path.join(table_dir, f) for f in survivors])
+    df = _read_data_files(spark, table_dir, manifest, survivors)
     return df.filter(_predicate_match(predicates))
 
 
@@ -519,6 +518,8 @@ def publish_manifest(
     constraints: dict | None = None,
     bloom_cols: list | None = None,
     require_parent: int | None = None,
+    delete_files: list[str] | None = None,
+    dv_counts: dict | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -544,11 +545,29 @@ def publish_manifest(
     ``new_stats`` maps each new file to its footer min/max stats
     (``_file_stats``); the manifest carries per-file stats forward
     (appends extend the parent's, retained base files keep theirs) so
-    ``prune_files``/``scan_snapshot`` can skip files at plan time."""
-    if mode not in ("append", "overwrite"):
+    ``prune_files``/``scan_snapshot`` can skip files at plan time.
+
+    DELETION VECTORS (merge-on-read): mode ``"delete"`` publishes a
+    version whose DATA file set is the parent's verbatim plus new
+    position-delete files (``delete_files`` — table-relative parquet of
+    (file, pos) rows; ``dv_counts`` maps each data file to its newly
+    deleted row count, summed with the parent's). ``append`` inherits
+    the parent's DV set untouched (new files have no deleted rows);
+    ``overwrite`` CLEARS it unless the caller passes ``delete_files`` /
+    ``dv_counts`` explicitly (a copy-on-write rewrite that retains
+    base files must carry their still-pending DVs — `_commit_rewrite`
+    does). Stats stay sound under DVs: a deleted row only SHRINKS a
+    file's live content, so footer min/max remain correct bounds for
+    pruning (they may fail to prune a file whose matches are all
+    deleted — a perf miss, never a wrong row)."""
+    if mode not in ("append", "overwrite", "delete"):
         raise ValueError(f"unsupported snapshot mode: {mode!r}")
     if base_files and mode != "overwrite":
         raise ValueError("base_files is a copy-on-write overwrite feature")
+    if mode == "append" and (delete_files or dv_counts):
+        raise ValueError("appends never add deletion vectors")
+    if mode == "delete" and new_files:
+        raise ValueError("a delete commit adds no data files")
     os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     while True:
         tip = latest_version(table_dir)
@@ -575,10 +594,26 @@ def publish_manifest(
                 out_constraints = tip_manifest.get("constraints")
             if out_bloom_cols is None:
                 out_bloom_cols = tip_manifest.get("bloom_cols")
+        out_deletes = list(delete_files or [])
+        out_dvc = dict(dv_counts or {})
         if mode == "append" and tip_manifest is not None:
             files = tip_manifest["files"] + new_files
             out_schema = _merge_schema(tip_manifest.get("schema"), schema)
             out_stats = {**(tip_manifest.get("stats") or {}), **out_stats}
+            out_deletes = list(tip_manifest.get("delete_files") or [])
+            out_dvc = dict(tip_manifest.get("dv_counts") or {})
+        elif mode == "delete":
+            if tip_manifest is None:
+                raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+            files = list(tip_manifest["files"])
+            if out_schema is None:
+                out_schema = tip_manifest.get("schema")
+            out_stats = dict(tip_manifest.get("stats") or {})
+            out_deletes = list(tip_manifest.get("delete_files") or []) + out_deletes
+            parent_dvc = dict(tip_manifest.get("dv_counts") or {})
+            for f, n in (dv_counts or {}).items():
+                parent_dvc[f] = parent_dvc.get(f, 0) + n
+            out_dvc = parent_dvc
         else:
             files = list(base_files or []) + list(new_files)
             if base_files and tip_manifest is not None:
@@ -592,6 +627,10 @@ def publish_manifest(
             "op": mode,
             "files": files,
         }
+        if out_deletes:
+            manifest["delete_files"] = out_deletes
+        if out_dvc:
+            manifest["dv_counts"] = out_dvc
         if out_schema is not None:
             manifest["schema"] = out_schema
         if out_stats:
@@ -623,21 +662,19 @@ def read_snapshot(
     evolution simply surface NULL for the new column — each version
     reads with ITS OWN schema, which is what makes evolution and time
     travel compose. Manifests from before the schema field fall back to
-    footer inference (uniform-schema tables, unchanged behavior)."""
-    from pyspark.sql.types import StructType
-
+    footer inference (uniform-schema tables, unchanged behavior). A
+    version carrying DELETION VECTORS reads through the DV anti-join
+    (``_read_data_files``) — merge-on-read deletes apply at scan time,
+    each version with exactly ITS OWN delete set, so time travel
+    composes with DVs too; DV-free versions keep the plain scan plan."""
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
     version = tip if version is None else version
     manifest = _read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
-    if not paths:
+    if not manifest["files"]:
         raise ValueError(f"version {version} is empty")
-    if manifest.get("schema") is not None:
-        schema = StructType.fromJson(manifest["schema"])
-        return spark.read.schema(schema).parquet(*paths)
-    return spark.read.parquet(*paths)
+    return _read_data_files(spark, table_dir, manifest, manifest["files"])
 
 
 def snapshot_changes(
@@ -825,20 +862,21 @@ def merge_upsert(
         ):
             probe_keys = [r[0] for r in upd_keys.collect()]
             candidates = prune_files(manifest, [(key, "in", probe_keys)])
-    # name the files owning a matched key: bounded driver list (≤ |files|)
+    # name the files owning a matched key: bounded driver list (≤ |files|).
+    # DV-aware scan — a key whose rows are all DV-deleted is an INSERT,
+    # not a match, and must not drag its file into the rewrite
     touched: set = set()
     if candidates:
-        cand_df = _declared_reader(spark, manifest).parquet(
-            *[os.path.join(table_dir, f) for f in candidates]
+        cand_df = _read_data_files(
+            spark, table_dir, manifest, candidates, keep_file_col="__file"
         )
         touched_rows = (
-            cand_df.withColumn("__file", F.input_file_name())
-            .join(upd_keys, key, "semi")
+            cand_df.join(upd_keys, key, "semi")
             .select("__file")
             .distinct()
             .collect()
         )
-        touched = {_rel_from_uri(r["__file"]) for r in touched_rows}
+        touched = {r["__file"] for r in touched_rows}
     untouched = [f for f in manifest["files"] if f not in touched]
 
     if delete_col is not None:
@@ -851,14 +889,10 @@ def merge_upsert(
     else:
         upserts = updates
     if touched:
-        touched_paths = [
-            os.path.join(table_dir, f) for f in manifest["files"] if f in touched
-        ]
-        survivors = (
-            _declared_reader(spark, manifest)
-            .parquet(*touched_paths)
-            .join(upd_keys, key, "anti")
-        )
+        touched_list = [f for f in manifest["files"] if f in touched]
+        survivors = _read_data_files(
+            spark, table_dir, manifest, touched_list
+        ).join(upd_keys, key, "anti")
         rewrite = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         rewrite = upserts
@@ -869,6 +903,7 @@ def merge_upsert(
         schema=_merge_schema(manifest.get("schema"), rewrite.schema.jsonValue()),
         txn_id=txn_id,
         require_parent=tip,
+        parent_manifest=manifest,
     )
 
 
@@ -876,6 +911,71 @@ def _rel_from_uri(uri: str) -> str:
     """input_file_name URI → table-relative manifest path: manifests
     store ``<data-dir>/<part file>``, the last two path components."""
     return "/".join(uri.split("/")[-2:])
+
+
+def _rel_path_expr():
+    """The in-plan twin of ``_rel_from_uri``: a Column mapping the scan's
+    ``_metadata.file_path`` URI to the table-relative manifest path
+    (last two components) — evaluated executor-side, no driver action."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
+def _read_data_files(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: dict,
+    rel_files: list[str],
+    *,
+    keep_file_col: str | None = None,
+    keep_pos_col: str | None = None,
+):
+    """THE data-file read every snapshot consumer routes through: the
+    given manifest files under the declared schema, with the version's
+    DELETION VECTORS applied (merge-on-read). DV application is one
+    anti-join of the scan against the bounded (file, pos) delete set on
+    ``(_metadata.file_path relativized, _metadata.row_index)`` — the
+    fact side never shuffles (the DV side is sized by DELETED rows, so
+    AQE broadcasts it in every realistic regime; no pinned broadcast —
+    an adversarial mass-delete must not OOM the driver, it just turns
+    into a shuffle join). Tables without DVs take the exact pre-DV plan:
+    a plain declared-schema parquet scan, zero overhead.
+
+    ``keep_file_col`` / ``keep_pos_col`` additionally surface the
+    table-relative file path and the in-file row position as columns
+    (the DML targeting passes and the merge-on-read delete writer need
+    them); otherwise the result carries exactly the data columns."""
+    from pyspark.sql import functions as F
+
+    reader = _declared_reader(spark, manifest)
+    paths = [os.path.join(table_dir, f) for f in rel_files]
+    df = reader.parquet(*paths)
+    dv_files = manifest.get("delete_files") or []
+    if not dv_files and keep_file_col is None and keep_pos_col is None:
+        return df
+    out_cols = list(df.columns)
+    df = df.withColumn("__snap_file", _rel_path_expr()).withColumn(
+        "__snap_pos", F.col("_metadata.row_index")
+    )
+    if keep_file_col is not None:
+        out_cols.append(keep_file_col)
+        df = df.withColumn(keep_file_col, F.col("__snap_file"))
+    if keep_pos_col is not None:
+        out_cols.append(keep_pos_col)
+        df = df.withColumn(keep_pos_col, F.col("__snap_pos"))
+    if dv_files:
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in dv_files]
+        ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
+        df = df.join(
+            dv,
+            (F.col("__snap_file") == F.col("__dv_file"))
+            & (F.col("__snap_pos") == F.col("__dv_pos")),
+            "left_anti",
+        )
+    return df.select(*out_cols)
 
 
 def _declared_reader(spark: SparkSession, manifest: dict):
@@ -915,25 +1015,21 @@ def _target_files(
     """The predicate-DML file-targeting pass shared by ``delete_where``
     and ``update_where``: stats exclusion (``prune_files``, metadata)
     then ONE exact scan of the candidates naming files that truly hold a
-    match. Returns (matches_column, touched_set, untouched_list), or
+    match. The scan applies the version's deletion vectors, so a file
+    whose only matching rows are already DV-deleted is correctly NOT
+    touched. Returns (matches_column, touched_set, untouched_list), or
     None when nothing can match."""
-    from pyspark.sql import functions as F
-
     candidates = prune_files(manifest, predicates)
     if not candidates:
         return None
     matches = _predicate_match(predicates)
-    cand_df = _declared_reader(spark, manifest).parquet(
-        *[os.path.join(table_dir, f) for f in candidates]
+    cand_df = _read_data_files(
+        spark, table_dir, manifest, candidates, keep_file_col="__file"
     )
     touched_rows = (
-        cand_df.withColumn("__file", F.input_file_name())
-        .filter(matches)
-        .select("__file")
-        .distinct()
-        .collect()
+        cand_df.filter(matches).select("__file").distinct().collect()
     )
-    touched = {_rel_from_uri(r["__file"]) for r in touched_rows}
+    touched = {r["__file"] for r in touched_rows}
     if not touched:
         return None
     untouched = [f for f in manifest["files"] if f not in touched]
@@ -948,12 +1044,19 @@ def _commit_rewrite(
     schema: dict | None,
     txn_id: str | None,
     require_parent: int | None = None,
+    parent_manifest: dict | None = None,
 ) -> int:
     """Write ``df`` as the rewrite files of a copy-on-write commit and
     publish (overwrite op) with the untouched files retained and footer
     stats recorded for the new files. The rewritten rows validate against
     the table's CHECK constraints before the manifest publishes (the
-    retained files already satisfied them at their own commit)."""
+    retained files already satisfied them at their own commit).
+
+    ``parent_manifest`` (the version the rewrite targeted) lets the
+    commit CARRY the deletion vectors still pending on retained files:
+    rewritten files had their DVs applied during the read (so their DV
+    entries drop), untouched files keep theirs — the delete-file set
+    carries whenever any retained file still has deleted rows."""
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     df.write.parquet(commit_dir)
     new_files = sorted(
@@ -967,6 +1070,14 @@ def _commit_rewrite(
             df.sparkSession.read.parquet(commit_dir),
             _read_manifest(table_dir, tip).get("constraints"),
         )
+    carried_dvc = {
+        f: n
+        for f, n in ((parent_manifest or {}).get("dv_counts") or {}).items()
+        if f in set(untouched)
+    }
+    carried_dv_files = (
+        (parent_manifest or {}).get("delete_files") if carried_dvc else None
+    )
     return publish_manifest(
         table_dir,
         new_files,
@@ -976,6 +1087,8 @@ def _commit_rewrite(
         base_files=untouched,
         new_stats=_commit_stats(table_dir, new_files),
         require_parent=require_parent,
+        delete_files=carried_dv_files,
+        dv_counts=carried_dvc or None,
     )
 
 
@@ -985,20 +1098,44 @@ def delete_where(
     predicates: list[tuple],
     *,
     txn_id: str | None = None,
+    strategy: str = "copy_on_write",
 ) -> int:
-    """DELETE by predicate as a copy-on-write commit (the DML triple's
-    third leg beside append and ``merge_upsert``). Two-stage file
-    targeting keeps the rewrite minimal: the manifest stats first EXCLUDE
-    files whose min/max prove no row matches (``prune_files`` — pure
-    metadata), then one scan of the surviving candidates names the files
-    that actually contain a match; ONLY those rewrite, keeping their
-    non-matching rows. Untouched files — stats-excluded or match-free —
-    carry into the new manifest verbatim. A delete matching nothing
-    publishes nothing and returns the current version.
+    """DELETE by predicate (the DML triple's third leg beside append and
+    ``merge_upsert``), in either lakehouse strategy:
+
+    ``copy_on_write`` (default) — two-stage file targeting keeps the
+    rewrite minimal: the manifest stats first EXCLUDE files whose
+    min/max prove no row matches (``prune_files`` — pure metadata), then
+    one scan of the surviving candidates names the files that actually
+    contain a match; ONLY those rewrite, keeping their non-matching
+    rows. Untouched files — stats-excluded or match-free — carry into
+    the new manifest verbatim.
+
+    ``merge_on_read`` — DELETION VECTORS (the Delta DV / Iceberg
+    position-delete shape): NO data file rewrites at all. One scan of
+    the stats-surviving candidates records the matching rows' positions
+    — ``(file, pos)`` from the scan's own ``_metadata.row_index`` — as
+    small position-delete parquet files, and a metadata commit
+    (op ``delete``) attaches them to the table. Every reader applies
+    them as an anti-join at scan time (``_read_data_files``); a later
+    ``compact_snapshot`` materializes them back to clean files. Write
+    cost is proportional to DELETED rows, not touched files — the right
+    strategy for frequent small deletes (GDPR erasure, CDC retractions)
+    on 100 TB tables, trading a bounded read-side anti-join until the
+    next compaction. Stacked MoR deletes compose: the candidate scan
+    itself is DV-aware, so re-deleting an already-deleted row cannot
+    double-record its position.
 
     ``predicates`` are conjunctive ``(col, op, value)`` triples (the
-    ``scan_snapshot`` format). Deletion is exact: rows where the
-    conjunction is TRUE go; FALSE or NULL stay."""
+    ``scan_snapshot`` format). Deletion is exact under both strategies:
+    rows where the conjunction is TRUE go; FALSE or NULL stay. A delete
+    matching nothing publishes nothing and returns the current version;
+    txn ids make replays no-op; both strategies conflict-guard against
+    a concurrent rewrite (``require_parent``)."""
+    from pyspark.sql import functions as F
+
+    if strategy not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown delete strategy: {strategy!r}")
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -1007,12 +1144,58 @@ def delete_where(
         if done is not None:
             return done
     manifest = _read_manifest(table_dir, tip)
+    if strategy == "merge_on_read":
+        candidates = prune_files(manifest, predicates)
+        if not candidates:
+            return tip
+        matches = _predicate_match(predicates)
+        cand = _read_data_files(
+            spark,
+            table_dir,
+            manifest,
+            candidates,
+            keep_file_col="__file",
+            keep_pos_col="__pos",
+        )
+        positions = cand.filter(matches).select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        dv_dir = os.path.join(table_dir, f"dv-{uuid.uuid4().hex[:12]}")
+        positions.write.parquet(dv_dir)
+        dv_files = sorted(
+            os.path.join(os.path.basename(dv_dir), f)
+            for f in os.listdir(dv_dir)
+            if f.endswith(".parquet")
+        )
+        # per-data-file deleted-row counts: bounded driver list
+        # (≤ |files|) — keeps the metadata-only COUNT(*) exact under DVs
+        counts = {
+            r["file"]: r["n"]
+            for r in spark.read.parquet(dv_dir)
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not counts:  # nothing matched: remove the empty staging dir
+            import shutil
+
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return tip
+        return publish_manifest(
+            table_dir,
+            [],
+            mode="delete",
+            txn_id=txn_id,
+            delete_files=dv_files,
+            dv_counts=counts,
+            require_parent=tip,
+        )
     targets = _target_files(spark, table_dir, manifest, predicates)
     if targets is None:
         return tip
     matches, touched, untouched = targets
-    keep_df = _declared_reader(spark, manifest).parquet(
-        *[os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
+    keep_df = _read_data_files(
+        spark, table_dir, manifest, [f for f in manifest["files"] if f in touched]
     ).filter(~matches)
     return _commit_rewrite(
         table_dir,
@@ -1021,6 +1204,7 @@ def delete_where(
         schema=manifest.get("schema"),
         txn_id=txn_id,
         require_parent=tip,
+        parent_manifest=manifest,
     )
 
 
@@ -1057,8 +1241,8 @@ def update_where(
     if targets is None:
         return tip
     matches, touched, untouched = targets
-    base = _declared_reader(spark, manifest).parquet(
-        *[os.path.join(table_dir, f) for f in manifest["files"] if f in touched]
+    base = _read_data_files(
+        spark, table_dir, manifest, [f for f in manifest["files"] if f in touched]
     )
     unknown = [c for c in assignments if c not in base.columns]
     if unknown:
@@ -1086,6 +1270,7 @@ def update_where(
         schema=manifest.get("schema"),
         txn_id=txn_id,
         require_parent=tip,
+        parent_manifest=manifest,
     )
 
 
@@ -1102,19 +1287,26 @@ def vacuum(
     manifest at all — debris of crashed or race-losing commits. Only safe
     when no commit is in flight (an in-flight commit's files are by
     definition unreferenced until its manifest publishes); production
-    systems gate this on a modification-time retention window instead."""
+    systems gate this on a modification-time retention window instead.
+
+    Deletion-vector files participate exactly like data files: a DV file
+    referenced by any retained version's ``delete_files`` is live; DV
+    files only old manifests referenced are removed with them."""
     tip = latest_version(table_dir)
     if tip is None or keep_from_version > tip:
         raise ValueError(f"keep_from_version {keep_from_version} beyond tip {tip}")
     live: set[str] = set()
     for v in range(keep_from_version, tip + 1):
-        live.update(_read_manifest(table_dir, v)["files"])
+        m = _read_manifest(table_dir, v)
+        live.update(m["files"])
+        live.update(m.get("delete_files") or [])
     deleted = []
     for v in range(keep_from_version):
         mp = _manifest_path(table_dir, v)
         if not os.path.exists(mp):
             continue
-        for f in _read_manifest(table_dir, v)["files"]:
+        m = _read_manifest(table_dir, v)
+        for f in m["files"] + (m.get("delete_files") or []):
             if f not in live:
                 p = os.path.join(table_dir, f)
                 if os.path.exists(p):
@@ -1123,7 +1315,7 @@ def vacuum(
         os.remove(mp)
     if clean_orphans:
         for d in os.listdir(table_dir):
-            if not d.startswith("data-"):
+            if not (d.startswith("data-") or d.startswith("dv-")):
                 continue
             for f in os.listdir(os.path.join(table_dir, d)):
                 rel = os.path.join(d, f)
@@ -1302,18 +1494,28 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
     answer — a partial count would be wrong), and a column appears only
     when EVERY file carries its stats (a per-file min/max can bound the
     table only if no file is missing). Cost: zero I/O beyond the one
-    manifest read."""
+    manifest read.
+
+    Deletion vectors: ``rows`` stays EXACT (per-file footer counts minus
+    the manifest's per-file deleted-position counts — both metadata),
+    but per-column min/max are withheld for a version with pending DVs:
+    a deleted row may have held the extremum, so the folded values are
+    only bounds, and this surface promises exact answers. Compaction
+    materializes the DVs and restores the columns."""
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
     manifest = _read_manifest(table_dir, tip if version is None else version)
     stats = manifest.get("stats") or {}
     files = manifest["files"]
+    dv_counts = manifest.get("dv_counts") or {}
     per_file = [stats.get(f) for f in files]
     rows = None
     if all(s is not None and "__rows" in s for s in per_file):
-        rows = sum(s["__rows"] for s in per_file)
+        rows = sum(s["__rows"] for s in per_file) - sum(dv_counts.values())
     columns: dict = {}
+    if dv_counts:
+        return {"rows": rows, "columns": columns}
     if per_file and all(s is not None for s in per_file):
         shared = set.intersection(
             *(set(k for k in s if k != "__rows" and "min" in s[k]) for s in per_file)
@@ -1325,6 +1527,56 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
                 "nulls": sum(s[c].get("nulls", 0) for s in per_file),
             }
     return {"rows": rows, "columns": columns}
+
+
+def restore_snapshot(table_dir: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — publish a NEW version whose
+    content is an old version's, as pure metadata: the new manifest
+    names the old version's (immutable, still-retained) file set, its
+    schema, its stats, and its deletion vectors verbatim. No data file
+    is read, copied, or rewritten — undoing a bad merge on a 100 TB
+    table costs one manifest write, and the bad version stays in history
+    for audit (this is a roll-FORWARD, not a history rewrite).
+
+    Publishes as an ``overwrite`` op (the file set diverges from the
+    tip's lineage, so incremental readers correctly refuse to diff
+    across it) under the optimistic-concurrency guard. Requires the
+    target version's manifest and files to still be retained (un-vacuumed)
+    — restore reaches exactly as far back as the retention policy keeps.
+    Table-level constraints/bloom declarations stay the TIP's (metadata
+    follows the table, content follows the restored version); like
+    Delta's RESTORE, the restored rows are not re-validated against
+    constraints added after they were first committed."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(
+            f"version {version} is not retained (vacuumed?) in {table_dir!r}"
+        )
+    m = _read_manifest(table_dir, version)
+    missing = [
+        f
+        for f in m["files"] + (m.get("delete_files") or [])
+        if not os.path.exists(os.path.join(table_dir, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore v{version}: {len(missing)} referenced file(s) "
+            f"were vacuumed (first: {missing[0]!r})"
+        )
+    stats = m.get("stats") or {}
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="overwrite",
+        schema=m.get("schema"),
+        base_files=m["files"],
+        new_stats={f: stats[f] for f in m["files"] if f in stats},
+        delete_files=m.get("delete_files"),
+        dv_counts=m.get("dv_counts"),
+        require_parent=tip,
+    )
 
 
 def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -1345,7 +1597,9 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
         stats = m.get("stats") or {}
         n_rows = None
         if m["files"] and all("__rows" in stats.get(f, {}) for f in m["files"]):
-            n_rows = sum(stats[f]["__rows"] for f in m["files"])
+            n_rows = sum(stats[f]["__rows"] for f in m["files"]) - sum(
+                (m.get("dv_counts") or {}).values()
+            )
         total = 0
         for f in m["files"]:
             p = os.path.join(table_dir, f)

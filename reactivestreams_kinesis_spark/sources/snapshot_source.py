@@ -54,8 +54,12 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, rel: str | None = None, dv_paths=None):
         self.path = path
+        # merge-on-read deletes: the file's table-relative name and the
+        # version's position-delete files (absolute), applied task-side
+        self.rel = rel
+        self.dv_paths = dv_paths
 
 
 def _version_files(table_dir: str, version: int) -> list[str]:
@@ -256,10 +260,18 @@ class _SnapshotBatchReader(DataSourceReader):
             if op in _PRUNE_OPS
         ]
         files = prune_files(self._manifest, preds) if preds else self._manifest["files"]
-        return [_FilePartition(os.path.join(self._dir, f)) for f in files]
+        dv_files = self._manifest.get("delete_files") or []
+        dv_paths = [os.path.join(self._dir, f) for f in dv_files] or None
+        return [
+            _FilePartition(os.path.join(self._dir, f), rel=f, dv_paths=dv_paths)
+            for f in files
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # stats pruned every file: empty scan
+            return
+        if partition.dv_paths:
+            yield from self._read_with_deletes(partition)
             return
         if self._pushed:
             import pyarrow.dataset as pads
@@ -272,6 +284,43 @@ class _SnapshotBatchReader(DataSourceReader):
             yield from dset.to_batches(filter=_arrow_expr(self._pushed))
         else:
             yield from _read_parquet_batches(partition.path, self._arrow_schema())
+
+    def _read_with_deletes(self, partition: _FilePartition) -> Iterator:
+        """Merge-on-read path: drop THIS file's deleted positions while
+        streaming its batches, then apply any pushed filter. Positions
+        must be computed against the RAW file row order, so the pushed
+        filter cannot go down into the parquet read here — it applies
+        per-batch after the position mask (Arrow compute, still
+        vectorized, still executor-side; the manifest-stats file pruning
+        above is unaffected). Each task reads only ITS file's positions
+        from the DV set — a parquet column filter on the bounded
+        position-delete files."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        dv = pads.dataset(partition.dv_paths, format="parquet").to_table(
+            filter=pads.field("file") == partition.rel, columns=["pos"]
+        )
+        deleted = np.sort(dv.column("pos").to_numpy(zero_copy_only=False))
+        pushed = _arrow_expr(self._pushed) if self._pushed else None
+        off = 0
+        for batch in _read_parquet_batches(partition.path, self._arrow_schema()):
+            n = batch.num_rows
+            if deleted.size:
+                keep = ~np.isin(np.arange(off, off + n), deleted)
+                off += n
+                if keep.all():
+                    out = batch
+                else:
+                    out = batch.filter(pa.array(keep))
+            else:
+                out = batch
+            if pushed is not None:
+                tbl = pa.Table.from_batches([out]).filter(pushed)
+                yield from tbl.to_batches()
+            elif out.num_rows:
+                yield out
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):

@@ -1,0 +1,267 @@
+"""Merge-on-read deletion vectors (round 7): position-delete files as a
+metadata commit, applied by every reader as a scan-time anti-join; the
+Delta DV / Iceberg position-delete shape on the manifest primitives.
+
+Contract under test: a merge-on-read delete rewrites ZERO data files yet
+every read surface (read_snapshot, scan_snapshot, the snapshot_table
+source — plain and pushed-filter paths, CoW DML reads, metadata-only
+COUNT) answers exactly as if the rows were physically gone; compaction
+materializes; time travel composes (each version reads its own DV set);
+vacuum treats DV files as first-class referenced files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    _read_manifest,
+    compact_snapshot,
+    delete_where,
+    latest_version,
+    merge_upsert,
+    read_snapshot,
+    restore_snapshot,
+    scan_snapshot,
+    snapshot_changes,
+    snapshot_commit,
+    table_stats_summary,
+    update_where,
+    vacuum,
+)
+
+
+def _mk_table(spark, sf_dir, path, n_files=6):
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base.repartitionByRange(n_files, "c_custkey"), str(path))
+    return base
+
+
+def test_mor_delete_equals_cow_delete(spark, sf_dir, tmp_path):
+    """The two strategies are interchangeable for readers: same predicates,
+    identical surviving content — but MoR's manifest still names the
+    ORIGINAL data files verbatim (zero rewritten), which is the entire
+    point of the strategy."""
+    preds = [("c_acctbal", "<", 0.0)]
+    base = _mk_table(spark, sf_dir, tmp_path / "cow")
+    _mk_table(spark, sf_dir, tmp_path / "mor")
+    files_before = _read_manifest(str(tmp_path / "mor"), 0)["files"]
+
+    delete_where(spark, str(tmp_path / "cow"), preds)
+    delete_where(spark, str(tmp_path / "mor"), preds, strategy="merge_on_read")
+
+    cow = read_snapshot(spark, str(tmp_path / "cow"))
+    mor = read_snapshot(spark, str(tmp_path / "mor"))
+    assert mor.count() == cow.count() < base.count()
+    assert mor.subtract(cow).count() == 0 and cow.subtract(mor).count() == 0
+
+    m = _read_manifest(str(tmp_path / "mor"), 1)
+    assert m["op"] == "delete"
+    assert m["files"] == files_before, "MoR delete must rewrite no data file"
+    assert m["delete_files"], "positions must be recorded"
+    assert sum(m["dv_counts"].values()) == base.count() - mor.count()
+
+
+def test_mor_stacking_time_travel_and_idempotence(spark, sf_dir, tmp_path):
+    """Stacked MoR deletes compose; every version reads with exactly ITS
+    OWN delete set; a re-run of the same predicate publishes nothing
+    (the candidate scan is DV-aware — already-deleted rows cannot match
+    again); a txn replay no-ops."""
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    n = base.count()
+    n_neg = base.filter("c_acctbal < 0").count()
+    n_low = base.filter("c_custkey <= 100").count()
+    n_both = base.filter("c_acctbal < 0 and c_custkey <= 100").count()
+
+    v1 = delete_where(
+        spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read"
+    )
+    v2 = delete_where(
+        spark, t, [("c_custkey", "<=", 100)], strategy="merge_on_read",
+        txn_id="dv-t2",
+    )
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot(spark, t, 0).count() == n
+    assert read_snapshot(spark, t, 1).count() == n - n_neg
+    assert read_snapshot(spark, t, 2).count() == n - n_neg - n_low + n_both
+
+    # nothing left to match: no new version (and no orphan dv dir growth)
+    assert (
+        delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+        == 2
+    )
+    # txn replay returns the committed version without re-deleting
+    assert (
+        delete_where(
+            spark, t, [("c_custkey", "<=", 100)], strategy="merge_on_read",
+            txn_id="dv-t2",
+        )
+        == 2
+    )
+    assert latest_version(t) == 2
+
+
+def test_dv_read_surfaces_agree(spark, sf_dir, tmp_path):
+    """All four read surfaces give the same answer under DVs:
+    read_snapshot, scan_snapshot (stats prune + residual filter), and
+    the snapshot_table source with and without filter pushdown."""
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_nationkey", "=", 5)], strategy="merge_on_read")
+
+    expected = read_snapshot(spark, t).filter("c_custkey > 200")
+    via_scan = scan_snapshot(spark, t, [("c_custkey", ">", 200)])
+    assert via_scan.subtract(expected).count() == 0
+    assert expected.subtract(via_scan).count() == 0
+
+    register_snapshot_source(spark)
+    src = spark.read.format("snapshot_table").option("path", t).load()
+    assert src.count() == read_snapshot(spark, t).count()
+    pushed = src.filter(F.col("c_custkey") > 200)
+    assert pushed.count() == expected.count()
+    assert pushed.subtract(expected).count() == 0
+    assert src.filter("c_nationkey = 5").count() == 0
+
+
+def test_cow_dml_after_mor_delete_carries_dvs(spark, sf_dir, tmp_path):
+    """A copy-on-write UPDATE on a DV'd table must (a) not resurrect
+    deleted rows in the files it rewrites, and (b) CARRY the pending DVs
+    of the files it retains — checked on the manifest, then by value."""
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    n = base.count()
+    n_del = base.filter("c_acctbal < 0").count()
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+
+    # localized update: only low-key files rewrite; high-key files keep DVs
+    update_where(
+        spark, t, [("c_custkey", "<=", 50)], {"c_acctbal": F.lit(9999.0)}
+    )
+    m = _read_manifest(t, latest_version(t))
+    assert m.get("delete_files"), "retained files' DVs must carry"
+    cur = read_snapshot(spark, t)
+    assert cur.count() == n - n_del, "no resurrection, no extra loss"
+    assert cur.filter("c_acctbal < 0").count() == 0
+    # rewritten files' DV entries dropped from the counts
+    assert set(m.get("dv_counts", {})).issubset(set(m["files"]))
+
+    # a merge keyed on a DV-deleted row INSERTS it anew (it is logically gone)
+    gone = base.filter("c_acctbal < 0").limit(1).collect()
+    if gone:
+        key = gone[0]["c_custkey"]
+        upd = spark.createDataFrame(
+            [(key, 0, 1.0)], "c_custkey bigint, c_nationkey int, c_acctbal double"
+        )
+        merge_upsert(spark, t, upd, "c_custkey")
+        row = read_snapshot(spark, t).filter(F.col("c_custkey") == key).collect()
+        assert len(row) == 1 and row[0]["c_acctbal"] == 1.0
+
+
+def test_compaction_materializes_dvs(spark, sf_dir, tmp_path):
+    """OPTIMIZE on a DV'd table applies the deletes into clean files:
+    the new version has no delete_files, identical live content, and the
+    metadata-only column stats come back."""
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_nationkey", ">=", 20)], strategy="merge_on_read")
+    live = read_snapshot(spark, t)
+    n_live = live.count()
+    assert table_stats_summary(t)["columns"] == {}  # withheld under DVs
+
+    v = compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    m = _read_manifest(t, v)
+    assert not m.get("delete_files") and not m.get("dv_counts")
+    s = table_stats_summary(t)
+    assert s["rows"] == n_live == read_snapshot(spark, t).count()
+    assert s["columns"], "exact min/max restored after materialization"
+    assert s["columns"]["c_nationkey"]["max"] < 20
+
+
+def test_metadata_count_exact_under_dvs(spark, sf_dir, tmp_path):
+    """COUNT(*) from the manifest alone stays exact with DVs pending:
+    per-file footer rows minus per-file deleted-position counts."""
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+    delete_where(spark, t, [("c_custkey", "<=", 30)], strategy="merge_on_read")
+    assert table_stats_summary(t)["rows"] == read_snapshot(spark, t).count()
+
+    from reactivestreams_kinesis_spark.operators.snapshots import describe_history
+
+    hist = {r["version"]: r for r in describe_history(spark, t).collect()}
+    assert hist[2]["op"] == "delete"
+    assert hist[2]["n_rows"] == read_snapshot(spark, t, 2).count()
+    assert hist[0]["n_rows"] == base.count()
+
+
+def test_vacuum_treats_dv_files_as_referenced(spark, sf_dir, tmp_path):
+    """DV files referenced by a retained version survive vacuum; once
+    compaction drops the reference and history is vacuumed, they go."""
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_nationkey", "=", 3)], strategy="merge_on_read")
+    dv_files = _read_manifest(t, 1)["delete_files"]
+    n_live = read_snapshot(spark, t).count()
+
+    vacuum(t, keep_from_version=1)  # v1 (with DVs) retained
+    assert all(os.path.exists(os.path.join(t, f)) for f in dv_files)
+    assert read_snapshot(spark, t).count() == n_live
+
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)  # v2: DVs applied
+    deleted = vacuum(t, keep_from_version=2)
+    assert {os.path.join(t, f) for f in dv_files}.issubset(set(deleted))
+    assert read_snapshot(spark, t).count() == n_live
+
+
+def test_snapshot_changes_refuses_crossing_delete(spark, sf_dir, tmp_path):
+    """A DV commit logically removes rows, so the incremental append feed
+    must refuse to diff across it (same contract as overwrite/compaction)."""
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_custkey", "<=", 10)], strategy="merge_on_read")
+    snapshot_commit(base.limit(5), t)  # v2 append on top
+    with pytest.raises(ValueError, match="not an append"):
+        snapshot_changes(spark, t, from_version=0)
+    # diffing a pure-append range still works
+    assert snapshot_changes(spark, t, from_version=1).count() == 5
+
+
+def test_restore_snapshot_metadata_only(spark, sf_dir, tmp_path):
+    """RESTORE publishes an old version's exact content (DVs included) as
+    a new version without touching data; the undone versions stay in
+    history; restoring a vacuumed version refuses."""
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")          # v0
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v1
+    v1_count = read_snapshot(spark, t).count()
+    update_where(spark, t, [("c_custkey", "<=", 500)], {"c_acctbal": F.lit(0.0)})  # v2 (bad)
+
+    data_dirs_before = {d for d in os.listdir(t) if d.startswith(("data-", "dv-"))}
+    v3 = restore_snapshot(t, 1)
+    assert {d for d in os.listdir(t) if d.startswith(("data-", "dv-"))} == (
+        data_dirs_before
+    ), "restore writes no data"
+    restored = read_snapshot(spark, t, v3)
+    v1_df = read_snapshot(spark, t, 1)
+    assert restored.count() == v1_count
+    assert restored.subtract(v1_df).count() == 0
+    assert v1_df.subtract(restored).count() == 0
+    # bad version remains auditable
+    assert read_snapshot(spark, t, 2).filter(
+        "c_custkey <= 500 and c_acctbal = 0.0"
+    ).count() > 0
+
+    vacuum(t, keep_from_version=v3)
+    with pytest.raises(FileNotFoundError):
+        restore_snapshot(t, 2)
