@@ -107,6 +107,11 @@ _SNAPSHOT_OPS = (
     "table_stats_summary",
     "describe_history",
     "restore_snapshot",
+    "delete_by_key",
+    "tag_snapshot",
+    "resolve_tag",
+    "list_tags",
+    "delete_tag",
     "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",

@@ -520,6 +520,7 @@ def publish_manifest(
     require_parent: int | None = None,
     delete_files: list[str] | None = None,
     dv_counts: dict | None = None,
+    eq_deletes: list | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -559,15 +560,30 @@ def publish_manifest(
     does). Stats stay sound under DVs: a deleted row only SHRINKS a
     file's live content, so footer min/max remain correct bounds for
     pruning (they may fail to prune a file whose matches are all
-    deleted — a perf miss, never a wrong row)."""
+    deleted — a perf miss, never a wrong row).
+
+    EQUALITY DELETES (``eq_deletes``) are the second merge-on-read form
+    (Iceberg v2 equality deletes): each entry is
+    ``{"key_cols": [...], "delete_files": [...], "files": [...]}`` —
+    key rows recorded as parquet, applied by readers as a key anti-join
+    but ONLY to the entry's ``files`` (the data files present when the
+    delete committed), which is what scopes the delete to rows that
+    EXISTED at delete time: later appends of the same key are new rows
+    and stay visible. ``delete`` mode appends entries to the parent's;
+    ``append`` inherits them verbatim (the new files are absent from
+    every entry's scope); ``overwrite`` clears them unless the caller
+    carries them (``_commit_rewrite`` intersects each entry's scope with
+    the retained files)."""
     if mode not in ("append", "overwrite", "delete"):
         raise ValueError(f"unsupported snapshot mode: {mode!r}")
     if base_files and mode != "overwrite":
         raise ValueError("base_files is a copy-on-write overwrite feature")
-    if mode == "append" and (delete_files or dv_counts):
+    if mode == "append" and (delete_files or dv_counts or eq_deletes):
         raise ValueError("appends never add deletion vectors")
     if mode == "delete" and new_files:
         raise ValueError("a delete commit adds no data files")
+    if mode == "delete" and not (delete_files or eq_deletes):
+        raise ValueError("a delete commit needs position or equality deletes")
     os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     while True:
         tip = latest_version(table_dir)
@@ -596,12 +612,14 @@ def publish_manifest(
                 out_bloom_cols = tip_manifest.get("bloom_cols")
         out_deletes = list(delete_files or [])
         out_dvc = dict(dv_counts or {})
+        out_eq = list(eq_deletes or [])
         if mode == "append" and tip_manifest is not None:
             files = tip_manifest["files"] + new_files
             out_schema = _merge_schema(tip_manifest.get("schema"), schema)
             out_stats = {**(tip_manifest.get("stats") or {}), **out_stats}
             out_deletes = list(tip_manifest.get("delete_files") or [])
             out_dvc = dict(tip_manifest.get("dv_counts") or {})
+            out_eq = list(tip_manifest.get("eq_deletes") or [])
         elif mode == "delete":
             if tip_manifest is None:
                 raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -614,6 +632,7 @@ def publish_manifest(
             for f, n in (dv_counts or {}).items():
                 parent_dvc[f] = parent_dvc.get(f, 0) + n
             out_dvc = parent_dvc
+            out_eq = list(tip_manifest.get("eq_deletes") or []) + out_eq
         else:
             files = list(base_files or []) + list(new_files)
             if base_files and tip_manifest is not None:
@@ -631,6 +650,8 @@ def publish_manifest(
             manifest["delete_files"] = out_deletes
         if out_dvc:
             manifest["dv_counts"] = out_dvc
+        if out_eq:
+            manifest["eq_deletes"] = out_eq
         if out_schema is not None:
             manifest["schema"] = out_schema
         if out_stats:
@@ -943,6 +964,14 @@ def _read_data_files(
     into a shuffle join). Tables without DVs take the exact pre-DV plan:
     a plain declared-schema parquet scan, zero overhead.
 
+    EQUALITY DELETES apply after the positional ones (both are
+    subtractive, order is immaterial): one key anti-join per pending
+    entry, scoped to the entry's ``files`` via a file-membership
+    conjunct in the join condition — rows in files appended AFTER the
+    delete never match, which is the semantics that lets a deleted key
+    be re-inserted. Entry count is bounded by deletes-since-compaction;
+    each key set is sized by deleted KEYS, so AQE broadcasts it.
+
     ``keep_file_col`` / ``keep_pos_col`` additionally surface the
     table-relative file path and the in-file row position as columns
     (the DML targeting passes and the merge-on-read delete writer need
@@ -953,7 +982,13 @@ def _read_data_files(
     paths = [os.path.join(table_dir, f) for f in rel_files]
     df = reader.parquet(*paths)
     dv_files = manifest.get("delete_files") or []
-    if not dv_files and keep_file_col is None and keep_pos_col is None:
+    # entries whose scope intersects the files actually being read
+    eq_entries = [
+        e
+        for e in (manifest.get("eq_deletes") or [])
+        if set(e["files"]) & set(rel_files)
+    ]
+    if not dv_files and not eq_entries and keep_file_col is None and keep_pos_col is None:
         return df
     out_cols = list(df.columns)
     df = df.withColumn("__snap_file", _rel_path_expr()).withColumn(
@@ -975,6 +1010,17 @@ def _read_data_files(
             & (F.col("__snap_pos") == F.col("__dv_pos")),
             "left_anti",
         )
+    for entry in eq_entries:
+        keys = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in entry["delete_files"]]
+        )
+        keys = keys.select(
+            *[F.col(k).alias(f"__eq_{k}") for k in entry["key_cols"]]
+        ).distinct()
+        cond = F.col("__snap_file").isin(list(entry["files"]))
+        for k in entry["key_cols"]:
+            cond = cond & (df[k] == F.col(f"__eq_{k}"))
+        df = df.join(keys, cond, "left_anti")
     return df.select(*out_cols)
 
 
@@ -1056,7 +1102,9 @@ def _commit_rewrite(
     commit CARRY the deletion vectors still pending on retained files:
     rewritten files had their DVs applied during the read (so their DV
     entries drop), untouched files keep theirs — the delete-file set
-    carries whenever any retained file still has deleted rows."""
+    carries whenever any retained file still has deleted rows. Equality
+    entries carry the same way, each entry's scope intersected with the
+    retained files (an entry whose scoped files all rewrote drops)."""
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     df.write.parquet(commit_dir)
     new_files = sorted(
@@ -1078,6 +1126,11 @@ def _commit_rewrite(
     carried_dv_files = (
         (parent_manifest or {}).get("delete_files") if carried_dvc else None
     )
+    carried_eq = []
+    for e in (parent_manifest or {}).get("eq_deletes") or []:
+        still = [f for f in e["files"] if f in set(untouched)]
+        if still:
+            carried_eq.append({**e, "files": still})
     return publish_manifest(
         table_dir,
         new_files,
@@ -1089,6 +1142,7 @@ def _commit_rewrite(
         require_parent=require_parent,
         delete_files=carried_dv_files,
         dv_counts=carried_dvc or None,
+        eq_deletes=carried_eq or None,
     )
 
 
@@ -1208,6 +1262,100 @@ def delete_where(
     )
 
 
+def delete_by_key(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    txn_id: str | None = None,
+) -> int:
+    """EQUALITY DELETE (Iceberg v2's second merge-on-read form): remove
+    every row whose ``key_cols`` tuple appears in ``keys``, by committing
+    the key set itself — NO data file is rewritten AND no data file is
+    even READ. Where the positional form (``delete_where(strategy=
+    "merge_on_read")``) pays one candidate scan to resolve positions,
+    this commits in O(|keys|): write the distinct key rows as parquet,
+    publish a ``delete`` manifest whose equality entry records the key
+    columns, the key files, and the SCOPE — the data files present at
+    commit time. Readers apply a key anti-join restricted to that scope,
+    so rows of the same key appended LATER stay visible (the CDC
+    retract-then-reinsert pattern); compaction materializes pending
+    entries back to clean files.
+
+    This is the cheapest possible 100 TB delete: a GDPR erasure of k
+    users costs k rows of parquet and one manifest write, deferring all
+    data I/O to the next compaction. The trade: per-file deleted-row
+    counts are unknowable without a scan, so ``table_stats_summary``
+    withholds the metadata-only COUNT while equality deletes are pending
+    (positions keep it exact; this form does not).
+
+    NULL-keyed rows in ``keys`` are dropped (SQL equality semantics — a
+    NULL key matches nothing). A ``txn_id`` makes replays no-op. The
+    commit conflict-guards against concurrent rewrites."""
+    from pyspark.sql import functions as F
+
+    kcols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    key_exprs = [F.col(k) for k in kcols]
+    if manifest.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        declared = {
+            f.name: f.dataType
+            for f in StructType.fromJson(manifest["schema"]).fields
+        }
+        missing = [k for k in kcols if k not in declared]
+        if missing:
+            raise ValueError(f"key columns not in table schema: {missing}")
+        # align key types to the table's declared types: the DataFrame
+        # anti-join would auto-cast, but the snapshot_table source's
+        # Arrow hash-join kernel requires exact type equality
+        key_exprs = [F.col(k).cast(declared[k]).alias(k) for k in kcols]
+    key_rows = keys.select(*key_exprs).na.drop(how="any").distinct()
+    eq_dir = os.path.join(table_dir, f"eqdv-{uuid.uuid4().hex[:12]}")
+    key_rows.write.parquet(eq_dir)
+    eq_files = sorted(
+        os.path.join(os.path.basename(eq_dir), f)
+        for f in os.listdir(eq_dir)
+        if f.endswith(".parquet")
+    )
+    # footer-metadata row count (no data read): an empty key set deletes
+    # nothing — remove the staging dir and publish nothing
+    import pyarrow.parquet as pq
+
+    n_keys = sum(
+        pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+        for f in eq_files
+    )
+    if n_keys == 0:
+        import shutil
+
+        shutil.rmtree(eq_dir, ignore_errors=True)
+        return tip
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="delete",
+        txn_id=txn_id,
+        eq_deletes=[
+            {
+                "key_cols": kcols,
+                "delete_files": eq_files,
+                "files": list(manifest["files"]),
+            }
+        ],
+        require_parent=tip,
+    )
+
+
 def update_where(
     spark: SparkSession,
     table_dir: str,
@@ -1274,6 +1422,73 @@ def update_where(
     )
 
 
+def _tag_path(table_dir: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        raise ValueError(f"invalid tag name: {name!r}")
+    return os.path.join(table_dir, _SNAPDIR, f"tag-{name}.json")
+
+
+def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named ref to a version (Iceberg tags / git
+    tags for tables): ``tag-<name>`` pins ``version`` (default: the
+    tip). Tags are exclusive-create — re-tagging an existing name
+    refuses (delete first), the same no-silent-movement contract as the
+    commit protocol — and a tagged version is EXEMPT from vacuum: its
+    manifest and files stay until the tag is deleted, whatever the
+    retention window says. That is the reproducibility primitive a
+    training pipeline needs — tag the corpus version a model trained on
+    and the exact bytes remain readable for as long as the tag lives,
+    while untagged history ages out normally. Cost: one tiny JSON write;
+    nothing is copied."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    version = tip if version is None else version
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(f"version {version} is not retained")
+    try:
+        with open(_tag_path(table_dir, name), "x") as f:
+            json.dump({"version": version}, f)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists (tags are immutable; delete_tag first)"
+        ) from None
+    return version
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    """Tag name -> pinned version (for ``read_snapshot(spark, dir,
+    resolve_tag(dir, name))`` / ``restore_snapshot`` composition)."""
+    path = _tag_path(table_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no tag {name!r} in {table_dir!r}")
+    with open(path) as f:
+        return json.load(f)["version"]
+
+
+def list_tags(table_dir: str) -> dict:
+    """All tags as {name: version}, name-sorted."""
+    snap = os.path.join(table_dir, _SNAPDIR)
+    out = {}
+    if os.path.isdir(snap):
+        for f in sorted(os.listdir(snap)):
+            if f.startswith("tag-") and f.endswith(".json"):
+                with open(os.path.join(snap, f)) as fh:
+                    out[f[4:-5]] = json.load(fh)["version"]
+    return out
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    """Drop a tag; the pinned version becomes ordinary history and ages
+    out at the next vacuum like any other."""
+    path = _tag_path(table_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no tag {name!r} in {table_dir!r}")
+    os.remove(path)
+
+
 def vacuum(
     table_dir: str, *, keep_from_version: int, clean_orphans: bool = False
 ) -> list[str]:
@@ -1289,24 +1504,39 @@ def vacuum(
     definition unreferenced until its manifest publishes); production
     systems gate this on a modification-time retention window instead.
 
-    Deletion-vector files participate exactly like data files: a DV file
-    referenced by any retained version's ``delete_files`` is live; DV
-    files only old manifests referenced are removed with them."""
+    Delete files (positional DVs and equality-delete key files)
+    participate exactly like data files: one referenced by any retained
+    version is live; those only old manifests referenced are removed
+    with them. TAGGED versions (``tag_snapshot``) are pinned: their
+    manifests and files survive any retention window until the tag is
+    deleted."""
     tip = latest_version(table_dir)
     if tip is None or keep_from_version > tip:
         raise ValueError(f"keep_from_version {keep_from_version} beyond tip {tip}")
+    pinned = set(list_tags(table_dir).values())
+    retained = set(range(keep_from_version, tip + 1)) | pinned
     live: set[str] = set()
-    for v in range(keep_from_version, tip + 1):
+    for v in sorted(retained):
+        if not os.path.exists(_manifest_path(table_dir, v)):
+            continue
         m = _read_manifest(table_dir, v)
         live.update(m["files"])
         live.update(m.get("delete_files") or [])
+        live.update(
+            f for e in (m.get("eq_deletes") or []) for f in e["delete_files"]
+        )
     deleted = []
     for v in range(keep_from_version):
+        if v in pinned:
+            continue
         mp = _manifest_path(table_dir, v)
         if not os.path.exists(mp):
             continue
         m = _read_manifest(table_dir, v)
-        for f in m["files"] + (m.get("delete_files") or []):
+        eq_files = [
+            f for e in (m.get("eq_deletes") or []) for f in e["delete_files"]
+        ]
+        for f in m["files"] + (m.get("delete_files") or []) + eq_files:
             if f not in live:
                 p = os.path.join(table_dir, f)
                 if os.path.exists(p):
@@ -1315,7 +1545,7 @@ def vacuum(
         os.remove(mp)
     if clean_orphans:
         for d in os.listdir(table_dir):
-            if not (d.startswith("data-") or d.startswith("dv-")):
+            if not (d.startswith("data-") or d.startswith(("dv-", "eqdv-"))):
                 continue
             for f in os.listdir(os.path.join(table_dir, d)):
                 rel = os.path.join(d, f)
@@ -1335,25 +1565,44 @@ def snapshot_stream_merge_sink(
     order_cols: list[str],
     delete_predicate=None,
     txn_scope: str | None = None,
+    strategy: str = "copy_on_write",
 ):
     """Streaming CDC APPLY: maintain a snapshot table as the merged view
     of a change stream — each micro-batch compacts to one row per key
-    (latest by ``order_cols``, descending) and applies as a
-    ``merge_upsert`` under the txn id ``merge-<scope>-<epoch>``
-    (scope: ``stream_txn_scope`` — two independent change streams on
-    one table never collide on epoch numbers); rows whose
-    compacted form satisfies ``delete_predicate`` delete their key. This
-    is the Delta "streaming upsert with foreachBatch" pattern on the
-    manifest primitives: replayed epochs no-op (txn idempotence), and
-    cross-batch last-writer-wins holds whenever the stream delivers
-    changes in ``order_cols`` order across batches (true for the
-    `snapshot_table` change feed, whose offsets are the table's own
-    ordered versions). The per-batch compaction shuffles only the BATCH
-    on the merge key; the table-side cost is merge_upsert's
-    touched-files rewrite. Returns the started query (AvailableNow)."""
+    (latest by ``order_cols``, descending) and applies under
+    deterministic txn ids (scope: ``stream_txn_scope`` — two independent
+    change streams on one table never collide on epoch numbers); rows
+    whose compacted form satisfies ``delete_predicate`` delete their
+    key. Replayed epochs no-op (txn idempotence), and cross-batch
+    last-writer-wins holds whenever the stream delivers changes in
+    ``order_cols`` order across batches (true for the `snapshot_table`
+    change feed, whose offsets are the table's own ordered versions).
+
+    ``strategy`` picks the lakehouse write shape:
+
+    ``copy_on_write`` (default) — each batch applies as one
+    ``merge_upsert`` (txn ``merge-<scope>-<epoch>``): the Delta
+    "streaming upsert with foreachBatch" pattern. Per-batch cost is the
+    touched-files rewrite — read-optimized, write pays.
+
+    ``merge_on_read`` — the Flink→Iceberg CDC shape: each batch commits
+    an EQUALITY DELETE of its key set (``delete_by_key``, txn
+    ``morD-<scope>-<epoch>``) retracting any prior version of the keys,
+    then APPENDS the surviving rows (txn ``morA-<scope>-<epoch>``).
+    ZERO table reads and zero rewrites per epoch — ingest cost is
+    O(batch), independent of table size — while readers pay one scoped
+    key anti-join per un-compacted epoch; run ``compact_snapshot``
+    periodically to fold the entries (the exact Iceberg maintenance
+    contract). The two commits are individually idempotent, so a crash
+    between them replays safely: the delete no-ops, the append lands.
+
+    The per-batch compaction shuffles only the BATCH on the merge key.
+    Returns the started query (AvailableNow)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if strategy not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown merge sink strategy: {strategy!r}")
     scope = stream_txn_scope(checkpoint_dir) if txn_scope is None else txn_scope
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -1375,13 +1624,28 @@ def snapshot_stream_merge_sink(
             del_col = "__del"
         else:
             del_col = None
+        keep = (
+            compacted.filter(~F.col(del_col)).drop(del_col)
+            if del_col
+            else compacted
+        )
         if latest_version(table_dir) is None:
-            keep = (
-                compacted.filter(~F.col(del_col)).drop(del_col)
-                if del_col
-                else compacted
-            )
             snapshot_commit(keep, table_dir, txn_id=txn)
+        elif strategy == "merge_on_read":
+            # retract every key this batch touches (scoped to files that
+            # exist NOW), then append the new versions — which land
+            # after the delete's scope and therefore stay visible
+            delete_by_key(
+                batch.sparkSession,
+                table_dir,
+                compacted.select(key),
+                key,
+                txn_id=f"morD-{scope}-{epoch_id}",
+            )
+            if not keep.isEmpty():
+                snapshot_commit(
+                    keep, table_dir, txn_id=f"morA-{scope}-{epoch_id}"
+                )
         else:
             merge_upsert(
                 batch.sparkSession,
@@ -1501,7 +1765,10 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
     but per-column min/max are withheld for a version with pending DVs:
     a deleted row may have held the extremum, so the folded values are
     only bounds, and this surface promises exact answers. Compaction
-    materializes the DVs and restores the columns."""
+    materializes the DVs and restores the columns. EQUALITY deletes
+    withhold ``rows`` as well — their per-file deleted counts are
+    unknowable without a scan (the price of the zero-scan delete);
+    compaction restores everything."""
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -1509,12 +1776,13 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
     stats = manifest.get("stats") or {}
     files = manifest["files"]
     dv_counts = manifest.get("dv_counts") or {}
+    eq_pending = bool(manifest.get("eq_deletes"))
     per_file = [stats.get(f) for f in files]
     rows = None
-    if all(s is not None and "__rows" in s for s in per_file):
+    if not eq_pending and all(s is not None and "__rows" in s for s in per_file):
         rows = sum(s["__rows"] for s in per_file) - sum(dv_counts.values())
     columns: dict = {}
-    if dv_counts:
+    if dv_counts or eq_pending:
         return {"rows": rows, "columns": columns}
     if per_file and all(s is not None for s in per_file):
         shared = set.intersection(
@@ -1555,9 +1823,12 @@ def restore_snapshot(table_dir: str, version: int) -> int:
             f"version {version} is not retained (vacuumed?) in {table_dir!r}"
         )
     m = _read_manifest(table_dir, version)
+    eq_files = [
+        f for e in (m.get("eq_deletes") or []) for f in e["delete_files"]
+    ]
     missing = [
         f
-        for f in m["files"] + (m.get("delete_files") or [])
+        for f in m["files"] + (m.get("delete_files") or []) + eq_files
         if not os.path.exists(os.path.join(table_dir, f))
     ]
     if missing:
@@ -1575,6 +1846,7 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         new_stats={f: stats[f] for f in m["files"] if f in stats},
         delete_files=m.get("delete_files"),
         dv_counts=m.get("dv_counts"),
+        eq_deletes=m.get("eq_deletes"),
         require_parent=tip,
     )
 
@@ -1596,7 +1868,11 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
         m = _read_manifest(table_dir, v)
         stats = m.get("stats") or {}
         n_rows = None
-        if m["files"] and all("__rows" in stats.get(f, {}) for f in m["files"]):
+        if (
+            m["files"]
+            and not m.get("eq_deletes")
+            and all("__rows" in stats.get(f, {}) for f in m["files"])
+        ):
             n_rows = sum(stats[f]["__rows"] for f in m["files"]) - sum(
                 (m.get("dv_counts") or {}).values()
             )

@@ -146,7 +146,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # win_topk_per_group ceded its slot; rel_cdc_latest_snapshot brings
     # the CDC compaction flagship (W1 P3) into the driver set
     "win_rank_customers",           # W1
-    "win_lag_lead_events",          # W2
+    # round-7 rotation: win_lag_lead_events ceded its slot (W2 stays
+    # driver-covered by stream_temporal_enrich; the bare lag/lead form
+    # remains bit-exact in the local mirror) to rel_mor_delete — the
+    # merge-on-read deletion-vector path, the warehouse layer's first
+    # driver row
+    "rel_mor_delete",               # S5 P3 J3 — deletion vectors
     "rel_cdc_latest_snapshot",      # W1 P3 — CDC last-writer-wins
     # similarity — round-6 rotation: sim_ann_ivf_int8 (the production
     # ANN composition: learned IVF + int8 lists + exact re-rank)
@@ -196,6 +201,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         setops,
         streaming_batch,
+        timeseries,
         tpch,
         windows,
     )

@@ -666,3 +666,95 @@ register_sql(
     exchange; depth is data-bounded (≤6 at any fixture SF), far under
     spark.sql.cteRecursionLevelLimit.""",
 )
+
+
+@register(
+    "rel_mor_delete",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE NOT (c_acctbal < 0.0) AND NOT (c_custkey <= 200)
+    """,
+    tags=("S5", "P3", "J3"),
+)
+def rel_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the value oracle (the Delta
+    deletion-vector / Iceberg position-delete shape,
+    `operators/snapshots.py:delete_where(strategy="merge_on_read")`):
+    build a snapshot table from customer, stack TWO MoR deletes —
+    negative balances, then low keys — and read the tip. Neither delete
+    rewrites a data file; the manifest attaches (file, pos) delete sets,
+    and the read applies them as a scan-time anti-join on
+    (_metadata.file_path, row_index). The oracle states the end state as
+    plain filters, so a wrong or missing position anywhere — recorded
+    against the wrong file, not deduped across the stacked deletes,
+    dropped by the reader — breaks the hash. The table builds fresh per
+    call (uuid temp dir), so the deletes always stack on a clean v0.
+
+    At 100 TB this is the GDPR-erasure / CDC-retraction path: write cost
+    proportional to DELETED ROWS (position files), zero data rewritten,
+    read-side cost one anti-join against a delete set AQE broadcasts
+    until compaction materializes it (see SCALING.md)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_mor_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+    delete_where(spark, t, [("c_custkey", "<=", 200)], strategy="merge_on_read")
+    return read_snapshot(spark, t).select("c_custkey", "c_nationkey", "c_acctbal")
+
+
+@register(
+    "rel_eq_delete",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer WHERE c_nationkey NOT IN (3, 7)
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer WHERE c_nationkey = 3 AND c_custkey <= 500
+    """,
+    tags=("S5", "J3"),
+)
+def rel_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality delete under the value oracle (Iceberg v2's zero-scan
+    merge-on-read form, `operators/snapshots.py:delete_by_key`): build a
+    snapshot table from customer, delete two nation keys by COMMITTING
+    THE KEY SET (no data file read or written), then append a subset of
+    one deleted nation BACK — the entry's file scope must keep the
+    re-inserted rows visible while the original rows stay gone (the CDC
+    retract-then-reinsert semantics). The oracle states the end state as
+    a filter plus the re-appended subset; a scope bug in either
+    direction — the anti-join leaking into the new files, or the old
+    files resurfacing — breaks the hash."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_eqd_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")
+    snapshot_commit(
+        base.filter((F.col("c_nationkey") == 3) & (F.col("c_custkey") <= 500)), t
+    )
+    return read_snapshot(spark, t).select("c_custkey", "c_nationkey", "c_acctbal")

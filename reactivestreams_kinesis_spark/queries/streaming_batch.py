@@ -770,9 +770,7 @@ def src_snapshot_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("snapshot_table").option("path", table).load()
 
 
-@register(
-    "stream_cdc_apply",
-    oracle="""
+_CDC_LWW_ORACLE = """
     SELECT user_id, last_type,
            epoch_us(CAST(last_ts AS TIMESTAMP)) AS last_ts_us
     FROM (
@@ -782,24 +780,12 @@ def src_snapshot_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     WHERE rn = 1 AND last_type <> 'error'
-    """,
-    tags=("T9", "S5", "J8"),
-)
-def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC REPLICATION under the value oracle — the full
-    lakehouse pipeline composed from this repo's own primitives: the
-    events change log commits to a snapshot table in four time-ordered
-    slices, the `snapshot_table` CHANGE FEED streams the versions (table
-    versions as offsets, checkpoint resume between phases — four genuine
-    epochs, not one availableNow gulp), and
-    `snapshot_stream_merge_sink` applies each micro-batch to a derived
-    table as a compacted copy-on-write MERGE (latest per user_id by
-    (ts, event_id); an 'error' change deletes the key). The final merged
-    table must hash-equal the one-shot batch last-writer-wins query —
-    a dropped epoch, unordered apply, double-applied replay, or
-    wrongly-retained file all break it. At scale every stage is
-    file/touched-proportional: the feed reads only appended files, the
-    merge rewrites only key-owning files."""
+    """
+
+
+def _run_cdc_apply(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
+    """Shared CDC-replication runner for the two lakehouse write
+    strategies — see `stream_cdc_apply` / `stream_cdc_apply_mor`."""
     import os
     import tempfile
     import uuid as _uuid
@@ -845,6 +831,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             key="user_id",
             order_cols=["ts_us", "event_id"],
             delete_predicate=F.col("event_type") == "error",
+            strategy=strategy,
         )
         if not q.awaitTermination(300):
             q.stop()
@@ -854,3 +841,43 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("ts_us").alias("last_ts_us"),
     )
+
+
+@register("stream_cdc_apply", oracle=_CDC_LWW_ORACLE, tags=("T9", "S5", "J8"))
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC REPLICATION under the value oracle — the full
+    lakehouse pipeline composed from this repo's own primitives: the
+    events change log commits to a snapshot table in four time-ordered
+    slices, the `snapshot_table` CHANGE FEED streams the versions (table
+    versions as offsets, checkpoint resume between phases — four genuine
+    epochs, not one availableNow gulp), and
+    `snapshot_stream_merge_sink` applies each micro-batch to a derived
+    table as a compacted copy-on-write MERGE (latest per user_id by
+    (ts, event_id); an 'error' change deletes the key). The final merged
+    table must hash-equal the one-shot batch last-writer-wins query —
+    a dropped epoch, unordered apply, double-applied replay, or
+    wrongly-retained file all break it. At scale every stage is
+    file/touched-proportional: the feed reads only appended files, the
+    merge rewrites only key-owning files."""
+    return _run_cdc_apply(spark, sf_dir, "copy_on_write")
+
+
+@register(
+    "stream_cdc_apply_mor",
+    oracle=_CDC_LWW_ORACLE,
+    tags=("T9", "S5", "J3"),
+)
+def stream_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME CDC replication as `stream_cdc_apply`, applied
+    MERGE-ON-READ (the Flink→Iceberg shape): each micro-batch commits an
+    equality delete of its key set and appends the new versions — zero
+    table reads, zero rewrites per epoch — and the final read happens
+    with ALL four epochs' equality entries still PENDING (un-compacted),
+    so the value check exercises the stacked scoped anti-join path
+    end-to-end: a scope leak (retracting a later epoch's append), a
+    missed retraction, or a double-applied replay all break the hash
+    against the identical last-writer-wins oracle. Ingest cost per epoch
+    is O(batch) regardless of table size — the write-optimized half of
+    the CoW/MoR trade; `compact_snapshot` folds the entries back when
+    read amplification matters."""
+    return _run_cdc_apply(spark, sf_dir, "merge_on_read")

@@ -54,12 +54,15 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, rel: str | None = None, dv_paths=None):
+    def __init__(self, path: str, rel: str | None = None, dv_paths=None, eq=None):
         self.path = path
-        # merge-on-read deletes: the file's table-relative name and the
-        # version's position-delete files (absolute), applied task-side
+        # merge-on-read deletes: the file's table-relative name, the
+        # version's position-delete files (absolute), and the equality
+        # entries scoped to THIS file ([{key_cols, paths}]) — applied
+        # task-side
         self.rel = rel
         self.dv_paths = dv_paths
+        self.eq = eq
 
 
 def _version_files(table_dir: str, version: int) -> list[str]:
@@ -262,15 +265,30 @@ class _SnapshotBatchReader(DataSourceReader):
         files = prune_files(self._manifest, preds) if preds else self._manifest["files"]
         dv_files = self._manifest.get("delete_files") or []
         dv_paths = [os.path.join(self._dir, f) for f in dv_files] or None
+        eq_entries = self._manifest.get("eq_deletes") or []
+
+        def eq_for(rel):
+            scoped = [
+                {
+                    "key_cols": e["key_cols"],
+                    "paths": [os.path.join(self._dir, p) for p in e["delete_files"]],
+                }
+                for e in eq_entries
+                if rel in set(e["files"])
+            ]
+            return scoped or None
+
         return [
-            _FilePartition(os.path.join(self._dir, f), rel=f, dv_paths=dv_paths)
+            _FilePartition(
+                os.path.join(self._dir, f), rel=f, dv_paths=dv_paths, eq=eq_for(f)
+            )
             for f in files
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # stats pruned every file: empty scan
             return
-        if partition.dv_paths:
+        if partition.dv_paths or partition.eq:
             yield from self._read_with_deletes(partition)
             return
         if self._pushed:
@@ -287,7 +305,9 @@ class _SnapshotBatchReader(DataSourceReader):
 
     def _read_with_deletes(self, partition: _FilePartition) -> Iterator:
         """Merge-on-read path: drop THIS file's deleted positions while
-        streaming its batches, then apply any pushed filter. Positions
+        streaming its batches, anti-join away equality-deleted keys
+        (Arrow hash-join kernel, per scoped entry), then apply any
+        pushed filter. Positions
         must be computed against the RAW file row order, so the pushed
         filter cannot go down into the parquet read here — it applies
         per-batch after the position mask (Arrow compute, still
@@ -299,10 +319,22 @@ class _SnapshotBatchReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.dataset as pads
 
-        dv = pads.dataset(partition.dv_paths, format="parquet").to_table(
-            filter=pads.field("file") == partition.rel, columns=["pos"]
-        )
-        deleted = np.sort(dv.column("pos").to_numpy(zero_copy_only=False))
+        deleted = np.empty(0, dtype=np.int64)
+        if partition.dv_paths:
+            dv = pads.dataset(partition.dv_paths, format="parquet").to_table(
+                filter=pads.field("file") == partition.rel, columns=["pos"]
+            )
+            deleted = np.sort(dv.column("pos").to_numpy(zero_copy_only=False))
+        # equality keys scoped to this file, loaded once per task
+        eq_keys = [
+            (
+                e["key_cols"],
+                pads.dataset(e["paths"], format="parquet").to_table(
+                    columns=e["key_cols"]
+                ),
+            )
+            for e in (partition.eq or [])
+        ]
         pushed = _arrow_expr(self._pushed) if self._pushed else None
         off = 0
         for batch in _read_parquet_batches(partition.path, self._arrow_schema()):
@@ -316,11 +348,14 @@ class _SnapshotBatchReader(DataSourceReader):
                     out = batch.filter(pa.array(keep))
             else:
                 out = batch
+            tbl = pa.Table.from_batches([out])
+            for kcols, keys_tbl in eq_keys:
+                # vectorized anti-join on the key columns (Arrow kernel)
+                tbl = tbl.join(keys_tbl, keys=kcols, join_type="left anti")
             if pushed is not None:
-                tbl = pa.Table.from_batches([out]).filter(pushed)
+                tbl = tbl.filter(pushed)
+            if tbl.num_rows:
                 yield from tbl.to_batches()
-            elif out.num_rows:
-                yield out
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):

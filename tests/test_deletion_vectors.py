@@ -265,3 +265,160 @@ def test_restore_snapshot_metadata_only(spark, sf_dir, tmp_path):
     vacuum(t, keep_from_version=v3)
     with pytest.raises(FileNotFoundError):
         restore_snapshot(t, 2)
+
+
+# ---- equality deletes (the zero-scan merge-on-read form) ----
+
+
+def test_eq_delete_zero_scan_and_scope(spark, sf_dir, tmp_path):
+    """delete_by_key rewrites nothing AND reads nothing: the manifest
+    keeps the data files verbatim and records the key set; readers drop
+    exactly the matching rows — but ONLY in files that existed at delete
+    time, so a later append of the same key stays visible (the CDC
+    retract-then-reinsert semantics)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import delete_by_key
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    files_before = _read_manifest(t, 0)["files"]
+    keys = spark.createDataFrame([(3,), (7,), (None,)], "c_nationkey int")
+
+    v = delete_by_key(spark, t, keys, "c_nationkey", txn_id="eq-1")
+    m = _read_manifest(t, v)
+    assert m["op"] == "delete" and m["files"] == files_before
+    assert m["eq_deletes"][0]["key_cols"] == ["c_nationkey"]
+    cur = read_snapshot(spark, t)
+    expected = base.filter("c_nationkey NOT IN (3, 7)")
+    assert cur.count() == expected.count()
+    assert cur.filter("c_nationkey IN (3, 7)").count() == 0
+
+    # txn replay no-ops
+    assert delete_by_key(spark, t, keys, "c_nationkey", txn_id="eq-1") == v
+
+    # append rows with a deleted key AFTER the delete: they are new rows,
+    # outside every entry's scope, and must stay visible
+    reinsert = base.filter("c_nationkey = 3").limit(10)
+    n_re = reinsert.count()
+    snapshot_commit(reinsert, t)
+    cur2 = read_snapshot(spark, t)
+    assert cur2.filter("c_nationkey = 3").count() == n_re
+    assert cur2.count() == expected.count() + n_re
+
+
+def test_eq_delete_read_surfaces_agree(spark, sf_dir, tmp_path):
+    """scan_snapshot and the snapshot_table source (plain + pushed
+    filter) agree with read_snapshot under pending equality deletes."""
+    from reactivestreams_kinesis_spark.operators.snapshots import delete_by_key
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    # deliberately WIDER key type than the table's int column: the writer
+    # must align it to the declared schema or the source's Arrow
+    # hash-join kernel (exact-type) would refuse
+    keys = spark.createDataFrame([(5,), (11,)], "c_nationkey bigint")
+    delete_by_key(spark, t, keys, "c_nationkey")
+
+    expected = read_snapshot(spark, t).filter("c_custkey > 200")
+    via_scan = scan_snapshot(spark, t, [("c_custkey", ">", 200)])
+    assert via_scan.subtract(expected).count() == 0
+    assert expected.subtract(via_scan).count() == 0
+
+    register_snapshot_source(spark)
+    src = spark.read.format("snapshot_table").option("path", t).load()
+    assert src.count() == read_snapshot(spark, t).count()
+    assert src.filter("c_nationkey = 5").count() == 0
+    pushed = src.filter(F.col("c_custkey") > 200)
+    assert pushed.count() == expected.count()
+    assert pushed.subtract(expected).count() == 0
+
+
+def test_eq_delete_carry_compact_stats_vacuum(spark, sf_dir, tmp_path):
+    """The full lifecycle: metadata COUNT is withheld while equality
+    deletes are pending (their per-file counts are unknowable without a
+    scan); a CoW update carries entries scoped to retained files;
+    compaction materializes everything; vacuum treats the key files as
+    referenced until the last manifest naming them goes."""
+    from reactivestreams_kinesis_spark.operators.snapshots import delete_by_key
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    keys = spark.createDataFrame([(2,), (9,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")
+    n_live = read_snapshot(spark, t).count()
+    assert n_live == base.filter("c_nationkey NOT IN (2, 9)").count()
+    s = table_stats_summary(t)
+    assert s["rows"] is None and s["columns"] == {}
+
+    # CoW update on low keys: retained files keep their eq scope
+    update_where(spark, t, [("c_custkey", "<=", 50)], {"c_acctbal": F.lit(1.0)})
+    m = _read_manifest(t, latest_version(t))
+    assert m.get("eq_deletes"), "entries scoped to retained files must carry"
+    for e in m["eq_deletes"]:
+        assert set(e["files"]).issubset(set(m["files"]))
+    cur = read_snapshot(spark, t)
+    assert cur.count() == n_live, "no resurrection through the rewrite"
+    assert cur.filter("c_nationkey IN (2, 9)").count() == 0
+
+    eq_files = [f for e in m["eq_deletes"] for f in e["delete_files"]]
+    v = compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    mc = _read_manifest(t, v)
+    assert not mc.get("eq_deletes") and not mc.get("delete_files")
+    s2 = table_stats_summary(t)
+    assert s2["rows"] == n_live == read_snapshot(spark, t).count()
+    assert s2["columns"], "metadata min/max restored after materialization"
+
+    vacuum(t, keep_from_version=v - 1)  # eq'd version retained: keys live
+    assert all(os.path.exists(os.path.join(t, f)) for f in eq_files)
+    deleted = vacuum(t, keep_from_version=v)
+    assert {os.path.join(t, f) for f in eq_files}.issubset(set(deleted))
+    assert read_snapshot(spark, t).count() == n_live
+
+
+def test_eq_and_positional_deletes_stack(spark, sf_dir, tmp_path):
+    """Both merge-on-read forms pending at once: a positional delete and
+    an equality delete compose; restore carries both verbatim."""
+    from reactivestreams_kinesis_spark.operators.snapshots import delete_by_key
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+    keys = spark.createDataFrame([(4,), (13,)], "c_nationkey int")
+    v2 = delete_by_key(spark, t, keys, "c_nationkey")
+    expected = base.filter("c_acctbal >= 0 AND c_nationkey NOT IN (4, 13)")
+    assert read_snapshot(spark, t).count() == expected.count()
+
+    snapshot_commit(base.filter("c_nationkey = 4").limit(3), t)  # v3 append
+    v4 = restore_snapshot(t, v2)
+    m = _read_manifest(t, v4)
+    assert m.get("delete_files") and m.get("eq_deletes")
+    restored = read_snapshot(spark, t, v4)
+    assert restored.count() == expected.count()
+    assert restored.subtract(expected.select(*restored.columns)).count() == 0
+
+
+def test_dv_read_plan_broadcasts_delete_sets(spark, sf_dir, tmp_path):
+    """Plan pin for the merge-on-read read path: BOTH delete forms apply
+    as broadcast hash anti-joins (the delete sets are sized by deleted
+    rows/keys, so AQE broadcasts them; the eq entry's file scope rides
+    the join condition as a residual) — never a nested-loop or cartesian
+    plan, and the fact side never shuffles for the deletes."""
+    from reactivestreams_kinesis_spark.operators.snapshots import delete_by_key
+    from reactivestreams_kinesis_spark.plans.inspect import explain_string
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")
+
+    df = read_snapshot(spark, t)
+    df.count()  # let AQE finalize the joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("LeftAnti") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the deletes add no exchange on the fact side (broadcast only)
+    assert "Exchange hashpartitioning" not in explain_string(df), plan

@@ -908,3 +908,57 @@ def test_snapshot_source_writer_enforces_constraints(spark, sf_dir, tmp_path):
     assert (
         read_snapshot(spark, t).filter(F.col("n_name") == "OK").count() == 1
     )
+
+
+def test_tags_pin_versions_against_vacuum(spark, sf_dir, tmp_path):
+    """Tags are immutable named refs: a tagged version (manifest + files,
+    delete files included) survives any vacuum window; deleting the tag
+    releases it; re-tagging an existing name refuses; tagging a missing
+    version refuses."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_tag,
+        delete_where,
+        list_tags,
+        read_snapshot,
+        resolve_tag,
+        snapshot_commit,
+        tag_snapshot,
+        vacuum,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = str(tmp_path / "t")
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)      # v0
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v1
+    v1_count = read_snapshot(spark, t, 1).count()
+    snapshot_commit(base.limit(7), t)                                # v2
+    snapshot_commit(base.limit(3), t)                                # v3
+
+    assert tag_snapshot(t, "train-corpus.v1", 1) == 1
+    assert tag_snapshot(t, "latest") == 3  # defaults to tip
+    assert list_tags(t) == {"latest": 3, "train-corpus.v1": 1}
+    with _pytest.raises(ValueError, match="already exists"):
+        tag_snapshot(t, "latest", 2)
+    with _pytest.raises(FileNotFoundError):
+        tag_snapshot(t, "nope", 99)
+    with _pytest.raises(ValueError, match="invalid tag name"):
+        tag_snapshot(t, "../escape", 1)
+
+    # vacuum far past v1: the tagged version (with its DV files) survives
+    vacuum(t, keep_from_version=3)
+    assert resolve_tag(t, "train-corpus.v1") == 1
+    assert read_snapshot(spark, t, 1).count() == v1_count
+    # untagged v0/v2 are gone
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0)
+
+    delete_tag(t, "train-corpus.v1")
+    vacuum(t, keep_from_version=3)
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 1)
+    assert read_snapshot(spark, t, 3).count() > 0
