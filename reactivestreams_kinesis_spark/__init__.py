@@ -112,6 +112,7 @@ _SNAPSHOT_OPS = (
     "resolve_tag",
     "list_tags",
     "delete_tag",
+    "version_at_timestamp",
     "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",

@@ -1851,6 +1851,31 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     )
 
 
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the latest RETAINED version whose manifest was
+    published at or before unix-seconds ``ts`` — the timestamp half of
+    time travel (``read_snapshot(spark, dir, version_at_timestamp(dir,
+    ts))``), resolved from the same commit-mtime clock
+    ``vacuum_by_retention`` keys its windows on (the exclusive-create
+    timestamp IS the commit point, so mtimes are monotone in version on
+    any one filesystem). Raises if every retained version is newer —
+    asking for a time before the table existed (or before the retention
+    horizon) must fail loudly, not silently serve the oldest survivor."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    best = None
+    for v in range(tip + 1):
+        mp = _manifest_path(table_dir, v)
+        if os.path.exists(mp) and os.path.getmtime(mp) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version at or before ts={ts} in {table_dir!r}"
+        )
+    return best
+
+
 def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """DESCRIBE HISTORY as a DataFrame: one row per retained version —
     op, parent, file count, total bytes, row count (when stats carry

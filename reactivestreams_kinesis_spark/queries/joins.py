@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.operators.joins import asof_join
-from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.queries.registry import register, register_sql
 
 _REVENUE = (
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
@@ -499,3 +499,34 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_peer_customers", F.lit(0)).alias("n_peer_customers"),
         )
     )
+
+
+register_sql(
+    "join_fuzzy_blocked",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           a.p_brand AS brand,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tables=["part"],
+    tags=("J5", "X3", "P3"),
+    doc="""Blocked fuzzy-match join — record linkage by edit distance,
+    the entity-resolution dual of the token-based near-dup family
+    (MinHash/SimHash match shared CONTENT; levenshtein matches near-equal
+    SHORT STRINGS — names, titles, product labels — where one typo is a
+    whole shingle gone). The quadratic is tamed exactly like every
+    similarity join in this repo: a cheap equality BLOCK first (brand ×
+    size — an ordinary equi-join Catalyst shuffles on the block key), the
+    expensive distance only WITHIN blocks, and `p_partkey <` for pair
+    canonicalization. Both engines run the identical SQL text
+    (levenshtein is built in to each); distances are exact integers, so
+    parity is trivially bit-exact. At 100 TB the block key is the whole
+    game: Σ|block|² work, shuffle on the block key, no cross join —
+    swap in any blocking scheme (phonetic code, sorted-neighborhood
+    window, LSH bucket) without touching the distance stage.""",
+)

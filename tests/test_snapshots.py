@@ -962,3 +962,43 @@ def test_tags_pin_versions_against_vacuum(spark, sf_dir, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, t, 1)
     assert read_snapshot(spark, t, 3).count() > 0
+
+
+def test_version_at_timestamp(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF resolves against commit mtimes: a time between
+    two commits reads the earlier one; before the first refuses; now
+    reads the tip; vacuumed versions are skipped (the horizon moves)."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _manifest_path,
+        read_snapshot,
+        snapshot_commit,
+        vacuum,
+        version_at_timestamp,
+    )
+
+    base = load_table(spark, sf_dir, "nation")
+    t = str(tmp_path / "t")
+    snapshot_commit(base, t)                    # v0
+    time.sleep(0.05)
+    snapshot_commit(base.limit(5), t)           # v1
+    time.sleep(0.05)
+    snapshot_commit(base.limit(2), t)           # v2
+
+    t0 = os.path.getmtime(_manifest_path(t, 0))
+    t1 = os.path.getmtime(_manifest_path(t, 1))
+    assert version_at_timestamp(t, (t0 + t1) / 2) == 0
+    assert version_at_timestamp(t, time.time()) == 2
+    with _pytest.raises(ValueError, match="no retained version"):
+        version_at_timestamp(t, t0 - 10.0)
+    n0 = read_snapshot(spark, t, version_at_timestamp(t, (t0 + t1) / 2)).count()
+    assert n0 == base.count()
+
+    vacuum(t, keep_from_version=1)
+    with _pytest.raises(ValueError, match="no retained version"):
+        version_at_timestamp(t, (t0 + t1) / 2)
