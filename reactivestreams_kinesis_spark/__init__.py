@@ -113,6 +113,7 @@ _SNAPSHOT_OPS = (
     "list_tags",
     "delete_tag",
     "version_at_timestamp",
+    "snapshot_files",
     "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",

@@ -808,11 +808,21 @@ def merge_upsert(
     *,
     delete_col: str | None = None,
     txn_id: str | None = None,
+    strategy: str = "copy_on_write",
 ) -> int:
     """MERGE (upsert + optional delete) as a COPY-ON-WRITE commit — the
     Delta/Iceberg MERGE INTO reduced to the manifest primitives. Matched
     keys take the update row (last-writer-wins), unmatched update keys
     insert, and rows flagged true in ``delete_col`` delete their key.
+
+    ``strategy="merge_on_read"`` applies the same semantics as an
+    equality-delete + append instead (the batch dual of
+    ``snapshot_stream_merge_sink``'s MoR mode): retract every update key
+    (``delete_by_key`` — scoped to current files, O(|keys|), no data
+    read), then append the non-delete rows. Cost is O(batch) regardless
+    of table size; readers pay the scoped anti-join until compaction.
+    The two commits carry per-phase txn ids derived from ``txn_id``, so
+    a replay after a crash between them is exactly-once.
 
     The scale property is FILE granularity: one pass over the current
     version (semi-join against the bounded distinct update keys) names
@@ -835,6 +845,8 @@ def merge_upsert(
     Publishes with ``op=overwrite`` — a merge rewrites history, so
     incremental readers (``snapshot_changes``, the streaming source)
     correctly refuse to diff across it, exactly like compaction."""
+    if strategy not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown merge strategy: {strategy!r}")
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -847,16 +859,8 @@ def merge_upsert(
 
     from pyspark.sql import functions as F
 
-    # stats pre-prune: files wholly outside the update keys' [min, max]
-    # cannot own a match, so the exact targeting scan reads only the
-    # overlapping candidates — for range-localized updates (the common
-    # CDC case on a clustered table) targeting becomes candidate-
-    # proportional instead of table-proportional. Scattered keys, where
-    # the range spans everything, fall to the per-file BLOOMS when the
-    # table declares them and the key set is small enough to probe
-    # (≤ _MERGE_BLOOM_PROBE_CAP values — bounded driver data, checked by
-    # the same stats job). Keys neither localized nor bloomed degrade
-    # gracefully to the full targeting scan.
+    # one bounded stats job serves both strategies: the duplicate-key
+    # guard (both), and the [min, max] prune bounds (copy-on-write)
     bounds = updates.agg(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
@@ -872,6 +876,40 @@ def merge_upsert(
             "batch to one row per key first (last-writer-wins is the "
             "CALLER's ordering decision; see snapshot_stream_merge_sink)"
         )
+
+    if strategy == "merge_on_read":
+        a_txn = f"{txn_id}-morA" if txn_id else None
+        if a_txn is not None:
+            done = find_txn(table_dir, a_txn)
+            if done is not None:
+                return done
+        delete_by_key(
+            spark,
+            table_dir,
+            upd_keys,
+            key,
+            txn_id=f"{txn_id}-morD" if txn_id else None,
+        )
+        if delete_col is not None:
+            keep = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        else:
+            keep = updates
+        if keep.isEmpty():
+            return latest_version(table_dir)
+        return snapshot_commit(keep, table_dir, txn_id=a_txn)
+
+    # stats pre-prune: files wholly outside the update keys' [min, max]
+    # cannot own a match, so the exact targeting scan reads only the
+    # overlapping candidates — for range-localized updates (the common
+    # CDC case on a clustered table) targeting becomes candidate-
+    # proportional instead of table-proportional. Scattered keys, where
+    # the range spans everything, fall to the per-file BLOOMS when the
+    # table declares them and the key set is small enough to probe
+    # (≤ _MERGE_BLOOM_PROBE_CAP values — bounded driver data, checked by
+    # the same stats job). Keys neither localized nor bloomed degrade
+    # gracefully to the full targeting scan.
     candidates = manifest["files"]
     if bounds["lo"] is not None:
         candidates = prune_files(
@@ -1631,22 +1669,12 @@ def snapshot_stream_merge_sink(
         )
         if latest_version(table_dir) is None:
             snapshot_commit(keep, table_dir, txn_id=txn)
-        elif strategy == "merge_on_read":
-            # retract every key this batch touches (scoped to files that
-            # exist NOW), then append the new versions — which land
-            # after the delete's scope and therefore stay visible
-            delete_by_key(
-                batch.sparkSession,
-                table_dir,
-                compacted.select(key),
-                key,
-                txn_id=f"morD-{scope}-{epoch_id}",
-            )
-            if not keep.isEmpty():
-                snapshot_commit(
-                    keep, table_dir, txn_id=f"morA-{scope}-{epoch_id}"
-                )
         else:
+            # strategy="merge_on_read" retracts every key this batch
+            # touches as an equality delete scoped to the files that
+            # exist NOW, then appends the new versions (which land after
+            # the delete's scope and therefore stay visible) — both
+            # phases under per-phase txn ids merge_upsert derives
             merge_upsert(
                 batch.sparkSession,
                 table_dir,
@@ -1654,6 +1682,7 @@ def snapshot_stream_merge_sink(
                 key,
                 delete_col=del_col,
                 txn_id=txn,
+                strategy=strategy,
             )
 
     return (
@@ -1849,6 +1878,67 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         eq_deletes=m.get("eq_deletes"),
         require_parent=tip,
     )
+
+
+def snapshot_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The FILES metadata table (Iceberg's ``.files`` / Delta's DESCRIBE
+    DETAIL granularity): one row per data file of a version — path,
+    on-disk bytes, footer row count, pending merge-on-read deleted-row
+    count (positional; equality deletes are scoped by entry, not
+    per-file countable), and the per-column min/max stats as a JSON
+    string. Pure manifest metadata — no data file opens — which is what
+    makes it the operational surface for small-file diagnosis ("do I
+    need compaction?"), skew checks, and prune-rate debugging: the same
+    facts the planner skips files with, queryable as a DataFrame.
+
+    Driver-builds one row per file (bounded by |files|, the same budget
+    every manifest operation here already spends); at extreme file
+    counts a production system would shard the manifest itself — this
+    repo's manifest is one JSON document by design (SURVEY §7)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    version = tip if version is None else version
+    m = _read_manifest(table_dir, version)
+    stats = m.get("stats") or {}
+    dv_counts = m.get("dv_counts") or {}
+    rows = []
+    for f in m["files"]:
+        p = os.path.join(table_dir, f)
+        s = dict(stats.get(f) or {})
+        n_rows = s.pop("__rows", None)
+        rows.append(
+            (
+                version,
+                f,
+                os.path.getsize(p) if os.path.exists(p) else None,
+                n_rows,
+                dv_counts.get(f, 0),
+                _json.dumps(s, sort_keys=True, default=str) if s else None,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("file", StringType()),
+            StructField("bytes", LongType()),
+            StructField("rows", LongType()),
+            StructField("deleted_rows", LongType()),
+            StructField("stats_json", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def version_at_timestamp(table_dir: str, ts: float) -> int:

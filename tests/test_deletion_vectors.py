@@ -422,3 +422,141 @@ def test_dv_read_plan_broadcasts_delete_sets(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     # the deletes add no exchange on the fact side (broadcast only)
     assert "Exchange hashpartitioning" not in explain_string(df), plan
+
+
+# ---- randomized model check over mixed DML histories ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=6)),
+    st.tuples(st.just("pos_del"), st.integers(0, 9)),
+    st.tuples(st.just("eq_del"), st.lists(st.integers(0, 5), min_size=1, max_size=3)),
+    st.tuples(st.just("update"), st.tuples(st.integers(0, 5), st.integers(100, 109))),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@given(
+    init=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=8),
+    ops=st.lists(_OP, min_size=1, max_size=4),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_mixed_dml_history_matches_model(spark, tmp_path_factory, init, ops):
+    """Any interleaving of appends, merge-on-read position deletes,
+    equality deletes, copy-on-write updates, and compactions must read
+    back exactly what a pure-Python model of the same history holds —
+    the randomized sweep over DELETE-form interactions (scope semantics,
+    DV carrying through rewrites, materialization) that example-based
+    tests can only sample."""
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_by_key,
+        delete_where,
+        read_snapshot,
+        snapshot_commit,
+        update_where,
+    )
+
+    t = str(tmp_path_factory.mktemp("dvprop") / f"t_{_uuid.uuid4().hex[:6]}")
+    uid = 0
+    model: list[dict] = []
+
+    def mk_df(rows):
+        return spark.createDataFrame(rows, "uid bigint, k int, v int")
+
+    first = [(uid + i, k, v) for i, (k, v) in enumerate(init)]
+    uid += len(init)
+    model.extend({"uid": u, "k": k, "v": v} for u, k, v in first)
+    snapshot_commit(mk_df(first).repartition(2), t)
+
+    for kind, arg in ops:
+        if kind == "append":
+            rows = [(uid + i, k, v) for i, (k, v) in enumerate(arg)]
+            uid += len(arg)
+            model.extend({"uid": u, "k": k, "v": v} for u, k, v in rows)
+            snapshot_commit(mk_df(rows), t)
+        elif kind == "pos_del":
+            delete_where(spark, t, [("v", "<", arg)], strategy="merge_on_read")
+            model = [r for r in model if not (r["v"] < arg)]
+        elif kind == "eq_del":
+            delete_by_key(spark, t, mk_df([(0, k, 0) for k in arg]).select("k"), "k")
+            model = [r for r in model if r["k"] not in set(arg)]
+        elif kind == "update":
+            key, newv = arg
+            update_where(spark, t, [("k", "=", key)], {"v": F.lit(newv)})
+            for r in model:
+                if r["k"] == key:
+                    r["v"] = newv
+        elif kind == "compact":
+            compact_snapshot(spark, t, target_file_bytes=1 << 40)
+
+    got = sorted(
+        (r["uid"], r["k"], r["v"]) for r in read_snapshot(spark, t).collect()
+    )
+    want = sorted((r["uid"], r["k"], r["v"]) for r in model)
+    assert got == want
+
+
+def test_merge_upsert_merge_on_read_strategy(spark, sf_dir, tmp_path):
+    """Batch MERGE in merge-on-read form: same three-clause semantics as
+    copy-on-write (update / insert / delete), zero data files rewritten
+    (the manifest keeps v0's files and gains only appends), txn replay
+    no-ops, duplicate keys refused, and compaction converges the table
+    to the exact CoW result."""
+    t_mor = str(tmp_path / "mor")
+    t_cow = str(tmp_path / "cow")
+    base = _mk_table(spark, sf_dir, tmp_path / "mor")
+    _mk_table(spark, sf_dir, tmp_path / "cow")
+    files_v0 = set(_read_manifest(t_mor, 0)["files"])
+
+    upd = base.filter("c_custkey % 10 = 0").select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit(False).alias("_del"),
+    )
+    dels = base.filter("c_custkey % 10 = 7").select(
+        "c_custkey", "c_nationkey",
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(True).alias("_del"),
+    )
+    ins = spark.createDataFrame(
+        [(10_000_001, 0, 5.0, False), (10_000_002, 1, 6.0, False)],
+        "c_custkey bigint, c_nationkey int, c_acctbal double, _del boolean",
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+
+    merge_upsert(spark, t_mor, changes, "c_custkey", delete_col="_del",
+                 strategy="merge_on_read", txn_id="m1")
+    merge_upsert(spark, t_cow, changes, "c_custkey", delete_col="_del",
+                 txn_id="m1")
+
+    m = _read_manifest(t_mor, latest_version(t_mor))
+    assert files_v0.issubset(set(m["files"])), "MoR merge rewrites nothing"
+    assert m.get("eq_deletes"), "retractions recorded as equality entries"
+
+    mor = read_snapshot(spark, t_mor)
+    cow = read_snapshot(spark, t_cow)
+    assert mor.count() == cow.count()
+    assert mor.subtract(cow).count() == 0 and cow.subtract(mor).count() == 0
+
+    # replay no-ops (per-phase txns resolve through the append phase)
+    v = latest_version(t_mor)
+    assert merge_upsert(spark, t_mor, changes, "c_custkey", delete_col="_del",
+                        strategy="merge_on_read", txn_id="m1") == v
+
+    # duplicates refused in MoR form too
+    with pytest.raises(ValueError, match="duplicated"):
+        merge_upsert(spark, t_mor, changes.unionByName(ins), "c_custkey",
+                     delete_col="_del", strategy="merge_on_read")
+
+    compact_snapshot(spark, t_mor, target_file_bytes=1 << 40)
+    after = read_snapshot(spark, t_mor)
+    assert after.subtract(cow).count() == 0 and cow.subtract(after).count() == 0

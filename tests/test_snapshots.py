@@ -1002,3 +1002,44 @@ def test_version_at_timestamp(spark, sf_dir, tmp_path):
     vacuum(t, keep_from_version=1)
     with _pytest.raises(ValueError, match="no retained version"):
         version_at_timestamp(t, (t0 + t1) / 2)
+
+
+def test_snapshot_files_metadata_table(spark, sf_dir, tmp_path):
+    """The FILES metadata table reflects the manifest exactly: one row
+    per file, bytes/rows from metadata only, per-file deleted counts
+    after a merge-on-read delete, and queryable stats."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        read_snapshot,
+        snapshot_commit,
+        snapshot_files,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = str(tmp_path / "t")
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+
+    files = snapshot_files(spark, t)
+    rows = files.collect()
+    assert len(rows) == 4 and all(r["bytes"] > 0 for r in rows)
+    total = files.agg(
+        F.sum("rows").alias("r"), F.sum("deleted_rows").alias("d")
+    ).collect()[0]
+    assert total["r"] == base.count()
+    assert total["r"] - total["d"] == read_snapshot(spark, t).count()
+    # stats are real JSON with the clustered column's bounds
+    s = _json.loads(rows[0]["stats_json"])
+    assert "c_custkey" in s and "min" in s["c_custkey"]
+    # time travel: v0 has no deletes
+    assert (
+        snapshot_files(spark, t, 0).agg(F.sum("deleted_rows")).collect()[0][0]
+        == 0
+    )
