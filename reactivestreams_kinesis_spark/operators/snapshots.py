@@ -744,6 +744,7 @@ def compact_snapshot(
     cluster_by: list[str] | None = None,
     zorder: bool = False,
     bits: int = 16,
+    small_file_bytes: int | None = None,
 ) -> int:
     """Compaction as a COMMIT: rewrite the current version's file set
     into files sized near ``target_file_bytes`` and publish the result as
@@ -759,13 +760,52 @@ def compact_snapshot(
     `interleaved_write` lever), so each rewritten file covers a tight
     range and the manifest stats recorded at publish turn into an
     effective prune index — compaction is exactly when clustering is
-    cheapest, the rows are being rewritten anyway."""
+    cheapest, the rows are being rewritten anyway.
+
+    ``small_file_bytes`` switches to INCREMENTAL (bin-pack) compaction —
+    the only shape that survives 100 TB: files at or above the threshold
+    are RETAINED verbatim (never read, never rewritten; their pending
+    merge-on-read deletes carry into the new manifest), and only the
+    small-file tail — streaming epoch commits, narrow merges — rewrites,
+    bin-packed toward ``target_file_bytes``. Cost is proportional to the
+    small tail, not the table; run it frequently and reserve the full
+    rewrite for re-clustering. Rewritten files materialize THEIR deletes
+    during the read (the rewrite routes through the DV/eq-aware scan),
+    so incremental compaction also incrementally drains the delete
+    backlog. Fewer than two small files → nothing to pack, no-op (the
+    current version number returns)."""
     import math
 
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
     manifest = _read_manifest(table_dir, tip)
+
+    if small_file_bytes is not None:
+        sizes = {
+            f: os.path.getsize(os.path.join(table_dir, f))
+            for f in manifest["files"]
+        }
+        small = [f for f, b in sizes.items() if b < small_file_bytes]
+        if len(small) < 2:
+            return tip
+        retained = [f for f in manifest["files"] if f not in set(small)]
+        n_files = max(
+            1, math.ceil(sum(sizes[f] for f in small) / target_file_bytes)
+        )
+        packed = _read_data_files(spark, table_dir, manifest, small).repartition(
+            n_files
+        )
+        return _commit_rewrite(
+            table_dir,
+            packed,
+            untouched=retained,
+            schema=manifest.get("schema"),
+            txn_id=None,
+            require_parent=tip,
+            parent_manifest=manifest,
+        )
+
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
     total = sum(os.path.getsize(p) for p in paths)
     n_files = max(1, math.ceil(total / target_file_bytes))

@@ -560,3 +560,44 @@ def test_merge_upsert_merge_on_read_strategy(spark, sf_dir, tmp_path):
     compact_snapshot(spark, t_mor, target_file_bytes=1 << 40)
     after = read_snapshot(spark, t_mor)
     assert after.subtract(cow).count() == 0 and cow.subtract(after).count() == 0
+
+
+def test_incremental_compaction_bin_packs_small_files(spark, sf_dir, tmp_path):
+    """compact_snapshot(small_file_bytes=...) rewrites ONLY the
+    small-file tail: large files are retained byte-identical with their
+    pending deletes carried; the packed small files materialize theirs;
+    content, metadata COUNT, and a later full compaction all agree."""
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # one big file, then a tail of small epoch-style appends
+    snapshot_commit(base.repartition(1), t)
+    big = _read_manifest(t, 0)["files"][0]
+    for i in range(4):
+        snapshot_commit(base.filter(F.col("c_custkey") % 50 == i).repartition(1), t)
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+    n_live = read_snapshot(spark, t).count()
+    big_bytes = os.path.getsize(os.path.join(t, big))
+
+    v = compact_snapshot(
+        spark, t, target_file_bytes=1 << 40, small_file_bytes=big_bytes
+    )
+    m = _read_manifest(t, v)
+    assert big in m["files"], "the large file is retained verbatim"
+    assert len(m["files"]) == 2, "the small tail packed into one file"
+    assert m.get("delete_files"), "the big file's pending DVs carry"
+    assert set(m.get("dv_counts", {})) == {big}
+    cur = read_snapshot(spark, t)
+    assert cur.count() == n_live
+    assert cur.filter("c_acctbal < 0").count() == 0
+    assert table_stats_summary(t)["rows"] == n_live
+
+    # nothing small left: no-op
+    assert compact_snapshot(
+        spark, t, target_file_bytes=1 << 40, small_file_bytes=1024
+    ) == v
+    # a later FULL compaction drains the carried DVs too
+    v2 = compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    assert not _read_manifest(t, v2).get("delete_files")
+    assert read_snapshot(spark, t).count() == n_live
