@@ -114,6 +114,7 @@ _SNAPSHOT_OPS = (
     "delete_tag",
     "version_at_timestamp",
     "snapshot_files",
+    "snapshot_change_feed",
     "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",

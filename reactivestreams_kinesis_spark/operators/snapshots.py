@@ -736,6 +736,129 @@ def snapshot_changes(
     return spark.read.parquet(*new_files)
 
 
+def snapshot_change_feed(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The CHANGE DATA FEED (Delta's ``readChangeFeed`` shape):
+    every row-level change between two versions, stamped with
+    ``_change_type`` (``insert`` | ``delete``) and ``_commit_version`` —
+    the feed a downstream incremental materialization consumes when it
+    must react to RETRACTIONS, not just additions (``snapshot_changes``
+    stays the cheaper inserts-only form).
+
+    Supported lineage: ``append`` commits emit their new files' rows as
+    inserts; ``delete`` commits (both merge-on-read forms) emit exactly
+    the rows they retract — for position deletes, the parent version's
+    rows at the NEW (file, pos) pairs (the scan is restricted to the
+    files the delta names); for equality deletes, the parent-LIVE rows
+    matching the new entries' keys within their scope (reading through
+    the parent manifest applies all prior deletes, so a row never
+    retracts twice). ``overwrite``/compaction rewrites history rather
+    than extending it and raises, same contract as ``snapshot_changes``.
+
+    Change extraction is delta-proportional at any table size: insert
+    cost is the appended files, delete cost is a semi-join of the
+    delta's target files against the bounded delete set."""
+    from pyspark.sql import functions as F
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    to_version = tip if to_version is None else to_version
+    if not 0 <= from_version <= to_version <= tip:
+        raise ValueError(f"bad version range {from_version}..{to_version} (tip {tip})")
+
+    parts: list[DataFrame] = []
+
+    def stamp(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(table_dir, v)
+        parent = _read_manifest(table_dir, v - 1)
+        if m["op"] == "append":
+            base = set(parent["files"])
+            new_rel = [f for f in m["files"] if f not in base]
+            if new_rel:
+                # appended files carry no positions and sit outside every
+                # equality scope — a plain declared-schema read suffices
+                df = _declared_reader(spark, m).parquet(
+                    *[os.path.join(table_dir, f) for f in new_rel]
+                )
+                parts.append(stamp(df, "insert", v))
+        elif m["op"] == "delete":
+            parent_dvc = parent.get("dv_counts") or {}
+            delta_dv = [
+                f
+                for f in m.get("delete_files") or []
+                if f not in set(parent.get("delete_files") or [])
+            ]
+            if delta_dv:
+                # only files whose deleted count grew can hold retractions
+                grew = [
+                    f
+                    for f, n in (m.get("dv_counts") or {}).items()
+                    if n > parent_dvc.get(f, 0)
+                ]
+                scan = _read_data_files(
+                    spark,
+                    table_dir,
+                    parent,
+                    [f for f in parent["files"] if f in set(grew)],
+                    keep_file_col="__cf_file",
+                    keep_pos_col="__cf_pos",
+                )
+                pos = spark.read.parquet(
+                    *[os.path.join(table_dir, f) for f in delta_dv]
+                ).select(
+                    F.col("file").alias("__cf_file"), F.col("pos").alias("__cf_pos")
+                )
+                parts.append(
+                    stamp(
+                        scan.join(pos, ["__cf_file", "__cf_pos"], "semi").drop(
+                            "__cf_file", "__cf_pos"
+                        ),
+                        "delete",
+                        v,
+                    )
+                )
+            n_parent_eq = len(parent.get("eq_deletes") or [])
+            for entry in (m.get("eq_deletes") or [])[n_parent_eq:]:
+                scan = _read_data_files(
+                    spark,
+                    table_dir,
+                    parent,
+                    [f for f in parent["files"] if f in set(entry["files"])],
+                )
+                keys = (
+                    spark.read.parquet(
+                        *[os.path.join(table_dir, f) for f in entry["delete_files"]]
+                    )
+                    .select(*entry["key_cols"])
+                    .distinct()
+                )
+                parts.append(
+                    stamp(scan.join(keys, entry["key_cols"], "semi"), "delete", v)
+                )
+        else:
+            raise ValueError(
+                f"version {v} is an overwrite — the change feed cannot cross "
+                "a history rewrite; restart from a full read"
+            )
+    if not parts:
+        raise ValueError(f"no changes in {from_version}..{to_version}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def compact_snapshot(
     spark: SparkSession,
     table_dir: str,

@@ -758,3 +758,73 @@ def rel_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter((F.col("c_nationkey") == 3) & (F.col("c_custkey") <= 500)), t
     )
     return read_snapshot(spark, t).select("c_custkey", "c_nationkey", "c_acctbal")
+
+
+@register(
+    "rel_cdf_feed",
+    oracle="""
+    WITH ins AS (
+        SELECT CAST(1000000 + n_nationkey AS BIGINT) AS c_custkey,
+               n_nationkey AS c_nationkey,
+               CAST(n_nationkey AS DOUBLE) AS c_acctbal
+        FROM nation
+    ),
+    live1 AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM ins
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM live1 WHERE c_acctbal < 0.0
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+    FROM live1
+    WHERE NOT (c_acctbal < 0.0) AND c_nationkey IN (3, 7)
+    """,
+    tags=("S5", "J3", "P3"),
+)
+def rel_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED under the value oracle
+    (`operators/snapshots.py:snapshot_change_feed` — the readChangeFeed
+    shape with retractions): build a snapshot table from customer (v0),
+    append 25 nation-derived rows (v1), merge-on-read position-delete
+    negative balances (v2), equality-delete two nation keys (v3), then
+    read the feed over (0, 3]. The oracle states the exact change set:
+    v1's inserts, v2's retractions = rows live at v1 with negative
+    balance, v3's retractions = rows STILL live at v2 matching the keys
+    (a row deleted at v2 must not retract again at v3 — the
+    parent-manifest-aware extraction is what the hash pins). Extraction
+    cost is delta-proportional: appended files for inserts, a semi-join
+    of the delta's target files against the bounded delete set for
+    retractions."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        snapshot_change_feed,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("double").alias("c_acctbal"),
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_cdf_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    snapshot_commit(ins, t)                                                # v1
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                           # v3
+    return snapshot_change_feed(spark, t, from_version=0)

@@ -601,3 +601,57 @@ def test_incremental_compaction_bin_packs_small_files(spark, sf_dir, tmp_path):
     v2 = compact_snapshot(spark, t, target_file_bytes=1 << 40)
     assert not _read_manifest(t, v2).get("delete_files")
     assert read_snapshot(spark, t).count() == n_live
+
+
+def test_change_feed_emits_inserts_and_retractions(spark, sf_dir, tmp_path):
+    """snapshot_change_feed: appends emit inserts, both delete forms emit
+    exactly the rows they retracted (never a row already dead), ranges
+    compose, overwrites refuse, and an empty range refuses."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")                  # v0
+    extra = base.filter("c_custkey <= 20").select(
+        (F.col("c_custkey") + 900000).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    snapshot_commit(extra, t)                                        # v1
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                     # v3
+
+    feed = snapshot_change_feed(spark, t, from_version=0)
+    by = {r: c for r, c in feed.groupBy("_change_type").count().collect()}
+    n_ins = extra.count()
+    live1 = base.unionByName(extra)
+    n_d2 = live1.filter("c_acctbal < 0").count()
+    n_d3 = live1.filter("c_acctbal >= 0 AND c_nationkey IN (3, 7)").count()
+    assert by["insert"] == n_ins
+    assert by["delete"] == n_d2 + n_d3
+    # a row position-deleted at v2 never retracts again at v3
+    v3_deletes = feed.filter("_commit_version = 3")
+    assert v3_deletes.filter("c_acctbal < 0").count() == 0
+    # applying the feed to v0 reproduces the tip
+    tip_rows = read_snapshot(spark, t)
+    replayed = (
+        read_snapshot(spark, t, 0)
+        .unionByName(feed.filter("_change_type = 'insert'").drop("_change_type", "_commit_version"))
+        .exceptAll(feed.filter("_change_type = 'delete'").drop("_change_type", "_commit_version"))
+    )
+    assert replayed.exceptAll(tip_rows).count() == 0
+    assert tip_rows.exceptAll(replayed).count() == 0
+
+    # sub-range: only v3's retractions
+    sub = snapshot_change_feed(spark, t, from_version=2, to_version=3)
+    assert sub.filter("_change_type = 'insert'").count() == 0
+    assert sub.count() == n_d3
+
+    update_where(spark, t, [("c_custkey", "<=", 10)], {"c_acctbal": F.lit(1.0)})  # v4 overwrite
+    with pytest.raises(ValueError, match="overwrite"):
+        snapshot_change_feed(spark, t, from_version=0)
+    with pytest.raises(ValueError, match="no changes"):
+        snapshot_change_feed(spark, t, from_version=4, to_version=4)
