@@ -844,7 +844,15 @@ def snapshot_change_feed(
                     .distinct()
                 )
                 parts.append(
-                    stamp(scan.join(keys, entry["key_cols"], "semi"), "delete", v)
+                    stamp(
+                        # USING-join moves key columns first; restore the
+                        # data order so every part aligns
+                        scan.join(keys, entry["key_cols"], "semi").select(
+                            *scan.columns
+                        ),
+                        "delete",
+                        v,
+                    )
                 )
         else:
             raise ValueError(

@@ -114,8 +114,12 @@ class SnapshotTableDataSource(DataSource):
             raise ValueError("snapshot_table requires .option('path', <table dir>)")
         return path
 
+    def _change_feed(self) -> bool:
+        return str(self.options.get("changeFeed", "")).lower() in ("1", "true")
+
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StringType, StructField
 
         import pyarrow.parquet as pq
 
@@ -128,9 +132,19 @@ class SnapshotTableDataSource(DataSource):
         if manifest.get("schema") is not None:
             # the version's DECLARED schema (add-column evolution): the
             # source of truth over any single file's footer
-            return StructType.fromJson(manifest["schema"])
-        files = _version_files(table_dir, version)
-        return from_arrow_schema(pq.read_schema(files[0]))
+            st = StructType.fromJson(manifest["schema"])
+        else:
+            files = _version_files(table_dir, version)
+            st = from_arrow_schema(pq.read_schema(files[0]))
+        if self._change_feed():
+            st = StructType(
+                list(st.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return st
 
     def reader(self, schema: StructType) -> DataSourceReader:
         table_dir = self._table_dir()
@@ -145,6 +159,7 @@ class SnapshotTableDataSource(DataSource):
             self._table_dir(),
             int(self.options.get("startingVersion", -1)),
             schema,
+            change_feed=self._change_feed(),
         )
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -358,22 +373,51 @@ class _SnapshotBatchReader(DataSourceReader):
                 yield from tbl.to_batches()
 
 
+class _CDFPartition(InputPartition):
+    """One change-feed work unit: (version, file, kind). ``kind`` is
+    ``insert`` (a file appended at ``version``), ``pos_delete`` (emit
+    this file's rows at the version's NEW delete positions) or
+    ``eq_delete`` (emit this file's parent-live rows matching the
+    version's new equality keys). Everything a task needs travels in the
+    partition — absolute paths only, no driver state."""
+
+    def __init__(self, kind, path, rel, version, parent_dv=None,
+                 parent_eq=None, delta_dv=None, delta_keys=None):
+        self.kind = kind
+        self.path = path
+        self.rel = rel
+        self.version = version
+        self.parent_dv = parent_dv      # parent's position files (abs)
+        self.parent_eq = parent_eq      # [{key_cols, paths}] scoped to rel
+        self.delta_dv = delta_dv        # THIS version's new position files
+        self.delta_keys = delta_keys    # (key_cols, paths) for eq deltas
+
+
 class _SnapshotStreamReader(DataSourceStreamReader):
     """Offsets are table versions: ``{"version": N}`` = processed through
     manifest N. Planning a batch (start, end] lists the files in
     manifest[end] that manifest[start] lacks — pure manifest metadata,
     executor reads untouched. Append-only lineage is enforced per
-    planned range."""
+    planned range.
+
+    ``change_feed=True`` streams the CHANGE DATA FEED instead (the
+    streaming twin of ``snapshot_change_feed``): appends plan insert
+    partitions, delete commits plan retraction partitions — each task
+    re-derives its file's retracted rows from the bounded delete files —
+    and every emitted batch carries ``_change_type`` /
+    ``_commit_version``. Overwrites still refuse (history rewrite)."""
 
     def __init__(
         self,
         table_dir: str,
         starting_version: int,
         schema: StructType | None = None,
+        change_feed: bool = False,
     ):
         self._dir = table_dir
         self._start = starting_version
         self._schema = schema
+        self._cdf = change_feed
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -386,6 +430,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         sv, ev = start["version"], end["version"]
         if ev <= sv:
             return []
+        if self._cdf:
+            return self._cdf_partitions(sv, ev)
         for v in range(max(sv + 1, 1), ev + 1):
             if os.path.exists(_manifest_path(self._dir, v)) and (
                 _read_manifest(self._dir, v)["op"] != "append"
@@ -404,13 +450,177 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             if f not in base
         ]
 
-    def read(self, partition: _FilePartition) -> Iterator:
-        arrow_schema = None
-        if self._schema is not None:
-            from pyspark.sql.pandas.types import to_arrow_schema
+    def _cdf_partitions(self, sv: int, ev: int) -> Sequence[InputPartition]:
+        out: list[_CDFPartition] = []
+        for v in range(max(sv + 1, 0), ev + 1):
+            if not os.path.exists(_manifest_path(self._dir, v)):
+                continue  # vacuumed history below the start point
+            m = _read_manifest(self._dir, v)
+            if v == 0 or m["op"] == "append":
+                base: set = set()
+                if v > 0:
+                    base = set(_read_manifest(self._dir, v - 1)["files"])
+                for f in m["files"]:
+                    if f not in base:
+                        out.append(
+                            _CDFPartition(
+                                "insert", os.path.join(self._dir, f), f, v
+                            )
+                        )
+                continue
+            if m["op"] != "delete":
+                raise ValueError(
+                    f"snapshot_table change feed: version {v} is an "
+                    "overwrite — cannot stream across a history rewrite"
+                )
+            parent = _read_manifest(self._dir, v - 1)
+            p_dv = [os.path.join(self._dir, f)
+                    for f in parent.get("delete_files") or []] or None
+            p_eq_all = parent.get("eq_deletes") or []
 
-            arrow_schema = to_arrow_schema(self._schema)
-        yield from _read_parquet_batches(partition.path, arrow_schema)
+            def p_eq_for(rel):
+                scoped = [
+                    {
+                        "key_cols": e["key_cols"],
+                        "paths": [os.path.join(self._dir, x)
+                                  for x in e["delete_files"]],
+                    }
+                    for e in p_eq_all
+                    if rel in set(e["files"])
+                ]
+                return scoped or None
+
+            parent_dvc = parent.get("dv_counts") or {}
+            delta_dv = [
+                f
+                for f in m.get("delete_files") or []
+                if f not in set(parent.get("delete_files") or [])
+            ]
+            if delta_dv:
+                delta_paths = [os.path.join(self._dir, f) for f in delta_dv]
+                grew = [
+                    f
+                    for f, n in (m.get("dv_counts") or {}).items()
+                    if n > parent_dvc.get(f, 0)
+                ]
+                for f in grew:
+                    out.append(
+                        _CDFPartition(
+                            "pos_delete",
+                            os.path.join(self._dir, f),
+                            f,
+                            v,
+                            delta_dv=delta_paths,
+                        )
+                    )
+            for entry in (m.get("eq_deletes") or [])[len(p_eq_all):]:
+                keys = (
+                    entry["key_cols"],
+                    [os.path.join(self._dir, x) for x in entry["delete_files"]],
+                )
+                for f in entry["files"]:
+                    out.append(
+                        _CDFPartition(
+                            "eq_delete",
+                            os.path.join(self._dir, f),
+                            f,
+                            v,
+                            parent_dv=p_dv,
+                            parent_eq=p_eq_for(f),
+                            delta_keys=keys,
+                        )
+                    )
+        return out
+
+    def _data_arrow_schema(self):
+        if self._schema is None:
+            return None
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        if self._cdf:
+            # strip the two feed columns: files hold only data columns
+            return to_arrow_schema(
+                StructType(
+                    [
+                        f
+                        for f in self._schema.fields
+                        if f.name not in ("_change_type", "_commit_version")
+                    ]
+                )
+            )
+        return to_arrow_schema(self._schema)
+
+    def read(self, partition) -> Iterator:
+        arrow_schema = self._data_arrow_schema()
+        if not self._cdf:
+            yield from _read_parquet_batches(partition.path, arrow_schema)
+            return
+        yield from self._read_cdf(partition, arrow_schema)
+
+    def _read_cdf(self, p: _CDFPartition, arrow_schema) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        def stamped(tbl: pa.Table, kind: str):
+            if tbl.num_rows == 0:
+                return
+            tbl = tbl.append_column(
+                "_change_type", pa.array([kind] * tbl.num_rows, pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array([p.version] * tbl.num_rows, pa.int64()),
+            )
+            yield from tbl.to_batches()
+
+        if p.kind == "insert":
+            for batch in _read_parquet_batches(p.path, arrow_schema):
+                yield from stamped(pa.Table.from_batches([batch]), "insert")
+            return
+
+        def positions(paths):
+            t = pads.dataset(paths, format="parquet").to_table(
+                filter=pads.field("file") == p.rel, columns=["pos"]
+            )
+            return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
+
+        if p.kind == "pos_delete":
+            # rows at THIS version's new positions (parent-live by
+            # construction: the delete's own candidate scan was
+            # parent-aware)
+            delta = positions(p.delta_dv)
+            off = 0
+            for batch in _read_parquet_batches(p.path, arrow_schema):
+                n = batch.num_rows
+                take = np.isin(np.arange(off, off + n), delta)
+                off += n
+                if take.any():
+                    tbl = pa.Table.from_batches([batch.filter(pa.array(take))])
+                    yield from stamped(tbl, "delete")
+            return
+
+        # eq_delete: parent-LIVE rows of this file matching the new keys
+        parent_dead = positions(p.parent_dv) if p.parent_dv else np.empty(0, np.int64)
+        kcols, kpaths = p.delta_keys
+        keys_tbl = pads.dataset(kpaths, format="parquet").to_table(columns=kcols)
+        off = 0
+        for batch in _read_parquet_batches(p.path, arrow_schema):
+            n = batch.num_rows
+            if parent_dead.size:
+                keep = ~np.isin(np.arange(off, off + n), parent_dead)
+                off += n
+                batch = batch if keep.all() else batch.filter(pa.array(keep))
+            else:
+                off += n
+            tbl = pa.Table.from_batches([batch])
+            for e in p.parent_eq or []:
+                pk = pads.dataset(e["paths"], format="parquet").to_table(
+                    columns=e["key_cols"]
+                )
+                tbl = tbl.join(pk, keys=e["key_cols"], join_type="left anti")
+            tbl = tbl.join(keys_tbl, keys=kcols, join_type="left semi")
+            yield from stamped(tbl, "delete")
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint; nothing to release

@@ -655,3 +655,68 @@ def test_change_feed_emits_inserts_and_retractions(spark, sf_dir, tmp_path):
         snapshot_change_feed(spark, t, from_version=0)
     with pytest.raises(ValueError, match="no changes"):
         snapshot_change_feed(spark, t, from_version=4, to_version=4)
+
+
+def test_change_feed_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The snapshot_table source with .option("changeFeed", "true")
+    streams the same rows the batch snapshot_change_feed extracts —
+    inserts and both retraction kinds — across an AvailableNow drain,
+    and resumes from the checkpoint for a second increment."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        snapshot_change_feed,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")                  # v0
+    snapshot_commit(base.filter("c_custkey <= 30").select(
+        (F.col("c_custkey") + 800000).alias("c_custkey"),
+        "c_nationkey", "c_acctbal",
+    ), t)                                                            # v1
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
+
+    def drain():
+        stream = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("changeFeed", "true")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    cols = ["c_custkey", "c_nationkey", "c_acctbal", "_change_type", "_commit_version"]
+
+    drain()
+    got = spark.read.parquet(out_dir).select(*cols)
+    # batch twin over the full history: v0's rows are inserts too
+    batch_inserts_v0 = read_snapshot(spark, t, 0).withColumn(
+        "_change_type", F.lit("insert")
+    ).withColumn("_commit_version", F.lit(0).cast("long"))
+    batch_rest = snapshot_change_feed(spark, t, from_version=0)
+    want = batch_inserts_v0.unionByName(batch_rest).select(*cols)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # a second increment: eq delete, resume from checkpoint
+    keys = spark.createDataFrame([(4,), (9,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                     # v3
+    drain()
+    got2 = spark.read.parquet(out_dir).select(*cols)
+    inc = snapshot_change_feed(spark, t, from_version=2, to_version=3).select(*cols)
+    assert got2.count() == want.count() + inc.count()
+    assert got2.filter("_commit_version = 3").exceptAll(inc).count() == 0
+    assert inc.exceptAll(got2.filter("_commit_version = 3")).count() == 0
