@@ -828,3 +828,93 @@ def rel_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
     delete_by_key(spark, t, keys, "c_nationkey")                           # v3
     return snapshot_change_feed(spark, t, from_version=0)
+
+
+@register(
+    "rel_cdf_materialize",
+    oracle="""
+    WITH live AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        UNION ALL
+        SELECT CAST(1000000 + n_nationkey AS BIGINT),
+               n_nationkey,
+               CAST(n_nationkey AS DOUBLE)
+        FROM nation
+    )
+    SELECT c_nationkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+    FROM live
+    WHERE NOT (c_acctbal < 0.0) AND c_nationkey NOT IN (3, 7)
+    GROUP BY c_nationkey
+    """,
+    tags=("S5", "A1", "J3"),
+)
+def rel_cdf_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate MAINTENANCE from the change feed — the
+    reason a feed carries retractions at all: a downstream per-nation
+    (count, sum) materialization updated purely from `rel_cdf_feed`'s
+    history (v0 base aggregates, then +1/−1 per insert/delete change),
+    never re-reading the table. The oracle computes the TIP aggregates
+    directly from the live rows; they match only if the feed is exactly
+    complete — every insert present, every retraction present, nothing
+    retracted twice. Sums fold in exact decimals so the incremental
+    merge is order-independent across both engines.
+
+    At 100 TB this is the standing pattern: the feed is
+    delta-proportional, the materialization update is
+    O(changes · aggregation keys) — the table itself is never
+    re-scanned."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        read_snapshot,
+        snapshot_change_feed,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("double").alias("c_acctbal"),
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_cdfm_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    snapshot_commit(ins, t)                                                # v1
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                           # v3
+
+    dec = F.col("c_acctbal").cast("decimal(12,2)")
+    base_agg = read_snapshot(spark, t, 0).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(dec).alias("sum_bal_dec")
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta_agg = (
+        snapshot_change_feed(spark, t, from_version=0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(sign).alias("n_rows"),
+            F.sum(dec * sign).alias("sum_bal_dec"),
+        )
+    )
+    merged = (
+        base_agg.unionByName(delta_agg)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_bal_dec").alias("sum_bal_dec"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return merged.select(
+        "c_nationkey",
+        "n_rows",
+        F.col("sum_bal_dec").cast("double").alias("sum_bal"),
+    )
