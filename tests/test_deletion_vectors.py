@@ -720,3 +720,38 @@ def test_change_feed_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert got2.count() == want.count() + inc.count()
     assert got2.filter("_commit_version = 3").exceptAll(inc).count() == 0
     assert inc.exceptAll(got2.filter("_commit_version = 3")).count() == 0
+
+
+def test_change_feed_across_schema_evolution(spark, sf_dir, tmp_path):
+    """The batch feed composes with add-column evolution: inserts from a
+    widened append carry the new column, pre-evolution rows surface NULL
+    for it, and retractions of pre-evolution rows read under the widened
+    schema (unionByName alignment)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")                  # v0
+    widened = base.filter("c_custkey <= 15").select(
+        (F.col("c_custkey") + 700000).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("gold").alias("c_tier"),
+    )
+    snapshot_commit(widened, t)                                      # v1 widens
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
+
+    feed = snapshot_change_feed(spark, t, from_version=0)
+    assert "c_tier" in feed.columns
+    ins = feed.filter("_change_type = 'insert'")
+    assert ins.count() == widened.count()
+    assert ins.filter("c_tier = 'gold'").count() == ins.count()
+    dels = feed.filter("_change_type = 'delete'")
+    n_old_neg = base.filter("c_acctbal < 0").count()
+    n_new_neg = widened.filter("c_acctbal < 0").count()
+    assert dels.count() == n_old_neg + n_new_neg
+    # pre-evolution retractions surface NULL for the widened column
+    assert dels.filter(
+        (F.col("c_custkey") < 700000) & F.col("c_tier").isNotNull()
+    ).count() == 0
