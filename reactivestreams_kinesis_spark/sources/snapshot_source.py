@@ -454,7 +454,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         out: list[_CDFPartition] = []
         for v in range(max(sv + 1, 0), ev + 1):
             if not os.path.exists(_manifest_path(self._dir, v)):
-                continue  # vacuumed history below the start point
+                # a vacuumed version's changes are unreconstructable —
+                # silently skipping would emit an incomplete feed
+                raise ValueError(
+                    f"snapshot_table change feed: version {v} was vacuumed; "
+                    "restart the stream from a retained startingVersion"
+                )
             m = _read_manifest(self._dir, v)
             if v == 0 or m["op"] == "append":
                 base: set = set()
