@@ -907,6 +907,15 @@ def compact_snapshot(
     current version number returns)."""
     import math
 
+    if small_file_bytes is not None and (cluster_by or zorder):
+        # incremental bin-packing concatenates the small tail verbatim;
+        # it cannot honor a clustering request (clustering requires the
+        # FULL rewrite so ranges stay globally tight) — silently doing
+        # plain packing would hand back an unclustered table
+        raise ValueError(
+            "small_file_bytes (incremental bin-pack) cannot be combined "
+            "with cluster_by/zorder — clustering needs the full rewrite"
+        )
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -1513,7 +1522,6 @@ def delete_by_key(
         if done is not None:
             return done
     manifest = _read_manifest(table_dir, tip)
-    key_exprs = [F.col(k) for k in kcols]
     if manifest.get("schema") is not None:
         from pyspark.sql.types import StructType
 
@@ -1521,13 +1529,26 @@ def delete_by_key(
             f.name: f.dataType
             for f in StructType.fromJson(manifest["schema"]).fields
         }
-        missing = [k for k in kcols if k not in declared]
-        if missing:
-            raise ValueError(f"key columns not in table schema: {missing}")
-        # align key types to the table's declared types: the DataFrame
-        # anti-join would auto-cast, but the snapshot_table source's
-        # Arrow hash-join kernel requires exact type equality
-        key_exprs = [F.col(k).cast(declared[k]).alias(k) for k in kcols]
+    else:
+        # legacy schema-less manifest: derive the column types from a
+        # data-file FOOTER (metadata-only) — mismatched key types (int32
+        # keys vs an int64 column) must still cast, because the
+        # snapshot_table source's Arrow hash-join kernel requires exact
+        # type equality at read time
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        footer = from_arrow_schema(
+            pq.read_schema(os.path.join(table_dir, manifest["files"][0]))
+        )
+        declared = {f.name: f.dataType for f in footer.fields}
+    missing = [k for k in kcols if k not in declared]
+    if missing:
+        raise ValueError(f"key columns not in table schema: {missing}")
+    # align key types to the table's declared types: the DataFrame
+    # anti-join would auto-cast, but the snapshot_table source's
+    # Arrow hash-join kernel requires exact type equality
+    key_exprs = [F.col(k).cast(declared[k]).alias(k) for k in kcols]
     key_rows = keys.select(*key_exprs).na.drop(how="any").distinct()
     eq_dir = os.path.join(table_dir, f"eqdv-{uuid.uuid4().hex[:12]}")
     key_rows.write.parquet(eq_dir)

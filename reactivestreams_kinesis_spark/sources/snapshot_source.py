@@ -280,6 +280,10 @@ class _SnapshotBatchReader(DataSourceReader):
         files = prune_files(self._manifest, preds) if preds else self._manifest["files"]
         dv_files = self._manifest.get("delete_files") or []
         dv_paths = [os.path.join(self._dir, f) for f in dv_files] or None
+        # only files with recorded deleted positions route through the
+        # delete-aware read; a delete-free file keeps the fast path with
+        # parquet-level predicate pushdown and never opens the DV set
+        dv_counts = self._manifest.get("dv_counts") or {}
         eq_entries = self._manifest.get("eq_deletes") or []
 
         def eq_for(rel):
@@ -295,7 +299,10 @@ class _SnapshotBatchReader(DataSourceReader):
 
         return [
             _FilePartition(
-                os.path.join(self._dir, f), rel=f, dv_paths=dv_paths, eq=eq_for(f)
+                os.path.join(self._dir, f),
+                rel=f,
+                dv_paths=dv_paths if dv_counts.get(f, 0) > 0 else None,
+                eq=eq_for(f),
             )
             for f in files
         ]
