@@ -438,6 +438,7 @@ def snapshot_commit(
     mode: str = "append",
     txn_id: str | None = None,
     require_parent: int | None = None,
+    change: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return it.
 
@@ -503,7 +504,23 @@ def snapshot_commit(
         schema=df.schema.jsonValue(),
         new_stats=_commit_stats(table_dir, new_files),
         require_parent=require_parent,
+        change=change,
     )
+
+
+def _position_delete_targets(table_dir: str, delete_files: list[str]) -> set[str]:
+    """Distinct data files named by a set of position-delete parquet
+    files — one bounded single-column read per delete file."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    targeted: set[str] = set()
+    for f in delete_files:
+        col = pq.read_table(
+            os.path.join(table_dir, f), columns=["file"]
+        ).column("file")
+        targeted.update(pc.unique(col).to_pylist())
+    return targeted
 
 
 def publish_manifest(
@@ -521,6 +538,7 @@ def publish_manifest(
     delete_files: list[str] | None = None,
     dv_counts: dict | None = None,
     eq_deletes: list | None = None,
+    change: dict | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -584,6 +602,26 @@ def publish_manifest(
         raise ValueError("a delete commit adds no data files")
     if mode == "delete" and not (delete_files or eq_deletes):
         raise ValueError("a delete commit needs position or equality deletes")
+    if mode == "delete" and delete_files:
+        # the reader's delete-free fast path (snapshot_source routes a
+        # file through the DV anti-join ONLY when dv_counts says it has
+        # deleted rows) depends on this invariant: a position-delete
+        # commit whose counts don't cover its targeted files would make
+        # readers silently skip those deletes. Enforce at the protocol
+        # boundary — one bounded column read of the new position files
+        # (the `file` column only), the same order of work the commit's
+        # own stats pass already did.
+        targeted = _position_delete_targets(table_dir, delete_files)
+        uncovered = sorted(
+            f for f in targeted if not (dv_counts or {}).get(f)
+        )
+        if uncovered:
+            raise ValueError(
+                "position-delete commit lacks dv_counts entries for the "
+                f"files its delete set targets: {uncovered} — readers key "
+                "the merge-on-read path off dv_counts, so an uncovered "
+                "file would silently keep its deleted rows"
+            )
     os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
     while True:
         tip = latest_version(table_dir)
@@ -660,6 +698,8 @@ def publish_manifest(
             manifest["constraints"] = out_constraints
         if out_bloom_cols:
             manifest["bloom_cols"] = out_bloom_cols
+        if change is not None:
+            manifest["change"] = change
         if txn_id is not None:
             manifest["txn"] = txn_id
         try:
@@ -745,24 +785,35 @@ def snapshot_change_feed(
 ) -> DataFrame:
     """The CHANGE DATA FEED (Delta's ``readChangeFeed`` shape):
     every row-level change between two versions, stamped with
-    ``_change_type`` (``insert`` | ``delete``) and ``_commit_version`` —
-    the feed a downstream incremental materialization consumes when it
-    must react to RETRACTIONS, not just additions (``snapshot_changes``
-    stays the cheaper inserts-only form).
+    ``_change_type`` (``insert`` | ``delete`` | ``update_preimage`` |
+    ``update_postimage``) and ``_commit_version`` — the feed a
+    downstream incremental materialization consumes when it must react
+    to RETRACTIONS, not just additions (``snapshot_changes`` stays the
+    cheaper inserts-only form).
 
-    Supported lineage: ``append`` commits emit their new files' rows as
-    inserts; ``delete`` commits (both merge-on-read forms) emit exactly
-    the rows they retract — for position deletes, the parent version's
-    rows at the NEW (file, pos) pairs (the scan is restricted to the
-    files the delta names); for equality deletes, the parent-LIVE rows
-    matching the new entries' keys within their scope (reading through
-    the parent manifest applies all prior deletes, so a row never
-    retracts twice). ``overwrite``/compaction rewrites history rather
-    than extending it and raises, same contract as ``snapshot_changes``.
+    Supported lineage — the FULL commit vocabulary: ``append`` commits
+    emit their new files' rows as inserts; ``delete`` commits (both
+    merge-on-read forms) emit exactly the rows they retract — for
+    position deletes, the parent version's rows at the NEW (file, pos)
+    pairs (the scan is restricted to the files the delta names); for
+    equality deletes, the parent-LIVE rows matching the new entries'
+    keys within their scope (reading through the parent manifest
+    applies all prior deletes, so a row never retracts twice).
+    ``overwrite`` commits split by their recorded change kind
+    (``_rewrite_change_rows``): a ``reorg`` (compaction/clustering)
+    preserves the live row set and emits nothing, and copy-on-write DML
+    rewrites (``merge_upsert`` / ``update_where`` / ``delete_where``)
+    emit their row-level diff with update pre/postimages where the
+    commit recorded a pairing — Delta's readChangeFeed vocabulary.
 
     Change extraction is delta-proportional at any table size: insert
     cost is the appended files, delete cost is a semi-join of the
-    delta's target files against the bounded delete set."""
+    delta's target files against the bounded delete set, rewrite cost
+    is a multiset diff of exactly the rewritten files.
+
+    Replay invariant (pinned by tests): applying the feed to the
+    starting version — insert/update_postimage added,
+    delete/update_preimage removed — reproduces the ending version."""
     from pyspark.sql import functions as F
 
     tip = latest_version(table_dir)
@@ -855,16 +906,109 @@ def snapshot_change_feed(
                     )
                 )
         else:
-            raise ValueError(
-                f"version {v} is an overwrite — the change feed cannot cross "
-                "a history rewrite; restart from a full read"
-            )
+            parts.extend(_rewrite_change_rows(spark, table_dir, m, parent, v))
     if not parts:
         raise ValueError(f"no changes in {from_version}..{to_version}")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _rewrite_change_rows(
+    spark: SparkSession, table_dir: str, m: dict, parent: dict, v: int
+) -> list[DataFrame]:
+    """Change rows of ONE copy-on-write rewrite commit (op=overwrite)
+    for the change feed, derived by a distributed multiset diff: the
+    dropped files' parent-LIVE rows (one side) against the replacement
+    files' rows (the other), group-by-all-columns with a signed count —
+    verbatim-rewritten survivors cancel exactly, residue with negative
+    delta retracts, positive delta inserts, each expanded back to its
+    multiplicity.
+
+    The manifest's recorded change kind refines the labels:
+    ``reorg`` (compaction/clustering) provably preserves the live row
+    set and emits nothing — the feed crosses it silently (Delta's
+    dataChange=false contract); ``update`` (update_where: every
+    differing row IS a modified row) labels the old side
+    ``update_preimage`` and the new side ``update_postimage``;
+    a recorded ``key`` (merge_upsert) pairs by key membership — keys on
+    both sides are updates, old-only deletes, new-only inserts. An
+    untagged overwrite (a user's full ``mode("overwrite")`` write)
+    falls back to plain delete/insert — still replay-exact.
+
+    Cost is bounded by the REWRITTEN data (for targeted DML, the
+    touched-file set): one shuffle to group the diff, plus — only in
+    the keyed case — one key-level aggregation joined back. At 100 TB
+    a full-table overwrite through the feed is a full diff, which is
+    what it semantically is."""
+    from pyspark.sql import functions as F
+
+    change = m.get("change") or {}
+    if change.get("kind") == "reorg":
+        return []
+    old_rel = [f for f in parent["files"] if f not in set(m["files"])]
+    new_rel = [f for f in m["files"] if f not in set(parent["files"])]
+    old_df = (
+        _read_data_files(spark, table_dir, parent, old_rel) if old_rel else None
+    )
+    new_df = (
+        _declared_reader(spark, m).parquet(
+            *[os.path.join(table_dir, f) for f in new_rel]
+        )
+        if new_rel
+        else None
+    )
+    if old_df is None and new_df is None:
+        return []
+    if old_df is not None and new_df is not None:
+        cols = list(new_df.columns) + [
+            c for c in old_df.columns if c not in set(new_df.columns)
+        ]
+        sided = old_df.withColumn("__side", F.lit(-1)).unionByName(
+            new_df.withColumn("__side", F.lit(1)), allowMissingColumns=True
+        )
+    elif old_df is not None:
+        cols, sided = list(old_df.columns), old_df.withColumn("__side", F.lit(-1))
+    else:
+        cols, sided = list(new_df.columns), new_df.withColumn("__side", F.lit(1))
+    delta = (
+        sided.groupBy(*cols)
+        .agg(F.sum("__side").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    kind, key = change.get("kind"), change.get("key")
+    if kind == "update":
+        ctype = F.when(
+            F.col("__d") < 0, F.lit("update_preimage")
+        ).otherwise(F.lit("update_postimage"))
+    elif key and key in cols:
+        flags = delta.groupBy(key).agg(
+            F.max((F.col("__d") < 0).cast("int")).alias("__has_old"),
+            F.max((F.col("__d") > 0).cast("int")).alias("__has_new"),
+        )
+        delta = delta.join(flags, key)
+        ctype = F.when(
+            F.col("__d") < 0,
+            F.when(
+                F.col("__has_new") == 1, F.lit("update_preimage")
+            ).otherwise(F.lit("delete")),
+        ).otherwise(
+            F.when(
+                F.col("__has_old") == 1, F.lit("update_postimage")
+            ).otherwise(F.lit("insert"))
+        )
+    else:
+        ctype = F.when(F.col("__d") < 0, F.lit("delete")).otherwise(
+            F.lit("insert")
+        )
+    out = (
+        delta.withColumn("_change_type", ctype)
+        .withColumn("__i", F.explode(F.expr("sequence(1, abs(__d))")))
+        .select(*cols, "_change_type")
+        .withColumn("_commit_version", F.lit(v).cast("long"))
+    )
+    return [out]
 
 
 def compact_snapshot(
@@ -944,6 +1088,7 @@ def compact_snapshot(
             txn_id=None,
             require_parent=tip,
             parent_manifest=manifest,
+            change={"kind": "reorg"},
         )
 
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
@@ -976,7 +1121,11 @@ def compact_snapshot(
     # conflict-guarded: a concurrent append between the compaction's read
     # and its publish would otherwise be silently dropped
     return snapshot_commit(
-        compacted, table_dir, mode="overwrite", require_parent=tip
+        compacted,
+        table_dir,
+        mode="overwrite",
+        require_parent=tip,
+        change={"kind": "reorg"},
     )
 
 
@@ -1143,6 +1292,7 @@ def merge_upsert(
         txn_id=txn_id,
         require_parent=tip,
         parent_manifest=manifest,
+        change={"kind": "rewrite", "key": key},
     )
 
 
@@ -1309,6 +1459,7 @@ def _commit_rewrite(
     txn_id: str | None,
     require_parent: int | None = None,
     parent_manifest: dict | None = None,
+    change: dict | None = None,
 ) -> int:
     """Write ``df`` as the rewrite files of a copy-on-write commit and
     publish (overwrite op) with the untouched files retained and footer
@@ -1361,6 +1512,7 @@ def _commit_rewrite(
         delete_files=carried_dv_files,
         dv_counts=carried_dvc or None,
         eq_deletes=carried_eq or None,
+        change=change,
     )
 
 
@@ -1477,6 +1629,7 @@ def delete_where(
         txn_id=txn_id,
         require_parent=tip,
         parent_manifest=manifest,
+        change={"kind": "rewrite"},
     )
 
 
@@ -1522,6 +1675,12 @@ def delete_by_key(
         if done is not None:
             return done
     manifest = _read_manifest(table_dir, tip)
+    if not manifest["files"]:
+        # an equality entry is scoped to the data files present at commit
+        # time; with zero files the delete can never match anything, and
+        # the legacy footer-derived schema below would have no footer to
+        # read — publish nothing, return the tip unchanged
+        return tip
     if manifest.get("schema") is not None:
         from pyspark.sql.types import StructType
 
@@ -1649,6 +1808,7 @@ def update_where(
         txn_id=txn_id,
         require_parent=tip,
         parent_manifest=manifest,
+        change={"kind": "update"},
     )
 
 

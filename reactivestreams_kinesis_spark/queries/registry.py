@@ -130,11 +130,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",            # T5
     "stream_dedup_keys",            # T6
     "stream_stateful_user_stats",   # T7
-    # round-5 reallocation: J8/T2 had no driver row while two rows carried
-    # the same X3 clustering family; the redundant variants
-    # (dedup_components, text_simhash) moved past the cutoff — still
-    # bit-exact-checked by the local oracle mirror.
-    "stream_static_enrich",         # J8 stream-static broadcast join
+    # round-9 rotation: the CDF family gets its first driver row —
+    # rel_cdf_cow (change feed across copy-on-write rewrites with
+    # update pre/postimages, reorg silence, MoR retractions) replaces
+    # stream_static_enrich, whose J8 stays driver-covered by
+    # stream_temporal_enrich; the bare stream-static join remains
+    # bit-exact in the local mirror.
+    "rel_cdf_cow",                  # S5 J3 A1 — CoW/MoR change data feed
     "stream_watermark_late",        # T2 late-drop + append finalization
     # round 6: J9 gets its first driver row (the last join id without
     # one), plus the two streaming flagships that had only mirror checks

@@ -918,3 +918,104 @@ def rel_cdf_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("sum_bal_dec").cast("double").alias("sum_bal"),
     )
+
+
+@register(
+    "rel_cdf_cow",
+    oracle="""
+    WITH ins AS (
+        SELECT CAST(1000000 + n_nationkey AS BIGINT) AS c_custkey,
+               n_nationkey AS c_nationkey,
+               CAST(n_nationkey AS DOUBLE) AS c_acctbal
+        FROM nation
+    )
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal + 100.0,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal, 'insert', CAST(1 AS BIGINT)
+    FROM ins
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal, 'delete', CAST(1 AS BIGINT)
+    FROM customer WHERE c_custkey > 120 AND c_custkey <= 130
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal + 100.0, 'delete', CAST(3 AS BIGINT)
+    FROM customer WHERE c_custkey <= 100 AND c_acctbal + 100.0 < 0.0
+    UNION ALL
+    SELECT c_custkey, c_nationkey, c_acctbal, 'delete', CAST(3 AS BIGINT)
+    FROM customer
+    WHERE c_custkey > 100 AND NOT (c_custkey > 120 AND c_custkey <= 130)
+      AND c_acctbal < 0.0
+    """,
+    tags=("S5", "J3", "A1"),
+)
+def rel_cdf_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over COPY-ON-WRITE rewrite commits under the
+    value oracle (`operators/snapshots.py:snapshot_change_feed` +
+    `_rewrite_change_rows` — Delta's readChangeFeed vocabulary incl.
+    update_preimage/update_postimage): build a snapshot table from
+    customer (v0), apply ONE CoW `merge_upsert` that simultaneously
+    updates keys ≤100 (+100.0 balance), inserts 25 nation-derived rows
+    and deletes keys (120, 130] (v1), compact the table (v2 — a reorg:
+    provably row-preserving, must emit NOTHING), then merge-on-read
+    position-delete negative balances (v3), and read the feed over
+    (0, 3].
+
+    The oracle states the exact change set per commit: v1's pre/post
+    image pairs (the multiset diff of rewritten files, paired by the
+    recorded merge key), its inserts and deletes; nothing for v2; v3's
+    retractions computed against the POST-merge live rows (an updated
+    balance that went ≥0 must not retract; one that stayed <0 retracts
+    with its UPDATED value). A diff bug in either direction — survivor
+    rows leaking as changes, pre/post pairing inverted, reorg emitting
+    phantom rows, retraction against the wrong version — breaks the
+    hash.
+
+    At 100 TB: rewrite-diff cost is bounded by the TOUCHED file set
+    (one shuffle grouping the diff), reorgs are free by construction,
+    and MoR retraction cost stays delta-proportional — the feed is the
+    standing CDC surface for a lakehouse table under routine DML plus
+    maintenance compaction."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_where,
+        merge_upsert,
+        snapshot_change_feed,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_cdfcow_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    upd = base.filter("c_custkey <= 100").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit(False).alias("_d"),
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("double").alias("c_acctbal"),
+        F.lit(False).alias("_d"),
+    )
+    dels = base.filter("c_custkey > 120 AND c_custkey <= 130").select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.lit(True).alias("_d")
+    )
+    merge_upsert(
+        spark, t, upd.unionByName(ins).unionByName(dels), "c_custkey",
+        delete_col="_d",
+    )                                                                      # v1
+    compact_snapshot(spark, t)                                             # v2
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v3
+    return snapshot_change_feed(spark, t, from_version=0)

@@ -881,3 +881,91 @@ def stream_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CoW/MoR trade; `compact_snapshot` folds the entries back when
     read amplification matters."""
     return _run_cdc_apply(spark, sf_dir, "merge_on_read")
+
+
+# the SAME oracle SQL as the batch twin (ts_gapfill_locf) — which is the
+# whole claim: stream ≡ batch, bit-exact (no import cycle: timeseries
+# imports only the registry)
+from reactivestreams_kinesis_spark.queries.timeseries import _SPINE_CTES  # noqa: E402
+
+_GAPFILL_ORACLE = f"""
+    WITH {_SPINE_CTES}
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           day_value IS NOT NULL AS observed,
+           LAST_VALUE(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid
+    """
+
+
+@register(
+    "stream_gapfill_locf",
+    oracle=_GAPFILL_ORACLE,
+    tags=("T7", "W2", "P4"),
+)
+def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap fill + LOCF (the stateful twin of the batch
+    ``ts_gapfill_locf``, `streaming/state.py:streaming_gapfill_locf`):
+    per-user purchase totals arrive OUT OF ORDER across three
+    micro-batches (the fixture's purchase rows hash-split into three
+    files, one file per trigger — so a user's later days routinely land
+    before earlier ones), and a per-key stateful ledger
+    (applyInPandasWithState) re-emits the user's dense LOCF grid each
+    time new days arrive. The NEWEST emission per key is the converged
+    answer; the oracle is the SAME SQL as the batch twin, so the stream
+    must land bit-exactly on the batch result regardless of arrival
+    order — exact integer-cent accumulation is what makes that
+    possible.
+
+    At 100 TB this is the standing shape for late-data regularization:
+    state is per-key observed days (not the dense span), emissions are
+    span-proportional and touched-keys-only, and the same fold runs
+    unchanged under checkpointed fault tolerance (T9)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from reactivestreams_kinesis_spark.streaming.state import (
+        streaming_gapfill_locf,
+    )
+
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+            # exact integer cents: DECIMAL(12,2)·100 has a zero fraction,
+            # so the cast is exact — the int dual of the batch decimal sum
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    src = os.path.join(tempfile.gettempdir(), f"rsk_gf_{_uuid.uuid4().hex[:8]}")
+    purchases.repartition(3, "event_id").drop("event_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, day int, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    captured = _run_to_memory(streaming_gapfill_locf(stream), "update")
+    w = Window.partitionBy("user_id")
+    return (
+        captured.withColumn("__mx", F.max("batch_seq").over(w))
+        .filter(F.col("batch_seq") == F.col("__mx"))
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            "observed",
+            "filled_value",
+        )
+    )
+

@@ -149,10 +149,24 @@ class SnapshotTableDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         table_dir = self._table_dir()
         tip = latest_version(table_dir)
+        if self._change_feed():
+            # batch CHANGE DATA FEED: the same per-version planning the
+            # streaming form uses, over an explicit (startingVersion,
+            # endingVersion] range — startingVersion is EXCLUSIVE (the
+            # stream-offset convention this source already documents),
+            # default -1 = the full history including v0's inserts
+            sv = int(self.options.get("startingVersion", -1))
+            ev = int(self.options.get("endingVersion", tip))
+            if not -1 <= sv <= ev <= tip:
+                raise ValueError(
+                    f"bad changeFeed range {sv}..{ev} (tip {tip})"
+                )
+            return _SnapshotCDFBatchReader(table_dir, sv, ev, schema)
         version = int(self.options.get("version", tip))
-        return _SnapshotBatchReader(
-            table_dir, _read_manifest(table_dir, version), schema
-        )
+        cls = _SnapshotBatchReader
+        if str(self.options.get("filterPushdown", "")).lower() in ("1", "true"):
+            cls = _PushdownSnapshotBatchReader
+        return cls(table_dir, _read_manifest(table_dir, version), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(
@@ -249,21 +263,6 @@ class _SnapshotBatchReader(DataSourceReader):
 
         return to_arrow_schema(self._schema)
 
-    def pushFilters(self, filters):
-        """Real pushdown (Spark 4.1 Python DS API): supported predicates
-        become a pyarrow dataset filter evaluated executor-side —
-        parquet row-group statistics prune before decode, exactly like
-        the native scan's PushedFilters. Handled filters are consumed
-        (not returned), unhandled ones stay with Spark."""
-        unhandled = []
-        for f in filters:
-            triple = _convert_filter(f)
-            if triple is None:
-                unhandled.append(f)
-            else:
-                self._pushed.append(triple)
-        return unhandled
-
     def partitions(self) -> Sequence[InputPartition]:
         """One InputPartition per data file — after MANIFEST-STATS
         pruning: pushed predicates that the per-file min/max provably
@@ -282,8 +281,15 @@ class _SnapshotBatchReader(DataSourceReader):
         dv_paths = [os.path.join(self._dir, f) for f in dv_files] or None
         # only files with recorded deleted positions route through the
         # delete-aware read; a delete-free file keeps the fast path with
-        # parquet-level predicate pushdown and never opens the DV set
+        # parquet-level predicate pushdown and never opens the DV set.
+        # publish_manifest enforces that every position-delete commit
+        # carries covering dv_counts; a manifest written before that
+        # invariant existed fails SAFE — empty counts with a non-empty
+        # delete set route EVERY file through the DV path (slow but
+        # correct) instead of silently resurrecting deleted rows
         dv_counts = self._manifest.get("dv_counts") or {}
+        if dv_paths and not dv_counts:
+            dv_counts = {f: 1 for f in files}
         eq_entries = self._manifest.get("eq_deletes") or []
 
         def eq_for(rel):
@@ -380,16 +386,56 @@ class _SnapshotBatchReader(DataSourceReader):
                 yield from tbl.to_batches()
 
 
+class _PushdownSnapshotBatchReader(_SnapshotBatchReader):
+    """The batch reader WITH ``pushFilters`` — selected only by
+    ``.option("filterPushdown", "true")``, deliberately opt-in.
+
+    Why opt-in: Spark 4.1.2's JVM side keeps ONE mutable
+    ``PythonDataSourceReadInfo`` per relation
+    (``PythonDataSourceV2.readInfo`` — ``PythonScanBuilder``'s pushdown
+    planning overwrites it, ``PythonBatch.planInputPartitions`` reuses
+    it via ``getOrCreateReadInfo``). Re-using one loaded DataFrame first
+    under a pushable filter and then without one replays the FILTERED
+    scan for the unfiltered query — a silent wrong answer upstream of
+    any source code. Repro: ``df = load(); df.filter(c < 0).count();
+    df.count()`` → the second count returns the filtered count. A
+    reader that never consumes filters always plans the full file set,
+    so the cache reuse is harmless — that is the default class. Opt in
+    only where each loaded DataFrame lives under a single filter
+    context (or on a Spark build whose scan owns its read info); the
+    native-parquet batch surface (``read_snapshot``/``scan_snapshot``)
+    keeps full Catalyst pushdown either way."""
+
+    def pushFilters(self, filters):
+        """Real pushdown (Spark 4.1 Python DS API): supported predicates
+        become a pyarrow dataset filter evaluated executor-side —
+        parquet row-group statistics prune before decode, exactly like
+        the native scan's PushedFilters. Handled filters are consumed
+        (not returned), unhandled ones stay with Spark."""
+        unhandled = []
+        for f in filters:
+            triple = _convert_filter(f)
+            if triple is None:
+                unhandled.append(f)
+            else:
+                self._pushed.append(triple)
+        return unhandled
+
+
 class _CDFPartition(InputPartition):
     """One change-feed work unit: (version, file, kind). ``kind`` is
     ``insert`` (a file appended at ``version``), ``pos_delete`` (emit
-    this file's rows at the version's NEW delete positions) or
+    this file's rows at the version's NEW delete positions),
     ``eq_delete`` (emit this file's parent-live rows matching the
-    version's new equality keys). Everything a task needs travels in the
-    partition — absolute paths only, no driver state."""
+    version's new equality keys) or ``rewrite_diff`` (a copy-on-write
+    rewrite commit: multiset-diff the dropped files' parent-live rows
+    against the replacement files). Everything a task needs travels in
+    the partition — absolute paths only, no driver state."""
 
     def __init__(self, kind, path, rel, version, parent_dv=None,
-                 parent_eq=None, delta_dv=None, delta_keys=None):
+                 parent_eq=None, delta_dv=None, delta_keys=None,
+                 old_files=None, new_files=None, change_key=None,
+                 change_kind=None):
         self.kind = kind
         self.path = path
         self.rel = rel
@@ -398,6 +444,151 @@ class _CDFPartition(InputPartition):
         self.parent_eq = parent_eq      # [{key_cols, paths}] scoped to rel
         self.delta_dv = delta_dv        # THIS version's new position files
         self.delta_keys = delta_keys    # (key_cols, paths) for eq deltas
+        # rewrite_diff fields: dropped files as (rel, abs) so parent DVs
+        # and eq scopes can apply per file; replacements as abs paths
+        self.old_files = old_files
+        self.new_files = new_files
+        self.change_key = change_key    # pairing key ("rewrite" w/ key)
+        self.change_kind = change_kind  # "update" | "rewrite" | None
+
+
+def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition]:
+    """CHANGE DATA FEED planning shared by the streaming and batch
+    readers: one pass over the manifests of versions (sv, ev], emitting
+    per-file work units (pure metadata — no data file is opened).
+
+    ``append`` → one ``insert`` partition per new file. ``delete`` (both
+    merge-on-read forms) → retraction partitions bounded by the delta's
+    delete files. ``overwrite`` is split by the manifest's recorded
+    change kind (``publish_manifest(change=...)``): a ``reorg``
+    (compaction/clustering) provably preserves the live row set and
+    emits NOTHING — the feed crosses it silently, Delta's
+    dataChange=false contract; any other rewrite plans ONE
+    ``rewrite_diff`` partition that multiset-diffs the dropped files'
+    parent-live rows against the replacement files (cost bounded by the
+    rewritten data, which for targeted DML is the touched-file set, not
+    the table). A vacuumed version in range raises — its changes are
+    unreconstructable, and silently skipping would emit an incomplete
+    feed."""
+    out: list[_CDFPartition] = []
+    for v in range(max(sv + 1, 0), ev + 1):
+        if not os.path.exists(_manifest_path(table_dir, v)):
+            raise ValueError(
+                f"snapshot_table change feed: version {v} was vacuumed; "
+                "restart the stream from a retained startingVersion"
+            )
+        m = _read_manifest(table_dir, v)
+        if v == 0 or m["op"] == "append":
+            base: set = set()
+            if v > 0:
+                base = set(_read_manifest(table_dir, v - 1)["files"])
+            for f in m["files"]:
+                if f not in base:
+                    out.append(
+                        _CDFPartition(
+                            "insert", os.path.join(table_dir, f), f, v
+                        )
+                    )
+            continue
+        if m["op"] != "delete":
+            change = m.get("change") or {}
+            if change.get("kind") == "reorg":
+                continue  # row set unchanged: nothing to emit
+            parent = _read_manifest(table_dir, v - 1)
+            old_rel = [
+                f for f in parent["files"] if f not in set(m["files"])
+            ]
+            new_rel = [
+                f for f in m["files"] if f not in set(parent["files"])
+            ]
+            out.append(
+                _CDFPartition(
+                    "rewrite_diff",
+                    None,
+                    None,
+                    v,
+                    parent_dv=[
+                        os.path.join(table_dir, f)
+                        for f in parent.get("delete_files") or []
+                    ]
+                    or None,
+                    parent_eq=[
+                        {
+                            "key_cols": e["key_cols"],
+                            "paths": [
+                                os.path.join(table_dir, x)
+                                for x in e["delete_files"]
+                            ],
+                            "files": list(e["files"]),
+                        }
+                        for e in parent.get("eq_deletes") or []
+                    ]
+                    or None,
+                    old_files=[(f, os.path.join(table_dir, f)) for f in old_rel],
+                    new_files=[os.path.join(table_dir, f) for f in new_rel],
+                    change_key=change.get("key"),
+                    change_kind=change.get("kind"),
+                )
+            )
+            continue
+        parent = _read_manifest(table_dir, v - 1)
+        p_dv = [os.path.join(table_dir, f)
+                for f in parent.get("delete_files") or []] or None
+        p_eq_all = parent.get("eq_deletes") or []
+
+        def p_eq_for(rel):
+            scoped = [
+                {
+                    "key_cols": e["key_cols"],
+                    "paths": [os.path.join(table_dir, x)
+                              for x in e["delete_files"]],
+                }
+                for e in p_eq_all
+                if rel in set(e["files"])
+            ]
+            return scoped or None
+
+        parent_dvc = parent.get("dv_counts") or {}
+        delta_dv = [
+            f
+            for f in m.get("delete_files") or []
+            if f not in set(parent.get("delete_files") or [])
+        ]
+        if delta_dv:
+            delta_paths = [os.path.join(table_dir, f) for f in delta_dv]
+            grew = [
+                f
+                for f, n in (m.get("dv_counts") or {}).items()
+                if n > parent_dvc.get(f, 0)
+            ]
+            for f in grew:
+                out.append(
+                    _CDFPartition(
+                        "pos_delete",
+                        os.path.join(table_dir, f),
+                        f,
+                        v,
+                        delta_dv=delta_paths,
+                    )
+                )
+        for entry in (m.get("eq_deletes") or [])[len(p_eq_all):]:
+            keys = (
+                entry["key_cols"],
+                [os.path.join(table_dir, x) for x in entry["delete_files"]],
+            )
+            for f in entry["files"]:
+                out.append(
+                    _CDFPartition(
+                        "eq_delete",
+                        os.path.join(table_dir, f),
+                        f,
+                        v,
+                        parent_dv=p_dv,
+                        parent_eq=p_eq_for(f),
+                        delta_keys=keys,
+                    )
+                )
+    return out
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -412,7 +603,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     partitions, delete commits plan retraction partitions — each task
     re-derives its file's retracted rows from the bounded delete files —
     and every emitted batch carries ``_change_type`` /
-    ``_commit_version``. Overwrites still refuse (history rewrite)."""
+    ``_commit_version``. The feed crosses rewrite commits too: reorgs
+    (compaction) emit nothing, copy-on-write DML rewrites plan a
+    ``rewrite_diff`` partition (see ``_read_rewrite_diff``)."""
 
     def __init__(
         self,
@@ -439,110 +632,37 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             return []
         if self._cdf:
             return self._cdf_partitions(sv, ev)
-        for v in range(max(sv + 1, 1), ev + 1):
-            if os.path.exists(_manifest_path(self._dir, v)) and (
-                _read_manifest(self._dir, v)["op"] != "append"
-            ):
+        # per-version walk: appends contribute their new files; a reorg
+        # commit (compaction/clustering, recorded change kind) adds no
+        # rows and is SKIPPED — Delta's dataChange=false contract, so a
+        # maintenance compaction never kills the stream; its rewritten
+        # files are never emitted (their rows already streamed from the
+        # original appends). Any other non-append still fails loudly
+        # (history rewrite).
+        out: list[_FilePartition] = []
+        seen: set = set()
+        if sv >= 0 and os.path.exists(_manifest_path(self._dir, sv)):
+            seen = set(_read_manifest(self._dir, sv)["files"])
+        for v in range(max(sv + 1, 0), ev + 1):
+            if not os.path.exists(_manifest_path(self._dir, v)):
+                continue  # vacuumed history below the resume point
+            m = _read_manifest(self._dir, v)
+            if v > 0 and m["op"] != "append":
+                if (m.get("change") or {}).get("kind") == "reorg":
+                    seen.update(m["files"])
+                    continue
                 raise ValueError(
                     f"snapshot_table stream: version {v} is not an append — "
                     "streaming cannot cross an overwrite/compaction"
                 )
-        base: set[str] = set()
-        if sv >= 0:
-            base = set(_read_manifest(self._dir, sv)["files"])
-        target = _read_manifest(self._dir, ev)["files"]
-        return [
-            _FilePartition(os.path.join(self._dir, f))
-            for f in target
-            if f not in base
-        ]
+            for f in m["files"]:
+                if f not in seen:
+                    seen.add(f)
+                    out.append(_FilePartition(os.path.join(self._dir, f)))
+        return out
 
     def _cdf_partitions(self, sv: int, ev: int) -> Sequence[InputPartition]:
-        out: list[_CDFPartition] = []
-        for v in range(max(sv + 1, 0), ev + 1):
-            if not os.path.exists(_manifest_path(self._dir, v)):
-                # a vacuumed version's changes are unreconstructable —
-                # silently skipping would emit an incomplete feed
-                raise ValueError(
-                    f"snapshot_table change feed: version {v} was vacuumed; "
-                    "restart the stream from a retained startingVersion"
-                )
-            m = _read_manifest(self._dir, v)
-            if v == 0 or m["op"] == "append":
-                base: set = set()
-                if v > 0:
-                    base = set(_read_manifest(self._dir, v - 1)["files"])
-                for f in m["files"]:
-                    if f not in base:
-                        out.append(
-                            _CDFPartition(
-                                "insert", os.path.join(self._dir, f), f, v
-                            )
-                        )
-                continue
-            if m["op"] != "delete":
-                raise ValueError(
-                    f"snapshot_table change feed: version {v} is an "
-                    "overwrite — cannot stream across a history rewrite"
-                )
-            parent = _read_manifest(self._dir, v - 1)
-            p_dv = [os.path.join(self._dir, f)
-                    for f in parent.get("delete_files") or []] or None
-            p_eq_all = parent.get("eq_deletes") or []
-
-            def p_eq_for(rel):
-                scoped = [
-                    {
-                        "key_cols": e["key_cols"],
-                        "paths": [os.path.join(self._dir, x)
-                                  for x in e["delete_files"]],
-                    }
-                    for e in p_eq_all
-                    if rel in set(e["files"])
-                ]
-                return scoped or None
-
-            parent_dvc = parent.get("dv_counts") or {}
-            delta_dv = [
-                f
-                for f in m.get("delete_files") or []
-                if f not in set(parent.get("delete_files") or [])
-            ]
-            if delta_dv:
-                delta_paths = [os.path.join(self._dir, f) for f in delta_dv]
-                grew = [
-                    f
-                    for f, n in (m.get("dv_counts") or {}).items()
-                    if n > parent_dvc.get(f, 0)
-                ]
-                for f in grew:
-                    out.append(
-                        _CDFPartition(
-                            "pos_delete",
-                            os.path.join(self._dir, f),
-                            f,
-                            v,
-                            delta_dv=delta_paths,
-                        )
-                    )
-            for entry in (m.get("eq_deletes") or [])[len(p_eq_all):]:
-                keys = (
-                    entry["key_cols"],
-                    [os.path.join(self._dir, x) for x in entry["delete_files"]],
-                )
-                for f in entry["files"]:
-                    out.append(
-                        _CDFPartition(
-                            "eq_delete",
-                            os.path.join(self._dir, f),
-                            f,
-                            v,
-                            parent_dv=p_dv,
-                            parent_eq=p_eq_for(f),
-                            delta_keys=keys,
-                        )
-                    )
-        return out
+        return _plan_cdf_partitions(self._dir, sv, ev)
 
     def _data_arrow_schema(self):
         if self._schema is None:
@@ -568,74 +688,250 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if not self._cdf:
             yield from _read_parquet_batches(partition.path, arrow_schema)
             return
-        yield from self._read_cdf(partition, arrow_schema)
-
-    def _read_cdf(self, p: _CDFPartition, arrow_schema) -> Iterator:
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.dataset as pads
-
-        def stamped(tbl: pa.Table, kind: str):
-            if tbl.num_rows == 0:
-                return
-            tbl = tbl.append_column(
-                "_change_type", pa.array([kind] * tbl.num_rows, pa.string())
-            ).append_column(
-                "_commit_version",
-                pa.array([p.version] * tbl.num_rows, pa.int64()),
-            )
-            yield from tbl.to_batches()
-
-        if p.kind == "insert":
-            for batch in _read_parquet_batches(p.path, arrow_schema):
-                yield from stamped(pa.Table.from_batches([batch]), "insert")
-            return
-
-        def positions(paths):
-            t = pads.dataset(paths, format="parquet").to_table(
-                filter=pads.field("file") == p.rel, columns=["pos"]
-            )
-            return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
-
-        if p.kind == "pos_delete":
-            # rows at THIS version's new positions (parent-live by
-            # construction: the delete's own candidate scan was
-            # parent-aware)
-            delta = positions(p.delta_dv)
-            off = 0
-            for batch in _read_parquet_batches(p.path, arrow_schema):
-                n = batch.num_rows
-                take = np.isin(np.arange(off, off + n), delta)
-                off += n
-                if take.any():
-                    tbl = pa.Table.from_batches([batch.filter(pa.array(take))])
-                    yield from stamped(tbl, "delete")
-            return
-
-        # eq_delete: parent-LIVE rows of this file matching the new keys
-        parent_dead = positions(p.parent_dv) if p.parent_dv else np.empty(0, np.int64)
-        kcols, kpaths = p.delta_keys
-        keys_tbl = pads.dataset(kpaths, format="parquet").to_table(columns=kcols)
-        off = 0
-        for batch in _read_parquet_batches(p.path, arrow_schema):
-            n = batch.num_rows
-            if parent_dead.size:
-                keep = ~np.isin(np.arange(off, off + n), parent_dead)
-                off += n
-                batch = batch if keep.all() else batch.filter(pa.array(keep))
-            else:
-                off += n
-            tbl = pa.Table.from_batches([batch])
-            for e in p.parent_eq or []:
-                pk = pads.dataset(e["paths"], format="parquet").to_table(
-                    columns=e["key_cols"]
-                )
-                tbl = tbl.join(pk, keys=e["key_cols"], join_type="left anti")
-            tbl = tbl.join(keys_tbl, keys=kcols, join_type="left semi")
-            yield from stamped(tbl, "delete")
+        yield from _read_cdf_partition(partition, arrow_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint; nothing to release
+
+
+def _cdf_stamped(tbl, kind: str, version: int):
+    import pyarrow as pa
+
+    if tbl.num_rows == 0:
+        return
+    tbl = tbl.append_column(
+        "_change_type", pa.array([kind] * tbl.num_rows, pa.string())
+    ).append_column(
+        "_commit_version",
+        pa.array([version] * tbl.num_rows, pa.int64()),
+    )
+    yield from tbl.to_batches()
+
+
+def _dv_positions(paths, rel):
+    """Sorted deleted positions recorded for ``rel`` across the given
+    position-delete parquet files — a bounded single-column read."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(paths, format="parquet").to_table(
+        filter=pads.field("file") == rel, columns=["pos"]
+    )
+    return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
+
+
+def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema):
+    """One dropped file's rows as they were LIVE at the parent version:
+    position deletes masked out, scoped equality deletes anti-joined."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    dead = (
+        _dv_positions(parent_dv, rel)
+        if parent_dv
+        else np.empty(0, np.int64)
+    )
+    batches = []
+    off = 0
+    for batch in _read_parquet_batches(path, arrow_schema):
+        n = batch.num_rows
+        if dead.size:
+            keep = ~np.isin(np.arange(off, off + n), dead)
+            batch = batch if keep.all() else batch.filter(pa.array(keep))
+        off += n
+        batches.append(batch)
+    if batches:
+        tbl = pa.Table.from_batches(batches)
+    else:
+        tbl = pa.Table.from_batches([], schema=arrow_schema)
+    for e in parent_eq or []:
+        if e.get("files") is not None and rel not in set(e["files"]):
+            continue
+        keys = pads.dataset(e["paths"], format="parquet").to_table(
+            columns=e["key_cols"]
+        )
+        tbl = tbl.join(keys, keys=e["key_cols"], join_type="left anti")
+    return tbl
+
+
+def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
+    """Change rows of ONE copy-on-write rewrite commit, derived by
+    multiset-diffing the dropped files' parent-live rows against their
+    replacement files (both padded to the declared schema):
+
+    - rows only in the old side retract, rows only in the new side
+      insert — verbatim-rewritten survivors cancel exactly;
+    - ``change_kind == "update"`` (update_where: every differing row IS
+      a modified row) labels old-excess ``update_preimage`` and
+      new-excess ``update_postimage``;
+    - a recorded ``change_key`` (merge_upsert) pairs by key membership:
+      keys present on both sides are updates, old-only keys deletes,
+      new-only keys inserts.
+
+    The diff itself runs in DuckDB over the Arrow tables (EXCEPT ALL —
+    exact multiset semantics, NULL- and NaN-safe), executor-side. Cost
+    is bounded by the REWRITTEN data: for targeted DML that is the
+    touched-file set; a full-table overwrite through the feed is a
+    full diff, which is what it semantically is. The batch operator
+    ``snapshot_change_feed`` computes the same diff as a distributed
+    Spark plan — use it when rewrites dominate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import duckdb
+
+    old = (
+        pa.concat_tables(
+            [
+                _parent_live_table(
+                    rel, path, p.parent_dv, p.parent_eq, arrow_schema
+                )
+                for rel, path in p.old_files
+            ]
+        )
+        if p.old_files
+        else pa.Table.from_batches([], schema=arrow_schema)
+    )
+    new_batches: list = []
+    for path in p.new_files or []:
+        new_batches.extend(_read_parquet_batches(path, arrow_schema))
+    new = (
+        pa.Table.from_batches(new_batches)
+        if new_batches
+        else pa.Table.from_batches([], schema=arrow_schema)
+    )
+    con = duckdb.connect()
+    con.register("t_old", old)
+    con.register("t_new", new)
+    dels = con.execute(
+        "SELECT * FROM t_old EXCEPT ALL SELECT * FROM t_new"
+    ).arrow().cast(old.schema)
+    ins = con.execute(
+        "SELECT * FROM t_new EXCEPT ALL SELECT * FROM t_old"
+    ).arrow().cast(old.schema)
+    if p.change_kind == "update":
+        yield from _cdf_stamped(dels, "update_preimage", p.version)
+        yield from _cdf_stamped(ins, "update_postimage", p.version)
+        return
+    if p.change_key and p.change_key in old.schema.names:
+        k = p.change_key
+        old_keys = pc.unique(dels.column(k))
+        new_keys = pc.unique(ins.column(k))
+        upd_d = dels.filter(pc.is_in(dels.column(k), value_set=new_keys))
+        del_d = dels.filter(
+            pc.invert(pc.is_in(dels.column(k), value_set=new_keys))
+        )
+        upd_i = ins.filter(pc.is_in(ins.column(k), value_set=old_keys))
+        ins_i = ins.filter(
+            pc.invert(pc.is_in(ins.column(k), value_set=old_keys))
+        )
+        yield from _cdf_stamped(upd_d, "update_preimage", p.version)
+        yield from _cdf_stamped(upd_i, "update_postimage", p.version)
+        yield from _cdf_stamped(del_d, "delete", p.version)
+        yield from _cdf_stamped(ins_i, "insert", p.version)
+        return
+    yield from _cdf_stamped(dels, "delete", p.version)
+    yield from _cdf_stamped(ins, "insert", p.version)
+
+
+def _read_cdf_partition(p: _CDFPartition, arrow_schema) -> Iterator:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    if p.kind == "insert":
+        for batch in _read_parquet_batches(p.path, arrow_schema):
+            yield from _cdf_stamped(
+                pa.Table.from_batches([batch]), "insert", p.version
+            )
+        return
+
+    if p.kind == "rewrite_diff":
+        yield from _read_rewrite_diff(p, arrow_schema)
+        return
+
+    if p.kind == "pos_delete":
+        # rows at THIS version's new positions (parent-live by
+        # construction: the delete's own candidate scan was
+        # parent-aware)
+        delta = _dv_positions(p.delta_dv, p.rel)
+        off = 0
+        for batch in _read_parquet_batches(p.path, arrow_schema):
+            n = batch.num_rows
+            take = np.isin(np.arange(off, off + n), delta)
+            off += n
+            if take.any():
+                tbl = pa.Table.from_batches([batch.filter(pa.array(take))])
+                yield from _cdf_stamped(tbl, "delete", p.version)
+        return
+
+    # eq_delete: parent-LIVE rows of this file matching the new keys
+    parent_dead = (
+        _dv_positions(p.parent_dv, p.rel)
+        if p.parent_dv
+        else np.empty(0, np.int64)
+    )
+    kcols, kpaths = p.delta_keys
+    keys_tbl = pads.dataset(kpaths, format="parquet").to_table(columns=kcols)
+    off = 0
+    for batch in _read_parquet_batches(p.path, arrow_schema):
+        n = batch.num_rows
+        if parent_dead.size:
+            keep = ~np.isin(np.arange(off, off + n), parent_dead)
+            off += n
+            batch = batch if keep.all() else batch.filter(pa.array(keep))
+        else:
+            off += n
+        tbl = pa.Table.from_batches([batch])
+        for e in p.parent_eq or []:
+            pk = pads.dataset(e["paths"], format="parquet").to_table(
+                columns=e["key_cols"]
+            )
+            tbl = tbl.join(pk, keys=e["key_cols"], join_type="left anti")
+        tbl = tbl.join(keys_tbl, keys=kcols, join_type="left semi")
+        yield from _cdf_stamped(tbl, "delete", p.version)
+
+
+class _SnapshotCDFBatchReader(DataSourceReader):
+    """Batch CHANGE DATA FEED: ``spark.read.format("snapshot_table")
+    .option("changeFeed", "true")`` plans the SAME per-version work
+    units as the streaming form over an explicit version range and
+    stamps every row with ``_change_type`` / ``_commit_version`` —
+    never a null-padded plain read. ``startingVersion`` is EXCLUSIVE
+    (default -1 = full history), ``endingVersion`` inclusive (default
+    tip) — the same convention as the streaming offsets and the
+    ``snapshot_change_feed`` operator this mirrors."""
+
+    def __init__(self, table_dir: str, sv: int, ev: int, schema: StructType):
+        self._dir = table_dir
+        self._sv = sv
+        self._ev = ev
+        self._schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = _plan_cdf_partitions(self._dir, self._sv, self._ev)
+        if not parts:
+            raise ValueError(
+                f"no changes in {self._sv}..{self._ev} — the range holds "
+                "no commits (or only no-op reorgs)"
+            )
+        return parts
+
+    def read(self, partition: _CDFPartition) -> Iterator:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _St
+
+        arrow_schema = to_arrow_schema(
+            _St(
+                [
+                    f
+                    for f in self._schema.fields
+                    if f.name not in ("_change_type", "_commit_version")
+                ]
+            )
+        )
+        yield from _read_cdf_partition(partition, arrow_schema)
 
 
 @dataclass
@@ -831,8 +1127,12 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
 def register_snapshot_source(spark) -> None:
     """Register the format with a session (idempotent):
-    ``spark.read.format("snapshot_table")`` afterwards. Python-source
-    filter pushdown ships conf-gated in Spark 4.1; the reader implements
-    ``pushFilters``, so enable it with the registration."""
+    ``spark.read.format("snapshot_table")`` afterwards. The session conf
+    enables Python-source pushdown, but the DEFAULT batch reader does
+    not implement ``pushFilters`` — source-level pushdown is per-read
+    opt-in via ``.option("filterPushdown", "true")``, because of the
+    Spark 4.1.2 relation-level readInfo cache documented on
+    ``_PushdownSnapshotBatchReader`` (a consumed filter poisons later
+    unfiltered reuse of the same DataFrame)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotTableDataSource)

@@ -124,3 +124,88 @@ def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+GAPFILL_OUTPUT_SCHEMA = (
+    "user_id bigint, day date, observed boolean, "
+    "filled_value double, batch_seq bigint"
+)
+_GAPFILL_STATE = "days array<int>, cents array<bigint>, seq bigint"
+
+
+def _gapfill_locf(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key streaming GAP FILL + LOCF (the stateful twin of the batch
+    ``ts_gapfill_locf``): state is the key's observed-day ledger —
+    (epoch day → exact cent total) as parallel arrays — merged with each
+    batch's arrivals and re-emitted as the key's DENSE span grid with
+    last-observation-carried-forward fills, stamped with a per-key batch
+    sequence so consumers can keep the newest grid (update output mode).
+
+    Out-of-order arrivals are the design case: a late day lands in the
+    ledger wherever it belongs, and the next emission regrows the grid
+    around it — convergence to the batch result needs no ordering
+    assumption at all. Values accumulate as integer cents (the exact
+    dual of the batch path's DECIMAL(12,2) sums), so replay order cannot
+    perturb a double accumulation; the final ``cents / 100.0`` is the
+    same correctly-rounded double as the batch's decimal→double cast.
+
+    Scale shape: state per key is its OBSERVED days only (not the dense
+    span); each emission is span-proportional and only for keys touched
+    by the batch. A production deployment bounds the ledger with state
+    TTL / window eviction — out of scope for the parity harness."""
+    import datetime as dt
+
+    import numpy as np
+
+    if state.exists:
+        days, cents, seq = state.get
+        book = dict(zip(days, cents))
+    else:
+        book, seq = {}, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        sums = pdf.groupby("day")["cents"].sum()
+        for d, c in sums.items():
+            book[int(d)] = book.get(int(d), 0) + int(c)
+    seq += 1
+    state.update((list(book.keys()), list(book.values()), seq))
+    if not book:
+        return
+    lo, hi = min(book), max(book)
+    span = np.arange(lo, hi + 1)
+    observed = np.isin(span, np.fromiter(book.keys(), dtype=np.int64))
+    filled: list[float] = []
+    last = 0.0
+    for d in span:
+        if int(d) in book:
+            last = book[int(d)] / 100.0
+        filled.append(last)
+    epoch = dt.date(1970, 1, 1)
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "day": [epoch + dt.timedelta(days=int(d)) for d in span],
+            "observed": observed,
+            "filled_value": filled,
+            "batch_seq": seq,
+        }
+    )
+
+
+def streaming_gapfill_locf(keyed_days: DataFrame) -> DataFrame:
+    """Apply the stateful gap-fill fold per user over a streaming
+    DataFrame of ``(user_id bigint, day int epoch-days, cents bigint)``
+    rows. Update output mode: each batch re-emits the refreshed dense
+    grid for the keys it touched; the NEWEST ``batch_seq`` per key is
+    the converged answer (the span only grows, so the latest emission
+    contains every day)."""
+    return keyed_days.groupBy("user_id").applyInPandasWithState(
+        _gapfill_locf,
+        outputStructType=GAPFILL_OUTPUT_SCHEMA,
+        stateStructType=_GAPFILL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,290 @@
+"""Round 9: change data feed over COPY-ON-WRITE rewrite commits, and the
+batch `changeFeed` read through the snapshot_table source.
+
+Contract under test (Delta readChangeFeed parity):
+- `merge_upsert` (CoW) emits update_preimage/update_postimage for
+  matched keys, insert for new keys, delete for deleted keys;
+- `update_where` emits pre/postimages; `delete_where` (CoW) emits
+  deletes; a reorg (compaction) emits NOTHING and never kills a feed;
+- an untagged full overwrite falls back to delete/insert;
+- the replay invariant holds over a MIXED CoW/MoR history:
+  v0 + feed ≡ tip (insert/update_postimage added,
+  delete/update_preimage removed);
+- the batch source option `.option("changeFeed", "true")` returns the
+  stamped feed (never null-padded rows), hash-equal to
+  `snapshot_change_feed`;
+- the streaming `changeFeed` source crosses rewrite commits.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    compact_snapshot,
+    delete_where,
+    merge_upsert,
+    read_snapshot,
+    snapshot_change_feed,
+    snapshot_commit,
+    update_where,
+)
+from reactivestreams_kinesis_spark.sources.snapshot_source import (
+    register_snapshot_source,
+)
+
+
+def _base(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+
+def _mixed_history(spark, sf_dir, t):
+    """v0 base → v1 CoW update → v2 CoW merge (update+insert+delete) →
+    v3 reorg compaction → v4 MoR position delete. Returns the base df."""
+    base = _base(spark, sf_dir)
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)          # v0
+    update_where(
+        spark,
+        t,
+        [("c_custkey", "<=", 100)],
+        {"c_acctbal": F.col("c_acctbal") + 100.0},
+    )                                                                    # v1
+    upd = base.filter("c_custkey > 100 AND c_custkey <= 120").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        F.lit(False).alias("_d"),
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("double").alias("c_acctbal"),
+        F.lit(False).alias("_d"),
+    )
+    dels = base.filter("c_custkey > 120 AND c_custkey <= 130").select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.lit(True).alias("_d")
+    )
+    merge_upsert(
+        spark, t, upd.unionByName(ins).unionByName(dels), "c_custkey",
+        delete_col="_d",
+    )                                                                    # v2
+    compact_snapshot(spark, t)                                           # v3
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v4
+    return base
+
+
+def _replay(spark, t, feed, from_version):
+    add = feed.filter(
+        "_change_type IN ('insert', 'update_postimage')"
+    ).drop("_change_type", "_commit_version")
+    rem = feed.filter(
+        "_change_type IN ('delete', 'update_preimage')"
+    ).drop("_change_type", "_commit_version")
+    replayed = read_snapshot(spark, t, from_version).unionByName(add).exceptAll(rem)
+    tip = read_snapshot(spark, t)
+    assert replayed.exceptAll(tip).count() == 0
+    assert tip.exceptAll(replayed).count() == 0
+
+
+def test_cow_feed_kinds_and_replay(spark, sf_dir, tmp_path):
+    """Per-commit change vocabulary over the mixed history, plus the
+    replay invariant end to end."""
+    t = str(tmp_path / "t")
+    base = _mixed_history(spark, sf_dir, t)
+
+    feed = snapshot_change_feed(spark, t, from_version=0)
+    by = {
+        (r[0], r[1]): r[2]
+        for r in feed.groupBy("_commit_version", "_change_type").count().collect()
+    }
+    n_upd1 = base.filter("c_custkey <= 100").count()
+    assert by[(1, "update_preimage")] == n_upd1
+    assert by[(1, "update_postimage")] == n_upd1
+    n_upd2 = base.filter("c_custkey > 100 AND c_custkey <= 120").count()
+    n_del2 = base.filter("c_custkey > 120 AND c_custkey <= 130").count()
+    assert by[(2, "update_preimage")] == n_upd2
+    assert by[(2, "update_postimage")] == n_upd2
+    assert by[(2, "insert")] == 25
+    assert by[(2, "delete")] == n_del2
+    # v3 is a reorg: provably row-preserving, zero feed rows
+    assert not any(v == 3 for (v, _k) in by)
+    # v4 MoR delete retracts exactly the tip-negative balances
+    assert by[(4, "delete")] == read_snapshot(spark, t, 3).filter(
+        "c_acctbal < 0"
+    ).count()
+    # pre/postimages carry the actual old/new values
+    pre1 = feed.filter(
+        "_commit_version = 1 AND _change_type = 'update_preimage'"
+    )
+    post1 = feed.filter(
+        "_commit_version = 1 AND _change_type = 'update_postimage'"
+    )
+    joined = pre1.alias("a").join(
+        post1.alias("b"), F.col("a.c_custkey") == F.col("b.c_custkey")
+    )
+    assert joined.count() == n_upd1
+    assert (
+        joined.filter(
+            F.col("b.c_acctbal") != F.col("a.c_acctbal") + 100.0
+        ).count()
+        == 0
+    )
+    _replay(spark, t, feed, 0)
+
+
+def test_cow_feed_subranges_and_untagged_overwrite(spark, sf_dir, tmp_path):
+    """Sub-ranges compose across rewrite commits; an untagged overwrite
+    (a plain user mode('overwrite') write) falls back to delete/insert
+    and still replays exactly."""
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base, t)                                             # v0
+    replacement = base.filter("c_custkey <= 50").select(
+        "c_custkey", "c_nationkey", (F.col("c_acctbal") + 1.0).alias("c_acctbal")
+    )
+    snapshot_commit(replacement, t, mode="overwrite")                    # v1
+    feed = snapshot_change_feed(spark, t, from_version=0)
+    by = {r[0]: r[1] for r in feed.groupBy("_change_type").count().collect()}
+    assert set(by) == {"delete", "insert"}
+    assert by["delete"] == base.count()
+    assert by["insert"] == replacement.count()
+    _replay(spark, t, feed, 0)
+
+
+def test_cow_feed_delete_where_and_reorg_silence(spark, sf_dir, tmp_path):
+    """delete_where CoW emits pure deletes (survivor rows rewritten
+    verbatim cancel in the diff); a reorg-only range refuses with 'no
+    changes' rather than emitting phantom rows."""
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)          # v0
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)])                    # v1 CoW
+    feed = snapshot_change_feed(spark, t, from_version=0, to_version=1)
+    by = {r[0]: r[1] for r in feed.groupBy("_change_type").count().collect()}
+    assert by == {"delete": base.filter("c_acctbal < 0").count()}
+    assert feed.filter("c_acctbal >= 0").count() == 0
+    compact_snapshot(spark, t)                                           # v2 reorg
+    with pytest.raises(ValueError, match="no changes"):
+        snapshot_change_feed(spark, t, from_version=1, to_version=2)
+    _replay(spark, t, snapshot_change_feed(spark, t, from_version=0), 0)
+
+
+def test_batch_changefeed_source_matches_operator(spark, sf_dir, tmp_path):
+    """.option('changeFeed', 'true') on a BATCH read returns the stamped
+    feed — never the null-padded full table — and matches the operator
+    row for row over the mixed history; version range options map to
+    the operator's (from, to]."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    _mixed_history(spark, sf_dir, t)
+
+    got = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+    )
+    assert got.filter(F.col("_change_type").isNull()).count() == 0
+    want = snapshot_change_feed(spark, t, from_version=0)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # full history (default startingVersion=-1) adds exactly v0's inserts
+    full = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .load()
+    )
+    v0_ins = full.filter("_commit_version = 0")
+    assert v0_ins.count() == read_snapshot(spark, t, 0).count()
+    assert set(
+        r[0] for r in v0_ins.select("_change_type").distinct().collect()
+    ) == {"insert"}
+
+    # explicit sub-range
+    sub = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 2)
+        .load()
+    )
+    wsub = snapshot_change_feed(spark, t, from_version=1, to_version=2)
+    assert sub.exceptAll(wsub).count() == 0 and wsub.exceptAll(sub).count() == 0
+
+    with pytest.raises(Exception, match="bad changeFeed range"):
+        (
+            spark.read.format("snapshot_table")
+            .option("path", t)
+            .option("changeFeed", "true")
+            .option("startingVersion", 99)
+            .load()
+        ).count()
+
+
+def test_streaming_changefeed_crosses_rewrites(spark, sf_dir, tmp_path):
+    """The streaming changeFeed source drains the SAME feed as the batch
+    operator across CoW rewrites and reorgs (one partition per rewrite
+    commit, diff computed task-side)."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    _mixed_history(spark, sf_dir, t)
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_cow_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("cdf_cow_stream")
+    want = snapshot_change_feed(spark, t, from_version=0)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_plain_stream_crosses_reorg(spark, sf_dir, tmp_path):
+    """The non-CDF streaming source skips reorg commits (Delta's
+    dataChange=false contract): a maintenance compaction mid-stream
+    neither kills the query nor re-emits compacted rows."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base.filter("c_custkey <= 500"), t)                  # v0
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    drain()
+    snapshot_commit(base.filter("c_custkey > 500"), t)                   # v1
+    compact_snapshot(spark, t)                                           # v2 reorg
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == base.count()
+    assert got.exceptAll(base).count() == 0 and base.exceptAll(got).count() == 0

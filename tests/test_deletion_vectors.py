@@ -650,9 +650,16 @@ def test_change_feed_emits_inserts_and_retractions(spark, sf_dir, tmp_path):
     assert sub.filter("_change_type = 'insert'").count() == 0
     assert sub.count() == n_d3
 
-    update_where(spark, t, [("c_custkey", "<=", 10)], {"c_acctbal": F.lit(1.0)})  # v4 overwrite
-    with pytest.raises(ValueError, match="overwrite"):
-        snapshot_change_feed(spark, t, from_version=0)
+    update_where(spark, t, [("c_custkey", "<=", 10)], {"c_acctbal": F.lit(1.0)})  # v4 CoW rewrite
+    # round 9: the feed crosses the rewrite with update pre/postimages
+    v4 = snapshot_change_feed(spark, t, from_version=3, to_version=4)
+    by4 = {r[0]: r[1] for r in v4.groupBy("_change_type").count().collect()}
+    n_upd = (
+        read_snapshot(spark, t, 3)
+        .filter("c_custkey <= 10 AND c_acctbal <> 1.0")
+        .count()
+    )
+    assert by4 == {"update_preimage": n_upd, "update_postimage": n_upd}
     with pytest.raises(ValueError, match="no changes"):
         snapshot_change_feed(spark, t, from_version=4, to_version=4)
 
@@ -755,3 +762,204 @@ def test_change_feed_across_schema_evolution(spark, sf_dir, tmp_path):
     assert dels.filter(
         (F.col("c_custkey") < 700000) & F.col("c_tier").isNotNull()
     ).count() == 0
+
+
+def test_compact_guard_rejects_clustered_binpack(spark, sf_dir, tmp_path):
+    """Incremental bin-pack concatenates the small tail verbatim and
+    cannot honor a clustering request; silently packing would hand back
+    an unclustered table, so the combination must refuse loudly."""
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    with pytest.raises(ValueError, match="cluster"):
+        compact_snapshot(
+            spark, t, small_file_bytes=1 << 20, cluster_by=["c_custkey"]
+        )
+    with pytest.raises(ValueError, match="cluster"):
+        compact_snapshot(
+            spark, t, small_file_bytes=1 << 20, cluster_by=["c_custkey"], zorder=True
+        )
+    # the guard must not have published anything
+    assert latest_version(t) == 0
+
+
+def test_delete_by_key_legacy_schemaless_manifest(spark, sf_dir, tmp_path):
+    """A manifest from before the schema field (legacy table) derives key
+    types from a data-file FOOTER; mismatched key types (int keys vs a
+    bigint column) must still cast so the snapshot_table source's Arrow
+    hash-join kernel sees exact type equality."""
+    import json as _json
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _manifest_path,
+        delete_by_key,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    # simulate a legacy commit: strip the declared schema from the manifest
+    mp = _manifest_path(t, 0)
+    with open(mp) as f:
+        m = _json.load(f)
+    m.pop("schema", None)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")  # int vs bigint
+    delete_by_key(spark, t, keys, "c_nationkey")
+    expect = base.filter("c_nationkey NOT IN (3, 7)").count()
+    assert read_snapshot(spark, t).count() == expect
+
+    register_snapshot_source(spark)
+    via_source = (
+        spark.read.format("snapshot_table").option("path", t).load().count()
+    )
+    assert via_source == expect
+
+    # unknown key column still raises a clear error in the legacy path
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_by_key(
+            spark, t, spark.createDataFrame([(1,)], "nope int"), "nope"
+        )
+
+
+def test_delete_by_key_empty_file_set_noop(spark, sf_dir, tmp_path):
+    """A tip whose file set is empty (an overwrite that produced zero
+    part files) cannot match any row — delete_by_key must no-op and
+    return the tip instead of raising IndexError on the footer read."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        publish_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    publish_manifest(t, [], mode="overwrite")                       # v1: empty
+    keys = spark.createDataFrame([(3,)], "c_nationkey int")
+    assert delete_by_key(spark, t, keys, "c_nationkey") == 1
+    assert latest_version(t) == 1
+
+
+def test_delete_free_files_keep_fast_path(spark, sf_dir, tmp_path):
+    """Partition-level pin of the round-8 dv fast path: after a MoR
+    delete confined to one file's key range, the batch reader plans
+    dv_paths ONLY for the file whose dv_counts grew — delete-free files
+    keep the pushdown path — while deleted rows stay hidden end to end."""
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        _SnapshotBatchReader,
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)
+    lo = base.agg(F.min("c_custkey")).collect()[0][0]
+    delete_where(
+        spark, t, [("c_custkey", "<=", lo + 5)], strategy="merge_on_read"
+    )
+    m = _read_manifest(t, 1)
+    with_dv = {f for f, n in m["dv_counts"].items() if n > 0}
+    assert 0 < len(with_dv) < len(m["files"]), "delete must be file-local"
+
+    parts = _SnapshotBatchReader(t, m).partitions()
+    planned = {p.rel: p.dv_paths for p in parts}
+    for rel, dv in planned.items():
+        if rel in with_dv:
+            assert dv, f"deleted file {rel} must route through the DV path"
+        else:
+            assert dv is None, f"delete-free file {rel} must keep the fast path"
+
+    register_snapshot_source(spark)
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    assert got.filter(F.col("c_custkey") <= lo + 5).count() == 0
+    assert got.count() == base.filter(F.col("c_custkey") > lo + 5).count()
+
+
+def test_publish_rejects_uncovered_position_delete(spark, sf_dir, tmp_path):
+    """publish_manifest enforces the dv fast path's invariant: a delete
+    commit whose delete_files target a data file with no positive
+    dv_counts entry refuses instead of committing a manifest readers
+    would silently mis-read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reactivestreams_kinesis_spark.operators.snapshots import publish_manifest
+
+    t = str(tmp_path / "t")
+    _mk_table(spark, sf_dir, tmp_path / "t")
+    target = _read_manifest(t, 0)["files"][0]
+    os.makedirs(os.path.join(t, "dv-x"), exist_ok=True)
+    pq.write_table(
+        pa.table({"file": [target, target], "pos": [0, 1]}),
+        os.path.join(t, "dv-x", "d.parquet"),
+    )
+    with pytest.raises(ValueError, match="dv_counts"):
+        publish_manifest(t, [], mode="delete", delete_files=["dv-x/d.parquet"])
+    with pytest.raises(ValueError, match="dv_counts"):
+        publish_manifest(
+            t,
+            [],
+            mode="delete",
+            delete_files=["dv-x/d.parquet"],
+            dv_counts={"some/other-file.parquet": 2},
+        )
+    assert latest_version(t) == 0
+    # covering counts commit fine
+    v = publish_manifest(
+        t, [], mode="delete", delete_files=["dv-x/d.parquet"], dv_counts={target: 2}
+    )
+    assert v == 1
+
+
+def test_legacy_manifest_without_dv_counts_fails_safe(spark, sf_dir, tmp_path):
+    """A pre-invariant manifest (delete_files but no dv_counts) must read
+    slow-but-correct: every file routes through the DV path rather than
+    none, so deleted rows stay hidden."""
+    import json as _json
+
+    from reactivestreams_kinesis_spark.operators.snapshots import _manifest_path
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "t")
+    base = _mk_table(spark, sf_dir, tmp_path / "t")
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
+    mp = _manifest_path(t, 1)
+    with open(mp) as f:
+        m = _json.load(f)
+    del m["dv_counts"]
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+
+    register_snapshot_source(spark)
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    assert got.filter("c_acctbal < 0").count() == 0
+    assert got.count() == base.filter("c_acctbal >= 0").count()
+
+
+def test_merge_sink_bootstrap_replay_noop(spark, sf_dir, tmp_path):
+    """The merge sink's table-bootstrap commit must be replay-safe under
+    BOTH strategies: re-applying epoch 0 (foreachBatch's at-least-once
+    contract) publishes no extra version and emits no spurious feed rows."""
+    from reactivestreams_kinesis_spark.operators.snapshots import merge_upsert
+
+    for strategy in ("copy_on_write", "merge_on_read"):
+        t = str(tmp_path / strategy)
+        batch = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        ).limit(50)
+        txn = "merge-scope-0"
+        # bootstrap: what apply_batch does when the table doesn't exist
+        snapshot_commit(batch, t, txn_id=txn)
+        v0 = latest_version(t)
+        n0 = read_snapshot(spark, t).count()
+        # replay of epoch 0: table now exists, apply_batch routes through
+        # merge_upsert with the SAME txn id and the chosen strategy
+        merge_upsert(spark, t, batch, "c_custkey", txn_id=txn, strategy=strategy)
+        assert latest_version(t) == v0, f"{strategy}: replay published a version"
+        assert read_snapshot(spark, t).count() == n0

@@ -175,7 +175,10 @@ def test_snapshot_source_filter_pushdown(spark, sf_dir, tmp_path):
     """pushFilters: supported predicates evaluate inside the pyarrow
     reader (the plan carries them as data-source filters, and results
     stay exact vs the unpushed read, nulls and strings included);
-    unsupported ones remain Spark-side filters."""
+    unsupported ones remain Spark-side filters. Pushdown is per-read
+    opt-in (see _PushdownSnapshotBatchReader on the Spark 4.1.2
+    readInfo cache); this test opts in and uses one DataFrame per
+    filter context — the safe usage pattern."""
     register_snapshot_source(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
@@ -183,7 +186,12 @@ def test_snapshot_source_filter_pushdown(spark, sf_dir, tmp_path):
     t = str(tmp_path / "ftbl")
     snapshot_commit(ev, t)
 
-    src = spark.read.format("snapshot_table").option("path", t).load()
+    src = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("filterPushdown", "true")
+        .load()
+    )
     pushed = src.filter(
         (F.col("user_id") > 100) & F.col("event_type").isin("click", "view")
     )
@@ -196,6 +204,25 @@ def test_snapshot_source_filter_pushdown(spark, sf_dir, tmp_path):
     # the physical plan's Filter (if any) no longer carries user_id
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "PythonScan" in plan or "BatchScan" in plan, plan
+
+
+def test_snapshot_source_no_stale_filter_reuse(spark, sf_dir, tmp_path):
+    """Regression pin for the Spark 4.1.2 readInfo-cache hazard: under
+    the DEFAULT registration (pushdown off), re-using one loaded
+    DataFrame with a filtered action and then an unfiltered one returns
+    the full row set — the poisoned-cache repro that motivated turning
+    consumption off must stay green."""
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    t = str(tmp_path / "staletbl")
+    snapshot_commit(ev, t)
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    assert got.filter(F.col("event_id") < -1).count() == 0
+    assert got.count() == ev.count()
+    assert got.filter(F.col("user_id") > 100).count() == ev.filter(
+        F.col("user_id") > 100
+    ).count()
+    assert got.count() == ev.count()
 
 
 def test_snapshot_source_schema_evolution_padded_read(spark, sf_dir, tmp_path):
@@ -241,7 +268,7 @@ def test_snapshot_source_manifest_stats_file_skipping(spark, sf_dir, tmp_path):
         _read_manifest,
     )
     from reactivestreams_kinesis_spark.sources.snapshot_source import (
-        _SnapshotBatchReader,
+        _PushdownSnapshotBatchReader,
     )
 
     register_snapshot_source(spark)
@@ -251,13 +278,20 @@ def test_snapshot_source_manifest_stats_file_skipping(spark, sf_dir, tmp_path):
     manifest = _read_manifest(t, 0)
 
     top = ev.agg(F.max("event_id")).collect()[0][0]
-    reader = _SnapshotBatchReader(t, manifest)
+    reader = _PushdownSnapshotBatchReader(t, manifest)
     assert len(reader.partitions()) == 6
-    unhandled = reader.pushFilters([ds.EqualTo(attribute=("event_id",), value=top)])
+    unhandled = reader.pushFilters(
+        [ds.EqualTo(attribute=("event_id",), value=top)]
+    )
     assert list(unhandled) == []
     assert len(reader.partitions()) == 1
 
-    df = spark.read.format("snapshot_table").option("path", t).load()
+    df = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("filterPushdown", "true")
+        .load()
+    )
     got = df.filter(F.col("event_id") == top)
     want = ev.filter(F.col("event_id") == top)
     assert got.count() == want.count() == 1

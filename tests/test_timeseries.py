@@ -95,3 +95,19 @@ def test_gapfill_plan_shape(spark, sf_dir):
     n_locf, n_interp = count_exchanges(locf), count_exchanges(interp)
     assert n_locf <= 5, explain_string(locf)
     assert n_interp == n_locf, explain_string(interp)
+
+
+def test_stream_gapfill_locf_matches_batch(spark, sf_dir):
+    """The streaming stateful gap-fill/LOCF twin converges bit-exactly
+    to the batch result across a THREE-batch out-of-order replay (the
+    purchase rows hash-split into three files, one per trigger, so
+    earlier days routinely arrive after later ones), and really did run
+    as a multi-batch stateful fold (some key's grid was re-emitted)."""
+    from reactivestreams_kinesis_spark.queries.streaming_batch import (
+        stream_gapfill_locf,
+    )
+
+    streamed = stream_gapfill_locf(spark, sf_dir)
+    batch = ts_gapfill_locf(spark, sf_dir)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
