@@ -271,6 +271,172 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
     )
 
 
+_HLL_P = 9  # 2^9 = 512 registers: ±4.6% standard error, ~512 B/sketch
+
+
+def _hll_add(regs: bytearray, key: str) -> None:
+    """Fold one canonical key (``_bloom_key`` domain) into an HLL
+    register array: md5-derived 64-bit hash, low ``_HLL_P`` bits pick
+    the register, the rank of the remaining bits' leading 1 updates it.
+    md5 keeps the sketch deterministic across processes and engines —
+    the same property the blooms rely on."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(key.encode("utf-8")).digest()[:8], "big")
+    idx = h & ((1 << _HLL_P) - 1)
+    w = h >> _HLL_P
+    rho = (64 - _HLL_P) - w.bit_length() + 1
+    if rho > regs[idx]:
+        regs[idx] = rho
+
+
+def _hll_estimate(regs: bytearray) -> int:
+    """Standard HyperLogLog estimate with the small-range linear-counting
+    correction — the only two regimes these bounded sketches see."""
+    import math
+
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+def _hll_merge(sketches: list[dict]) -> bytearray:
+    """Union of HLL sketches = element-wise register max — EXACTLY the
+    sketch that would have been built over the concatenated inputs,
+    which is what makes per-file sketches composable into table-level
+    statistics without rescanning anything."""
+    import base64
+
+    merged = bytearray(1 << _HLL_P)
+    for sk in sketches:
+        if sk.get("p") != _HLL_P:
+            # a sketch from a different precision cannot union with
+            # these registers; callers treat the column as uncovered
+            raise ValueError(f"ndv sketch precision {sk.get('p')} != {_HLL_P}")
+        regs = base64.b64decode(sk["b64"])
+        for i, r in enumerate(regs):
+            if r > merged[i]:
+                merged[i] = r
+    return merged
+
+
+def _file_ndv(path: str, col: str) -> dict | None:
+    """HLL distinct-count sketch for one column of one staged file: read
+    just that column, canonicalize like the blooms (int/str only — a
+    float NDV column is refused at declaration), fold the DISTINCT
+    values. Returns {"p": precision, "b64": registers} or None when the
+    column is absent or non-key-typed."""
+    import base64
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if col not in pf.schema_arrow.names:
+        return None
+    values = pc.unique(pf.read(columns=[col]).column(col))
+    regs = bytearray(1 << _HLL_P)
+    for v in values.to_pylist():
+        if v is None:
+            continue
+        key = _bloom_key(v)
+        if key is None:
+            return None  # non-key-typed column: no sketch
+        _hll_add(regs, key)
+    return {"p": _HLL_P, "b64": base64.b64encode(bytes(regs)).decode("ascii")}
+
+
+def set_ndv_columns(spark: SparkSession, table_dir: str, cols: list[str]) -> int:
+    """Declare per-file NDV (HyperLogLog) SKETCH columns: every later
+    commit folds each new file's distinct values for these columns into
+    a 512-register HLL stored beside the min/max stats. What blooms are
+    to point lookups, NDV sketches are to CARDINALITY questions the
+    bounds can't answer: ``table_stats_summary`` union-merges them into
+    an approximate table distinct count with zero I/O, and merge
+    targeting consults the per-file/table NDV ratio to decide whether
+    bloom-probing can prune at all (``_key_overlap_factor`` — on a
+    layout where every file holds most key values, probing is pure
+    overhead). Publishing is a metadata-only version; pre-declaration
+    files simply have no sketch yet (consumers stay conservative).
+    Float columns are refused, same canonicalization contract as the
+    blooms."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(manifest["schema"])
+        for c in cols:
+            if c in schema.fieldNames() and schema[c].dataType.simpleString() in (
+                "float",
+                "double",
+            ):
+                raise ValueError(f"ndv sketch column {c!r} is floating-point")
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        schema=manifest.get("schema"),
+        ndv_cols=cols,
+        require_parent=tip,
+    )
+
+
+def approx_distinct_count(
+    table_dir: str, col: str, version: int | None = None
+) -> int | None:
+    """Approximate table-level distinct count for a declared NDV column,
+    union-merged from the per-file sketches — zero I/O beyond the
+    manifest read. None when any file lacks the sketch (a partial union
+    is only a lower bound, and this surface doesn't return guesses) or
+    when deletes are pending (removed rows may have held distinct
+    values; compaction restores the answer)."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip if version is None else version)
+    if manifest.get("dv_counts") or manifest.get("eq_deletes"):
+        return None
+    stats = manifest.get("stats") or {}
+    sketches = [
+        (stats.get(f) or {}).get(col, {}).get("ndv") for f in manifest["files"]
+    ]
+    if not sketches or any(s is None for s in sketches):
+        return None
+    try:
+        return _hll_estimate(_hll_merge(sketches))
+    except ValueError:
+        return None  # mixed precisions: treat as uncovered
+
+
+def _key_overlap_factor(manifest: dict, col: str) -> float | None:
+    """How many files the average key value appears in, estimated purely
+    from the per-file NDV sketches: Σ_f ndv(f) / ndv(union). ≈1 means
+    the files PARTITION the key space (a clustered/bucketed layout —
+    per-key pruning like bloom probing works); ≈|files| means every key
+    is in every file (probing can prune nothing). None when any file
+    lacks a sketch."""
+    stats = manifest.get("stats") or {}
+    sketches = [
+        (stats.get(f) or {}).get(col, {}).get("ndv") for f in manifest["files"]
+    ]
+    if not sketches or any(s is None for s in sketches):
+        return None
+    try:
+        union = _hll_estimate(_hll_merge(sketches))
+    except ValueError:
+        return None  # mixed precisions: treat as uncovered
+    if union <= 0:
+        return None
+    return sum(_hll_estimate(_hll_merge([s])) for s in sketches) / union
+
+
 def _stats_exclude(stats: dict, col: str, op: str, value) -> bool:
     """True iff the file's [min, max] PROVES no row satisfies
     ``col op value``. Unknown columns/ops keep the file — pruning is an
@@ -312,9 +478,12 @@ def _commit_stats(table_dir: str, rel_paths) -> dict:
     column read per file per bloom col — proportional to the COMMIT, the
     same cost contract as the footer pass)."""
     tip = latest_version(table_dir)
-    bloom_cols = []
+    bloom_cols: list = []
+    ndv_cols: list = []
     if tip is not None:
-        bloom_cols = _read_manifest(table_dir, tip).get("bloom_cols") or []
+        tip_manifest = _read_manifest(table_dir, tip)
+        bloom_cols = tip_manifest.get("bloom_cols") or []
+        ndv_cols = tip_manifest.get("ndv_cols") or []
     out = {}
     for f in rel_paths:
         p = os.path.join(table_dir, f)
@@ -323,6 +492,10 @@ def _commit_stats(table_dir: str, rel_paths) -> dict:
             bl = _file_bloom(p, c)
             if bl is not None:
                 st.setdefault(c, {})["bloom"] = bl
+        for c in ndv_cols:
+            sk = _file_ndv(p, c)
+            if sk is not None:
+                st.setdefault(c, {})["ndv"] = sk
         out[f] = st
     return out
 
@@ -534,6 +707,7 @@ def publish_manifest(
     new_stats: dict | None = None,
     constraints: dict | None = None,
     bloom_cols: list | None = None,
+    ndv_cols: list | None = None,
     require_parent: int | None = None,
     delete_files: list[str] | None = None,
     dv_counts: dict | None = None,
@@ -642,12 +816,15 @@ def publish_manifest(
         # kind unless this publish explicitly replaces it
         out_constraints = constraints
         out_bloom_cols = bloom_cols
+        out_ndv_cols = ndv_cols
         tip_manifest = None if tip is None else _read_manifest(table_dir, tip)
         if tip_manifest is not None:
             if out_constraints is None:
                 out_constraints = tip_manifest.get("constraints")
             if out_bloom_cols is None:
                 out_bloom_cols = tip_manifest.get("bloom_cols")
+            if out_ndv_cols is None:
+                out_ndv_cols = tip_manifest.get("ndv_cols")
         out_deletes = list(delete_files or [])
         out_dvc = dict(dv_counts or {})
         out_eq = list(eq_deletes or [])
@@ -698,6 +875,8 @@ def publish_manifest(
             manifest["constraints"] = out_constraints
         if out_bloom_cols:
             manifest["bloom_cols"] = out_bloom_cols
+        if out_ndv_cols:
+            manifest["ndv_cols"] = out_ndv_cols
         if change is not None:
             manifest["change"] = change
         if txn_id is not None:
@@ -762,18 +941,30 @@ def snapshot_changes(
     to_version = tip if to_version is None else to_version
     if not 0 <= from_version <= to_version <= tip:
         raise ValueError(f"bad version range {from_version}..{to_version} (tip {tip})")
+    # per-version walk so a REORG commit (compaction/clustering — row set
+    # provably unchanged, Delta's dataChange=false) is skipped instead of
+    # killing the incremental read: appended files accumulate from the
+    # append commits only, and a reorg's rewritten files are never
+    # misreported as new rows
+    seen = set(_read_manifest(table_dir, from_version)["files"])
+    new_rel: list[str] = []
     for v in range(from_version + 1, to_version + 1):
-        if _read_manifest(table_dir, v)["op"] != "append":
+        m = _read_manifest(table_dir, v)
+        if m["op"] != "append":
+            if (m.get("change") or {}).get("kind") == "reorg":
+                seen.update(m["files"])
+                continue
             raise ValueError(
                 f"version {v} is not an append — incremental read cannot "
                 "cross an overwrite/compaction; restart from a full read"
             )
-    base = set(_read_manifest(table_dir, from_version)["files"])
-    target = _read_manifest(table_dir, to_version)["files"]
-    new_files = [os.path.join(table_dir, f) for f in target if f not in base]
-    if not new_files:
+        for f in m["files"]:
+            if f not in seen:
+                seen.add(f)
+                new_rel.append(f)
+    if not new_rel:
         raise ValueError(f"no files added in {from_version}..{to_version}")
-    return spark.read.parquet(*new_files)
+    return spark.read.parquet(*[os.path.join(table_dir, f) for f in new_rel])
 
 
 def snapshot_change_feed(
@@ -1245,8 +1436,21 @@ def merge_upsert(
             manifest, [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
         )
         table_stats = manifest.get("stats") or {}
-        if bounds["n"] <= _MERGE_BLOOM_PROBE_CAP and any(
-            table_stats.get(f, {}).get(key, {}).get("bloom") for f in candidates
+        # NDV-sketch gate on the probe: when the per-file/table distinct
+        # ratio says the average key lives in most files (an unclustered
+        # layout with repeated keys), bloom probing cannot prune — skip
+        # the collect+probe entirely. No sketches → stay optimistic.
+        overlap = _key_overlap_factor(manifest, key)
+        probe_can_prune = overlap is None or len(manifest["files"]) < 2 or (
+            overlap <= max(2.0, 0.5 * len(manifest["files"]))
+        )
+        if (
+            probe_can_prune
+            and bounds["n"] <= _MERGE_BLOOM_PROBE_CAP
+            and any(
+                table_stats.get(f, {}).get(key, {}).get("bloom")
+                for f in candidates
+            )
         ):
             probe_keys = [r[0] for r in upd_keys.collect()]
             candidates = prune_files(manifest, [(key, "in", probe_keys)])
@@ -2175,6 +2379,18 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
                 "max": max(s[c]["max"] for s in per_file),
                 "nulls": sum(s[c].get("nulls", 0) for s in per_file),
             }
+        # union-merged HLL sketches → approximate table distinct counts,
+        # still zero I/O; a column reports only when EVERY file carries
+        # its sketch (a partial union is just a lower bound)
+        for c in manifest.get("ndv_cols") or []:
+            sketches = [(s.get(c) or {}).get("ndv") for s in per_file]
+            if sketches and all(sk is not None for sk in sketches):
+                try:
+                    columns.setdefault(c, {})["approx_ndv"] = _hll_estimate(
+                        _hll_merge(sketches)
+                    )
+                except ValueError:
+                    pass  # mixed precisions: column stays uncovered
     return {"rows": rows, "columns": columns}
 
 
@@ -2353,6 +2569,7 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 v,
                 m.get("parent"),
                 m["op"],
+                (m.get("change") or {}).get("kind"),
                 len(m["files"]),
                 total,
                 n_rows,
@@ -2361,6 +2578,6 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version int, parent int, op string, n_files int, "
-        "total_bytes bigint, n_rows bigint, txn string",
+        "version int, parent int, op string, change_kind string, "
+        "n_files int, total_bytes bigint, n_rows bigint, txn string",
     )

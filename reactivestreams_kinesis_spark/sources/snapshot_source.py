@@ -127,7 +127,13 @@ class SnapshotTableDataSource(DataSource):
         tip = latest_version(table_dir)
         if tip is None:
             raise FileNotFoundError(f"no snapshots in {table_dir!r}")
-        version = int(self.options.get("version", tip))
+        if self._change_feed():
+            # the feed's data columns follow the ENDING version's
+            # declared schema (earlier commits' rows pad NULL for
+            # later-added columns, same contract as the batch operator)
+            version = int(self.options.get("endingVersion", tip))
+        else:
+            version = int(self.options.get("version", tip))
         manifest = _read_manifest(table_dir, version)
         if manifest.get("schema") is not None:
             # the version's DECLARED schema (add-column evolution): the
@@ -781,6 +787,12 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
 
     import duckdb
 
+    if arrow_schema is None:
+        # schema-less legacy manifest: fall back to a data-file footer
+        import pyarrow.parquet as pq
+
+        src = p.old_files[0][1] if p.old_files else p.new_files[0]
+        arrow_schema = pq.read_schema(src)
     old = (
         pa.concat_tables(
             [

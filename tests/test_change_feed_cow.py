@@ -58,7 +58,10 @@ def _mixed_history(spark, sf_dir, t):
     upd = base.filter("c_custkey > 100 AND c_custkey <= 120").select(
         "c_custkey",
         "c_nationkey",
-        (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        # +7.5 ALWAYS changes the value (×2 would no-op on a 0.00
+        # balance and the changed row would rightly cancel in the diff,
+        # making the expected-count assertion SF-dependent)
+        (F.col("c_acctbal") + 7.5).alias("c_acctbal"),
         F.lit(False).alias("_d"),
     )
     ins = load_table(spark, sf_dir, "nation").select(
@@ -288,3 +291,65 @@ def test_plain_stream_crosses_reorg(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == base.count()
     assert got.exceptAll(base).count() == 0 and base.exceptAll(got).count() == 0
+
+
+def test_snapshot_changes_crosses_reorg(spark, sf_dir, tmp_path):
+    """The inserts-only incremental read also skips reorg commits: a
+    compaction between two appends neither kills the diff nor
+    misreports compacted files as new rows."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base.filter("c_custkey <= 500"), t)              # v0
+    compact_snapshot(spark, t)                                       # v1 reorg
+    late = base.filter("c_custkey > 500")
+    snapshot_commit(late, t)                                         # v2
+    got = snapshot_changes(spark, t, from_version=0)
+    assert got.count() == late.count()
+    assert got.exceptAll(late).count() == 0
+    # a reorg-only range still reports no changes, loudly
+    with pytest.raises(ValueError, match="no files added"):
+        snapshot_changes(spark, t, from_version=0, to_version=1)
+
+
+def test_cdf_replication_end_to_end(spark, sf_dir, tmp_path):
+    """The COMPLETE CDC pipe over the full change vocabulary: a mixed
+    CoW/MoR/reorg history streams out as a change feed and drives a
+    downstream REPLICA via the merge sink — update_postimage upserts,
+    delete retracts, update_preimage is dropped (it re-states the old
+    row), reorg contributes nothing — and the replica's data columns
+    equal the source tip exactly. This is what the feed exists for."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_stream_merge_sink,
+    )
+
+    register_snapshot_source(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mixed_history(spark, sf_dir, src)
+
+    feed = (
+        spark.readStream.format("snapshot_table")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .load()
+        .filter("_change_type <> 'update_preimage'")
+    )
+    q = snapshot_stream_merge_sink(
+        feed,
+        dst,
+        str(tmp_path / "ckpt"),
+        key="c_custkey",
+        order_cols=["_commit_version"],
+        delete_predicate=F.col("_change_type") == "delete",
+    )
+    assert q.awaitTermination(300)
+
+    cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    replica = read_snapshot(spark, dst).select(*cols)
+    tip = read_snapshot(spark, src).select(*cols)
+    assert replica.exceptAll(tip).count() == 0
+    assert tip.exceptAll(replica).count() == 0
