@@ -2394,6 +2394,105 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
     return {"rows": rows, "columns": columns}
 
 
+def compaction_advice(
+    table_dir: str,
+    *,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    max_delete_generations: int = 4,
+    max_deleted_fraction: float = 0.05,
+) -> dict:
+    """WHEN to run maintenance, answered from metadata alone — the
+    decision half of the Iceberg/Delta maintenance contract
+    (``compact_snapshot`` is the action half). Zero data I/O: file
+    sizes stat the named files, everything else folds the manifest.
+
+    Returns ``{"bin_pack": bool, "materialize_deletes": bool,
+    "reasons": [...], ...metrics}``:
+
+    - ``bin_pack`` — the small-file tail (files under
+      ``small_file_bytes``) is worth folding: ≥2 small files AND the
+      tail is either many files (>25% of the table's file count) or
+      enough of them that per-task overhead dominates their reads.
+      Streaming epoch commits and narrow merges grow this tail; run
+      ``compact_snapshot(small_file_bytes=...)`` — tail-proportional.
+    - ``materialize_deletes`` — the merge-on-read backlog is worth
+      folding: pending delete GENERATIONS (distinct delete commits
+      still unmaterialized — each adds an anti-join to every read)
+      exceed ``max_delete_generations``, or position-deleted rows
+      exceed ``max_deleted_fraction`` of the table, or any equality
+      entries are pending (they also suppress metadata-only COUNT and
+      stats). Run ``compact_snapshot`` (full or incremental — rewritten
+      files drain their deletes either way).
+
+    The thresholds are deliberately coarse: the read tax and the
+    compaction cost both scale with the same quantities the metrics
+    report, so callers tune against their own read/write ratio —
+    DV_BENCH/CDC_BENCH record the measured shape of that trade."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip)
+    stats = manifest.get("stats") or {}
+    sizes = {
+        f: os.path.getsize(os.path.join(table_dir, f))
+        for f in manifest["files"]
+        if os.path.exists(os.path.join(table_dir, f))
+    }
+    small = [f for f, b in sizes.items() if b < small_file_bytes]
+    # delete generations: distinct delete-file directories still pending
+    # (each MoR commit stages its positions under one dv-* dir)
+    dv_dirs = {f.split(os.sep)[0] for f in manifest.get("delete_files") or []}
+    eq_entries = manifest.get("eq_deletes") or []
+    generations = len(dv_dirs) + len(eq_entries)
+    deleted = sum((manifest.get("dv_counts") or {}).values())
+    total_rows = None
+    if all("__rows" in (stats.get(f) or {}) for f in manifest["files"]):
+        total_rows = sum(stats[f]["__rows"] for f in manifest["files"])
+    deleted_fraction = (
+        deleted / total_rows if total_rows else (1.0 if deleted else 0.0)
+    )
+
+    reasons: list[str] = []
+    bin_pack = len(small) >= 2 and (
+        len(small) > max(3, len(manifest["files"]) // 4)
+    )
+    if bin_pack:
+        reasons.append(
+            f"{len(small)} files under {small_file_bytes}B "
+            f"({len(manifest['files'])} total) — per-task overhead dominates"
+        )
+    materialize = False
+    if generations > max_delete_generations:
+        materialize = True
+        reasons.append(
+            f"{generations} pending delete generations — every read pays "
+            "one anti-join per generation"
+        )
+    if deleted_fraction > max_deleted_fraction:
+        materialize = True
+        reasons.append(
+            f"{deleted_fraction:.1%} of rows position-deleted — scans "
+            "decode then discard them"
+        )
+    if eq_entries:
+        materialize = True
+        reasons.append(
+            f"{len(eq_entries)} equality entries pending — metadata COUNT "
+            "and column stats are suppressed until materialized"
+        )
+    return {
+        "bin_pack": bin_pack,
+        "materialize_deletes": materialize,
+        "reasons": reasons,
+        "n_files": len(manifest["files"]),
+        "small_files": len(small),
+        "small_bytes": sum(sizes[f] for f in small),
+        "delete_generations": generations,
+        "deleted_rows": deleted,
+        "deleted_fraction": round(deleted_fraction, 4),
+    }
+
+
 def restore_snapshot(table_dir: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF — publish a NEW version whose
     content is an old version's, as pure metadata: the new manifest

@@ -2,12 +2,18 @@
 
 Claim under measurement: `snapshot_change_feed`'s rewrite diff
 (`_rewrite_change_rows`) costs what the REWRITE touched, not what the
-table holds — a targeted CoW merge over a range-clustered table diffs
-only its touched files, a full overwrite is a full-table diff (which is
-what it semantically is), and a reorg compaction is FREE (planned away,
-no data read). Companion numbers to DV_BENCH/CDC_BENCH.
+table holds. Method: a synthetic table-size ladder built from sf0.1
+orders replicated with shifted keys (x1 / x4 / x16 -> 150 k / 600 k /
+2.4 M rows; 32->128 range files so file size stays constant - the
+100 TB-realistic axis is MORE files, not bigger ones). On each tier,
+measure the feed (best of 2, warm) over (a) a TARGETED merge of a fixed
+500-key contiguous range - expectation: ~FLAT across the ladder (the
+diff reads only the touched files) - (b) a FULL overwrite rewriting
+every row - expectation: grows with the table, because it IS a
+full-table diff - and (c) a reorg compaction - expectation: planned
+away, zero data read. Companion numbers to DV_BENCH/CDC_BENCH.
 
-Run on a quiet box: python scripts/cdf_cow_bench.py [sf_dir]
+Run on a quiet box: python scripts/cdf_cow_bench.py
 Writes CDF_COW_BENCH.json at the repo root.
 """
 
@@ -28,85 +34,96 @@ from reactivestreams_kinesis_spark.catalog import load_table  # noqa: E402
 from reactivestreams_kinesis_spark.operators.snapshots import (  # noqa: E402
     _read_manifest,
     compact_snapshot,
-    latest_version,
     merge_upsert,
     snapshot_change_feed,
     snapshot_commit,
 )
 from reactivestreams_kinesis_spark.session import get_spark  # noqa: E402
 
+N_UPD = 500          # fixed targeted-update size across tiers
+SHIFT = 10_000_000   # key shift per replica (sf0.1 max o_orderkey << this)
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark(app_name="cdf-cow-bench", cpus=32, shuffle_partitions=32)
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    n_rows = base.count()
+
+def best_of_2(fn):
+    a = fn()
+    b = fn()
+    return round(min(a, b), 3)
+
+
+def run_tier(spark, base, mult: int) -> dict:
+    rep = base
+    for i in range(1, mult):
+        rep = rep.unionByName(base.withColumn("lk", F.col("lk") + i * SHIFT))
+    n_files = 32 * mult  # constant file size; more files
     t = os.path.join(tempfile.gettempdir(), f"cdfcow_{uuid.uuid4().hex[:8]}")
-    snapshot_commit(base.repartitionByRange(32, "o_orderkey"), t)      # v0
-    out: dict = {"sf_dir": sf_dir, "rows": n_rows, "n_files": 32}
+    snapshot_commit(rep.repartitionByRange(n_files, "lk"), t)          # v0
+    tier: dict = {"rows": rep.count(), "n_files": n_files}
 
-    # 1. targeted merge: keys confined to one file's range (~1/32 of rows)
-    lo, hi = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
-    cut = lo + (hi - lo) // 32
-    upd = base.filter(F.col("o_orderkey") <= cut).select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
-        "o_orderdate",
+    upd = base.orderBy("lk").limit(N_UPD).select(
+        "lk", "ck", (F.col("price") + 1.0).alias("price"), "odate"
     )
-    n_upd = upd.count()
-    merge_upsert(spark, t, upd, "o_orderkey")                          # v1
-    m1 = _read_manifest(t, 1)
-    touched = len(set(_read_manifest(t, 0)["files"]) - set(m1["files"]))
-    t0 = time.time()
-    feed1 = snapshot_change_feed(spark, t, from_version=0, to_version=1)
-    rows1 = feed1.count()
-    out["targeted_merge"] = {
-        "updated_rows": n_upd,
-        "touched_files": touched,
-        "feed_rows": rows1,
-        "sec": round(time.time() - t0, 3),
-    }
+    merge_upsert(spark, t, upd, "lk")                                  # v1
+    tier["touched_files"] = len(
+        set(_read_manifest(t, 0)["files"]) - set(_read_manifest(t, 1)["files"])
+    )
 
-    # 2. reorg: compaction must plan away to zero work
-    compact_snapshot(spark, t)                                         # v2
+    def targeted():
+        t0 = time.time()
+        n = snapshot_change_feed(spark, t, from_version=0, to_version=1).count()
+        tier["targeted_feed_rows"] = n
+        return time.time() - t0
+
+    tier["targeted_sec"] = best_of_2(targeted)
+
+    compact_snapshot(spark, t)                                         # v2 reorg
     t0 = time.time()
     try:
         snapshot_change_feed(spark, t, from_version=1, to_version=2)
         raise AssertionError("reorg-only range must report no changes")
     except ValueError:
         pass
-    out["reorg"] = {"sec": round(time.time() - t0, 3), "feed_rows": 0}
+    tier["reorg_sec"] = round(time.time() - t0, 3)
 
-    # 3. full overwrite: every row rewritten — the honest full diff
     snapshot_commit(
-        base.select(
-            "o_orderkey",
-            "o_custkey",
-            (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
-            "o_orderdate",
-        ).repartitionByRange(32, "o_orderkey"),
+        rep.select(
+            "lk", "ck", (F.col("price") + 2.0).alias("price"), "odate"
+        ).repartitionByRange(n_files, "lk"),
         t,
         mode="overwrite",
     )                                                                  # v3
-    t0 = time.time()
-    feed3 = snapshot_change_feed(spark, t, from_version=2, to_version=3)
-    rows3 = feed3.count()
-    out["full_overwrite"] = {
-        "feed_rows": rows3,
-        "sec": round(time.time() - t0, 3),
-    }
-    assert latest_version(t) == 3
 
-    out["ratio_full_vs_targeted"] = round(
-        out["full_overwrite"]["sec"] / max(out["targeted_merge"]["sec"], 1e-9), 2
+    def full():
+        t0 = time.time()
+        n = snapshot_change_feed(spark, t, from_version=2, to_version=3).count()
+        tier["full_feed_rows"] = n
+        return time.time() - t0
+
+    tier["full_sec"] = best_of_2(full)
+    return tier
+
+
+def main() -> None:
+    spark = get_spark(app_name="cdf-cow-bench", cpus=32, shuffle_partitions=32)
+    base = load_table(spark, "/root/testdata/sf0.1", "orders").select(
+        F.col("o_orderkey").alias("lk"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("odate"),
     )
+    out: dict = {"n_upd": N_UPD, "tiers": {}}
     try:
         out["loadavg_start"] = list(os.getloadavg())
     except OSError:
         pass
+    for mult in (1, 4, 16):
+        out["tiers"][f"x{mult}"] = run_tier(spark, base, mult)
+    t1, t4, t16 = (out["tiers"][k] for k in ("x1", "x4", "x16"))
+    out["targeted_growth_x16"] = round(
+        t16["targeted_sec"] / max(t1["targeted_sec"], 1e-9), 2
+    )
+    out["full_growth_x16"] = round(
+        t16["full_sec"] / max(t1["full_sec"], 1e-9), 2
+    )
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "CDF_COW_BENCH.json",

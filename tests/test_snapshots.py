@@ -1043,3 +1043,54 @@ def test_snapshot_files_metadata_table(spark, sf_dir, tmp_path):
         snapshot_files(spark, t, 0).agg(F.sum("deleted_rows")).collect()[0][0]
         == 0
     )
+
+
+def test_compaction_advice_decision(spark, sf_dir, tmp_path):
+    """The metadata-only maintenance decision: a healthy table advises
+    nothing; a small-file tail advises bin_pack; stacked MoR deletes and
+    any equality entry advise materialization; acting on the advice
+    clears it."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        compaction_advice,
+        delete_by_key,
+        delete_where,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base.coalesce(1), t)
+    fresh = compaction_advice(t)
+    assert not fresh["bin_pack"] and not fresh["materialize_deletes"]
+    assert fresh["reasons"] == []
+
+    # small-file tail: six one-row epoch commits
+    for i in range(6):
+        snapshot_commit(base.filter(F.col("c_custkey") == 1 + i).coalesce(1), t)
+    tail = compaction_advice(t)
+    assert tail["bin_pack"] and tail["small_files"] >= 6
+    compact_snapshot(spark, t, small_file_bytes=32 * 1024 * 1024)
+    assert not compaction_advice(t)["bin_pack"]
+
+    # stacked MoR deletes: generations accumulate until materialized
+    # loosen the cut each time so every generation deletes NEW rows
+    for cut in (-800.0, -600.0, -400.0, -200.0, 0.0):
+        delete_where(
+            spark, t, [("c_acctbal", "<", cut)], strategy="merge_on_read"
+        )
+    mor = compaction_advice(t)
+    assert mor["materialize_deletes"]
+    # sf0.001 has no balance below -800, so that cut publishes nothing:
+    # 4 generations at the smallest fixture, 5 at larger ones
+    assert mor["delete_generations"] >= 4
+
+    # equality entries always advise (they suppress metadata COUNT)
+    keys = spark.createDataFrame([(3,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")
+    assert compaction_advice(t)["materialize_deletes"]
+    compact_snapshot(spark, t)
+    cleared = compaction_advice(t)
+    assert not cleared["materialize_deletes"]
+    assert cleared["delete_generations"] == 0
