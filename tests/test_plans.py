@@ -412,3 +412,33 @@ def test_ivf_int8_no_cartesian_product(spark, sf_dir):
     plan = explain_string(df, "formatted")
     assert "CartesianProduct" not in plan
     assert "centroid_id" in plan
+
+
+def test_rewrite_change_feed_plan_bounded(spark, sf_dir, tmp_path):
+    """The CoW rewrite diff (`_rewrite_change_rows`) must stay a bounded
+    plan: no CartesianProduct, and exchanges bounded by the diff's two
+    shuffles (group-by-all-columns, plus the keyed case's key-flag agg
+    and join) — a runaway plan here would make the feed cost
+    table-proportional instead of rewrite-proportional."""
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.catalog import load_table
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        merge_upsert,
+        snapshot_change_feed,
+        snapshot_commit,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)
+    upd = base.filter("c_custkey <= 50").select(
+        "c_custkey", "c_nationkey", (F.col("c_acctbal") + 1.0).alias("c_acctbal")
+    )
+    merge_upsert(spark, t, upd, "c_custkey")
+    feed = snapshot_change_feed(spark, t, from_version=0, to_version=1)
+    plan = explain_string(feed, "formatted")
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(feed) <= 5, explain_string(feed)
