@@ -963,3 +963,107 @@ def test_merge_sink_bootstrap_replay_noop(spark, sf_dir, tmp_path):
         merge_upsert(spark, t, batch, "c_custkey", txn_id=txn, strategy=strategy)
         assert latest_version(t) == v0, f"{strategy}: replay published a version"
         assert read_snapshot(spark, t).count() == n0
+
+
+_CF_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=6)),
+    st.tuples(st.just("pos_del"), st.integers(0, 9)),
+    st.tuples(st.just("eq_del"), st.lists(st.integers(0, 5), min_size=1, max_size=3)),
+    st.tuples(st.just("update"), st.tuples(st.integers(0, 5), st.integers(100, 109))),
+    st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 5), st.integers(200, 209)), min_size=1, max_size=3, unique_by=lambda kv: kv[0])),
+    st.tuples(st.just("cow_del"), st.integers(0, 9)),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@given(
+    init=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=8),
+    ops=st.lists(_CF_OP, min_size=1, max_size=4),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_change_feed_replay_over_random_history(spark, tmp_path_factory, init, ops):
+    """The round-9 replay invariant, PROPERTY-TESTED: over any random
+    interleaving of appends, both merge-on-read delete forms, CoW
+    updates/deletes, keyed merges, and reorg compactions,
+    v0 + feed(0→tip) ≡ tip — inserts/update_postimages added,
+    deletes/update_preimages removed, reorgs contributing nothing.
+    Catches the interaction classes example tests can only sample:
+    feed-over-rewrite after stacked MoR deletes, retraction of rows a
+    later rewrite replaced, compaction between any two ops."""
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_by_key,
+        delete_where,
+        latest_version,
+        merge_upsert,
+        read_snapshot,
+        snapshot_change_feed,
+        snapshot_commit,
+        update_where,
+    )
+
+    t = str(tmp_path_factory.mktemp("cfprop") / f"t_{_uuid.uuid4().hex[:6]}")
+    uid = 0
+
+    def mk_df(rows):
+        return spark.createDataFrame(rows, "uid bigint, k int, v int")
+
+    first = [(uid + i, k, v) for i, (k, v) in enumerate(init)]
+    uid += len(init)
+    snapshot_commit(mk_df(first).repartition(2), t)
+
+    for kind, arg in ops:
+        if kind == "append":
+            rows = [(uid + i, k, v) for i, (k, v) in enumerate(arg)]
+            uid += len(arg)
+            snapshot_commit(mk_df(rows), t)
+        elif kind == "pos_del":
+            delete_where(spark, t, [("v", "<", arg)], strategy="merge_on_read")
+        elif kind == "eq_del":
+            delete_by_key(spark, t, mk_df([(0, k, 0) for k in arg]).select("k"), "k")
+        elif kind == "update":
+            key, newv = arg
+            update_where(spark, t, [("k", "=", key)], {"v": F.lit(newv)})
+        elif kind == "merge":
+            rows = [(uid + i, k, v) for i, (k, v) in enumerate(arg)]
+            uid += len(arg)
+            merge_upsert(spark, t, mk_df(rows), "k")
+        elif kind == "cow_del":
+            delete_where(spark, t, [("v", "<", arg)])
+        elif kind == "compact":
+            compact_snapshot(spark, t, target_file_bytes=1 << 40)
+
+    tip_v = latest_version(t)
+
+    def rows_at(version):
+        try:
+            return {
+                (r["uid"], r["k"], r["v"])
+                for r in read_snapshot(spark, t, version).collect()
+            }
+        except ValueError:
+            return set()  # a rewrite can empty the file set entirely
+
+    tip_rows = rows_at(tip_v)
+    if tip_v == 0:
+        return
+    try:
+        feed = snapshot_change_feed(spark, t, from_version=0).collect()
+    except ValueError:
+        # reorg-only history: no changes means the tip equals v0
+        assert tip_rows == rows_at(0)
+        return
+    replayed = set(rows_at(0))
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        key = (r["uid"], r["k"], r["v"])
+        if r["_change_type"] in ("insert", "update_postimage"):
+            replayed.add(key)
+        else:
+            replayed.discard(key)
+    assert replayed == tip_rows
