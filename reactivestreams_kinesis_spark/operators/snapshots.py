@@ -708,6 +708,8 @@ def publish_manifest(
     constraints: dict | None = None,
     bloom_cols: list | None = None,
     ndv_cols: list | None = None,
+    dropped_cols: list | None = None,
+    replace_schema: bool = False,
     require_parent: int | None = None,
     delete_files: list[str] | None = None,
     dv_counts: dict | None = None,
@@ -817,6 +819,7 @@ def publish_manifest(
         out_constraints = constraints
         out_bloom_cols = bloom_cols
         out_ndv_cols = ndv_cols
+        out_dropped = dropped_cols
         tip_manifest = None if tip is None else _read_manifest(table_dir, tip)
         if tip_manifest is not None:
             if out_constraints is None:
@@ -825,12 +828,18 @@ def publish_manifest(
                 out_bloom_cols = tip_manifest.get("bloom_cols")
             if out_ndv_cols is None:
                 out_ndv_cols = tip_manifest.get("ndv_cols")
+            if out_dropped is None:
+                out_dropped = tip_manifest.get("dropped_cols")
         out_deletes = list(delete_files or [])
         out_dvc = dict(dv_counts or {})
         out_eq = list(eq_deletes or [])
         if mode == "append" and tip_manifest is not None:
             files = tip_manifest["files"] + new_files
-            out_schema = _merge_schema(tip_manifest.get("schema"), schema)
+            out_schema = (
+                schema
+                if replace_schema
+                else _merge_schema(tip_manifest.get("schema"), schema)
+            )
             out_stats = {**(tip_manifest.get("stats") or {}), **out_stats}
             out_deletes = list(tip_manifest.get("delete_files") or [])
             out_dvc = dict(tip_manifest.get("dv_counts") or {})
@@ -855,6 +864,21 @@ def publish_manifest(
                 out_stats.update(
                     {f: parent_stats[f] for f in base_files if f in parent_stats}
                 )
+        if out_dropped and out_schema is not None:
+            # no physical column mapping: a file written before a DROP
+            # still holds the column's bytes, so re-adding the NAME would
+            # resurrect old values instead of reading NULL — refuse (the
+            # Delta analogue requires column mapping for exactly this)
+            conflict = sorted(
+                {f["name"] for f in out_schema["fields"]} & set(out_dropped)
+            )
+            if conflict:
+                raise ValueError(
+                    f"column(s) {conflict} were previously dropped from this "
+                    "table; re-adding a dropped name would resurrect old "
+                    "files' values (no physical column mapping) — restore a "
+                    "pre-drop version or use a new name"
+                )
         manifest = {
             "version": version,
             "parent": tip,
@@ -877,6 +901,8 @@ def publish_manifest(
             manifest["bloom_cols"] = out_bloom_cols
         if out_ndv_cols:
             manifest["ndv_cols"] = out_ndv_cols
+        if out_dropped:
+            manifest["dropped_cols"] = out_dropped
         if change is not None:
             manifest["change"] = change
         if txn_id is not None:
@@ -1103,6 +1129,25 @@ def snapshot_change_feed(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    # the feed's data columns follow the ENDING version's declared
+    # schema (Delta's readChangeFeed contract): a column dropped inside
+    # the range disappears from earlier parts too, one added inside the
+    # range pads NULL for parts that predate it
+    end_schema = _read_manifest(table_dir, to_version).get("schema")
+    if end_schema is not None:
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromJson(end_schema).fields
+        out = out.select(
+            *[
+                F.col(f.name)
+                if f.name in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ],
+            "_change_type",
+            "_commit_version",
+        )
     return out
 
 
@@ -2394,6 +2439,135 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
     return {"rows": rows, "columns": columns}
 
 
+def add_column(
+    table_dir: str, col: str, dtype: str, *, txn_id: str | None = None
+) -> int:
+    """ALTER TABLE ... ADD COLUMN as a METADATA-ONLY commit: widen the
+    declared schema with a nullable ``col`` of ``dtype`` (a DDL string,
+    e.g. ``"double"``) — every existing file surfaces NULL for it under
+    the declared-schema read, exactly like the implicit add-column
+    evolution an append with new columns performs, but without writing
+    any data. The explicit form exists so a schema can evolve AHEAD of
+    the first data that uses it (the usual migration order). Re-adding
+    a DROPPED name refuses via the tombstone (see ``drop_column``)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is None:
+        raise ValueError(
+            "add_column needs a declared table schema (commit once with a "
+            "schema-bearing writer first)"
+        )
+    schema = StructType.fromJson(manifest["schema"])
+    if col in schema.fieldNames():
+        raise ValueError(f"column {col!r} already exists")
+    widened = StructType(
+        list(schema.fields)
+        + [StructField(col, _parse_datatype_string(dtype), nullable=True)]
+    ).jsonValue()
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        txn_id=txn_id,
+        schema=widened,
+        replace_schema=True,
+        require_parent=tip,
+    )
+
+
+def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
+    """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: publish a
+    new version whose declared schema omits ``col`` — no data file is
+    touched (declared-schema reads already project the manifest schema,
+    so every reader stops seeing the column immediately), and time
+    travel still shows it in pre-drop versions, which read with their
+    own schema.
+
+    The dropped NAME is recorded as a TOMBSTONE (``dropped_cols``):
+    without physical column mapping the old files still hold the bytes,
+    so re-adding the same name would silently resurrect old values
+    instead of reading NULL — ``publish_manifest`` refuses it; RESTORE
+    to a pre-drop version clears the tombstone (explicit user intent to
+    get the column back). This is the same hazard that makes Delta
+    require column mapping for DROP; the tombstone is the honest
+    mapping-free answer.
+
+    Guards: refuses while a table CHECK constraint references the
+    column (drop the constraint first) and while pending EQUALITY
+    deletes key on it (readers still need the column for the anti-join
+    — compact first). Declared bloom/NDV sketch lists shed the column
+    automatically. Cost: one manifest write, at any table size."""
+    import re
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is None:
+        raise ValueError(
+            "drop_column needs a declared table schema (legacy schema-less "
+            "manifests read from file footers, which still hold the column)"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    if col not in schema.fieldNames():
+        raise ValueError(f"column {col!r} is not in the table schema")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the table's only column")
+    word = re.compile(rf"\b{re.escape(col)}\b")
+    offending = [
+        name
+        for name, expr in (manifest.get("constraints") or {}).items()
+        if word.search(expr)
+    ]
+    if offending:
+        raise ValueError(
+            f"column {col!r} is referenced by CHECK constraint(s) "
+            f"{offending} — drop them first"
+        )
+    keyed = [
+        e for e in manifest.get("eq_deletes") or [] if col in e["key_cols"]
+    ]
+    if keyed:
+        raise ValueError(
+            f"column {col!r} keys {len(keyed)} pending equality-delete "
+            "entr(ies) — compact_snapshot first to materialize them"
+        )
+    narrowed = StructType(
+        [f for f in schema.fields if f.name != col]
+    ).jsonValue()
+    # an [] explicitly CLEARS a declared list (None would inherit the
+    # tip's, resurrecting the dropped column in it)
+    trim = lambda cols: [c for c in cols if c != col]  # noqa: E731
+    bloom = manifest.get("bloom_cols")
+    ndv = manifest.get("ndv_cols")
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        txn_id=txn_id,
+        schema=narrowed,
+        replace_schema=True,
+        dropped_cols=sorted(set(manifest.get("dropped_cols") or []) | {col}),
+        bloom_cols=trim(bloom) if bloom else None,
+        ndv_cols=trim(ndv) if ndv else None,
+        require_parent=tip,
+    )
+
+
 def compaction_advice(
     table_dir: str,
     *,
@@ -2533,6 +2707,15 @@ def restore_snapshot(table_dir: str, version: int) -> int:
             f"were vacuumed (first: {missing[0]!r})"
         )
     stats = m.get("stats") or {}
+    # a restore that brings back a later-DROPPED column clears its
+    # tombstone: the user explicitly asked for the pre-drop content, so
+    # the old files' values are the intended answer, not a resurrection
+    tip_dropped = _read_manifest(table_dir, tip).get("dropped_cols") or []
+    restored_names = (
+        {f["name"] for f in m["schema"]["fields"]}
+        if m.get("schema") is not None
+        else set()
+    )
     return publish_manifest(
         table_dir,
         [],
@@ -2543,6 +2726,7 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         delete_files=m.get("delete_files"),
         dv_counts=m.get("dv_counts"),
         eq_deletes=m.get("eq_deletes"),
+        dropped_cols=[c for c in tip_dropped if c not in restored_names],
         require_parent=tip,
     )
 

@@ -1094,3 +1094,208 @@ def test_compaction_advice_decision(spark, sf_dir, tmp_path):
     cleared = compaction_advice(t)
     assert not cleared["materialize_deletes"]
     assert cleared["delete_generations"] == 0
+
+
+def test_drop_column_metadata_only(spark, sf_dir, tmp_path):
+    """DROP COLUMN as one manifest write: every read surface stops
+    seeing the column, no data file changes, time travel still shows it,
+    and appends no longer need it."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        drop_column,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base.repartitionByRange(4, "c_custkey"), t)      # v0
+    files_v0 = _read_manifest(t, 0)["files"]
+    v = drop_column(t, "c_acctbal")                                  # v1
+    assert v == 1
+    m = _read_manifest(t, 1)
+    assert m["files"] == files_v0, "drop rewrites no data file"
+    assert m["dropped_cols"] == ["c_acctbal"]
+
+    cur = read_snapshot(spark, t)
+    assert cur.columns == ["c_custkey", "c_nationkey"]
+    assert cur.count() == base.count()
+    assert read_snapshot(spark, t, 0).columns == [
+        "c_custkey", "c_nationkey", "c_acctbal",
+    ]
+    register_snapshot_source(spark)
+    src = spark.read.format("snapshot_table").option("path", t).load()
+    assert src.columns == ["c_custkey", "c_nationkey"]
+    assert src.count() == base.count()
+
+    # appends without the column are normal; re-adding the NAME refuses
+    snapshot_commit(
+        base.limit(5).select("c_custkey", "c_nationkey"), t
+    )                                                                # v2
+    assert read_snapshot(spark, t).count() == base.count() + 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="previously dropped"):
+        snapshot_commit(base.limit(1), t)  # carries c_acctbal
+    # idempotent txn replay
+    assert drop_column(t, "c_nationkey", txn_id="drop-nk") == 3
+    assert drop_column(t, "c_nationkey", txn_id="drop-nk") == 3
+
+
+def test_drop_column_guards(spark, sf_dir, tmp_path):
+    """Refusals: constraint references, pending equality-delete keys,
+    unknown column, last column, legacy schema-less manifest; declared
+    bloom/NDV lists shed the column instead of blocking."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _manifest_path,
+        _read_manifest,
+        add_constraint,
+        compact_snapshot,
+        delete_by_key,
+        drop_column,
+        latest_version,
+        set_bloom_columns,
+        set_ndv_columns,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base, t)
+    with _pytest.raises(ValueError, match="not in the table schema"):
+        drop_column(t, "nope")
+
+    add_constraint(spark, t, "bal_floor", "c_acctbal > -10000")
+    with _pytest.raises(ValueError, match="bal_floor"):
+        drop_column(t, "c_acctbal")
+
+    keys = spark.createDataFrame([(3,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")
+    with _pytest.raises(ValueError, match="equality-delete"):
+        drop_column(t, "c_nationkey")
+    compact_snapshot(spark, t)  # materialize the entry
+
+    set_bloom_columns(spark, t, ["c_custkey", "c_nationkey"])
+    set_ndv_columns(spark, t, ["c_nationkey"])
+    snapshot_commit(base.limit(3), t)  # build sketches for new files
+    drop_column(t, "c_nationkey")
+    m = _read_manifest(t, latest_version(t))
+    assert m["bloom_cols"] == ["c_custkey"]
+    assert "ndv_cols" not in m  # emptied list clears the declaration
+
+    legacy = str(tmp_path / "legacy")
+    snapshot_commit(base, legacy)
+    mp = _manifest_path(legacy, 0)
+    with open(mp) as f:
+        lm = _json.load(f)
+    lm.pop("schema", None)
+    with open(mp, "w") as f:
+        _json.dump(lm, f)
+    with _pytest.raises(ValueError, match="declared table schema"):
+        drop_column(legacy, "c_acctbal")
+
+
+def test_drop_column_restore_clears_tombstone(spark, sf_dir, tmp_path):
+    """RESTORE to a pre-drop version brings the column back and clears
+    its tombstone — appends may carry it again."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        drop_column,
+        restore_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base, t)                                         # v0
+    drop_column(t, "c_acctbal")                                      # v1
+    restore_snapshot(t, 0)                                           # v2
+    got = read_snapshot(spark, t)
+    assert got.columns == ["c_custkey", "c_nationkey", "c_acctbal"]
+    assert got.count() == base.count()
+    snapshot_commit(base.limit(2), t)  # re-adding is legal again
+    assert read_snapshot(spark, t).count() == base.count() + 2
+
+
+def test_change_feed_projects_ending_schema_across_drop(spark, sf_dir, tmp_path):
+    """A feed range spanning a DROP returns the ENDING schema: earlier
+    inserts lose the dropped column; the replay invariant holds on the
+    surviving columns."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        drop_column,
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base, t)                                          # v0
+    extra = base.limit(10).select(
+        (F.col("c_custkey") + 700000).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    snapshot_commit(extra, t)                                         # v1
+    drop_column(t, "c_acctbal")                                       # v2
+    late = base.limit(5).select(
+        (F.col("c_custkey") + 800000).alias("c_custkey"), "c_nationkey"
+    )
+    snapshot_commit(late, t)                                          # v3
+    feed = snapshot_change_feed(spark, t, from_version=0)
+    assert feed.columns == [
+        "c_custkey", "c_nationkey", "_change_type", "_commit_version",
+    ]
+    assert feed.count() == 15
+    replayed = (
+        read_snapshot(spark, t, 0)
+        .select("c_custkey", "c_nationkey")
+        .unionByName(feed.drop("_change_type", "_commit_version"))
+    )
+    tip = read_snapshot(spark, t)
+    assert replayed.exceptAll(tip).count() == 0
+    assert tip.exceptAll(replayed).count() == 0
+
+
+def test_add_column_metadata_only(spark, sf_dir, tmp_path):
+    """Explicit ADD COLUMN: one manifest write; existing files read NULL
+    for the new column; the next append may fill it; a dropped name
+    refuses; duplicates refuse."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_column,
+        drop_column,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    snapshot_commit(base, t)                                         # v0
+    assert add_column(t, "c_tier", "string") == 1                    # v1
+    cur = read_snapshot(spark, t)
+    assert cur.columns == ["c_custkey", "c_nationkey", "c_tier"]
+    assert cur.filter(F.col("c_tier").isNotNull()).count() == 0
+    snapshot_commit(
+        base.limit(3).withColumn("c_tier", F.lit("gold")), t
+    )                                                                # v2
+    got = read_snapshot(spark, t)
+    assert got.filter("c_tier = 'gold'").count() == 3
+    assert got.filter(F.col("c_tier").isNull()).count() == base.count()
+    with _pytest.raises(ValueError, match="already exists"):
+        add_column(t, "c_tier", "string")
+    drop_column(t, "c_nationkey")
+    with _pytest.raises(ValueError, match="previously dropped"):
+        add_column(t, "c_nationkey", "int")
+    # txn replay no-ops
+    v = add_column(t, "c_extra", "double", txn_id="add-x")
+    assert add_column(t, "c_extra2", "double", txn_id="add-x") == v
