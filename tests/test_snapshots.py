@@ -1299,3 +1299,97 @@ def test_add_column_metadata_only(spark, sf_dir, tmp_path):
     # txn replay no-ops
     v = add_column(t, "c_extra", "double", txn_id="add-x")
     assert add_column(t, "c_extra2", "double", txn_id="add-x") == v
+
+
+# ---- randomized model check over schema-evolution histories ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_COL_POOL = ("a", "b", "c", "d")
+_SCHEMA_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("add"), st.sampled_from(_COL_POOL)),
+    st.tuples(st.just("drop"), st.sampled_from(_COL_POOL)),
+)
+
+
+@given(ops=st.lists(_SCHEMA_OP, min_size=1, max_size=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of appends, explicit ADD COLUMNs, and DROP
+    COLUMNs must read back exactly what a pure-Python model holds:
+    declared column order, NULL padding for pre-add rows, dropped
+    columns gone everywhere, tombstones refusing re-adds — the
+    randomized sweep over evolution interactions."""
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_column,
+        drop_column,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    t = str(tmp_path_factory.mktemp("schprop") / f"t_{_uuid.uuid4().hex[:6]}")
+    declared = ["uid", "a"]          # uid is never in the op pool
+    tombstones: set = set()
+    model: list[dict] = []
+    uid = 0
+
+    def commit_rows(n):
+        nonlocal uid
+        rows = []
+        for _ in range(n):
+            row = {c: uid * 10 + i for i, c in enumerate(declared)}
+            row["uid"] = uid
+            rows.append(row)
+            uid += 1
+        schema = ", ".join(f"{c} bigint" for c in declared)
+        snapshot_commit(
+            spark.createDataFrame(
+                [tuple(r[c] for c in declared) for r in rows], schema
+            ),
+            t,
+        )
+        model.extend(rows)
+
+    commit_rows(2)
+    for kind, arg in ops:
+        if kind == "append":
+            commit_rows(arg)
+        elif kind == "add":
+            if arg in declared or arg in tombstones:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError):
+                    add_column(t, arg, "bigint")
+            else:
+                add_column(t, arg, "bigint")
+                declared.append(arg)
+                for r in model:
+                    r[arg] = None
+        elif kind == "drop":
+            if arg not in declared:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError):
+                    drop_column(t, arg)
+            else:
+                drop_column(t, arg)
+                declared.remove(arg)
+                tombstones.add(arg)
+                for r in model:
+                    r.pop(arg, None)
+
+    got = read_snapshot(spark, t)
+    assert got.columns == declared
+    got_rows = sorted(
+        tuple(r[c] for c in declared) for r in got.collect()
+    )
+    want_rows = sorted(tuple(r.get(c) for c in declared) for r in model)
+    assert got_rows == want_rows
