@@ -604,6 +604,36 @@ def add_constraint(
     )
 
 
+def drop_constraint(table_dir: str, name: str) -> int:
+    """Detach a named CHECK constraint — the Delta `ALTER TABLE DROP
+    CONSTRAINT` shape, and the documented prerequisite for
+    ``drop_column`` on a constrained column. Metadata-only: one
+    manifest publishes the remaining constraint map (an empty map
+    clears the table's constraint metadata entirely); existing data is
+    untouched and later commits simply stop validating the dropped
+    rule. Unknown names raise — silently 'dropping' a typo would leave
+    the caller believing a real constraint was removed."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    manifest = _read_manifest(table_dir, tip)
+    have = dict(manifest.get("constraints") or {})
+    if name not in have:
+        raise ValueError(
+            f"no CHECK constraint named {name!r} on this table "
+            f"(have: {sorted(have) or 'none'})"
+        )
+    del have[name]
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        schema=manifest.get("schema"),
+        constraints=have,
+        require_parent=tip,
+    )
+
+
 def snapshot_commit(
     df: DataFrame,
     table_dir: str,

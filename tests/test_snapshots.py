@@ -1393,3 +1393,50 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
     )
     want_rows = sorted(tuple(r.get(c) for c in declared) for r in model)
     assert got_rows == want_rows
+
+
+def test_drop_constraint(spark, sf_dir, tmp_path):
+    """ALTER TABLE DROP CONSTRAINT: the remaining rules keep enforcing,
+    the dropped one stops, unknown names raise, and dropping a
+    column's referencing constraint unblocks drop_column (the loop the
+    guard's error message prescribes)."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_constraint,
+        drop_column,
+        drop_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base, t)
+    add_constraint(spark, t, "bal_floor", "c_acctbal > -100000")
+    add_constraint(spark, t, "key_pos", "c_custkey >= 0")  # fixture keys start at 0
+    bad_bal = spark.createDataFrame(
+        [(999999, 1, -999999.0)],
+        "c_custkey bigint, c_nationkey int, c_acctbal double",
+    )
+    with _pytest.raises(ValueError, match="bal_floor"):
+        snapshot_commit(bad_bal, t)
+    with _pytest.raises(ValueError, match="no CHECK constraint named"):
+        drop_constraint(t, "nope")
+    drop_constraint(t, "bal_floor")
+    snapshot_commit(bad_bal, t)  # the dropped rule no longer blocks
+    with _pytest.raises(ValueError, match="key_pos"):
+        snapshot_commit(
+            spark.createDataFrame(
+                [(-1, 1, 0.0)],
+                "c_custkey bigint, c_nationkey int, c_acctbal double",
+            ),
+            t,
+        )  # the kept rule still enforces (c_custkey = -1 < 0)
+    # the drop_column guard's prescribed workflow now completes
+    add_constraint(spark, t, "bal_floor2", "c_acctbal > -10000000")
+    with _pytest.raises(ValueError, match="bal_floor2"):
+        drop_column(t, "c_acctbal")
+    drop_constraint(t, "bal_floor2")
+    drop_column(t, "c_acctbal")
+    assert read_snapshot(spark, t).columns == ["c_custkey", "c_nationkey"]
