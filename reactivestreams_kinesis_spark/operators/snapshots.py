@@ -1078,6 +1078,16 @@ def snapshot_change_feed(
         )
 
     for v in range(from_version + 1, to_version + 1):
+        if not os.path.exists(_manifest_path(table_dir, v)) or not os.path.exists(
+            _manifest_path(table_dir, v - 1)
+        ):
+            # change derivation diffs each version against its parent;
+            # a vacuumed manifest in range would silently truncate the feed
+            raise ValueError(
+                f"change feed needs manifests v{v - 1} and v{v}, but the "
+                "range crosses vacuumed history — restart from a retained "
+                "from_version"
+            )
         m = _read_manifest(table_dir, v)
         parent = _read_manifest(table_dir, v - 1)
         if m["op"] == "append":

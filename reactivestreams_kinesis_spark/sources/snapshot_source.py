@@ -483,6 +483,13 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                 f"snapshot_table change feed: version {v} was vacuumed; "
                 "restart the stream from a retained startingVersion"
             )
+        if v > 0 and not os.path.exists(_manifest_path(table_dir, v - 1)):
+            # every change derivation diffs against the PARENT manifest
+            raise ValueError(
+                f"snapshot_table change feed: version {v}'s parent "
+                f"manifest v{v - 1} was vacuumed; restart the stream "
+                "from a retained startingVersion"
+            )
         m = _read_manifest(table_dir, v)
         if v == 0 or m["op"] == "append":
             base: set = set()

@@ -353,3 +353,80 @@ def test_cdf_replication_end_to_end(spark, sf_dir, tmp_path):
     tip = read_snapshot(spark, src).select(*cols)
     assert replica.exceptAll(tip).count() == 0
     assert tip.exceptAll(replica).count() == 0
+
+
+def test_batch_changefeed_refuses_vacuumed_range(spark, sf_dir, tmp_path):
+    """A batch changeFeed range touching a vacuumed version raises the
+    planner's clear error instead of emitting an incomplete feed."""
+    from reactivestreams_kinesis_spark.operators.snapshots import vacuum
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base.filter("c_custkey <= 100"), t)              # v0
+    snapshot_commit(base.filter("c_custkey > 100 AND c_custkey <= 200"), t)
+    snapshot_commit(base.filter("c_custkey > 200"), t)               # v2
+    vacuum(t, keep_from_version=1)
+    with pytest.raises(Exception, match="vacuumed"):
+        (
+            spark.read.format("snapshot_table")
+            .option("path", t)
+            .option("changeFeed", "true")
+            .load()
+        ).count()
+    # a fully-retained range (v1 parent exists for v2's diff) still reads
+    ok = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .option("startingVersion", 1)
+        .load()
+    )
+    assert ok.count() == base.filter("c_custkey > 200").count()
+    # the batch operator refuses the vacuumed range just as clearly
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_change_feed,
+    )
+
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshot_change_feed(spark, t, from_version=0)
+
+
+def test_streaming_changefeed_after_drop_uses_narrowed_schema(
+    spark, sf_dir, tmp_path
+):
+    """A changeFeed stream STARTED after a DROP COLUMN carries the
+    narrowed schema: pre-drop inserts project the column away (their
+    values are still visible to a time-travel read, just not through
+    the post-drop feed schema)."""
+    from reactivestreams_kinesis_spark.operators.snapshots import drop_column
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base, t)                                         # v0
+    drop_column(t, "c_acctbal")                                      # v1
+    late = base.limit(5).select(
+        (F.col("c_custkey") + 900000).alias("c_custkey"), "c_nationkey"
+    )
+    snapshot_commit(late, t)                                         # v2
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_after_drop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("cdf_after_drop")
+    assert got.columns == [
+        "c_custkey", "c_nationkey", "_change_type", "_commit_version",
+    ]
+    assert got.count() == base.count() + 5
+    assert set(r[0] for r in got.select("_change_type").distinct().collect()) == {
+        "insert"
+    }
