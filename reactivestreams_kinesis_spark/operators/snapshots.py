@@ -894,6 +894,16 @@ def publish_manifest(
                 out_stats.update(
                     {f: parent_stats[f] for f in base_files if f in parent_stats}
                 )
+            if not base_files and out_dropped and out_schema is not None:
+                # a FULL overwrite references no pre-drop files, so a
+                # reintroduced name carries no resurrection hazard — the
+                # new files own every value. Clear its tombstone (CoW
+                # rewrites keep base_files and keep the guard).
+                out_dropped = [
+                    c
+                    for c in out_dropped
+                    if c not in {f["name"] for f in out_schema["fields"]}
+                ] or None
         if out_dropped and out_schema is not None:
             # no physical column mapping: a file written before a DROP
             # still holds the column's bytes, so re-adding the NAME would
@@ -2667,8 +2677,11 @@ def compaction_advice(
     )
 
     reasons: list[str] = []
+    # ≥2 small files AND (the tail is >25% of the table's files, OR an
+    # absolute count — 8+ — where per-task scheduling overhead dominates
+    # the reads regardless of how big the table is)
     bin_pack = len(small) >= 2 and (
-        len(small) > max(3, len(manifest["files"]) // 4)
+        len(small) * 4 > len(manifest["files"]) or len(small) >= 8
     )
     if bin_pack:
         reasons.append(

@@ -53,6 +53,14 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
 )
 
 
+# Per-task ceiling for the single-partition rewrite_diff read: one CoW
+# rewrite commit's old+new parquet bytes must fit one executor. Beyond
+# this, the distributed `snapshot_change_feed` operator is the right tool.
+_REWRITE_DIFF_MAX_BYTES = int(
+    os.environ.get("SNAPSHOT_REWRITE_DIFF_MAX_BYTES", 4 * 2**30)
+)
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str, rel: str | None = None, dv_paths=None, eq=None):
         self.path = path
@@ -654,11 +662,28 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # (history rewrite).
         out: list[_FilePartition] = []
         seen: set = set()
-        if sv >= 0 and os.path.exists(_manifest_path(self._dir, sv)):
+        if sv >= 0:
+            # a checkpointed resume MUST anchor on its base manifest: with
+            # an empty `seen`, every file in the first retained manifest
+            # would re-emit as new rows (silent whole-table duplication).
+            # Mirror _plan_cdf_partitions and fail loudly instead; only a
+            # fresh start (sv == -1) may walk past vacuumed history.
+            if not os.path.exists(_manifest_path(self._dir, sv)):
+                raise ValueError(
+                    f"snapshot_table stream: checkpointed version {sv}'s "
+                    "manifest was vacuumed; restart the stream from a "
+                    "retained startingVersion"
+                )
             seen = set(_read_manifest(self._dir, sv)["files"])
         for v in range(max(sv + 1, 0), ev + 1):
             if not os.path.exists(_manifest_path(self._dir, v)):
-                continue  # vacuumed history below the resume point
+                if sv >= 0:
+                    raise ValueError(
+                        f"snapshot_table stream: version {v} was vacuumed "
+                        f"inside the planned range ({sv}, {ev}]; restart "
+                        "the stream from a retained startingVersion"
+                    )
+                continue  # fresh start: vacuumed prefix below first manifest
             m = _read_manifest(self._dir, v)
             if v > 0 and m["op"] != "append":
                 if (m.get("change") or {}).get("kind") == "reorg":
@@ -794,6 +819,26 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
 
     import duckdb
 
+    # one rewrite commit = ONE task: both sides of the diff materialize in
+    # this executor's memory. Targeted DML touches a bounded file set, but
+    # a huge CoW rewrite or full-table overwrite consumed through the
+    # source would OOM the task — fail with a pointer to the distributed
+    # twin instead of dying mid-read.
+    total_bytes = sum(
+        os.path.getsize(path)
+        for path in [pp for _, pp in (p.old_files or [])]
+        + list(p.new_files or [])
+        if os.path.exists(path)
+    )
+    if total_bytes > _REWRITE_DIFF_MAX_BYTES:
+        raise ValueError(
+            f"rewrite commit v{p.version} touches "
+            f"{total_bytes / 2**30:.1f} GiB of parquet — too large to "
+            "diff inside one task. Read this range with the distributed "
+            "snapshot_change_feed operator instead, or raise "
+            "SNAPSHOT_REWRITE_DIFF_MAX_BYTES."
+        )
+
     if arrow_schema is None:
         # schema-less legacy manifest: fall back to a data-file footer
         import pyarrow.parquet as pq
@@ -858,6 +903,9 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema) -> Iterator:
     import numpy as np
     import pyarrow as pa
     import pyarrow.dataset as pads
+
+    if p.kind == "empty":
+        return  # quiet-range sentinel: zero rows, matching readChangeFeed
 
     if p.kind == "insert":
         for batch in _read_parquet_batches(p.path, arrow_schema):
@@ -931,10 +979,12 @@ class _SnapshotCDFBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         parts = _plan_cdf_partitions(self._dir, self._sv, self._ev)
         if not parts:
-            raise ValueError(
-                f"no changes in {self._sv}..{self._ev} — the range holds "
-                "no commits (or only no-op reorgs)"
-            )
+            # quiet range (no commits, or only no-op reorgs): Delta's
+            # readChangeFeed returns an EMPTY DataFrame here, so pollers
+            # get zero rows instead of having to catch an exception. One
+            # sentinel partition whose read() yields nothing keeps the
+            # Python DS contract (non-empty partition list) intact.
+            return [_CDFPartition("empty", None, None, self._sv)]
         return parts
 
     def read(self, partition: _CDFPartition) -> Iterator:

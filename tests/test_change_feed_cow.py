@@ -234,6 +234,60 @@ def test_batch_changefeed_source_matches_operator(spark, sf_dir, tmp_path):
         ).count()
 
 
+def test_batch_changefeed_quiet_range_returns_empty(spark, sf_dir, tmp_path):
+    """A valid range holding only a reorg (or no commits at all) yields an
+    EMPTY DataFrame with the stamped schema — Delta readChangeFeed parity;
+    pollers never have to catch an exception for 'nothing happened'."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tq")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    snapshot_commit(part.filter("p_partkey % 2 = 0"), t)  # v0
+    snapshot_commit(part.filter("p_partkey % 2 = 1"), t)  # v1
+    compact_snapshot(spark, t)                            # v2 reorg
+    quiet = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 2)
+        .load()
+    )
+    assert quiet.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(quiet.columns)
+
+
+def test_rewrite_diff_size_guard(spark, sf_dir, tmp_path, monkeypatch):
+    """A rewrite commit whose old+new parquet exceeds the single-task
+    ceiling fails loudly with a pointer to the distributed
+    snapshot_change_feed operator instead of OOMing one executor."""
+    import pyarrow.parquet as pq
+
+    from reactivestreams_kinesis_spark.sources import snapshot_source as ss
+
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    tbl = load_table(spark, sf_dir, "region").toPandas()
+    pq.write_table(__import__("pyarrow").Table.from_pandas(tbl), old_p)
+    pq.write_table(__import__("pyarrow").Table.from_pandas(tbl), new_p)
+    part = ss._CDFPartition(
+        "rewrite_diff",
+        None,
+        None,
+        1,
+        old_files=[("old.parquet", old_p)],
+        new_files=[new_p],
+    )
+    monkeypatch.setattr(ss, "_REWRITE_DIFF_MAX_BYTES", 1)
+    with pytest.raises(ValueError, match="snapshot_change_feed"):
+        list(ss._read_rewrite_diff(part, None))
+    # restored ceiling: the same partition diffs fine (identical sides
+    # cancel — zero change rows)
+    monkeypatch.setattr(ss, "_REWRITE_DIFF_MAX_BYTES", 4 * 2**30)
+    assert list(ss._read_rewrite_diff(part, None)) == []
+
+
 def test_streaming_changefeed_crosses_rewrites(spark, sf_dir, tmp_path):
     """The streaming changeFeed source drains the SAME feed as the batch
     operator across CoW rewrites and reorgs (one partition per rewrite

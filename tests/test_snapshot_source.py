@@ -85,6 +85,56 @@ def test_snapshot_source_stream_versions_as_offsets(spark, sf_dir, tmp_path):
     assert final.subtract(ev).count() == 0 and ev.subtract(final).count() == 0
 
 
+def test_snapshot_source_stream_resume_after_vacuum_fails_loud(
+    spark, sf_dir, tmp_path
+):
+    """A checkpointed resume whose base manifest (or any manifest in the
+    planned range) was vacuumed must FAIL, not silently re-emit the whole
+    first retained manifest as new rows. Mirrors the CDF path's
+    'restart from a retained startingVersion' contract."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reactivestreams_kinesis_spark.operators.snapshots import vacuum
+
+    register_snapshot_source(spark)
+    ev = _events_slice(spark, sf_dir)
+    t = str(tmp_path / "tblv")
+    ckpt = str(tmp_path / "ckptv")
+    quarters = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    snapshot_commit(quarters[0], t)  # v0
+    snapshot_commit(quarters[1], t)  # v1
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)  # checkpoint now holds version 1
+
+    snapshot_commit(quarters[2], t)  # v2
+    snapshot_commit(quarters[3], t)  # v3
+    vacuum(t, keep_from_version=3)  # drops manifests v0..v2, incl. the base
+
+    q2 = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(
+        (StreamingQueryException, Py4JJavaError), match="vacuumed"
+    ):
+        q2.awaitTermination(300)
+
+
 def test_snapshot_source_stream_rejects_overwrite(spark, sf_dir, tmp_path):
     """An overwrite in the unprocessed range fails the stream loudly
     (history rewrite), matching snapshot_changes' contract."""

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.operators.snapshots import (
+    _read_manifest,
     compact_snapshot,
     latest_version,
     read_snapshot,
@@ -1299,6 +1300,52 @@ def test_add_column_metadata_only(spark, sf_dir, tmp_path):
     # txn replay no-ops
     v = add_column(t, "c_extra", "double", txn_id="add-x")
     assert add_column(t, "c_extra2", "double", txn_id="add-x") == v
+
+
+def test_full_overwrite_clears_drop_tombstone(spark, sf_dir, tmp_path):
+    """A FULL overwrite references no pre-drop files, so reintroducing a
+    dropped name is safe — the new files own every value. The tombstone
+    clears; the append-path guard stays (a later drop still refuses
+    re-add via append), and a CoW rewrite (base_files retained) keeps
+    refusing."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        drop_column,
+        update_where,
+    )
+
+    t = str(tmp_path / "t")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    snapshot_commit(base, t)                                         # v0
+    drop_column(t, "c_acctbal")                                      # v1
+    with _pytest.raises(ValueError, match="previously dropped"):
+        snapshot_commit(base.limit(1), t)  # append path still refuses
+
+    # full overwrite reintroducing the name: legal, values are the NEW ones
+    fresh = base.withColumn("c_acctbal", F.lit(7.0))
+    snapshot_commit(fresh, t, mode="overwrite")                      # v2
+    m = _read_manifest(t, latest_version(t))
+    assert not m.get("dropped_cols"), "tombstone cleared by full overwrite"
+    got = read_snapshot(spark, t)
+    assert got.filter("c_acctbal = 7.0").count() == base.count()
+
+    # appends of the column are normal again after the clear
+    snapshot_commit(fresh.limit(2), t)                               # v3
+    assert read_snapshot(spark, t).count() == base.count() + 2
+
+    # CoW rewrite keeps the guard: drop again, then a targeted update
+    # (which retains base_files) must not clear the tombstone
+    drop_column(t, "c_acctbal")                                      # v4
+    update_where(
+        spark, t, [("c_custkey", "<=", 10)], {"c_nationkey": F.lit(1)}
+    )                                                                # v5
+    m5 = _read_manifest(t, latest_version(t))
+    assert m5.get("dropped_cols") == ["c_acctbal"]
+    with _pytest.raises(ValueError, match="previously dropped"):
+        snapshot_commit(fresh.limit(1), t)
 
 
 # ---- randomized model check over schema-evolution histories ----
