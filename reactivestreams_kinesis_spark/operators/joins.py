@@ -138,7 +138,7 @@ def skew_split_join(
     how: str = "inner",
     hot_threshold: int = 100_000,
     hot_keys: list | None = None,
-    detect: str = "collect",
+    detect: str = "lazy",
 ) -> DataFrame:
     """Split-treatment equi-join for single-hot-key skew: hot keys route
     through a broadcast of their (few) build rows, everything else
@@ -159,20 +159,21 @@ def skew_split_join(
 
     ``hot_keys=None`` detects hot keys per ``detect``:
 
-    - ``detect="collect"`` (default) runs one count-aggregate job over
-      the probe side eagerly — a bounded driver action (≤ |left| /
-      hot_threshold keys can exceed the threshold) — and routes via a
-      literal ``isin``. One extra job at CONSTRUCTION time, but the
-      returned plan is then literal-filtered single-pass.
-    - ``detect="lazy"`` keeps the builder lazy: the bounded hot-key
-      frame stays IN the plan, broadcast, and both sides split via
-      broadcast semi/anti joins against it. No driver action ever runs
-      — the detection aggregate executes with the query, and its four
-      uses collapse to one evaluation through Spark's broadcast
-      exchange reuse (``ReusedExchange``, plan-pinned). Prefer this in
-      composed/dry-planning contexts; the trade-off is four extra
-      (reused) broadcast joins in the plan vs "collect"'s one
-      up-front job.
+    - ``detect="lazy"`` (default) keeps the builder lazy: the bounded
+      hot-key frame stays IN the plan, broadcast, and both sides split
+      via broadcast semi/anti joins against it. No driver action ever
+      runs — the detection aggregate executes with the query, and its
+      four uses collapse to one evaluation through Spark's broadcast
+      exchange reuse (``ReusedExchange``, plan-pinned). The default
+      because construction stays job-free: a naive caller building the
+      join against a 100 TB fact table must not pay an eager
+      full-table count before the query even runs.
+    - ``detect="collect"`` runs one count-aggregate job over the probe
+      side eagerly — a bounded driver action (≤ |left| / hot_threshold
+      keys can exceed the threshold) — and routes via a literal
+      ``isin``. One extra job at CONSTRUCTION time, but the returned
+      plan is then literal-filtered single-pass; use it when the same
+      built plan re-executes many times.
 
     Pass the known hot keys explicitly (the null-key / celebrity-entity
     case is usually known upfront) to skip detection entirely.

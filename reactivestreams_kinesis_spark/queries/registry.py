@@ -103,10 +103,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_rollup_merge",             # A1 A6 — day partials merged to week
     "agg_approx_count_distinct",    # A3
     "agg_grouping_sets",            # A5
-    # scalar function families (§2.8)
+    # scalar function families (§2.8) — round-10 rotation: fn_math ceded
+    # its slot (math exprs stay driver-exercised inside q01/agg rows and
+    # the local mirror keeps it bit-exact) to rel_cdf_feed, the
+    # retraction-feed flagship that had never had a driver row
     "fn_string",
     "fn_datetime",
-    "fn_math",
+    "rel_cdf_feed",                 # S5 — MoR delete retraction feed
     "fn_array_vector",
     "fn_json",                      # json + map + P1
     "fn_conditional_null",
@@ -120,9 +123,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # swap); the theta form stays mirror-checked as the semantic baseline
     "join_range_binned",            # J5 J6
     "join_asof_attribution",        # J7
-    # relational / set ops
+    # relational / set ops — round-10 rotation: setop_unions ceded its
+    # slot (O4 stays driver-covered inside setop_intersect_except's
+    # union legs and the local mirror keeps it bit-exact) to
+    # stream_gapfill_locf, round 9's stateful gap-fill twin
     "rel_projection_compute",       # P2 P4
-    "setop_unions",                 # O4
+    "stream_gapfill_locf",          # T7 W2 — stateful LOCF gap fill
     "setop_intersect_except",       # O5
     # streaming batch-twins
     "stream_window_counts",         # T1 T3 A8

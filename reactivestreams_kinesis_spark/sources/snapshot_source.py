@@ -177,9 +177,18 @@ class SnapshotTableDataSource(DataSource):
                 )
             return _SnapshotCDFBatchReader(table_dir, sv, ev, schema)
         version = int(self.options.get("version", tip))
-        cls = _SnapshotBatchReader
-        if str(self.options.get("filterPushdown", "")).lower() in ("1", "true"):
-            cls = _PushdownSnapshotBatchReader
+        # filterPushdown: explicit option wins both ways; otherwise the
+        # default is version-gated — ON once the Spark build's Python DS
+        # scan owns its read info (see _pushdown_default_on), OFF on
+        # 4.1.x where the shared mutable readInfo replays a filtered
+        # scan for an unfiltered query (silent wrong answer, regression-
+        # pinned by test_snapshot_source_no_stale_filter_reuse)
+        opt = self.options.get("filterPushdown")
+        if opt is None:
+            push = _pushdown_default_on()
+        else:
+            push = str(opt).lower() in ("1", "true")
+        cls = _PushdownSnapshotBatchReader if push else _SnapshotBatchReader
         return cls(table_dir, _read_manifest(table_dir, version), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
@@ -197,6 +206,32 @@ class SnapshotTableDataSource(DataSource):
         return _SnapshotStreamWriter(
             self._table_dir(), schema, self.options.get("txnScope", "default")
         )
+
+
+def _pushdown_default_on(version: str | None = None) -> bool:
+    """Whether filter pushdown is safe to enable BY DEFAULT on this
+    Spark build. Spark 4.1.x shares ONE mutable
+    ``PythonDataSourceReadInfo`` across plans of a relation
+    (``PythonDataSourceV2.readInfo``), so a pushdown-consuming reader
+    silently replays a FILTERED scan for a later unfiltered query on
+    the same loaded DataFrame — reproduced and regression-pinned in
+    ``test_snapshot_source_no_stale_filter_reuse``. Scans own their
+    read info from 4.2 on, so the default flips there; 4.1.x (and
+    anything unparsable) stays opt-in via
+    ``.option("filterPushdown", "true")`` — and an explicit option
+    always overrides this gate in either direction."""
+    if version is None:
+        import pyspark
+
+        version = pyspark.__version__
+    try:
+        parts = version.split(".")
+        major, minor = int(parts[0]), int("".join(
+            ch for ch in parts[1] if ch.isdigit()
+        ) or 0)
+    except (ValueError, IndexError):
+        return False  # unparsable build string: stay safe, opt-in only
+    return (major, minor) >= (4, 2)
 
 
 _SIMPLE = (int, float, str, bool)

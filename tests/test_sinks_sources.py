@@ -444,9 +444,12 @@ def test_skew_split_join_lazy_equivalence_and_no_driver_job(spark, sf_dir):
             "collect",
             side_effect=AssertionError("lazy detect ran a driver collect"),
         ):
+            # detect is deliberately NOT passed: the DEFAULT must be the
+            # job-free lazy mode (a naive caller on a 100 TB fact table
+            # must not pay an eager full-table count at construction)
             lazy = skew_split_join(
                 skewed, customer, "o_custkey", how=how,
-                hot_threshold=100, detect="lazy",
+                hot_threshold=100,
             ).select("o_orderkey", "o_custkey", "c_name")
         assert plain.count() == lazy.count(), how
         assert plain.subtract(lazy).count() == 0, how

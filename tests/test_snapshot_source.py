@@ -160,6 +160,27 @@ def test_snapshot_source_stream_rejects_overwrite(spark, sf_dir, tmp_path):
         q.awaitTermination(300)
 
 
+def test_filter_pushdown_version_gate():
+    """Pushdown default is version-gated: OFF on 4.1.x (shared-readInfo
+    wrong-answer bug), ON from 4.2; unparsable build strings stay safe.
+    An explicit .option('filterPushdown', ...) always overrides."""
+    import pyspark
+
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        _pushdown_default_on,
+    )
+
+    assert _pushdown_default_on("4.1.2") is False
+    assert _pushdown_default_on("4.1.0") is False
+    assert _pushdown_default_on("4.2.0") is True
+    assert _pushdown_default_on("4.2.0-preview1") is True
+    assert _pushdown_default_on("5.0.0") is True
+    assert _pushdown_default_on("3.5.1") is False
+    assert _pushdown_default_on("garbage") is False
+    # the running build resolves without error (whatever it is)
+    assert _pushdown_default_on() is _pushdown_default_on(pyspark.__version__)
+
+
 def test_snapshot_source_batch_writer(spark, sf_dir, tmp_path):
     """df.write.format('snapshot_table'): tasks stage Arrow batches, the
     driver publishes one manifest — append then overwrite lineage, read
