@@ -73,6 +73,126 @@ def _merge_schema(parent: dict | None, new: dict | None) -> dict | None:
     return StructType(out).jsonValue()
 
 
+# ---- physical column mapping (rename support) -----------------------------
+#
+# A manifest may carry ``"phys"``: a logical→physical name map for its
+# schema fields (only non-identity entries are stored; absent = identity,
+# which keeps every pre-mapping manifest valid). PHYSICAL names are the
+# column names actually written into parquet files and are IMMUTABLE once
+# assigned — RENAME COLUMN changes only the logical name (one manifest
+# write), and re-adding a previously dropped name mints a FRESH physical
+# name so old files' bytes can never resurrect (the tombstone refusal
+# this replaces). Everything file-side keys on physical names forever:
+# per-file min/max stats, bloom filters, NDV sketches, equality-delete
+# key columns. Readers translate once at the scan boundary
+# (``_read_data_files`` reads physical and aliases back to logical);
+# predicates translate at prune and pushdown. Same design as Delta
+# column mapping / Iceberg field ids, reduced to the manifest primitives.
+
+
+def _phys_map(manifest: dict | None) -> dict:
+    """The manifest's logical→physical map ({} = identity)."""
+    return dict((manifest or {}).get("phys") or {})
+
+
+def _phys_col(manifest: dict | None, col: str) -> str:
+    return _phys_map(manifest).get(col, col)
+
+
+def _inv_phys(manifest: dict | None) -> dict:
+    """physical→logical for the manifest's mapped fields."""
+    return {p: l for l, p in _phys_map(manifest).items()}
+
+
+def _phys_predicates(manifest: dict | None, predicates: list) -> list:
+    """(col, op, value) triples translated logical→physical — the form
+    file stats, blooms and pyarrow filters understand."""
+    phys = _phys_map(manifest)
+    return [(phys.get(c, c), op, v) for (c, op, v) in predicates]
+
+
+def _mint_physical(logical: str, used: set) -> str:
+    """A fresh physical name for a NEW logical column: the logical name
+    itself when free, else the first ``name#N`` not colliding with any
+    in-use or tombstoned physical name. Deterministic given ``used`` —
+    two racing commits that both re-add the same dropped column against
+    the same parent mint the SAME name, so the race stays benign."""
+    if logical not in used:
+        return logical
+    n = 1
+    while f"{logical}#{n}" in used:
+        n += 1
+    return f"{logical}#{n}"
+
+
+def _used_physical(manifest: dict | None) -> set:
+    """Every physical name minting must avoid: the resolved physical of
+    each current schema field, plus every tombstoned (dropped) physical
+    — those bytes may still live in retained files."""
+    m = manifest or {}
+    phys = _phys_map(m)
+    used = set(m.get("dropped_cols") or [])
+    if m.get("schema") is not None:
+        used.update(phys.get(f["name"], f["name"]) for f in m["schema"]["fields"])
+    return used
+
+
+def _physical_struct(schema_json: dict, phys: dict):
+    """The declared schema with field names translated to physical —
+    what the parquet files actually contain."""
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType.fromJson(schema_json)
+    return StructType(
+        [
+            StructField(phys.get(f.name, f.name), f.dataType, f.nullable, f.metadata)
+            for f in st.fields
+        ]
+    )
+
+
+def _to_physical_df(df: DataFrame, phys: dict) -> DataFrame:
+    """Alias a logical-named DataFrame to physical names for writing.
+    Identity maps return ``df`` unchanged (no plan node added)."""
+    if not any(phys.get(c, c) != c for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(*[F.col(c).alias(phys.get(c, c)) for c in df.columns])
+
+
+def _commit_phys(
+    parent_manifest: dict | None, field_names, *, reset: bool = False
+) -> dict:
+    """The FULL logical→physical map a commit's files are written under:
+    existing fields keep the parent's assignment, new fields mint
+    (identity unless the name is tombstoned or collides with an in-use
+    physical). ``reset=True`` (full overwrite — no retained files) maps
+    everything identity: the new files own every value."""
+    if reset or parent_manifest is None:
+        return {n: n for n in field_names}
+    base = _phys_map(parent_manifest)
+    parent_fields = (
+        {f["name"] for f in parent_manifest["schema"]["fields"]}
+        if parent_manifest.get("schema") is not None
+        else set()
+    )
+    used = _used_physical(parent_manifest)
+    out = {}
+    for n in field_names:
+        if n in parent_fields:
+            out[n] = base.get(n, n)
+        else:
+            p = _mint_physical(n, used)
+            used.add(p)
+            out[n] = p
+    return out
+
+
+def _strip_identity(phys: dict) -> dict:
+    return {l: p for l, p in phys.items() if l != p}
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _SNAPDIR, f"v{version:09d}.json")
 
@@ -183,7 +303,8 @@ def set_bloom_columns(spark: SparkSession, table_dir: str, cols: list[str]) -> i
         [],
         mode="append",
         schema=manifest.get("schema"),
-        bloom_cols=cols,
+        # stored PHYSICAL: blooms are built by reading file columns
+        bloom_cols=[_phys_col(manifest, c) for c in cols],
         require_parent=tip,
     )
 
@@ -383,7 +504,8 @@ def set_ndv_columns(spark: SparkSession, table_dir: str, cols: list[str]) -> int
         [],
         mode="append",
         schema=manifest.get("schema"),
-        ndv_cols=cols,
+        # stored PHYSICAL: sketches are built by reading file columns
+        ndv_cols=[_phys_col(manifest, c) for c in cols],
         require_parent=tip,
     )
 
@@ -404,6 +526,7 @@ def approx_distinct_count(
     if manifest.get("dv_counts") or manifest.get("eq_deletes"):
         return None
     stats = manifest.get("stats") or {}
+    col = _phys_col(manifest, col)  # sketches key on physical names
     sketches = [
         (stats.get(f) or {}).get(col, {}).get("ndv") for f in manifest["files"]
     ]
@@ -421,8 +544,9 @@ def _key_overlap_factor(manifest: dict, col: str) -> float | None:
     the files PARTITION the key space (a clustered/bucketed layout —
     per-key pruning like bloom probing works); ≈|files| means every key
     is in every file (probing can prune nothing). None when any file
-    lacks a sketch."""
+    lacks a sketch. ``col`` is logical; sketches key on physical."""
     stats = manifest.get("stats") or {}
+    col = _phys_col(manifest, col)
     sketches = [
         (stats.get(f) or {}).get(col, {}).get("ndv") for f in manifest["files"]
     ]
@@ -506,8 +630,11 @@ def prune_files(manifest: dict, predicates: list[tuple]) -> list[str]:
     (op ∈ =, <, <=, >, >=; conjunctive). Files without stats always
     survive. Pure driver-side metadata — the 100 TB point: a selective
     scan plans against the manifest's stats and never LISTS, let alone
-    reads, the excluded files, exactly the Iceberg/Delta skipping model."""
+    reads, the excluded files, exactly the Iceberg/Delta skipping model.
+    Predicates name LOGICAL columns; stats are keyed by the files'
+    PHYSICAL names — translated here, the one prune boundary."""
     stats = manifest.get("stats") or {}
+    predicates = _phys_predicates(manifest, predicates)
     return [
         f
         for f in manifest["files"]
@@ -673,8 +800,18 @@ def snapshot_commit(
         done = find_txn(table_dir, txn_id)
         if done is not None:
             return done
+    pre_tip = latest_version(table_dir)
+    pre_manifest = None if pre_tip is None else _read_manifest(table_dir, pre_tip)
+    # physical column mapping: existing fields write under the table's
+    # assigned physical names; NEW fields mint (identity unless the name
+    # is tombstoned — re-add-after-drop gets a fresh physical, so old
+    # files' bytes can never resurrect). A full overwrite resets to
+    # identity: its files own every value.
+    phys = _commit_phys(
+        pre_manifest, df.schema.fieldNames(), reset=(mode == "overwrite")
+    )
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    df.write.parquet(commit_dir)
+    _to_physical_df(df, phys).write.parquet(commit_dir)
     new_files = sorted(
         os.path.join(os.path.basename(commit_dir), f)
         for f in os.listdir(commit_dir)
@@ -686,19 +823,25 @@ def snapshot_commit(
         # cheaper than recomputing df's plan) against table constraints,
         # under the TABLE's widened schema: an append narrower than the
         # evolved table must evaluate a constraint on the missing column
-        # as NULL (SQL CHECK passes), not fail resolution
+        # as NULL (SQL CHECK passes), not fail resolution. Constraints
+        # are LOGICAL expressions: the staged files hold physical names,
+        # so declare physical and alias back before checking.
         tip_manifest = _read_manifest(table_dir, tip)
         staged = df.sparkSession.read
         table_schema = _merge_schema(
             tip_manifest.get("schema"), df.schema.jsonValue()
         )
+        table_phys = {**_phys_map(tip_manifest), **phys}
         if table_schema is not None:
-            from pyspark.sql.types import StructType
+            staged = staged.schema(_physical_struct(table_schema, table_phys))
+        staged_df = staged.parquet(commit_dir)
+        inv = {p: l for l, p in table_phys.items()}
+        from pyspark.sql import functions as F
 
-            staged = staged.schema(StructType.fromJson(table_schema))
-        _check_constraints(
-            staged.parquet(commit_dir), tip_manifest.get("constraints")
+        staged_df = staged_df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in staged_df.columns]
         )
+        _check_constraints(staged_df, tip_manifest.get("constraints"))
     return publish_manifest(
         table_dir,
         new_files,
@@ -708,6 +851,7 @@ def snapshot_commit(
         new_stats=_commit_stats(table_dir, new_files),
         require_parent=require_parent,
         change=change,
+        phys=phys,
     )
 
 
@@ -745,6 +889,7 @@ def publish_manifest(
     dv_counts: dict | None = None,
     eq_deletes: list | None = None,
     change: dict | None = None,
+    phys: dict | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -860,6 +1005,34 @@ def publish_manifest(
                 out_ndv_cols = tip_manifest.get("ndv_cols")
             if out_dropped is None:
                 out_dropped = tip_manifest.get("dropped_cols")
+        # physical column mapping: the caller's map names what its FILES
+        # actually contain, so a disagreement with the (possibly moved)
+        # tip's assignment is a real write conflict, not something a
+        # retry loop may paper over. None inherits the tip's map
+        # (metadata-only commits); {} resets to identity (full
+        # overwrite: the new files own every value).
+        tip_phys = _phys_map(tip_manifest)
+        if phys is None:
+            out_phys = dict(tip_phys)  # inherit (plain metadata commits)
+        elif new_files and (mode != "overwrite" or base_files):
+            # files exist on disk under the caller's map: a tip that
+            # remapped a shared logical name since is a real write
+            # conflict, not something the retry loop may paper over
+            for l, p in phys.items():
+                if l in tip_phys and tip_phys[l] != p:
+                    raise SnapshotConflictError(
+                        f"column {l!r} was remapped to physical "
+                        f"{tip_phys[l]!r} since this commit's files "
+                        f"were written under {p!r} — re-run against "
+                        "the new tip"
+                    )
+            out_phys = {**tip_phys, **phys}
+        else:
+            # authoritative replace: a full overwrite's files own every
+            # value (identity reset), and metadata-only commits
+            # (rename/drop/restore) publish their exact map
+            out_phys = dict(phys)
+        out_phys = _strip_identity(out_phys)
         out_deletes = list(delete_files or [])
         out_dvc = dict(dv_counts or {})
         out_eq = list(eq_deletes or [])
@@ -896,28 +1069,44 @@ def publish_manifest(
                 )
             if not base_files and out_dropped and out_schema is not None:
                 # a FULL overwrite references no pre-drop files, so a
-                # reintroduced name carries no resurrection hazard — the
-                # new files own every value. Clear its tombstone (CoW
-                # rewrites keep base_files and keep the guard).
+                # reintroduced PHYSICAL name carries no resurrection
+                # hazard — the new files own every value. Clear its
+                # tombstone (CoW rewrites keep base_files and the guard).
+                reintroduced = {
+                    out_phys.get(f["name"], f["name"])
+                    for f in out_schema["fields"]
+                }
                 out_dropped = [
-                    c
-                    for c in out_dropped
-                    if c not in {f["name"] for f in out_schema["fields"]}
+                    c for c in out_dropped if c not in reintroduced
                 ] or None
+        if out_schema is not None:
+            # the map describes exactly the current schema's fields;
+            # entries for dropped/renamed-away logical names are dead
+            out_phys = {
+                l: p
+                for l, p in out_phys.items()
+                if l in {f["name"] for f in out_schema["fields"]}
+            }
         if out_dropped and out_schema is not None:
-            # no physical column mapping: a file written before a DROP
-            # still holds the column's bytes, so re-adding the NAME would
-            # resurrect old values instead of reading NULL — refuse (the
-            # Delta analogue requires column mapping for exactly this)
+            # physical column mapping invariant: no schema field may
+            # RESOLVE to a tombstoned physical name — a file written
+            # before the DROP still holds those bytes, so reading them
+            # under a re-added logical name would resurrect old values.
+            # Callers that mint via _commit_phys/_mint_physical never
+            # trip this; it guards direct publish_manifest misuse.
             conflict = sorted(
-                {f["name"] for f in out_schema["fields"]} & set(out_dropped)
+                {
+                    out_phys.get(f["name"], f["name"])
+                    for f in out_schema["fields"]
+                }
+                & set(out_dropped)
             )
             if conflict:
                 raise ValueError(
-                    f"column(s) {conflict} were previously dropped from this "
-                    "table; re-adding a dropped name would resurrect old "
-                    "files' values (no physical column mapping) — restore a "
-                    "pre-drop version or use a new name"
+                    f"physical column(s) {conflict} are tombstoned (dropped "
+                    "while retained files still hold their bytes) — re-adding "
+                    "a column must mint a fresh physical name "
+                    "(_commit_phys), or restore a pre-drop version"
                 )
         manifest = {
             "version": version,
@@ -943,6 +1132,8 @@ def publish_manifest(
             manifest["ndv_cols"] = out_ndv_cols
         if out_dropped:
             manifest["dropped_cols"] = out_dropped
+        if out_phys:
+            manifest["phys"] = out_phys
         if change is not None:
             manifest["change"] = change
         if txn_id is not None:
@@ -1030,7 +1221,12 @@ def snapshot_changes(
                 new_rel.append(f)
     if not new_rel:
         raise ValueError(f"no files added in {from_version}..{to_version}")
-    return spark.read.parquet(*[os.path.join(table_dir, f) for f in new_rel])
+    # declared read under the TO version's schema/mapping: column names
+    # surface logical-at-to (physical names are stable, so files written
+    # before a mid-range rename read correctly under the new name)
+    return _read_plain(
+        spark, table_dir, _read_manifest(table_dir, to_version), new_rel
+    )
 
 
 def snapshot_change_feed(
@@ -1081,6 +1277,24 @@ def snapshot_change_feed(
         raise ValueError(f"bad version range {from_version}..{to_version} (tip {tip})")
 
     parts: list[DataFrame] = []
+    # the feed surfaces the ENDING version's logical names; a column
+    # renamed inside the range is the SAME physical column, so each
+    # part's columns remap logical-at-read → physical → logical-at-end
+    # (physical identity is the anchor that makes renames crossable)
+    end_manifest = _read_manifest(table_dir, to_version)
+    end_inv = _inv_phys(end_manifest)
+
+    def remap(df: DataFrame, m_read: dict) -> DataFrame:
+        phys_read = _phys_map(m_read)
+        renames = {
+            c: end_inv.get(phys_read.get(c, c), phys_read.get(c, c))
+            for c in df.columns
+        }
+        if all(new == c for c, new in renames.items()):
+            return df
+        return df.select(
+            *[F.col(c).alias(new) for c, new in renames.items()]
+        )
 
     def stamp(df: DataFrame, kind: str, v: int) -> DataFrame:
         return df.withColumn("_change_type", F.lit(kind)).withColumn(
@@ -1106,10 +1320,8 @@ def snapshot_change_feed(
             if new_rel:
                 # appended files carry no positions and sit outside every
                 # equality scope — a plain declared-schema read suffices
-                df = _declared_reader(spark, m).parquet(
-                    *[os.path.join(table_dir, f) for f in new_rel]
-                )
-                parts.append(stamp(df, "insert", v))
+                df = _read_plain(spark, table_dir, m, new_rel)
+                parts.append(stamp(remap(df, m), "insert", v))
         elif m["op"] == "delete":
             parent_dvc = parent.get("dv_counts") or {}
             delta_dv = [
@@ -1139,14 +1351,18 @@ def snapshot_change_feed(
                 )
                 parts.append(
                     stamp(
-                        scan.join(pos, ["__cf_file", "__cf_pos"], "semi").drop(
-                            "__cf_file", "__cf_pos"
+                        remap(
+                            scan.join(
+                                pos, ["__cf_file", "__cf_pos"], "semi"
+                            ).drop("__cf_file", "__cf_pos"),
+                            parent,
                         ),
                         "delete",
                         v,
                     )
                 )
             n_parent_eq = len(parent.get("eq_deletes") or [])
+            parent_inv = _inv_phys(parent)
             for entry in (m.get("eq_deletes") or [])[n_parent_eq:]:
                 scan = _read_data_files(
                     spark,
@@ -1154,26 +1370,40 @@ def snapshot_change_feed(
                     parent,
                     [f for f in parent["files"] if f in set(entry["files"])],
                 )
+                # key files store PHYSICAL names; the scan surfaces the
+                # parent's LOGICAL names — translate the key side
+                join_cols = [parent_inv.get(k, k) for k in entry["key_cols"]]
                 keys = (
                     spark.read.parquet(
                         *[os.path.join(table_dir, f) for f in entry["delete_files"]]
                     )
-                    .select(*entry["key_cols"])
+                    .select(
+                        *[
+                            F.col(k).alias(parent_inv.get(k, k))
+                            for k in entry["key_cols"]
+                        ]
+                    )
                     .distinct()
                 )
                 parts.append(
                     stamp(
                         # USING-join moves key columns first; restore the
                         # data order so every part aligns
-                        scan.join(keys, entry["key_cols"], "semi").select(
-                            *scan.columns
+                        remap(
+                            scan.join(keys, join_cols, "semi").select(
+                                *scan.columns
+                            ),
+                            parent,
                         ),
                         "delete",
                         v,
                     )
                 )
         else:
-            parts.extend(_rewrite_change_rows(spark, table_dir, m, parent, v))
+            parts.extend(
+                remap(p_df, m)
+                for p_df in _rewrite_change_rows(spark, table_dir, m, parent, v)
+            )
     if not parts:
         raise ValueError(f"no changes in {from_version}..{to_version}")
     out = parts[0]
@@ -1239,11 +1469,7 @@ def _rewrite_change_rows(
         _read_data_files(spark, table_dir, parent, old_rel) if old_rel else None
     )
     new_df = (
-        _declared_reader(spark, m).parquet(
-            *[os.path.join(table_dir, f) for f in new_rel]
-        )
-        if new_rel
-        else None
+        _read_plain(spark, table_dir, m, new_rel) if new_rel else None
     )
     if old_df is None and new_df is None:
         return []
@@ -1543,7 +1769,9 @@ def merge_upsert(
             probe_can_prune
             and bounds["n"] <= _MERGE_BLOOM_PROBE_CAP
             and any(
-                table_stats.get(f, {}).get(key, {}).get("bloom")
+                table_stats.get(f, {})
+                .get(_phys_col(manifest, key), {})
+                .get("bloom")
                 for f in candidates
             )
         ):
@@ -1648,6 +1876,11 @@ def _read_data_files(
     reader = _declared_reader(spark, manifest)
     paths = [os.path.join(table_dir, f) for f in rel_files]
     df = reader.parquet(*paths)
+    # the scan surfaces PHYSICAL column names (what the files hold);
+    # delete application below joins on physical (equality-delete key
+    # files store physical names), then the final select aliases back
+    # to the version's LOGICAL names — the ONE translation boundary
+    inv = _inv_phys(manifest)
     dv_files = manifest.get("delete_files") or []
     # entries whose scope intersects the files actually being read
     eq_entries = [
@@ -1656,8 +1889,15 @@ def _read_data_files(
         if set(e["files"]) & set(rel_files)
     ]
     if not dv_files and not eq_entries and keep_file_col is None and keep_pos_col is None:
+        if inv:
+            return df.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+            )
         return df
-    out_cols = list(df.columns)
+    out_cols = [
+        F.col(c).alias(inv.get(c, c)) if c in inv else F.col(c)
+        for c in df.columns
+    ]
     df = df.withColumn("__snap_file", _rel_path_expr()).withColumn(
         "__snap_pos", F.col("_metadata.row_index")
     )
@@ -1693,13 +1933,33 @@ def _read_data_files(
 
 def _declared_reader(spark: SparkSession, manifest: dict):
     """A DataFrameReader declaring the manifest's schema when present
-    (evolution-aware reads), plain otherwise."""
-    from pyspark.sql.types import StructType
-
+    (evolution-aware reads), plain otherwise. The declared names are
+    PHYSICAL (what the files hold) — callers alias back to logical, or
+    use ``_read_plain``/``_read_data_files`` which do it for them."""
     reader = spark.read
     if manifest.get("schema") is not None:
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        reader = reader.schema(
+            _physical_struct(manifest["schema"], _phys_map(manifest))
+        )
     return reader
+
+
+def _read_plain(
+    spark: SparkSession, table_dir: str, manifest: dict, rel_files: list[str]
+) -> DataFrame:
+    """Declared-schema read of the given files WITHOUT delete
+    application, surfacing LOGICAL column names — the light path for
+    files known to sit outside every DV/equality scope (fresh appends in
+    the change feeds)."""
+    from pyspark.sql import functions as F
+
+    df = _declared_reader(spark, manifest).parquet(
+        *[os.path.join(table_dir, f) for f in rel_files]
+    )
+    inv = _inv_phys(manifest)
+    if not inv:
+        return df
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
 
 
 def _predicate_match(predicates: list[tuple]):
@@ -1773,8 +2033,12 @@ def _commit_rewrite(
     carries whenever any retained file still has deleted rows. Equality
     entries carry the same way, each entry's scope intersected with the
     retained files (an entry whose scoped files all rewrote drops)."""
+    # rewrites retain parent files, so existing fields MUST keep the
+    # parent's physical assignment; fields the rewrite adds (merge
+    # widening) mint against the parent's tombstones
+    phys = _commit_phys(parent_manifest, df.schema.fieldNames())
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    df.write.parquet(commit_dir)
+    _to_physical_df(df, phys).write.parquet(commit_dir)
     new_files = sorted(
         os.path.join(os.path.basename(commit_dir), f)
         for f in os.listdir(commit_dir)
@@ -1782,9 +2046,15 @@ def _commit_rewrite(
     )
     tip = latest_version(table_dir)
     if tip is not None:
+        from pyspark.sql import functions as F
+
+        staged = df.sparkSession.read.parquet(commit_dir)
+        inv = {p: l for l, p in phys.items()}
+        staged = staged.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in staged.columns]
+        )
         _check_constraints(
-            df.sparkSession.read.parquet(commit_dir),
-            _read_manifest(table_dir, tip).get("constraints"),
+            staged, _read_manifest(table_dir, tip).get("constraints")
         )
     carried_dvc = {
         f: n
@@ -1812,6 +2082,7 @@ def _commit_rewrite(
         dv_counts=carried_dvc or None,
         eq_deletes=carried_eq or None,
         change=change,
+        phys=phys,
     )
 
 
@@ -2005,8 +2276,15 @@ def delete_by_key(
         raise ValueError(f"key columns not in table schema: {missing}")
     # align key types to the table's declared types: the DataFrame
     # anti-join would auto-cast, but the snapshot_table source's
-    # Arrow hash-join kernel requires exact type equality
-    key_exprs = [F.col(k).cast(declared[k]).alias(k) for k in kcols]
+    # Arrow hash-join kernel requires exact type equality. Key files
+    # store PHYSICAL column names (stable across renames — an entry
+    # keyed on a column later renamed still applies exactly); readers
+    # translate at their scan boundary.
+    phys = _phys_map(manifest)
+    key_exprs = [
+        F.col(k).cast(declared[k]).alias(phys.get(k, k)) for k in kcols
+    ]
+    kcols_phys = [phys.get(k, k) for k in kcols]
     key_rows = keys.select(*key_exprs).na.drop(how="any").distinct()
     eq_dir = os.path.join(table_dir, f"eqdv-{uuid.uuid4().hex[:12]}")
     key_rows.write.parquet(eq_dir)
@@ -2035,7 +2313,7 @@ def delete_by_key(
         txn_id=txn_id,
         eq_deletes=[
             {
-                "key_cols": kcols,
+                "key_cols": kcols_phys,
                 "delete_files": eq_files,
                 "files": list(manifest["files"]),
             }
@@ -2464,12 +2742,13 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
     columns: dict = {}
     if dv_counts or eq_pending:
         return {"rows": rows, "columns": columns}
+    inv = _inv_phys(manifest)  # stats key on physical; report logical
     if per_file and all(s is not None for s in per_file):
         shared = set.intersection(
             *(set(k for k in s if k != "__rows" and "min" in s[k]) for s in per_file)
         ) if per_file else set()
         for c in sorted(shared):
-            columns[c] = {
+            columns[inv.get(c, c)] = {
                 "min": min(s[c]["min"] for s in per_file),
                 "max": max(s[c]["max"] for s in per_file),
                 "nulls": sum(s[c].get("nulls", 0) for s in per_file),
@@ -2481,9 +2760,9 @@ def table_stats_summary(table_dir: str, version: int | None = None) -> dict:
             sketches = [(s.get(c) or {}).get("ndv") for s in per_file]
             if sketches and all(sk is not None for sk in sketches):
                 try:
-                    columns.setdefault(c, {})["approx_ndv"] = _hll_estimate(
-                        _hll_merge(sketches)
-                    )
+                    columns.setdefault(inv.get(c, c), {})[
+                        "approx_ndv"
+                    ] = _hll_estimate(_hll_merge(sketches))
                 except ValueError:
                     pass  # mixed precisions: column stays uncovered
     return {"rows": rows, "columns": columns}
@@ -2499,7 +2778,9 @@ def add_column(
     evolution an append with new columns performs, but without writing
     any data. The explicit form exists so a schema can evolve AHEAD of
     the first data that uses it (the usual migration order). Re-adding
-    a DROPPED name refuses via the tombstone (see ``drop_column``)."""
+    a DROPPED name is legal and mints a FRESH physical name, so old
+    files' bytes surface as NULL, never as resurrected values (the
+    physical-column-mapping contract; see ``rename_column``)."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     tip = latest_version(table_dir)
@@ -2522,6 +2803,8 @@ def add_column(
         list(schema.fields)
         + [StructField(col, _parse_datatype_string(dtype), nullable=True)]
     ).jsonValue()
+    phys = _phys_map(manifest)
+    phys[col] = _mint_physical(col, _used_physical(manifest))
     return publish_manifest(
         table_dir,
         [],
@@ -2530,6 +2813,7 @@ def add_column(
         schema=widened,
         replace_schema=True,
         require_parent=tip,
+        phys=phys,
     )
 
 
@@ -2541,14 +2825,14 @@ def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
     travel still shows it in pre-drop versions, which read with their
     own schema.
 
-    The dropped NAME is recorded as a TOMBSTONE (``dropped_cols``):
-    without physical column mapping the old files still hold the bytes,
-    so re-adding the same name would silently resurrect old values
-    instead of reading NULL — ``publish_manifest`` refuses it; RESTORE
-    to a pre-drop version clears the tombstone (explicit user intent to
-    get the column back). This is the same hazard that makes Delta
-    require column mapping for DROP; the tombstone is the honest
-    mapping-free answer.
+    The dropped column's PHYSICAL name is recorded as a TOMBSTONE
+    (``dropped_cols``): retained files still hold its bytes, so no
+    later column may ever RESOLVE to that physical name — re-adding
+    the same logical name mints a fresh physical (``add_column`` /
+    append evolution), reading NULL instead of resurrected values;
+    RESTORE to a pre-drop version clears the tombstone (explicit user
+    intent to get the column back). Same contract as Delta column
+    mapping / Iceberg field ids.
 
     Guards: refuses while a table CHECK constraint references the
     column (drop the constraint first) and while pending EQUALITY
@@ -2588,8 +2872,9 @@ def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
             f"column {col!r} is referenced by CHECK constraint(s) "
             f"{offending} — drop them first"
         )
+    pcol = _phys_col(manifest, col)
     keyed = [
-        e for e in manifest.get("eq_deletes") or [] if col in e["key_cols"]
+        e for e in manifest.get("eq_deletes") or [] if pcol in e["key_cols"]
     ]
     if keyed:
         raise ValueError(
@@ -2600,10 +2885,13 @@ def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
         [f for f in schema.fields if f.name != col]
     ).jsonValue()
     # an [] explicitly CLEARS a declared list (None would inherit the
-    # tip's, resurrecting the dropped column in it)
-    trim = lambda cols: [c for c in cols if c != col]  # noqa: E731
+    # tip's, resurrecting the dropped column in it); both lists key on
+    # PHYSICAL names, as does the tombstone
+    trim = lambda cols: [c for c in cols if c != pcol]  # noqa: E731
     bloom = manifest.get("bloom_cols")
     ndv = manifest.get("ndv_cols")
+    phys = _phys_map(manifest)
+    phys.pop(col, None)
     return publish_manifest(
         table_dir,
         [],
@@ -2611,10 +2899,92 @@ def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
         txn_id=txn_id,
         schema=narrowed,
         replace_schema=True,
-        dropped_cols=sorted(set(manifest.get("dropped_cols") or []) | {col}),
+        dropped_cols=sorted(set(manifest.get("dropped_cols") or []) | {pcol}),
         bloom_cols=trim(bloom) if bloom else None,
         ndv_cols=trim(ndv) if ndv else None,
         require_parent=tip,
+        phys=phys,
+    )
+
+
+def rename_column(
+    table_dir: str, old: str, new: str, *, txn_id: str | None = None
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit, enabled
+    by physical column mapping: the schema field takes the new LOGICAL
+    name while its PHYSICAL name — the column name actually inside every
+    parquet file, immutable since the column was created — stays put in
+    the manifest's ``phys`` map. No data file is touched at any table
+    size; readers translate once at the scan boundary
+    (``_read_data_files``); per-file stats, blooms, NDV sketches, and
+    pending equality-delete keys all key on the physical name, so every
+    prune and delete keeps applying exactly across the rename; time
+    travel shows each version under its own names; the change feed
+    crosses a mid-range rename by physical identity (pre-rename rows
+    surface under the ending name). The Delta column-mapping / Iceberg
+    field-id behavior, reduced to the manifest primitives
+    (reference scope note: the reference engine is a stream publisher
+    with no table format — this lives on the mandated warehouse layer).
+
+    Guards: ``old`` must exist, ``new`` must not (a swap is two
+    renames through a temp name); CHECK constraints referencing ``old``
+    refuse (their SQL text would silently stop matching rows — rewrite
+    the constraint first); legacy schema-less manifests refuse.
+    Renaming TO a previously dropped name is fine: the dropped
+    tombstone guards the PHYSICAL name, which a rename never reuses."""
+    import re
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is None:
+        raise ValueError(
+            "rename_column needs a declared table schema (legacy "
+            "schema-less manifests read from file footers, which hold "
+            "only physical names)"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    if old not in schema.fieldNames():
+        raise ValueError(f"column {old!r} is not in the table schema")
+    if new in schema.fieldNames():
+        raise ValueError(f"column {new!r} already exists")
+    word = re.compile(rf"\b{re.escape(old)}\b")
+    offending = [
+        name
+        for name, expr in (manifest.get("constraints") or {}).items()
+        if word.search(expr)
+    ]
+    if offending:
+        raise ValueError(
+            f"column {old!r} is referenced by CHECK constraint(s) "
+            f"{offending} — drop and re-add them under the new name"
+        )
+    renamed = StructType(
+        [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+    ).jsonValue()
+    phys = _phys_map(manifest)
+    phys[new] = phys.pop(old, old)  # physical identity is preserved
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        txn_id=txn_id,
+        schema=renamed,
+        replace_schema=True,
+        require_parent=tip,
+        phys=phys,
     )
 
 
@@ -2762,10 +3132,12 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     stats = m.get("stats") or {}
     # a restore that brings back a later-DROPPED column clears its
     # tombstone: the user explicitly asked for the pre-drop content, so
-    # the old files' values are the intended answer, not a resurrection
+    # the old files' values are the intended answer, not a resurrection.
+    # Tombstones and resolution are PHYSICAL names.
     tip_dropped = _read_manifest(table_dir, tip).get("dropped_cols") or []
-    restored_names = (
-        {f["name"] for f in m["schema"]["fields"]}
+    m_phys = _phys_map(m)
+    restored_phys = (
+        {m_phys.get(f["name"], f["name"]) for f in m["schema"]["fields"]}
         if m.get("schema") is not None
         else set()
     )
@@ -2779,8 +3151,9 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         delete_files=m.get("delete_files"),
         dv_counts=m.get("dv_counts"),
         eq_deletes=m.get("eq_deletes"),
-        dropped_cols=[c for c in tip_dropped if c not in restored_names],
+        dropped_cols=[c for c in tip_dropped if c not in restored_phys],
         require_parent=tip,
+        phys=m_phys,  # the restored version's own mapping, verbatim
     )
 
 

@@ -152,8 +152,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # windows — round-6 rotation: W4 stays driver-covered by
     # sim_cosine_topk (bench) and sample_weighted below, so
     # win_topk_per_group ceded its slot; rel_cdc_latest_snapshot brings
-    # the CDC compaction flagship (W1 P3) into the driver set
-    "win_rank_customers",           # W1
+    # the CDC compaction flagship (W1 P3) into the driver set.
+    # Round-10 rotation: win_rank_customers ceded its slot (W1 stays
+    # driver-covered by rel_cdc_latest_snapshot; the bare ranking form
+    # stays bit-exact in the local mirror) to rel_rename_evolution —
+    # round 10's RENAME COLUMN physical-mapping flagship
+    "rel_rename_evolution",         # S5 P3 P4 — rename via column mapping
     # round-7 rotation: win_lag_lead_events ceded its slot (W2 stays
     # driver-covered by stream_temporal_enrich; the bare lag/lead form
     # remains bit-exact in the local mirror) to rel_mor_delete — the

@@ -831,6 +831,78 @@ def rel_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_rename_evolution",
+    oracle="""
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey, c_acctbal AS balance FROM customer
+        UNION ALL
+        SELECT CAST(1000000 + n_nationkey AS BIGINT),
+               n_nationkey,
+               CAST(n_nationkey AS DOUBLE)
+        FROM nation
+    ),
+    live AS (SELECT * FROM all_rows WHERE NOT (balance < 0.0))
+    SELECT c_custkey AS cust_id,
+           c_nationkey,
+           CASE WHEN c_custkey <= 100 THEN balance + 1000.0
+                ELSE balance END AS balance
+    FROM live
+    """,
+    tags=("S5", "P3", "P4"),
+)
+def rel_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN (physical column mapping,
+    `operators/snapshots.py:rename_column`) under the value oracle: build
+    a snapshot table from customer (v0), rename c_acctbal→balance —
+    metadata-only, no file rewritten (v1), append nation-derived rows
+    under the NEW name (v2: new files physically share the old column
+    name, the map makes that invisible), merge-on-read position-delete
+    `balance < 0` (v3: the predicate names the renamed column, prunes
+    and applies against files written BEFORE the rename), copy-on-write
+    update `balance += 1000 where c_custkey <= 100` (v4: the rewrite
+    carries the mapping forward), then rename the KEY column
+    c_custkey→cust_id (v5) and read the tip. The oracle states the end
+    state over the raw fixture; the hash breaks if any surface — read
+    aliasing, predicate translation, stats pruning, the rewrite's file
+    naming — mixes logical and physical names anywhere.
+
+    At 100 TB rename is the operation that must be O(1): one manifest
+    write, every prune index (min/max, bloom, NDV) intact because
+    they key on the immutable physical names."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        read_snapshot,
+        rename_column,
+        snapshot_commit,
+        update_where,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("double").alias("balance"),
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_ren_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    rename_column(t, "c_acctbal", "balance")                               # v1
+    snapshot_commit(ins, t)                                                # v2
+    delete_where(spark, t, [("balance", "<", 0.0)], strategy="merge_on_read")  # v3
+    update_where(
+        spark, t, [("c_custkey", "<=", 100)],
+        {"balance": F.col("balance") + F.lit(1000.0)},
+    )                                                                      # v4
+    rename_column(t, "c_custkey", "cust_id")                               # v5
+    return read_snapshot(spark, t).select("cust_id", "c_nationkey", "balance")
+
+
+@register(
     "rel_cdf_materialize",
     oracle="""
     WITH live AS (

@@ -80,28 +80,35 @@ def _version_files(table_dir: str, version: int) -> list[str]:
     ]
 
 
-def _read_parquet_batches(path: str, arrow_schema=None) -> Iterator:
+def _read_parquet_batches(path: str, arrow_schema=None, read_names=None) -> Iterator:
     """Executor-side file read: Arrow record batches straight from the
     parquet file (zero row-by-row Python). With ``arrow_schema`` (the
     table's DECLARED schema), batches are padded to it — a file written
     before an add-column evolution surfaces NULL for the newer columns,
-    same contract as `read_snapshot`'s declared-schema read."""
+    same contract as `read_snapshot`'s declared-schema read.
+
+    ``read_names`` (physical column mapping): the file-side name for
+    each ``arrow_schema`` field, parallel to its fields — files hold
+    PHYSICAL names; the yielded batches carry the LOGICAL schema. None
+    = identity (no rename history)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
-    if arrow_schema is None or pf.schema_arrow.equals(arrow_schema):
+    identity = read_names is None or list(read_names) == list(arrow_schema.names)
+    if arrow_schema is None or (identity and pf.schema_arrow.equals(arrow_schema)):
         yield from pf.iter_batches()
         return
+    names = list(arrow_schema.names) if read_names is None else list(read_names)
     present = set(pf.schema_arrow.names)
-    cols = [n for n in arrow_schema.names if n in present]
+    cols = [n for n in names if n in present]
     for b in pf.iter_batches(columns=cols):
         by_name = {n: b.column(i) for i, n in enumerate(b.schema.names)}
         arrays = [
-            by_name[f.name].cast(f.type)
-            if f.name in by_name
+            by_name[pn].cast(f.type)
+            if pn in by_name
             else pa.nulls(b.num_rows, f.type)
-            for f in arrow_schema
+            for f, pn in zip(arrow_schema, names)
         ]
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
@@ -192,11 +199,19 @@ class SnapshotTableDataSource(DataSource):
         return cls(table_dir, _read_manifest(table_dir, version), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        table_dir = self._table_dir()
+        tip = latest_version(table_dir)
+        phys = (
+            _read_manifest(table_dir, tip).get("phys") if tip is not None else None
+        )
+        mvt = self.options.get("maxVersionsPerTrigger")
         return _SnapshotStreamReader(
-            self._table_dir(),
+            table_dir,
             int(self.options.get("startingVersion", -1)),
             schema,
             change_feed=self._change_feed(),
+            phys=phys,
+            max_versions=None if mvt is None else int(mvt),
         )
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -312,6 +327,23 @@ class _SnapshotBatchReader(DataSourceReader):
 
         return to_arrow_schema(self._schema)
 
+    def _phys(self) -> dict:
+        return dict(self._manifest.get("phys") or {})
+
+    def _read_names(self):
+        """File-side (physical) name per declared field, or None when the
+        table has no rename history (identity mapping)."""
+        phys = self._phys()
+        if not phys or self._schema is None:
+            return None
+        return [phys.get(f.name, f.name) for f in self._schema.fields]
+
+    def _pushed_physical(self) -> list:
+        """Pushed (op, col, value) triples with columns translated to the
+        files' physical names — the form pyarrow filters understand."""
+        phys = self._phys()
+        return [(op, phys.get(c, c), v) for (op, c, v) in self._pushed]
+
     def partitions(self) -> Sequence[InputPartition]:
         """One InputPartition per data file — after MANIFEST-STATS
         pruning: pushed predicates that the per-file min/max provably
@@ -341,10 +373,15 @@ class _SnapshotBatchReader(DataSourceReader):
             dv_counts = {f: 1 for f in files}
         eq_entries = self._manifest.get("eq_deletes") or []
 
+        inv = {p: l for l, p in self._phys().items()}
+
         def eq_for(rel):
+            # key files store PHYSICAL names; the task's data batches
+            # surface LOGICAL — join_cols carries the translation
             scoped = [
                 {
                     "key_cols": e["key_cols"],
+                    "join_cols": [inv.get(k, k) for k in e["key_cols"]],
                     "paths": [os.path.join(self._dir, p) for p in e["delete_files"]],
                 }
                 for e in eq_entries
@@ -369,16 +406,36 @@ class _SnapshotBatchReader(DataSourceReader):
             yield from self._read_with_deletes(partition)
             return
         if self._pushed:
+            import pyarrow as pa
             import pyarrow.dataset as pads
 
             # pyarrow dataset does the evolution padding itself when the
-            # declared schema names columns a file lacks (reads as null)
-            dset = pads.dataset(
-                partition.path, format="parquet", schema=self._arrow_schema()
+            # declared schema names columns a file lacks (reads as null).
+            # The dataset runs under PHYSICAL names (what the file and
+            # the translated filter know); batches rename to logical.
+            logical = self._arrow_schema()
+            read_names = self._read_names()
+            if read_names is None:
+                dset = pads.dataset(
+                    partition.path, format="parquet", schema=logical
+                )
+                yield from dset.to_batches(filter=_arrow_expr(self._pushed))
+                return
+            phys_schema = pa.schema(
+                [
+                    pa.field(pn, f.type, f.nullable)
+                    for f, pn in zip(logical, read_names)
+                ]
             )
-            yield from dset.to_batches(filter=_arrow_expr(self._pushed))
+            dset = pads.dataset(
+                partition.path, format="parquet", schema=phys_schema
+            )
+            for b in dset.to_batches(filter=_arrow_expr(self._pushed_physical())):
+                yield pa.RecordBatch.from_arrays(list(b.columns), schema=logical)
         else:
-            yield from _read_parquet_batches(partition.path, self._arrow_schema())
+            yield from _read_parquet_batches(
+                partition.path, self._arrow_schema(), self._read_names()
+            )
 
     def _read_with_deletes(self, partition: _FilePartition) -> Iterator:
         """Merge-on-read path: drop THIS file's deleted positions while
@@ -402,19 +459,22 @@ class _SnapshotBatchReader(DataSourceReader):
                 filter=pads.field("file") == partition.rel, columns=["pos"]
             )
             deleted = np.sort(dv.column("pos").to_numpy(zero_copy_only=False))
-        # equality keys scoped to this file, loaded once per task
-        eq_keys = [
-            (
-                e["key_cols"],
-                pads.dataset(e["paths"], format="parquet").to_table(
-                    columns=e["key_cols"]
-                ),
+        # equality keys scoped to this file, loaded once per task; key
+        # files hold physical names — rename to the data batches' logical
+        eq_keys = []
+        for e in partition.eq or []:
+            keys_tbl = pads.dataset(e["paths"], format="parquet").to_table(
+                columns=e["key_cols"]
             )
-            for e in (partition.eq or [])
-        ]
+            join_cols = e.get("join_cols") or e["key_cols"]
+            if join_cols != e["key_cols"]:
+                keys_tbl = keys_tbl.rename_columns(join_cols)
+            eq_keys.append((join_cols, keys_tbl))
         pushed = _arrow_expr(self._pushed) if self._pushed else None
         off = 0
-        for batch in _read_parquet_batches(partition.path, self._arrow_schema()):
+        for batch in _read_parquet_batches(
+            partition.path, self._arrow_schema(), self._read_names()
+        ):
             n = batch.num_rows
             if deleted.size:
                 keep = ~np.isin(np.arange(off, off + n), deleted)
@@ -582,7 +642,11 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                     or None,
                     old_files=[(f, os.path.join(table_dir, f)) for f in old_rel],
                     new_files=[os.path.join(table_dir, f) for f in new_rel],
-                    change_key=change.get("key"),
+                    # recorded logical-at-commit → PHYSICAL (stable),
+                    # translated back to the reader's logical at read time
+                    change_key=(m.get("phys") or {}).get(
+                        change.get("key"), change.get("key")
+                    ),
                     change_kind=change.get("kind"),
                 )
             )
@@ -669,21 +733,61 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         starting_version: int,
         schema: StructType | None = None,
         change_feed: bool = False,
+        phys: dict | None = None,
+        max_versions: int | None = None,
     ):
         self._dir = table_dir
         self._start = starting_version
         self._schema = schema
         self._cdf = change_feed
+        # logical→physical map bound at stream registration. Physical
+        # names are immutable, so files from ANY version in range read
+        # correctly under it; a rename mid-stream only changes logical
+        # names, which a running stream's schema is fixed to anyway.
+        self._phys = dict(phys or {})
+        # demand-bounded admission control (maxVersionsPerTrigger): the
+        # Python DS API exposes no ReadLimit, so the cap is implemented
+        # as latestOffset-side cursor advancement — each answer moves at
+        # most ``max_versions`` past the last offset this reader has
+        # seen. ``_cursor`` is None until the reader learns a REAL
+        # offset (a planned/committed batch boundary), because capping
+        # from an assumed position could hand out an offset BELOW the
+        # checkpointed one — a non-monotone offset would re-plan and
+        # silently duplicate already-emitted versions, and the engine
+        # PREFETCHES latestOffset before it ever calls initialOffset
+        # (measured on Spark 4.1), so even a fresh start cannot anchor
+        # the cursor first. Consequence — the documented residual: the
+        # FIRST batch of every run (fresh or restart) plans the whole
+        # backlog; every batch after it caps. This is the admission
+        # control a standing stream needs (bound how far one trigger
+        # can fall behind); bounding the initial backfill too requires
+        # a ReadLimit the Python API doesn't expose.
+        if max_versions is not None and max_versions < 1:
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {max_versions}"
+            )
+        self._max_versions = max_versions
+        self._cursor: int | None = None
+
+    def _advance_cursor(self, version: int) -> None:
+        if self._cursor is None or version > self._cursor:
+            self._cursor = version
 
     def initialOffset(self) -> dict:
+        self._advance_cursor(self._start)
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         tip = latest_version(self._dir)
-        return {"version": self._start if tip is None else tip}
+        target = self._start if tip is None else tip
+        if self._max_versions is not None and self._cursor is not None:
+            target = min(target, self._cursor + self._max_versions)
+        self._advance_cursor(target)
+        return {"version": target}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         sv, ev = start["version"], end["version"]
+        self._advance_cursor(ev)
         if ev <= sv:
             return []
         if self._cdf:
@@ -756,15 +860,25 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             )
         return to_arrow_schema(self._schema)
 
+    def _data_read_names(self, arrow_schema):
+        if not self._phys or arrow_schema is None:
+            return None
+        return [self._phys.get(n, n) for n in arrow_schema.names]
+
     def read(self, partition) -> Iterator:
         arrow_schema = self._data_arrow_schema()
+        read_names = self._data_read_names(arrow_schema)
         if not self._cdf:
-            yield from _read_parquet_batches(partition.path, arrow_schema)
+            yield from _read_parquet_batches(
+                partition.path, arrow_schema, read_names
+            )
             return
-        yield from _read_cdf_partition(partition, arrow_schema)
+        yield from _read_cdf_partition(partition, arrow_schema, read_names)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the streaming checkpoint; nothing to release
+        # offsets live in the streaming checkpoint; nothing to release —
+        # but the committed end is a safe admission-control anchor
+        self._advance_cursor(end["version"])
 
 
 def _cdf_stamped(tbl, kind: str, version: int):
@@ -793,13 +907,32 @@ def _dv_positions(paths, rel):
     return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
 
 
-def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema):
+def _eq_keys_for_join(e, inv):
+    """An equality entry's key table, renamed physical→logical so it
+    joins the (logical-named) data batches."""
+    import pyarrow.dataset as pads
+
+    keys = pads.dataset(e["paths"], format="parquet").to_table(
+        columns=e["key_cols"]
+    )
+    join_cols = [inv.get(k, k) for k in e["key_cols"]]
+    if join_cols != list(e["key_cols"]):
+        keys = keys.rename_columns(join_cols)
+    return join_cols, keys
+
+
+def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema,
+                       read_names=None):
     """One dropped file's rows as they were LIVE at the parent version:
     position deletes masked out, scoped equality deletes anti-joined."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.dataset as pads
 
+    inv = (
+        {pn: ln for ln, pn in zip(arrow_schema.names, read_names)}
+        if read_names is not None
+        else {}
+    )
     dead = (
         _dv_positions(parent_dv, rel)
         if parent_dv
@@ -807,7 +940,7 @@ def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema):
     )
     batches = []
     off = 0
-    for batch in _read_parquet_batches(path, arrow_schema):
+    for batch in _read_parquet_batches(path, arrow_schema, read_names):
         n = batch.num_rows
         if dead.size:
             keep = ~np.isin(np.arange(off, off + n), dead)
@@ -821,14 +954,12 @@ def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema):
     for e in parent_eq or []:
         if e.get("files") is not None and rel not in set(e["files"]):
             continue
-        keys = pads.dataset(e["paths"], format="parquet").to_table(
-            columns=e["key_cols"]
-        )
-        tbl = tbl.join(keys, keys=e["key_cols"], join_type="left anti")
+        join_cols, keys = _eq_keys_for_join(e, inv)
+        tbl = tbl.join(keys, keys=join_cols, join_type="left anti")
     return tbl
 
 
-def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
+def _read_rewrite_diff(p: _CDFPartition, arrow_schema, read_names=None) -> Iterator:
     """Change rows of ONE copy-on-write rewrite commit, derived by
     multiset-diffing the dropped files' parent-live rows against their
     replacement files (both padded to the declared schema):
@@ -884,7 +1015,8 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
         pa.concat_tables(
             [
                 _parent_live_table(
-                    rel, path, p.parent_dv, p.parent_eq, arrow_schema
+                    rel, path, p.parent_dv, p.parent_eq, arrow_schema,
+                    read_names,
                 )
                 for rel, path in p.old_files
             ]
@@ -894,7 +1026,7 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
     )
     new_batches: list = []
     for path in p.new_files or []:
-        new_batches.extend(_read_parquet_batches(path, arrow_schema))
+        new_batches.extend(_read_parquet_batches(path, arrow_schema, read_names))
     new = (
         pa.Table.from_batches(new_batches)
         if new_batches
@@ -913,8 +1045,16 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
         yield from _cdf_stamped(dels, "update_preimage", p.version)
         yield from _cdf_stamped(ins, "update_postimage", p.version)
         return
-    if p.change_key and p.change_key in old.schema.names:
-        k = p.change_key
+    # change_key is recorded PHYSICAL at plan time; the diff tables carry
+    # logical names — translate before pairing
+    inv = (
+        {pn: ln for ln, pn in zip(arrow_schema.names, read_names)}
+        if read_names is not None
+        else {}
+    )
+    change_key = inv.get(p.change_key, p.change_key) if p.change_key else None
+    if change_key and change_key in old.schema.names:
+        k = change_key
         old_keys = pc.unique(dels.column(k))
         new_keys = pc.unique(ins.column(k))
         upd_d = dels.filter(pc.is_in(dels.column(k), value_set=new_keys))
@@ -934,23 +1074,22 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema) -> Iterator:
     yield from _cdf_stamped(ins, "insert", p.version)
 
 
-def _read_cdf_partition(p: _CDFPartition, arrow_schema) -> Iterator:
+def _read_cdf_partition(p: _CDFPartition, arrow_schema, read_names=None) -> Iterator:
     import numpy as np
     import pyarrow as pa
-    import pyarrow.dataset as pads
 
     if p.kind == "empty":
         return  # quiet-range sentinel: zero rows, matching readChangeFeed
 
     if p.kind == "insert":
-        for batch in _read_parquet_batches(p.path, arrow_schema):
+        for batch in _read_parquet_batches(p.path, arrow_schema, read_names):
             yield from _cdf_stamped(
                 pa.Table.from_batches([batch]), "insert", p.version
             )
         return
 
     if p.kind == "rewrite_diff":
-        yield from _read_rewrite_diff(p, arrow_schema)
+        yield from _read_rewrite_diff(p, arrow_schema, read_names)
         return
 
     if p.kind == "pos_delete":
@@ -959,7 +1098,7 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema) -> Iterator:
         # parent-aware)
         delta = _dv_positions(p.delta_dv, p.rel)
         off = 0
-        for batch in _read_parquet_batches(p.path, arrow_schema):
+        for batch in _read_parquet_batches(p.path, arrow_schema, read_names):
             n = batch.num_rows
             take = np.isin(np.arange(off, off + n), delta)
             off += n
@@ -968,16 +1107,25 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema) -> Iterator:
                 yield from _cdf_stamped(tbl, "delete", p.version)
         return
 
-    # eq_delete: parent-LIVE rows of this file matching the new keys
+    # eq_delete: parent-LIVE rows of this file matching the new keys.
+    # Key files hold PHYSICAL names; the data batches surface logical —
+    # rename every key table before joining.
+    inv = (
+        {pn: ln for ln, pn in zip(arrow_schema.names, read_names)}
+        if read_names is not None
+        else {}
+    )
     parent_dead = (
         _dv_positions(p.parent_dv, p.rel)
         if p.parent_dv
         else np.empty(0, np.int64)
     )
     kcols, kpaths = p.delta_keys
-    keys_tbl = pads.dataset(kpaths, format="parquet").to_table(columns=kcols)
+    join_cols, keys_tbl = _eq_keys_for_join(
+        {"key_cols": kcols, "paths": kpaths}, inv
+    )
     off = 0
-    for batch in _read_parquet_batches(p.path, arrow_schema):
+    for batch in _read_parquet_batches(p.path, arrow_schema, read_names):
         n = batch.num_rows
         if parent_dead.size:
             keep = ~np.isin(np.arange(off, off + n), parent_dead)
@@ -987,11 +1135,9 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema) -> Iterator:
             off += n
         tbl = pa.Table.from_batches([batch])
         for e in p.parent_eq or []:
-            pk = pads.dataset(e["paths"], format="parquet").to_table(
-                columns=e["key_cols"]
-            )
-            tbl = tbl.join(pk, keys=e["key_cols"], join_type="left anti")
-        tbl = tbl.join(keys_tbl, keys=kcols, join_type="left semi")
+            pj, pk = _eq_keys_for_join(e, inv)
+            tbl = tbl.join(pk, keys=pj, join_type="left anti")
+        tbl = tbl.join(keys_tbl, keys=join_cols, join_type="left semi")
         yield from _cdf_stamped(tbl, "delete", p.version)
 
 
@@ -1010,6 +1156,11 @@ class _SnapshotCDFBatchReader(DataSourceReader):
         self._sv = sv
         self._ev = ev
         self._schema = schema
+        # ENDING version's logical→physical map: physical names are
+        # stable, so every in-range file (even pre-rename) reads under it
+        self._phys = dict(
+            _read_manifest(table_dir, ev).get("phys") or {}
+        ) if os.path.exists(_manifest_path(table_dir, ev)) else {}
 
     def partitions(self) -> Sequence[InputPartition]:
         parts = _plan_cdf_partitions(self._dir, self._sv, self._ev)
@@ -1035,7 +1186,12 @@ class _SnapshotCDFBatchReader(DataSourceReader):
                 ]
             )
         )
-        yield from _read_cdf_partition(partition, arrow_schema)
+        read_names = (
+            [self._phys.get(n, n) for n in arrow_schema.names]
+            if self._phys
+            else None
+        )
+        yield from _read_cdf_partition(partition, arrow_schema, read_names)
 
 
 @dataclass
@@ -1047,22 +1203,29 @@ class _FileMessage(WriterCommitMessage):
     rows: int
 
 
-def _stage_partition(table_dir: str, batches) -> _FileMessage:
+def _stage_partition(table_dir: str, batches, phys: dict | None = None) -> _FileMessage:
     """Executor-side: stream this task's Arrow batches into ONE staged
     parquet file under ``data-tasks/``. The file is INVISIBLE until the
     driver's commit publishes a manifest referencing it — which is the
     whole two-phase protocol: task failures/speculative duplicates leave
-    only unreferenced files (vacuum debris), never partial table state."""
+    only unreferenced files (vacuum debris), never partial table state.
+    ``phys`` renames the incoming (logical) batch columns to the table's
+    physical names before they hit parquet."""
     import uuid as _uuid
 
     import pyarrow.parquet as pq
 
+    phys = phys or {}
     writer = None
     rel = os.path.join("data-tasks", f"part-{_uuid.uuid4().hex}.parquet")
     path = os.path.join(table_dir, rel)
     rows = 0
     try:
         for batch in batches:
+            if phys and any(phys.get(n, n) != n for n in batch.schema.names):
+                batch = batch.rename_columns(
+                    [phys.get(n, n) for n in batch.schema.names]
+                )
             if writer is None:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 writer = pq.ParquetWriter(path, batch.schema)
@@ -1072,6 +1235,24 @@ def _stage_partition(table_dir: str, batches) -> _FileMessage:
         if writer is not None:
             writer.close()
     return _FileMessage(rel_path=rel if rows else None, rows=rows)
+
+
+def _writer_phys(table_dir: str, schema: StructType | None, reset: bool = False) -> dict:
+    """The full logical→physical map a sink write runs under, computed
+    at writer CONSTRUCTION (driver-side) so executor tasks can rename
+    batches before staging. Same rules as snapshot_commit: existing
+    fields keep the table's assignment, new fields mint, full overwrite
+    resets to identity."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _commit_phys,
+        _read_manifest,
+        latest_version,
+    )
+
+    names = [] if schema is None else [f.name for f in schema.fields]
+    tip = latest_version(table_dir)
+    manifest = None if tip is None else _read_manifest(table_dir, tip)
+    return _commit_phys(manifest, names, reset=reset)
 
 
 def _staged_stats(table_dir: str, rel_paths) -> dict:
@@ -1085,7 +1266,9 @@ def _staged_stats(table_dir: str, rel_paths) -> dict:
     return _commit_stats(table_dir, rel_paths)
 
 
-def _validate_staged(table_dir: str, rel_paths, writer_schema_json) -> None:
+def _validate_staged(
+    table_dir: str, rel_paths, writer_schema_json, writer_phys: dict | None = None
+) -> None:
     """Enforce the table's CHECK constraints on the staged files before
     the manifest publishes — the same commit-time contract
     ``snapshot_commit`` honors; without this the sink API would be a
@@ -1130,8 +1313,14 @@ def _validate_staged(table_dir: str, rel_paths, writer_schema_json) -> None:
         if table_schema is not None
         else sorted(present)
     )
+    # staged files hold PHYSICAL names; constraints are LOGICAL exprs —
+    # project each logical column from its physical (or NULL if absent)
+    phys = {**(manifest.get("phys") or {}), **(writer_phys or {})}
     sel = ", ".join(
-        f'"{c}"' if c in present else f'NULL AS "{c}"' for c in table_cols
+        f'"{phys.get(c, c)}" AS "{c}"'
+        if phys.get(c, c) in present
+        else f'NULL AS "{c}"'
+        for c in table_cols
     )
     con = duckdb.connect()
     staged = f"(SELECT {sel} FROM read_parquet({paths!r}))"
@@ -1168,19 +1357,23 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
         self._dir = table_dir
         self._mode = "overwrite" if overwrite else "append"
         self._schema = None if schema is None else schema.jsonValue()
+        self._phys = _writer_phys(
+            table_dir, schema, reset=(self._mode == "overwrite")
+        )
 
     def write(self, iterator) -> _FileMessage:
-        return _stage_partition(self._dir, iterator)
+        return _stage_partition(self._dir, iterator, self._phys)
 
     def commit(self, messages) -> None:
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
-        _validate_staged(self._dir, files, self._schema)
+        _validate_staged(self._dir, files, self._schema, self._phys)
         publish_manifest(
             self._dir,
             files,
             mode=self._mode,
             schema=self._schema,
             new_stats=_staged_stats(self._dir, files),
+            phys=self._phys,
         )
 
     def abort(self, messages) -> None:
@@ -1208,14 +1401,15 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         self._dir = table_dir
         self._schema = None if schema is None else schema.jsonValue()
         self._scope = txn_scope
+        self._phys = _writer_phys(table_dir, schema)
 
     def write(self, iterator) -> _FileMessage:
-        return _stage_partition(self._dir, iterator)
+        return _stage_partition(self._dir, iterator, self._phys)
 
     def commit(self, messages, batchId: int) -> None:
         files = sorted(m.rel_path for m in messages if m and m.rel_path)
         if files:
-            _validate_staged(self._dir, files, self._schema)
+            _validate_staged(self._dir, files, self._schema, self._phys)
             publish_manifest(
                 self._dir,
                 files,
@@ -1223,6 +1417,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 txn_id=f"dsw-{self._scope}-{batchId}",
                 schema=self._schema,
                 new_stats=_staged_stats(self._dir, files),
+                phys=self._phys,
             )
 
     def abort(self, messages, batchId: int) -> None:

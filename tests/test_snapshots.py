@@ -1132,18 +1132,24 @@ def test_drop_column_metadata_only(spark, sf_dir, tmp_path):
     assert src.columns == ["c_custkey", "c_nationkey"]
     assert src.count() == base.count()
 
-    # appends without the column are normal; re-adding the NAME refuses
+    # appends without the column are normal; an append RE-ADDING the
+    # dropped name is legal via physical column mapping — it mints a
+    # fresh physical name, so pre-drop files read NULL (never the old
+    # bytes) while the new rows carry their values
     snapshot_commit(
         base.limit(5).select("c_custkey", "c_nationkey"), t
     )                                                                # v2
     assert read_snapshot(spark, t).count() == base.count() + 5
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="previously dropped"):
-        snapshot_commit(base.limit(1), t)  # carries c_acctbal
+    snapshot_commit(base.limit(3), t)  # carries c_acctbal again     # v3
+    m3 = _read_manifest(t, 3)
+    assert m3["phys"]["c_acctbal"] != "c_acctbal", "fresh physical minted"
+    assert m3["dropped_cols"] == ["c_acctbal"], "tombstone stays (physical)"
+    got = read_snapshot(spark, t)
+    assert got.filter(F.col("c_acctbal").isNotNull()).count() == 3
+    assert got.count() == base.count() + 8
     # idempotent txn replay
-    assert drop_column(t, "c_nationkey", txn_id="drop-nk") == 3
-    assert drop_column(t, "c_nationkey", txn_id="drop-nk") == 3
+    assert drop_column(t, "c_nationkey", txn_id="drop-nk") == 4
+    assert drop_column(t, "c_nationkey", txn_id="drop-nk") == 4
 
 
 def test_drop_column_guards(spark, sf_dir, tmp_path):
@@ -1295,8 +1301,18 @@ def test_add_column_metadata_only(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="already exists"):
         add_column(t, "c_tier", "string")
     drop_column(t, "c_nationkey")
-    with _pytest.raises(ValueError, match="previously dropped"):
-        add_column(t, "c_nationkey", "int")
+    # re-adding a dropped name is legal: physical mapping mints a fresh
+    # physical, so every pre-drop file reads NULL, never the old bytes
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest as _rm,
+        latest_version as _lv,
+    )
+
+    add_column(t, "c_nationkey", "int")
+    m = _rm(t, _lv(t))
+    assert m["phys"]["c_nationkey"] != "c_nationkey"
+    readd = read_snapshot(spark, t)
+    assert readd.filter(F.col("c_nationkey").isNotNull()).count() == 0
     # txn replay no-ops
     v = add_column(t, "c_extra", "double", txn_id="add-x")
     assert add_column(t, "c_extra2", "double", txn_id="add-x") == v
@@ -1304,12 +1320,10 @@ def test_add_column_metadata_only(spark, sf_dir, tmp_path):
 
 def test_full_overwrite_clears_drop_tombstone(spark, sf_dir, tmp_path):
     """A FULL overwrite references no pre-drop files, so reintroducing a
-    dropped name is safe — the new files own every value. The tombstone
-    clears; the append-path guard stays (a later drop still refuses
-    re-add via append), and a CoW rewrite (base_files retained) keeps
-    refusing."""
-    import pytest as _pytest
-
+    dropped name clears its tombstone and resets the physical mapping to
+    identity — the new files own every value. A CoW rewrite (base_files
+    retained) must NOT clear the tombstone, and any later re-add keeps
+    minting a fresh physical name."""
     from reactivestreams_kinesis_spark.operators.snapshots import (
         drop_column,
         update_where,
@@ -1321,14 +1335,13 @@ def test_full_overwrite_clears_drop_tombstone(spark, sf_dir, tmp_path):
     )
     snapshot_commit(base, t)                                         # v0
     drop_column(t, "c_acctbal")                                      # v1
-    with _pytest.raises(ValueError, match="previously dropped"):
-        snapshot_commit(base.limit(1), t)  # append path still refuses
 
-    # full overwrite reintroducing the name: legal, values are the NEW ones
+    # full overwrite reintroducing the name: tombstone clears, identity map
     fresh = base.withColumn("c_acctbal", F.lit(7.0))
     snapshot_commit(fresh, t, mode="overwrite")                      # v2
     m = _read_manifest(t, latest_version(t))
     assert not m.get("dropped_cols"), "tombstone cleared by full overwrite"
+    assert not m.get("phys"), "full overwrite resets mapping to identity"
     got = read_snapshot(spark, t)
     assert got.filter("c_acctbal = 7.0").count() == base.count()
 
@@ -1344,8 +1357,14 @@ def test_full_overwrite_clears_drop_tombstone(spark, sf_dir, tmp_path):
     )                                                                # v5
     m5 = _read_manifest(t, latest_version(t))
     assert m5.get("dropped_cols") == ["c_acctbal"]
-    with _pytest.raises(ValueError, match="previously dropped"):
-        snapshot_commit(fresh.limit(1), t)
+    # a re-add via append now mints a fresh physical: pre-drop/rewrite
+    # files read NULL for it, the appended row keeps its value
+    snapshot_commit(fresh.limit(1), t)                               # v6
+    m6 = _read_manifest(t, latest_version(t))
+    assert m6["phys"]["c_acctbal"] != "c_acctbal"
+    assert m6["dropped_cols"] == ["c_acctbal"]
+    cur = read_snapshot(spark, t)
+    assert cur.filter(F.col("c_acctbal").isNotNull()).count() == 1
 
 
 # ---- randomized model check over schema-evolution histories ----
@@ -1358,33 +1377,39 @@ _SCHEMA_OP = st.one_of(
     st.tuples(st.just("append"), st.integers(1, 3)),
     st.tuples(st.just("add"), st.sampled_from(_COL_POOL)),
     st.tuples(st.just("drop"), st.sampled_from(_COL_POOL)),
+    st.tuples(
+        st.just("rename"),
+        st.tuples(st.sampled_from(_COL_POOL), st.sampled_from(_COL_POOL)),
+    ),
 )
 
 
 @given(ops=st.lists(_SCHEMA_OP, min_size=1, max_size=6))
 @settings(
-    max_examples=6,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
-    """Any interleaving of appends, explicit ADD COLUMNs, and DROP
-    COLUMNs must read back exactly what a pure-Python model holds:
-    declared column order, NULL padding for pre-add rows, dropped
-    columns gone everywhere, tombstones refusing re-adds — the
-    randomized sweep over evolution interactions."""
+    """Any interleaving of appends, explicit ADD COLUMNs, DROP COLUMNs
+    and RENAME COLUMNs must read back exactly what a pure-Python model
+    holds: declared column order, NULL padding for pre-add rows, dropped
+    columns gone everywhere, re-adds of a dropped name reading NULL for
+    every pre-re-add row (fresh physical — never resurrected bytes),
+    and renamed columns carrying their values under the new name —
+    the randomized sweep over evolution interactions."""
     import uuid as _uuid
 
     from reactivestreams_kinesis_spark.operators.snapshots import (
         add_column,
         drop_column,
         read_snapshot,
+        rename_column,
         snapshot_commit,
     )
 
     t = str(tmp_path_factory.mktemp("schprop") / f"t_{_uuid.uuid4().hex[:6]}")
     declared = ["uid", "a"]          # uid is never in the op pool
-    tombstones: set = set()
     model: list[dict] = []
     uid = 0
 
@@ -1410,12 +1435,14 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
         if kind == "append":
             commit_rows(arg)
         elif kind == "add":
-            if arg in declared or arg in tombstones:
+            if arg in declared:
                 import pytest as _pytest
 
                 with _pytest.raises(ValueError):
                     add_column(t, arg, "bigint")
             else:
+                # legal even for previously dropped names: the fresh
+                # physical means every existing row reads NULL
                 add_column(t, arg, "bigint")
                 declared.append(arg)
                 for r in model:
@@ -1429,9 +1456,20 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
             else:
                 drop_column(t, arg)
                 declared.remove(arg)
-                tombstones.add(arg)
                 for r in model:
                     r.pop(arg, None)
+        elif kind == "rename":
+            old, new = arg
+            if old not in declared or new in declared:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError):
+                    rename_column(t, old, new)
+            else:
+                rename_column(t, old, new)
+                declared[declared.index(old)] = new
+                for r in model:
+                    r[new] = r.pop(old, None)
 
     got = read_snapshot(spark, t)
     assert got.columns == declared

@@ -1,0 +1,290 @@
+"""Demand-bounded streaming reads for the `snapshot_table` source
+(round 10): `.option("maxVersionsPerTrigger", N)` caps how many table
+versions a micro-batch may cover — the reference's own core semantic
+(`ShardSubscription.java:141` fetches at most demand+100 records)
+applied to the engine's own connector, and the Delta
+`maxFilesPerTrigger`/Kafka `maxOffsetsPerTrigger` admission-control
+shape.
+
+Contract:
+- under a continuous (processing-time) trigger, every batch AFTER the
+  first advances the version cursor by at most N. The FIRST batch of a
+  run (fresh or restart) plans the whole backlog — the documented
+  residual: the engine prefetches latestOffset before initialOffset
+  and a fresh runner cannot know the checkpointed position, so any
+  capped guess could hand out a NON-MONOTONE offset and duplicate
+  versions; planning to the tip is the only safe answer. The cap is
+  the standing-stream admission control (bound how far one trigger can
+  fall behind), not an initial-backfill chunker;
+- bounded batches' union equals the unbounded drain exactly (no loss,
+  no dup), including across a checkpoint stop/resume;
+- Trigger.AvailableNow falls back to single-batch execution for Python
+  sources (Spark logs it), so the cap matters under continuous
+  triggers;
+- the cap composes with the changeFeed stream;
+- maxVersionsPerTrigger < 1 refuses.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    snapshot_commit,
+)
+from reactivestreams_kinesis_spark.sources.snapshot_source import (
+    register_snapshot_source,
+)
+
+
+def _offset_version(off):
+    if off is None:
+        return -1
+    if isinstance(off, str):
+        # the engine stores the reader's offset dict via its Python repr
+        # (single quotes), not JSON — literal_eval handles both
+        import ast
+
+        off = ast.literal_eval(off)
+    return off["version"]
+
+
+def _batch_spans(progresses):
+    """(start, end) version pairs of every data-carrying micro-batch."""
+    spans = []
+    for p in progresses:
+        if p["numInputRows"] == 0:
+            continue
+        src = p["sources"][0]
+        spans.append(
+            (_offset_version(src.get("startOffset")),
+             _offset_version(src.get("endOffset")))
+        )
+    return spans
+
+
+def _run_until_version(q, target, timeout=240):
+    """Let a continuous-trigger query run until its committed end offset
+    reaches ``target``, then stop it and return the progress dicts."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["sources"][0].get("endOffset"):
+            if _offset_version(p["sources"][0]["endOffset"]) >= target:
+                break
+        time.sleep(0.5)
+    progresses = [json.loads(x.json) for x in q.recentProgress]
+    q.stop()
+    return progresses
+
+
+def test_max_versions_per_trigger_bounds_standing_stream(spark, sf_dir, tmp_path):
+    """v0..v1 exist at start (first batch = backlog, uncapped residual);
+    six more versions land while the stream runs — every subsequent
+    batch spans at most 2 versions, and the drained rows equal the
+    table exactly."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    slices = [ev.filter(F.col("event_id") % 8 == i) for i in range(8)]
+    snapshot_commit(slices[0].coalesce(1), t)  # v0
+    snapshot_commit(slices[1].coalesce(1), t)  # v1
+    out = str(tmp_path / "out")
+
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("maxVersionsPerTrigger", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="3 seconds")
+        .start()
+    )
+    # let the first (residual) batch take the v0..v1 backlog, then land
+    # six more versions while the stream is standing
+    _run_until_version(q, 1, timeout=120)
+    q2 = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("maxVersionsPerTrigger", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="3 seconds")
+        .start()
+    )
+    for s in slices[2:]:
+        snapshot_commit(s.coalesce(1), t)  # v2..v7 while q2 runs
+    progresses = _run_until_version(q2, 7)
+    spans = _batch_spans(progresses)
+    # q2's first batch is the documented residual; every later one caps.
+    # (How many capped batches occur depends on append/trigger timing —
+    # the deterministic progression is pinned by the unit test below.)
+    assert all(e - s <= 2 for s, e in spans[1:]), spans
+    drained = spark.read.parquet(out)
+    assert drained.count() == ev.count()
+    assert drained.subtract(ev).count() == 0 and ev.subtract(drained).count() == 0
+
+
+def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
+    """Deterministic pin of the admission-control cursor, simulating the
+    engine's exact call order (latestOffset is PREFETCHED before
+    initialOffset on Spark 4.1 — measured):
+
+    fresh run:   latest → tip (residual), then min(tip, cursor+N) each
+                 trigger; a 10-version backlog added mid-run drains in
+                 ceil(10/N) bounded batches;
+    restart run: a new reader with a checkpointed offset it never saw —
+                 first latest → tip (monotone-safe), partitions() anchors
+                 the cursor, later batches cap."""
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        _SnapshotStreamReader,
+    )
+
+    t = str(tmp_path / "unit")
+    ev = load_table(spark, sf_dir, "events").select("event_id").limit(40)
+    snapshot_commit(ev.coalesce(1), t)  # v0
+    r = _SnapshotStreamReader(t, -1, None, max_versions=2)
+    # engine order: latestOffset BEFORE initialOffset
+    assert r.latestOffset() == {"version": 0}  # residual = tip
+    assert r.initialOffset() == {"version": -1}
+    r.partitions({"version": -1}, {"version": 0})
+    r.commit({"version": 0})
+    for _ in range(10):
+        snapshot_commit(ev.limit(1).coalesce(1), t)  # v1..v10 backlog
+    seen = []
+    cur = 0
+    while cur < 10:
+        nxt = r.latestOffset()["version"]
+        assert nxt - cur <= 2, "every post-residual batch is capped"
+        if nxt > cur:
+            r.partitions({"version": cur}, {"version": nxt})
+            r.commit({"version": nxt})
+            seen.append((cur, nxt))
+            cur = nxt
+    assert seen == [(0, 2), (2, 4), (4, 6), (6, 8), (8, 10)]
+
+    # restart: fresh reader, checkpoint at v4 (it never sees that value
+    # before its first latestOffset) — the residual answer must be the
+    # TIP, never anything below the checkpoint (monotone safety)
+    r2 = _SnapshotStreamReader(t, -1, None, max_versions=2)
+    assert r2.latestOffset() == {"version": 10}
+    r2.partitions({"version": 4}, {"version": 10})  # engine replans (4,10]
+    r2.commit({"version": 10})
+    snapshot_commit(ev.limit(1).coalesce(1), t)      # v11
+    snapshot_commit(ev.limit(1).coalesce(1), t)      # v12
+    snapshot_commit(ev.limit(1).coalesce(1), t)      # v13
+    assert r2.latestOffset() == {"version": 12}, "capped after the anchor"
+    assert r2.latestOffset() == {"version": 13}
+
+    # guard
+    with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
+        _SnapshotStreamReader(t, -1, None, max_versions=0)
+
+
+def test_max_versions_cap_resumes_across_restart(spark, sf_dir, tmp_path):
+    """Stop mid-history, append more versions, restart: the union of all
+    drained rows equals the table exactly (no loss, no dup) even though
+    each run's first batch is the uncapped residual."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tbl2")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    slices = [ev.filter(F.col("event_id") % 6 == i) for i in range(6)]
+    for s in slices[:3]:
+        snapshot_commit(s.coalesce(1), t)  # v0..v2
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("maxVersionsPerTrigger", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = start()
+    _run_until_version(q, 2, timeout=120)
+    for s in slices[3:]:
+        snapshot_commit(s.coalesce(1), t)  # v3..v5 while stopped
+    q2 = start()
+    _run_until_version(q2, 5)
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count()
+    assert final.subtract(ev).count() == 0 and ev.subtract(final).count() == 0
+
+
+def test_max_versions_cap_on_change_feed_stream(spark, sf_dir, tmp_path):
+    """The cap composes with the streaming change feed: post-residual
+    batches are bounded, feed content identical to the unbounded
+    operator."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        snapshot_change_feed,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tbl3")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    snapshot_commit(base.filter("c_custkey % 2 = 0"), t)   # v0
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("changeFeed", "true")
+            .option("startingVersion", 0)
+            .option("maxVersionsPerTrigger", 1)
+            .load()
+            .writeStream.format("memory")
+            .queryName("capped_cdf")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+
+    q = start()
+    snapshot_commit(base.filter("c_custkey % 2 = 1"), t)   # v1 while running
+    delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
+    snapshot_commit(base.limit(7).withColumn("c_acctbal", F.lit(1.0)), t)  # v3
+    spans = _batch_spans(_run_until_version(q, 3))
+    assert all(e - s <= 1 for s, e in spans[1:]), spans
+    got = spark.table("capped_cdf")
+    want = snapshot_change_feed(spark, t, from_version=0)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_max_versions_per_trigger_guard(spark, sf_dir, tmp_path):
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tbl4")
+    snapshot_commit(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"), t
+    )
+    with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("maxVersionsPerTrigger", 0)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt4"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
