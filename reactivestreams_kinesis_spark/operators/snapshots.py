@@ -42,15 +42,39 @@ class SnapshotConflictError(RuntimeError):
     whole operation against the new tip."""
 
 
+# Safe numeric widening chains (the Delta type-widening set this repo
+# supports): byte → short → int → long, and float → double. Spark 4's
+# vectorized parquet reader promotes a narrower file column to the
+# declared wider type natively, and pyarrow casts losslessly — so a
+# widened table needs NO file rewrite; each file keeps its written type
+# and readers declare the manifest's (wide) type.
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_WIDEN_RANK_F = {"float": 0, "double": 1}
+
+
+def _wider_type(a, b):
+    """The wider of two Spark DataTypes when they sit on one widening
+    chain, else None (incompatible change)."""
+    an, bn = a.typeName(), b.typeName()
+    if an == bn:
+        return a
+    for rank in (_WIDEN_RANK, _WIDEN_RANK_F):
+        if an in rank and bn in rank:
+            return a if rank[an] >= rank[bn] else b
+    return None
+
+
 def _merge_schema(parent: dict | None, new: dict | None) -> dict | None:
-    """Widen a parent manifest schema with the new commit's columns —
-    ADD-COLUMN evolution only: a column present in both must keep its
-    exact type (no silent widening/narrowing — a type change is a table
-    rewrite, not a commit side effect). Field order is parent-first so
-    existing readers see a stable prefix."""
+    """Widen a parent manifest schema with the new commit's columns:
+    ADD-COLUMN evolution, plus TYPE WIDENING along the safe numeric
+    chains (byte→short→int→long, float→double) — the merged type is the
+    wider of the two, so a narrow append under a widened table keeps the
+    wide type and a wider append widens it; any other type change
+    raises (it is a table rewrite, not a commit side effect). Field
+    order is parent-first so existing readers see a stable prefix."""
     if parent is None or new is None:
         return new if parent is None else parent
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     ps = StructType.fromJson(parent)
     ns = StructType.fromJson(new)
@@ -62,14 +86,21 @@ def _merge_schema(parent: dict | None, new: dict | None) -> dict | None:
             # an added column is NULL in every pre-evolution file, so it
             # is nullable at the table level even if this commit's df
             # wasn't (e.g. a non-null literal)
-            from pyspark.sql.types import StructField
-
             out.append(StructField(f.name, f.dataType, nullable=True))
         elif have.dataType != f.dataType:
-            raise ValueError(
-                f"schema evolution cannot change column {f.name!r}: "
-                f"{have.dataType.simpleString()} -> {f.dataType.simpleString()}"
-            )
+            w = _wider_type(have.dataType, f.dataType)
+            if w is None:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r}: "
+                    f"{have.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} (only widening along "
+                    "byte->short->int->long and float->double is legal)"
+                )
+            if w != have.dataType:
+                i = next(
+                    j for j, pf in enumerate(out) if pf.name == f.name
+                )
+                out[i] = StructField(f.name, w, out[i].nullable, out[i].metadata)
     return StructType(out).jsonValue()
 
 

@@ -903,6 +903,60 @@ def rel_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_type_widening",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_nationkey,
+           CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE) AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT CAST(10000000000 + n_nationkey AS BIGINT),
+           n_nationkey,
+           CAST(n_nationkey AS DOUBLE)
+    FROM nation
+    """,
+    tags=("S5", "P4"),
+)
+def rel_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING under the value oracle (`_merge_schema` — the Delta
+    type-widening chains int→bigint / float→double): commit customer
+    with NARROW types (int key, float balance) as v0, append
+    nation-derived rows whose key only fits bigint (1e10 + n) with
+    double balances as v1 — the append WIDENS the declared schema, the
+    v0 files keep their written narrow types, and the tip read promotes
+    them at scan time (Spark 4's vectorized parquet reader; no file
+    rewritten). The oracle replays the exact value path: the narrow
+    era's balances round-trip through FLOAT (CAST(CAST(x AS FLOAT) AS
+    DOUBLE)) — IEEE promotion is bit-exact in both engines, so the hash
+    breaks if the reader rewrites, re-rounds, or refuses the straddle."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    narrow = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("c_custkey"),
+        "c_nationkey",
+        F.col("c_acctbal").cast("float").alias("c_acctbal"),
+    )
+    wide = load_table(spark, sf_dir, "nation").select(
+        (F.lit(10_000_000_000) + F.col("n_nationkey")).cast("bigint").alias(
+            "c_custkey"
+        ),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("double").alias("c_acctbal"),
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_wid_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(narrow.repartitionByRange(4, "c_custkey"), t)          # v0
+    snapshot_commit(wide, t)                                               # v1
+    return read_snapshot(spark, t).select("c_custkey", "c_nationkey", "c_acctbal")
+
+
+@register(
     "rel_cdf_materialize",
     oracle="""
     WITH live AS (

@@ -462,14 +462,10 @@ class _SnapshotBatchReader(DataSourceReader):
         # equality keys scoped to this file, loaded once per task; key
         # files hold physical names — rename to the data batches' logical
         eq_keys = []
+        data_schema = self._arrow_schema()
         for e in partition.eq or []:
-            keys_tbl = pads.dataset(e["paths"], format="parquet").to_table(
-                columns=e["key_cols"]
-            )
-            join_cols = e.get("join_cols") or e["key_cols"]
-            if join_cols != e["key_cols"]:
-                keys_tbl = keys_tbl.rename_columns(join_cols)
-            eq_keys.append((join_cols, keys_tbl))
+            kinv = dict(zip(e["key_cols"], e.get("join_cols") or e["key_cols"]))
+            eq_keys.append(_eq_keys_for_join(e, kinv, data_schema))
         pushed = _arrow_expr(self._pushed) if self._pushed else None
         off = 0
         for batch in _read_parquet_batches(
@@ -907,9 +903,12 @@ def _dv_positions(paths, rel):
     return np.sort(t.column("pos").to_numpy(zero_copy_only=False))
 
 
-def _eq_keys_for_join(e, inv):
+def _eq_keys_for_join(e, inv, data_schema=None):
     """An equality entry's key table, renamed physical→logical so it
-    joins the (logical-named) data batches."""
+    joins the (logical-named) data batches, and cast to the data
+    schema's types — a key file written before a TYPE WIDENING holds the
+    narrow type, and the Arrow hash-join kernel needs exact equality."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
     keys = pads.dataset(e["paths"], format="parquet").to_table(
@@ -918,6 +917,20 @@ def _eq_keys_for_join(e, inv):
     join_cols = [inv.get(k, k) for k in e["key_cols"]]
     if join_cols != list(e["key_cols"]):
         keys = keys.rename_columns(join_cols)
+    if data_schema is not None:
+        want = {f.name: f.type for f in data_schema}
+        if any(
+            c in want and keys.schema.field(c).type != want[c]
+            for c in join_cols
+        ):
+            keys = keys.cast(
+                pa.schema(
+                    [
+                        pa.field(c, want.get(c, keys.schema.field(c).type))
+                        for c in keys.schema.names
+                    ]
+                )
+            )
     return join_cols, keys
 
 
@@ -954,7 +967,7 @@ def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema,
     for e in parent_eq or []:
         if e.get("files") is not None and rel not in set(e["files"]):
             continue
-        join_cols, keys = _eq_keys_for_join(e, inv)
+        join_cols, keys = _eq_keys_for_join(e, inv, arrow_schema)
         tbl = tbl.join(keys, keys=join_cols, join_type="left anti")
     return tbl
 
@@ -1122,7 +1135,7 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema, read_names=None) -> Iter
     )
     kcols, kpaths = p.delta_keys
     join_cols, keys_tbl = _eq_keys_for_join(
-        {"key_cols": kcols, "paths": kpaths}, inv
+        {"key_cols": kcols, "paths": kpaths}, inv, arrow_schema
     )
     off = 0
     for batch in _read_parquet_batches(p.path, arrow_schema, read_names):
@@ -1135,7 +1148,7 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema, read_names=None) -> Iter
             off += n
         tbl = pa.Table.from_batches([batch])
         for e in p.parent_eq or []:
-            pj, pk = _eq_keys_for_join(e, inv)
+            pj, pk = _eq_keys_for_join(e, inv, arrow_schema)
             tbl = tbl.join(pk, keys=pj, join_type="left anti")
         tbl = tbl.join(keys_tbl, keys=join_cols, join_type="left semi")
         yield from _cdf_stamped(tbl, "delete", p.version)

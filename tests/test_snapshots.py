@@ -1381,6 +1381,7 @@ _SCHEMA_OP = st.one_of(
         st.just("rename"),
         st.tuples(st.sampled_from(_COL_POOL), st.sampled_from(_COL_POOL)),
     ),
+    st.tuples(st.just("widen"), st.sampled_from(_COL_POOL)),
 )
 
 
@@ -1396,7 +1397,8 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
     holds: declared column order, NULL padding for pre-add rows, dropped
     columns gone everywhere, re-adds of a dropped name reading NULL for
     every pre-re-add row (fresh physical — never resurrected bytes),
-    and renamed columns carrying their values under the new name —
+    renamed columns carrying their values under the new name, and
+    WIDENED columns (int→bigint) reading every era's files exactly —
     the randomized sweep over evolution interactions."""
     import uuid as _uuid
 
@@ -1410,6 +1412,7 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
 
     t = str(tmp_path_factory.mktemp("schprop") / f"t_{_uuid.uuid4().hex[:6]}")
     declared = ["uid", "a"]          # uid is never in the op pool
+    col_types = {"uid": "int", "a": "int"}
     model: list[dict] = []
     uid = 0
 
@@ -1421,7 +1424,7 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
             row["uid"] = uid
             rows.append(row)
             uid += 1
-        schema = ", ".join(f"{c} bigint" for c in declared)
+        schema = ", ".join(f"{c} {col_types[c]}" for c in declared)
         snapshot_commit(
             spark.createDataFrame(
                 [tuple(r[c] for c in declared) for r in rows], schema
@@ -1434,6 +1437,12 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
     for kind, arg in ops:
         if kind == "append":
             commit_rows(arg)
+        elif kind == "widen":
+            if arg in declared and col_types[arg] == "int":
+                # an append carrying the column as bigint widens the
+                # declared type; files from both eras keep reading
+                col_types[arg] = "bigint"
+                commit_rows(1)
         elif kind == "add":
             if arg in declared:
                 import pytest as _pytest
@@ -1445,6 +1454,7 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
                 # physical means every existing row reads NULL
                 add_column(t, arg, "bigint")
                 declared.append(arg)
+                col_types[arg] = "bigint"
                 for r in model:
                     r[arg] = None
         elif kind == "drop":
@@ -1456,6 +1466,7 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
             else:
                 drop_column(t, arg)
                 declared.remove(arg)
+                col_types.pop(arg, None)
                 for r in model:
                     r.pop(arg, None)
         elif kind == "rename":
@@ -1468,6 +1479,7 @@ def test_schema_evolution_history_matches_model(spark, tmp_path_factory, ops):
             else:
                 rename_column(t, old, new)
                 declared[declared.index(old)] = new
+                col_types[new] = col_types.pop(old)
                 for r in model:
                     r[new] = r.pop(old, None)
 
