@@ -224,6 +224,192 @@ def _strip_identity(phys: dict) -> dict:
     return {l: p for l, p in phys.items() if l != p}
 
 
+# ---- partition spec (Iceberg-style hidden partitioning) -------------------
+#
+# A manifest may carry ``"partition_spec"``: a list of transforms
+# ``{"col": <physical name>, "kind": "identity"|"day"|"bucket",
+# "n": <buckets>}``. Writers CLUSTER each commit on the transform
+# expressions and record every data file's distinct partition TUPLES in
+# its per-file stats blob (``__pvals``); ``prune_files`` matches
+# predicates against the tuples BEFORE the min/max stats. This is the
+# Iceberg model, deliberately not the hive one: the manifest is the
+# index, so files keep ALL columns and a flat layout (no
+# directory-name coupling, no partition columns stripped from parquet),
+# and a file the writer could not keep tuple-tight simply records more
+# tuples — pruning stays exact, never a filter. The bucket transform
+# uses crc32(cast(col as string)) % n, computable identically by the
+# Spark expression at write time and by plain Python at prune time.
+
+
+def _norm_partition_by(partition_by) -> list[dict]:
+    """User spec → canonical entries (logical col names at this stage)."""
+    out = []
+    for e in partition_by:
+        if isinstance(e, str):
+            out.append({"col": e, "kind": "identity"})
+        elif len(e) == 2:
+            col, kind = e
+            if kind not in ("identity", "day"):
+                raise ValueError(f"unknown partition transform: {kind!r}")
+            out.append({"col": col, "kind": kind})
+        else:
+            col, kind, n = e
+            if kind != "bucket" or int(n) < 1:
+                raise ValueError(f"bad partition transform: {e!r}")
+            out.append({"col": col, "kind": "bucket", "n": int(n)})
+    return out
+
+
+def _transform_name(e: dict) -> str:
+    if e["kind"] == "identity":
+        return e["col"]
+    if e["kind"] == "day":
+        return f"day({e['col']})"
+    return f"bucket({e['col']},{e['n']})"
+
+
+def _transform_expr(e: dict, logical_col: str):
+    """The Spark Column computing one transform over LOGICAL names."""
+    from pyspark.sql import functions as F
+
+    c = F.col(logical_col)
+    if e["kind"] == "identity":
+        return c
+    if e["kind"] == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    return F.pmod(F.crc32(c.cast("string")), F.lit(e["n"])).cast("int")
+
+
+def _bucket_of(value, n: int) -> int | None:
+    """Python twin of the bucket expression — crc32 over Spark's
+    cast-to-string canonical form. int/str only (same exactness contract
+    as the blooms); anything else returns None (no pruning)."""
+    import zlib
+
+    if type(value) is bool or not isinstance(value, (int, str)):
+        return None
+    return zlib.crc32(str(value).encode()) % n
+
+
+def _day_of(value) -> str | None:
+    """ISO day string of a predicate value (datetime/date/ISO string),
+    or None when it can't be derived — pruning then skips it."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return value.date().isoformat()
+    if isinstance(value, _dt.date):
+        return value.isoformat()
+    if isinstance(value, str) and len(value) >= 10:
+        head = value[:10]
+        try:
+            _dt.date.fromisoformat(head)
+            return head
+        except ValueError:
+            return None
+    return None
+
+
+def _compute_pvals(spark, table_dir: str, rel_paths, spec) -> dict:
+    """Per-file distinct partition tuples for a commit's NEW files — one
+    column-pruned distinct-aggregate over exactly those files (the same
+    commit-proportional budget as the footer-stats pass). The staged
+    files hold PHYSICAL names, which is what spec entries store, so the
+    transforms apply directly. Keys are transform names; values
+    JSON-safe scalars."""
+    if not spec or not rel_paths:
+        return {}
+    paths = [os.path.join(table_dir, f) for f in rel_paths]
+    exprs = [
+        _transform_expr(e, e["col"]).alias(_transform_name(e)) for e in spec
+    ]
+    rows = (
+        spark.read.parquet(*paths)
+        .select(_rel_path_expr().alias("__f"), *exprs)
+        .distinct()
+        .collect()
+    )
+    # every staged file gets an entry — a file with NO tuples is provably
+    # empty and prunable by any predicate ([] ≠ "unrecorded", which stays
+    # None and never prunes)
+    out: dict = {f: [] for f in rel_paths}
+    names = [_transform_name(e) for e in spec]
+    for r in rows:
+        tup = {}
+        for n in names:
+            v = r[n]
+            if v is not None and not isinstance(v, (int, float, str, bool)):
+                v = str(v)
+            tup[n] = v
+        out.setdefault(r["__f"], []).append(tup)
+    return out
+
+
+def _pvals_exclude(pvals, spec: list, col: str, op: str, value) -> bool:
+    """True iff the file's recorded partition tuples PROVE no row can
+    satisfy ``col op value`` (col already physical). Conservative:
+    None (unrecorded — pre-spec or sink-written file) keeps the file;
+    an EMPTY recorded list means the file provably holds no rows."""
+    if pvals is None:
+        return False
+    if pvals == []:
+        return True
+    for e in spec:
+        if e["col"] != col:
+            continue
+        name = _transform_name(e)
+        vals = [t.get(name) for t in pvals]
+        if any(v is None for v in vals):
+            continue  # NULL partition or unrecorded: cannot prove absence
+        if e["kind"] == "identity":
+            sat = _op_satisfiable(vals, op, value)
+        elif e["kind"] == "bucket":
+            if op == "=":
+                b = _bucket_of(value, e["n"])
+                sat = b is None or b in vals
+            elif op == "in":
+                bs = [_bucket_of(x, e["n"]) for x in value]
+                sat = any(b is None for b in bs) or bool(set(bs) & set(vals))
+            else:
+                sat = True
+        else:  # day: compare at day granularity (conservative at edges)
+            if op == "in":
+                days = [_day_of(x) for x in value]
+                sat = any(d is None for d in days) or bool(set(days) & set(vals))
+            else:
+                d = _day_of(value)
+                if d is None:
+                    sat = True
+                elif op == "=":
+                    sat = d in vals
+                elif op in (">", ">="):
+                    sat = any(x >= d for x in vals)
+                else:  # <, <=
+                    sat = any(x <= d for x in vals)
+        if not sat:
+            return True
+    return False
+
+
+def _op_satisfiable(vals: list, op: str, value) -> bool:
+    try:
+        if op == "=":
+            return value in vals
+        if op == "in":
+            return bool(set(vals) & set(value))
+        if op == ">":
+            return any(x > value for x in vals)
+        if op == ">=":
+            return any(x >= value for x in vals)
+        if op == "<":
+            return any(x < value for x in vals)
+        if op == "<=":
+            return any(x <= value for x in vals)
+    except TypeError:
+        return True  # incomparable types: keep the file
+    return True
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _SNAPDIR, f"v{version:09d}.json")
 
@@ -663,14 +849,22 @@ def prune_files(manifest: dict, predicates: list[tuple]) -> list[str]:
     scan plans against the manifest's stats and never LISTS, let alone
     reads, the excluded files, exactly the Iceberg/Delta skipping model.
     Predicates name LOGICAL columns; stats are keyed by the files'
-    PHYSICAL names — translated here, the one prune boundary."""
+    PHYSICAL names — translated here, the one prune boundary. Tables
+    with a declared PARTITION SPEC prune on the recorded per-file
+    partition tuples first (exact membership, stronger than min/max on
+    clustered layouts), then fall through to the stats."""
     stats = manifest.get("stats") or {}
+    spec = manifest.get("partition_spec") or []
     predicates = _phys_predicates(manifest, predicates)
     return [
         f
         for f in manifest["files"]
         if not any(
-            _stats_exclude(stats.get(f, {}), c, op, v) for (c, op, v) in predicates
+            _pvals_exclude(
+                (stats.get(f) or {}).get("__pvals"), spec, c, op, v
+            )
+            or _stats_exclude(stats.get(f, {}), c, op, v)
+            for (c, op, v) in predicates
         )
     ]
 
@@ -800,6 +994,7 @@ def snapshot_commit(
     txn_id: str | None = None,
     require_parent: int | None = None,
     change: dict | None = None,
+    partition_by: list | None = None,
 ) -> int:
     """Commit ``df`` as a new table version and return it.
 
@@ -841,8 +1036,68 @@ def snapshot_commit(
     phys = _commit_phys(
         pre_manifest, df.schema.fieldNames(), reset=(mode == "overwrite")
     )
+    # partition spec: ``partition_by`` declares it (first commit, or an
+    # overwrite — Iceberg-style evolution: later files follow the new
+    # spec, retained metadata keeps old files' tuples); appends inherit
+    # the table's. Spec entries store PHYSICAL names (rename-proof).
+    spec_param: list | None = None
+    inherited_spec = (pre_manifest or {}).get("partition_spec") or []
+    if partition_by is not None:
+        norm = _norm_partition_by(partition_by)
+        missing = [e["col"] for e in norm if e["col"] not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in the commit: {missing}")
+        for e in norm:
+            tn = df.schema[e["col"]].dataType.typeName()
+            ok = (
+                tn in ("date", "timestamp", "timestamp_ntz")
+                if e["kind"] == "day"
+                else tn in ("byte", "short", "integer", "long", "string")
+            )
+            if not ok:
+                raise ValueError(
+                    f"partition transform {e['kind']!r} does not support "
+                    f"column {e['col']!r} of type {tn} (day needs "
+                    "date/timestamp; identity/bucket need int/string — "
+                    "the same exactness contract as the blooms)"
+                )
+        spec_param = [
+            {**e, "col": phys.get(e["col"], e["col"])} for e in norm
+        ]
+        if (
+            mode == "append"
+            and inherited_spec
+            and spec_param != inherited_spec
+        ):
+            raise ValueError(
+                "an append cannot change the partition spec — evolve it "
+                "with a mode='overwrite' commit"
+            )
+        active_spec = spec_param
+    else:
+        # no declaration: appends AND plain overwrites keep the table's
+        # spec (publish inherits when the param stays None)
+        active_spec = inherited_spec
+    inv = {p: l for l, p in phys.items()}
+    write_df = df
+    if active_spec and all(
+        inv.get(e["col"], e["col"]) in df.columns for e in active_spec
+    ):
+        # cluster the commit on the transform tuple so files stay
+        # tuple-tight — files that still straddle tuples just record
+        # more of them (pruning is tuple-exact either way). The explicit
+        # partition count keeps AQE from coalescing the clustering
+        # shuffle back into one mixed file; empty buckets write nothing.
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        write_df = df.repartition(
+            n_part,
+            *[
+                _transform_expr(e, inv.get(e["col"], e["col"]))
+                for e in active_spec
+            ],
+        )
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    _to_physical_df(df, phys).write.parquet(commit_dir)
+    _to_physical_df(write_df, phys).write.parquet(commit_dir)
     new_files = sorted(
         os.path.join(os.path.basename(commit_dir), f)
         for f in os.listdir(commit_dir)
@@ -873,16 +1128,24 @@ def snapshot_commit(
             *[F.col(c).alias(inv.get(c, c)) for c in staged_df.columns]
         )
         _check_constraints(staged_df, tip_manifest.get("constraints"))
+    new_stats = _commit_stats(table_dir, new_files)
+    if active_spec:
+        pvals = _compute_pvals(
+            df.sparkSession, table_dir, new_files, active_spec
+        )
+        for f, tuples in pvals.items():
+            new_stats.setdefault(f, {})["__pvals"] = tuples
     return publish_manifest(
         table_dir,
         new_files,
         mode=mode,
         txn_id=txn_id,
         schema=df.schema.jsonValue(),
-        new_stats=_commit_stats(table_dir, new_files),
+        new_stats=new_stats,
         require_parent=require_parent,
         change=change,
         phys=phys,
+        partition_spec=spec_param,
     )
 
 
@@ -921,6 +1184,7 @@ def publish_manifest(
     eq_deletes: list | None = None,
     change: dict | None = None,
     phys: dict | None = None,
+    partition_spec: list | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -1036,6 +1300,10 @@ def publish_manifest(
                 out_ndv_cols = tip_manifest.get("ndv_cols")
             if out_dropped is None:
                 out_dropped = tip_manifest.get("dropped_cols")
+        # partition spec inherits like constraints; [] explicitly clears
+        out_pspec = partition_spec
+        if out_pspec is None and tip_manifest is not None:
+            out_pspec = tip_manifest.get("partition_spec")
         # physical column mapping: the caller's map names what its FILES
         # actually contain, so a disagreement with the (possibly moved)
         # tip's assignment is a real write conflict, not something a
@@ -1165,6 +1433,8 @@ def publish_manifest(
             manifest["dropped_cols"] = out_dropped
         if out_phys:
             manifest["phys"] = out_phys
+        if out_pspec:
+            manifest["partition_spec"] = out_pspec
         if change is not None:
             manifest["change"] = change
         if txn_id is not None:
@@ -2068,8 +2338,18 @@ def _commit_rewrite(
     # parent's physical assignment; fields the rewrite adds (merge
     # widening) mint against the parent's tombstones
     phys = _commit_phys(parent_manifest, df.schema.fieldNames())
+    inv = {p: l for l, p in phys.items()}
+    spec = (parent_manifest or {}).get("partition_spec") or []
+    write_df = df
+    if spec and all(inv.get(e["col"], e["col"]) in df.columns for e in spec):
+        # keep the rewrite's files on the table's declared layout (the
+        # explicit count defeats AQE's coalesce-to-one on small rewrites)
+        write_df = df.repartition(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            *[_transform_expr(e, inv.get(e["col"], e["col"])) for e in spec],
+        )
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    _to_physical_df(df, phys).write.parquet(commit_dir)
+    _to_physical_df(write_df, phys).write.parquet(commit_dir)
     new_files = sorted(
         os.path.join(os.path.basename(commit_dir), f)
         for f in os.listdir(commit_dir)
@@ -2100,6 +2380,12 @@ def _commit_rewrite(
         still = [f for f in e["files"] if f in set(untouched)]
         if still:
             carried_eq.append({**e, "files": still})
+    new_stats = _commit_stats(table_dir, new_files)
+    if spec:
+        for f, tuples in _compute_pvals(
+            df.sparkSession, table_dir, new_files, spec
+        ).items():
+            new_stats.setdefault(f, {})["__pvals"] = tuples
     return publish_manifest(
         table_dir,
         new_files,
@@ -2107,7 +2393,7 @@ def _commit_rewrite(
         txn_id=txn_id,
         schema=schema,
         base_files=untouched,
-        new_stats=_commit_stats(table_dir, new_files),
+        new_stats=new_stats,
         require_parent=require_parent,
         delete_files=carried_dv_files,
         dv_counts=carried_dvc or None,
@@ -2912,6 +3198,16 @@ def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
             f"column {col!r} keys {len(keyed)} pending equality-delete "
             "entr(ies) — compact_snapshot first to materialize them"
         )
+    in_spec = [
+        e
+        for e in manifest.get("partition_spec") or []
+        if e["col"] == pcol
+    ]
+    if in_spec:
+        raise ValueError(
+            f"column {col!r} is a partition column ({_transform_name(in_spec[0])})"
+            " — evolve the spec with a mode='overwrite' commit first"
+        )
     narrowed = StructType(
         [f for f in schema.fields if f.name != col]
     ).jsonValue()
@@ -3185,6 +3481,7 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         dropped_cols=[c for c in tip_dropped if c not in restored_phys],
         require_parent=tip,
         phys=m_phys,  # the restored version's own mapping, verbatim
+        partition_spec=m.get("partition_spec") or [],  # ditto, [] clears
     )
 
 

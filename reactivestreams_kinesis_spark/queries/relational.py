@@ -903,6 +903,48 @@ def rel_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_partition_prune",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_nationkey IN (3, 7) AND c_acctbal >= 0.0
+    """,
+    tags=("S5", "P3"),
+)
+def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC under the value oracle (Iceberg-style hidden
+    partitioning, `operators/snapshots.py:_compute_pvals` /
+    `prune_files`): commit customer partitioned by identity(c_nationkey)
+    — the writer clusters the commit on the partition tuple and records
+    each file's distinct tuples in the manifest — then scan with a
+    nation IN-list plus a balance range. The scan plans only the files
+    whose recorded tuples intersect the IN-list (asserted file-level in
+    tests/test_partition_spec.py; here the ORACLE pins that pruning is
+    an optimization, never a filter: the result must equal the plain
+    WHERE clause row-for-row). At 100 TB this is the difference between
+    touching two nations' files and listing the table."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        scan_snapshot,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_part_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(base, t, partition_by=["c_nationkey"])
+    return scan_snapshot(
+        spark,
+        t,
+        [("c_nationkey", "in", (3, 7)), ("c_acctbal", ">=", 0.0)],
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+
+
+@register(
     "rel_type_widening",
     oracle="""
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

@@ -1,0 +1,212 @@
+"""PARTITION SPEC in the snapshot manifest (round 10) — Iceberg-style
+hidden partitioning: `snapshot_commit(..., partition_by=[...])` declares
+identity / day / bucket(n) transforms; writers CLUSTER each commit on
+the transform tuple and record every file's distinct partition tuples
+in its stats blob (`__pvals`); `prune_files` (and therefore
+scan_snapshot, DML targeting, and the custom source's pushdown path)
+prunes on tuples BEFORE min/max stats.
+
+Deliberately the Iceberg model, not the hive one: the manifest is the
+index, so files keep ALL columns and a flat layout — no directory-name
+coupling, no partition columns stripped from parquet — and a file the
+writer couldn't keep tuple-tight records more tuples (pruning stays
+exact, never a filter).
+
+Contract:
+- identity spec on a clustered table: an equality predicate keeps
+  exactly the matching-tuple files; content equals the unpruned read;
+- bucket(n): a point lookup keeps only the matching bucket's files —
+  pruning min/max can NEVER provide on a hash-scattered key;
+- day(ts): a date-range predicate prunes whole days conservatively;
+- appends inherit the spec and cannot change it (overwrite evolves it);
+- the spec follows rewrites (CoW DML keeps the layout + tuples carry
+  for retained files) and survives rename (spec keys physical names);
+- dropping a partition column refuses;
+- the custom source's opt-in pushdown plans fewer partitions on a
+  partitioned table (file-level skipping before any task launches).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.catalog import load_table
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    _read_manifest,
+    delete_where,
+    drop_column,
+    latest_version,
+    prune_files,
+    read_snapshot,
+    rename_column,
+    scan_snapshot,
+    snapshot_commit,
+    update_where,
+)
+from reactivestreams_kinesis_spark.sources.snapshot_source import (
+    register_snapshot_source,
+)
+
+
+def _cust(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+
+def test_identity_partition_prunes_exactly(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    base = _cust(spark, sf_dir)
+    snapshot_commit(base, t, partition_by=["c_nationkey"])           # v0
+    m = _read_manifest(t, 0)
+    assert m["partition_spec"] == [{"col": "c_nationkey", "kind": "identity"}]
+    stats = m["stats"]
+    # every file records its tuple set; clustering keeps them tight
+    assert all("__pvals" in stats[f] for f in m["files"])
+    n_nations = base.select("c_nationkey").distinct().count()
+
+    # equality predicate keeps only files recording that tuple
+    kept = prune_files(m, [("c_nationkey", "=", 3)])
+    assert 0 < len(kept) < len(m["files"])
+    for f in kept:
+        assert any(
+            tup["c_nationkey"] == 3 for tup in stats[f]["__pvals"]
+        )
+    got = scan_snapshot(spark, t, [("c_nationkey", "=", 3)])
+    want = base.filter("c_nationkey = 3")
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+    # appends inherit the spec (and cluster): new files carry tuples
+    snapshot_commit(base.limit(50), t)                               # v1
+    m1 = _read_manifest(t, 1)
+    assert m1["partition_spec"] == m["partition_spec"]
+    new = [f for f in m1["files"] if f not in set(m["files"])]
+    assert new and all("__pvals" in m1["stats"][f] for f in new)
+    # an append cannot change the spec
+    with pytest.raises(ValueError, match="cannot change the partition spec"):
+        snapshot_commit(base.limit(1), t, partition_by=["c_custkey"])
+    # overwrite evolves it
+    snapshot_commit(
+        base, t, mode="overwrite", partition_by=[("c_custkey", "bucket", 8)]
+    )                                                                # v2
+    assert _read_manifest(t, 2)["partition_spec"] == [
+        {"col": "c_custkey", "kind": "bucket", "n": 8}
+    ]
+    assert n_nations > 1  # sanity: the prune above was non-trivial
+
+
+def test_bucket_partition_point_lookup(spark, sf_dir, tmp_path):
+    """Hash-scattered key: every file's [min, max] spans the domain, so
+    stats can't prune a point lookup — the bucket tuples can."""
+    t = str(tmp_path / "t")
+    base = _cust(spark, sf_dir)
+    snapshot_commit(base, t, partition_by=[("c_custkey", "bucket", 8)])
+    m = _read_manifest(t, 0)
+    key = base.limit(1).collect()[0]["c_custkey"]
+    kept = prune_files(m, [("c_custkey", "=", int(key))])
+    assert 0 < len(kept) < len(m["files"]), (len(kept), len(m["files"]))
+    got = scan_snapshot(spark, t, [("c_custkey", "=", int(key))])
+    assert got.count() == 1
+    # IN-list across several keys still prunes to the union of buckets
+    keys = [r["c_custkey"] for r in base.limit(3).collect()]
+    kept_in = prune_files(m, [("c_custkey", "in", [int(k) for k in keys])])
+    assert len(kept_in) <= len(m["files"])
+    got_in = scan_snapshot(
+        spark, t, [("c_custkey", "in", [int(k) for k in keys])]
+    )
+    assert got_in.count() == 3
+
+
+def test_day_partition_prunes_time_ranges(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("ts")
+    )
+    snapshot_commit(ev, t, partition_by=[("ts", "day")])
+    m = _read_manifest(t, 0)
+    days = sorted(
+        {tup["day(ts)"] for f in m["files"] for tup in m["stats"][f]["__pvals"]}
+    )
+    assert len(days) >= 3, "fixture spans several days"
+    cut = days[len(days) // 2]
+    import datetime as dt
+
+    cut_ts = dt.datetime.fromisoformat(cut + "T00:00:00")
+    kept = prune_files(m, [("ts", ">=", cut_ts)])
+    assert 0 < len(kept) < len(m["files"])
+    got = scan_snapshot(spark, t, [("ts", ">=", cut_ts)])
+    want = ev.filter(F.col("ts") >= F.lit(cut_ts))
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0
+
+
+def test_spec_follows_dml_and_rename(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    base = _cust(spark, sf_dir)
+    snapshot_commit(base, t, partition_by=["c_nationkey"])           # v0
+    # CoW update rewrites some files: spec carries, new files get tuples
+    update_where(
+        spark, t, [("c_nationkey", "=", 3)], {"c_acctbal": F.lit(1.0)}
+    )                                                                # v1
+    m1 = _read_manifest(t, 1)
+    assert m1["partition_spec"] == [{"col": "c_nationkey", "kind": "identity"}]
+    assert all("__pvals" in m1["stats"][f] for f in m1["files"])
+    kept = prune_files(m1, [("c_nationkey", "=", 3)])
+    assert 0 < len(kept) < len(m1["files"])
+    got = scan_snapshot(spark, t, [("c_nationkey", "=", 3)])
+    assert got.count() == base.filter("c_nationkey = 3").count()
+    assert got.filter("c_acctbal != 1.0").count() == 0
+
+    # MoR delete then prune: pruning stays sound (DVs only shrink files)
+    delete_where(
+        spark, t, [("c_nationkey", "=", 5)], strategy="merge_on_read"
+    )                                                                # v2
+    assert scan_snapshot(spark, t, [("c_nationkey", "=", 5)]).count() == 0
+
+    # rename the partition column: spec keys the PHYSICAL name, so
+    # pruning keeps working under the new logical name
+    rename_column(t, "c_nationkey", "nation")                        # v3
+    m3 = _read_manifest(t, latest_version(t))
+    assert m3["partition_spec"] == [{"col": "c_nationkey", "kind": "identity"}]
+    got2 = scan_snapshot(spark, t, [("nation", "=", 3)])
+    assert got2.count() == base.filter("c_nationkey = 3").count()
+    kept2 = prune_files(m3, [("nation", "=", 3)])
+    assert 0 < len(kept2) < len(m3["files"])
+
+    # dropping the (renamed) partition column refuses
+    with pytest.raises(ValueError, match="partition column"):
+        drop_column(t, "nation")
+
+
+def test_partitioned_source_pushdown_plans_fewer_files(spark, sf_dir, tmp_path):
+    register_snapshot_source(spark)
+    t = str(tmp_path / "t")
+    base = _cust(spark, sf_dir)
+    snapshot_commit(base, t, partition_by=["c_nationkey"])
+    m = _read_manifest(t, 0)
+    n_kept = len(prune_files(m, [("c_nationkey", "=", 3)]))
+    assert 0 < n_kept < len(m["files"])
+    pushed = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("filterPushdown", "true")
+        .load()
+        .filter("c_nationkey = 3")
+    )
+    # the pushdown reader plans exactly the pruned file set: partition
+    # count == surviving files (one InputPartition per file)
+    assert pushed.rdd.getNumPartitions() == n_kept
+    want = base.filter("c_nationkey = 3")
+    assert pushed.subtract(want).count() == 0
+    assert want.subtract(pushed).count() == 0
+
+    # declaration guards
+    with pytest.raises(ValueError, match="not in the commit"):
+        snapshot_commit(base, str(tmp_path / "x"), partition_by=["nope"])
+    with pytest.raises(ValueError, match="does not support"):
+        snapshot_commit(base, str(tmp_path / "y"), partition_by=[("c_acctbal", "day")])
+    with pytest.raises(ValueError, match="does not support"):
+        snapshot_commit(
+            base, str(tmp_path / "z"), partition_by=[("c_acctbal", "bucket", 4)]
+        )
