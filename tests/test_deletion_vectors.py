@@ -973,27 +973,37 @@ _CF_OP = st.one_of(
     st.tuples(st.just("merge"), st.lists(st.tuples(st.integers(0, 5), st.integers(200, 209)), min_size=1, max_size=3, unique_by=lambda kv: kv[0])),
     st.tuples(st.just("cow_del"), st.integers(0, 9)),
     st.tuples(st.just("compact"), st.none()),
+    # schema evolution interleaved with the DML (round 10): rename a
+    # data column mid-history (the feed must cross it by physical
+    # identity), widen v int→bigint (straddled files must still diff)
+    st.tuples(st.just("rename"), st.sampled_from(["k", "v"])),
+    st.tuples(st.just("widen"), st.none()),
 )
 
 
 @given(
     init=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=8),
-    ops=st.lists(_CF_OP, min_size=1, max_size=4),
+    ops=st.lists(_CF_OP, min_size=1, max_size=5),
 )
 @settings(
-    max_examples=6,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 def test_change_feed_replay_over_random_history(spark, tmp_path_factory, init, ops):
     """The round-9 replay invariant, PROPERTY-TESTED: over any random
     interleaving of appends, both merge-on-read delete forms, CoW
-    updates/deletes, keyed merges, and reorg compactions,
+    updates/deletes, keyed merges, reorg compactions — and, since round
+    10, RENAME COLUMN and TYPE WIDENING interleaved with the DML —
     v0 + feed(0→tip) ≡ tip — inserts/update_postimages added,
-    deletes/update_preimages removed, reorgs contributing nothing.
-    Catches the interaction classes example tests can only sample:
-    feed-over-rewrite after stacked MoR deletes, retraction of rows a
-    later rewrite replaced, compaction between any two ops."""
+    deletes/update_preimages removed, reorgs and renames contributing
+    nothing. Catches the interaction classes example tests can only
+    sample: feed-over-rewrite after stacked MoR deletes, retraction of
+    rows a later rewrite replaced, compaction between any two ops, a
+    rename between a delete and its feed read, a widening straddled by
+    a rewrite diff. Rows compare POSITIONALLY (column order is stable
+    across renames), so the invariant holds under whatever the ending
+    names are."""
     import uuid as _uuid
 
     from reactivestreams_kinesis_spark.operators.snapshots import (
@@ -1003,6 +1013,7 @@ def test_change_feed_replay_over_random_history(spark, tmp_path_factory, init, o
         latest_version,
         merge_upsert,
         read_snapshot,
+        rename_column,
         snapshot_change_feed,
         snapshot_commit,
         update_where,
@@ -1010,9 +1021,15 @@ def test_change_feed_replay_over_random_history(spark, tmp_path_factory, init, o
 
     t = str(tmp_path_factory.mktemp("cfprop") / f"t_{_uuid.uuid4().hex[:6]}")
     uid = 0
+    names = {"uid": "uid", "k": "k", "v": "v"}  # role → current logical name
+    v_type = "int"
+    rename_n = 0
 
     def mk_df(rows):
-        return spark.createDataFrame(rows, "uid bigint, k int, v int")
+        schema = (
+            f"{names['uid']} bigint, {names['k']} int, {names['v']} {v_type}"
+        )
+        return spark.createDataFrame(rows, schema)
 
     first = [(uid + i, k, v) for i, (k, v) in enumerate(init)]
     uid += len(init)
@@ -1024,27 +1041,46 @@ def test_change_feed_replay_over_random_history(spark, tmp_path_factory, init, o
             uid += len(arg)
             snapshot_commit(mk_df(rows), t)
         elif kind == "pos_del":
-            delete_where(spark, t, [("v", "<", arg)], strategy="merge_on_read")
+            delete_where(
+                spark, t, [(names["v"], "<", arg)], strategy="merge_on_read"
+            )
         elif kind == "eq_del":
-            delete_by_key(spark, t, mk_df([(0, k, 0) for k in arg]).select("k"), "k")
+            delete_by_key(
+                spark,
+                t,
+                mk_df([(0, k, 0) for k in arg]).select(names["k"]),
+                names["k"],
+            )
         elif kind == "update":
             key, newv = arg
-            update_where(spark, t, [("k", "=", key)], {"v": F.lit(newv)})
+            update_where(
+                spark, t, [(names["k"], "=", key)], {names["v"]: F.lit(newv)}
+            )
         elif kind == "merge":
             rows = [(uid + i, k, v) for i, (k, v) in enumerate(arg)]
             uid += len(arg)
-            merge_upsert(spark, t, mk_df(rows), "k")
+            merge_upsert(spark, t, mk_df(rows), names["k"])
         elif kind == "cow_del":
-            delete_where(spark, t, [("v", "<", arg)])
+            delete_where(spark, t, [(names["v"], "<", arg)])
         elif kind == "compact":
             compact_snapshot(spark, t, target_file_bytes=1 << 40)
+        elif kind == "rename":
+            rename_n += 1
+            new = f"{arg}_r{rename_n}"
+            rename_column(t, names[arg], new)
+            names[arg] = new
+        elif kind == "widen":
+            if v_type == "int":
+                v_type = "bigint"
+                snapshot_commit(mk_df([(uid, 0, 0)]), t)
+                uid += 1
 
     tip_v = latest_version(t)
 
     def rows_at(version):
         try:
             return {
-                (r["uid"], r["k"], r["v"])
+                tuple(r)  # positional: (uid, k, v) roles, any names
                 for r in read_snapshot(spark, t, version).collect()
             }
         except ValueError:
@@ -1054,14 +1090,18 @@ def test_change_feed_replay_over_random_history(spark, tmp_path_factory, init, o
     if tip_v == 0:
         return
     try:
-        feed = snapshot_change_feed(spark, t, from_version=0).collect()
+        feed_df = snapshot_change_feed(spark, t, from_version=0)
     except ValueError:
-        # reorg-only history: no changes means the tip equals v0
+        # reorg/rename-only history: no changes means the tip equals v0
         assert tip_rows == rows_at(0)
         return
+    data_cols = [
+        c for c in feed_df.columns if c not in ("_change_type", "_commit_version")
+    ]
+    feed = feed_df.collect()
     replayed = set(rows_at(0))
     for r in sorted(feed, key=lambda r: r["_commit_version"]):
-        key = (r["uid"], r["k"], r["v"])
+        key = tuple(r[c] for c in data_cols)
         if r["_change_type"] in ("insert", "update_postimage"):
             replayed.add(key)
         else:
