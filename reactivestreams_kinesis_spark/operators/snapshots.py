@@ -3523,6 +3523,7 @@ def snapshot_files(
         p = os.path.join(table_dir, f)
         s = dict(stats.get(f) or {})
         n_rows = s.pop("__rows", None)
+        pvals = s.pop("__pvals", None)
         rows.append(
             (
                 version,
@@ -3531,6 +3532,9 @@ def snapshot_files(
                 n_rows,
                 dv_counts.get(f, 0),
                 _json.dumps(s, sort_keys=True, default=str) if s else None,
+                _json.dumps(pvals, sort_keys=True, default=str)
+                if pvals is not None
+                else None,
             )
         )
     schema = StructType(
@@ -3541,6 +3545,7 @@ def snapshot_files(
             StructField("rows", LongType()),
             StructField("deleted_rows", LongType()),
             StructField("stats_json", StringType()),
+            StructField("partition_json", StringType()),
         ]
     )
     return spark.createDataFrame(rows, schema)
@@ -3571,12 +3576,49 @@ def version_at_timestamp(table_dir: str, ts: float) -> int:
     return best
 
 
+def _schema_delta(parent_m: dict | None, m: dict) -> str | None:
+    """Human-readable schema change of one commit vs its parent — the
+    DESCRIBE HISTORY column that makes evolution auditable. Uses the
+    phys maps to tell a RENAME (same physical, new logical) from a
+    drop+add pair; widenings report both types. None = no change."""
+    if m.get("schema") is None or (parent_m or {}).get("schema") is None:
+        return None
+    p_fields = {f["name"]: f["type"] for f in parent_m["schema"]["fields"]}
+    n_fields = {f["name"]: f["type"] for f in m["schema"]["fields"]}
+    p_phys = _phys_map(parent_m)
+    n_phys = _phys_map(m)
+    p_by_phys = {p_phys.get(n, n): n for n in p_fields}
+    out = []
+    for name, typ in n_fields.items():
+        if name in p_fields:
+            if p_fields[name] != typ:
+                out.append(f"widen {name} {p_fields[name]}->{typ}")
+            continue
+        phys = n_phys.get(name, name)
+        old = p_by_phys.get(phys)
+        if old is not None and old not in n_fields:
+            out.append(f"rename {old}->{name}")
+        else:
+            out.append(f"add {name} {typ}")
+    renamed_away = {
+        p_by_phys[ph]
+        for ph in (n_phys.get(n, n) for n in n_fields)
+        if ph in p_by_phys
+    }
+    for name in p_fields:
+        if name not in n_fields and name not in renamed_away:
+            out.append(f"drop {name}")
+    return ", ".join(sorted(out)) or None
+
+
 def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """DESCRIBE HISTORY as a DataFrame: one row per retained version —
     op, parent, file count, total bytes, row count (when stats carry
-    it), txn id. Pure manifest metadata; byte sizes stat only the
-    version's own files. The audit surface every lakehouse table
-    exposes, for this repo's commit protocol."""
+    it), txn id, the commit's SCHEMA CHANGE (add/drop/rename/widen,
+    derived through the phys map so a rename reads as a rename, not a
+    drop+add), and the declared partition spec. Pure manifest metadata;
+    byte sizes stat only the version's own files. The audit surface
+    every lakehouse table exposes, for this repo's commit protocol."""
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -3601,6 +3643,10 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
             p = os.path.join(table_dir, f)
             if os.path.exists(p):
                 total += os.path.getsize(p)
+        parent_m = None
+        if v > 0 and os.path.exists(_manifest_path(table_dir, v - 1)):
+            parent_m = _read_manifest(table_dir, v - 1)
+        pspec = m.get("partition_spec")
         rows.append(
             (
                 v,
@@ -3611,10 +3657,13 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
                 total,
                 n_rows,
                 m.get("txn"),
+                _schema_delta(parent_m, m),
+                ", ".join(_transform_name(e) for e in pspec) if pspec else None,
             )
         )
     return spark.createDataFrame(
         rows,
         "version int, parent int, op string, change_kind string, "
-        "n_files int, total_bytes bigint, n_rows bigint, txn string",
+        "n_files int, total_bytes bigint, n_rows bigint, txn string, "
+        "schema_change string, partition string",
     )

@@ -205,6 +205,7 @@ class SnapshotTableDataSource(DataSource):
             _read_manifest(table_dir, tip).get("phys") if tip is not None else None
         )
         mvt = self.options.get("maxVersionsPerTrigger")
+        mbt = self.options.get("maxBytesPerTrigger")
         return _SnapshotStreamReader(
             table_dir,
             int(self.options.get("startingVersion", -1)),
@@ -212,6 +213,7 @@ class SnapshotTableDataSource(DataSource):
             change_feed=self._change_feed(),
             phys=phys,
             max_versions=None if mvt is None else int(mvt),
+            max_bytes=None if mbt is None else int(mbt),
         )
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -731,6 +733,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         change_feed: bool = False,
         phys: dict | None = None,
         max_versions: int | None = None,
+        max_bytes: int | None = None,
     ):
         self._dir = table_dir
         self._start = starting_version
@@ -762,7 +765,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxVersionsPerTrigger must be >= 1, got {max_versions}"
             )
+        if max_bytes is not None and max_bytes < 1:
+            raise ValueError(
+                f"maxBytesPerTrigger must be >= 1, got {max_bytes}"
+            )
         self._max_versions = max_versions
+        self._max_bytes = max_bytes
         self._cursor: int | None = None
 
     def _advance_cursor(self, version: int) -> None:
@@ -776,10 +784,43 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         tip = latest_version(self._dir)
         target = self._start if tip is None else tip
-        if self._max_versions is not None and self._cursor is not None:
-            target = min(target, self._cursor + self._max_versions)
+        if self._cursor is not None and target > self._cursor:
+            if self._max_versions is not None:
+                target = min(target, self._cursor + self._max_versions)
+            if self._max_bytes is not None:
+                target = self._bytes_bounded_end(self._cursor, target)
         self._advance_cursor(target)
         return {"version": target}
+
+    def _bytes_bounded_end(self, cursor: int, target: int) -> int:
+        """maxBytesPerTrigger: advance version-by-version, accumulating
+        each version's NEW data-file bytes (manifest names + one stat
+        per new file — bounded by the admitted window), and stop before
+        the cap is crossed. Always admits at least one version so an
+        oversized single commit cannot stall the stream (Delta's
+        maxBytesPerTrigger is the same soft cap)."""
+        prev_files: set | None = None
+        if cursor >= 0 and os.path.exists(_manifest_path(self._dir, cursor)):
+            prev_files = set(_read_manifest(self._dir, cursor)["files"])
+        end, total = cursor, 0
+        for v in range(cursor + 1, target + 1):
+            if not os.path.exists(_manifest_path(self._dir, v)):
+                return target  # vacuumed range: partitions() fails loudly
+            m = _read_manifest(self._dir, v)
+            new = [
+                f for f in m["files"] if prev_files is None or f not in prev_files
+            ]
+            nbytes = sum(
+                os.path.getsize(os.path.join(self._dir, f))
+                for f in new
+                if os.path.exists(os.path.join(self._dir, f))
+            )
+            if end > cursor and total + nbytes > self._max_bytes:
+                break
+            total += nbytes
+            end = v
+            prev_files = set(m["files"])
+        return end
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         sv, ev = start["version"], end["version"]

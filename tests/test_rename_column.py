@@ -340,6 +340,47 @@ def test_rename_then_drop_then_readd_and_rename_to_dropped(spark, sf_dir, tmp_pa
     assert back.subtract(wantb).count() == 0 and wantb.subtract(back).count() == 0
 
 
+def test_describe_history_reports_schema_changes(spark, sf_dir, tmp_path):
+    """DESCRIBE HISTORY's schema_change column tells a RENAME (same
+    physical, new logical) from a drop+add, reports adds/drops/widens,
+    and surfaces the declared partition spec."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        describe_history,
+    )
+
+    t = str(tmp_path / "t")
+    base = _base(spark, sf_dir)
+    snapshot_commit(base, t, partition_by=["c_nationkey"])           # v0
+    rename_column(t, "c_acctbal", "balance")                         # v1
+    add_column(t, "tier", "string")                                  # v2
+    drop_column(t, "tier")                                           # v3
+    snapshot_commit(  # widen balance double stays; widen custkey? no —
+        base.select(
+            F.col("c_custkey").alias("c_custkey"),
+            "c_nationkey",
+            F.col("c_acctbal").alias("balance"),
+        ).limit(1),
+        t,
+    )                                                                # v4
+    snapshot_commit(  # a genuinely WIDER append: int -> bigint
+        base.select(
+            "c_custkey",
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            F.col("c_acctbal").alias("balance"),
+        ).limit(1),
+        t,
+    )                                                                # v5
+    h = {r["version"]: r for r in describe_history(spark, t).collect()}
+    assert h[0]["schema_change"] is None
+    assert h[0]["partition"] == "c_nationkey"
+    assert h[1]["schema_change"] == "rename c_acctbal->balance"
+    assert h[2]["schema_change"] == "add tier string"
+    assert h[3]["schema_change"] == "drop tier"
+    assert h[4]["schema_change"] is None
+    assert h[5]["schema_change"] == "widen c_nationkey integer->long"
+    assert all(h[v]["partition"] == "c_nationkey" for v in range(6))
+
+
 def test_rename_refuses_constraint_reference(spark, sf_dir, tmp_path):
     from reactivestreams_kinesis_spark.operators.snapshots import (
         add_constraint,

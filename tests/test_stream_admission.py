@@ -190,6 +190,105 @@ def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
         _SnapshotStreamReader(t, -1, None, max_versions=0)
 
 
+def test_max_bytes_cursor_progression_unit(spark, sf_dir, tmp_path):
+    """maxBytesPerTrigger (the Delta-shaped soft byte cap): versions
+    admit until the next would cross the cap; an oversized single
+    commit still admits (no stall); composes with maxVersionsPerTrigger
+    (the tighter cap wins); end-to-end rows equal the unbounded drain."""
+    import os as _os
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        _SnapshotStreamReader,
+    )
+
+    t = str(tmp_path / "unitb")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    snapshot_commit(ev.filter("event_id % 7 = 0").coalesce(1), t)  # v0
+    # backlog lands AFTER the anchor: v1..v6 single-file appends
+    for i in range(1, 7):
+        snapshot_commit(ev.filter(F.col("event_id") % 7 == i).coalesce(1), t)
+    sizes = {}
+    prev: set = set(_read_manifest(t, 0)["files"])
+    for v in range(1, 7):
+        m = _read_manifest(t, v)
+        new = [f for f in m["files"] if f not in prev]
+        sizes[v] = sum(_os.path.getsize(_os.path.join(t, f)) for f in new)
+        prev = set(m["files"])
+
+    cap = sizes[1] + sizes[2] + 1  # at least v1+v2 fit in one trigger
+    # simulate the engine against a reader whose anchored batch was v0
+    # (a restart whose checkpoint sat at v0 before the backlog landed)
+    r = _SnapshotStreamReader(t, -1, None, max_bytes=cap)
+    r.partitions({"version": -1}, {"version": 0})  # anchor = v0 batch
+    r.commit({"version": 0})
+    # expected greedy progression from the actual sizes
+    cur, expect = 0, []
+    while cur < 6:
+        end, tot = cur, 0
+        for v in range(cur + 1, 7):
+            if end > cur and tot + sizes[v] > cap:
+                break
+            tot += sizes[v]
+            end = v
+        expect.append(end)
+        cur = end
+    got = []
+    cur = 0
+    while cur < 6:
+        nxt = r.latestOffset()["version"]
+        assert nxt > cur
+        r.partitions({"version": cur}, {"version": nxt})
+        r.commit({"version": nxt})
+        got.append(nxt)
+        cur = nxt
+    assert got == expect, (got, expect, sizes)
+    assert len(got) >= 3, "the cap split the backlog into several batches"
+
+    # an oversized single commit still admits (soft cap, no stall)
+    r2 = _SnapshotStreamReader(t, -1, None, max_bytes=1)
+    r2.partitions({"version": -1}, {"version": 0})
+    r2.commit({"version": 0})
+    assert r2.latestOffset() == {"version": 1}
+
+    # composes with the version cap: the tighter one wins
+    r3 = _SnapshotStreamReader(t, -1, None, max_versions=1, max_bytes=cap)
+    r3.partitions({"version": -1}, {"version": 0})
+    assert r3.latestOffset() == {"version": 1}
+
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        _SnapshotStreamReader(t, -1, None, max_bytes=0)
+
+
+def test_max_bytes_end_to_end_drain(spark, sf_dir, tmp_path):
+    """Byte-capped standing stream drains to exactly the table content."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tblb")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    snapshot_commit(ev.filter("event_id % 4 = 0").coalesce(1), t)
+    out = str(tmp_path / "outb")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("maxBytesPerTrigger", 1)  # one version per trigger
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckptb"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    for i in range(1, 4):
+        snapshot_commit(ev.filter(F.col("event_id") % 4 == i).coalesce(1), t)
+    spans = _batch_spans(_run_until_version(q, 3))
+    assert all(e - s <= 1 for s, e in spans[1:]), spans
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count()
+    assert final.subtract(ev).count() == 0 and ev.subtract(final).count() == 0
+
+
 def test_max_versions_cap_resumes_across_restart(spark, sf_dir, tmp_path):
     """Stop mid-history, append more versions, restart: the union of all
     drained rows equals the table exactly (no loss, no dup) even though
