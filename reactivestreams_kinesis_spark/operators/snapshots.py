@@ -1071,13 +1071,25 @@ def snapshot_commit(
         ):
             raise ValueError(
                 "an append cannot change the partition spec — evolve it "
-                "with a mode='overwrite' commit"
+                "first with set_partition_spec (metadata-only) or a "
+                "mode='overwrite' commit"
             )
         active_spec = spec_param
     else:
         # no declaration: appends AND plain overwrites keep the table's
         # spec (publish inherits when the param stays None)
         active_spec = inherited_spec
+        if mode == "overwrite" and inherited_spec:
+            # a full overwrite resets the physical mapping to identity,
+            # so the carried spec must follow: old-physical → logical
+            # (which IS the new physical). Recorded explicitly so the
+            # published manifest's spec matches its own files.
+            pre_inv = _inv_phys(pre_manifest)
+            active_spec = [
+                {**e, "col": pre_inv.get(e["col"], e["col"])}
+                for e in inherited_spec
+            ]
+            spec_param = active_spec
     inv = {p: l for l, p in phys.items()}
     write_df = df
     if active_spec and all(
@@ -3231,6 +3243,69 @@ def drop_column(table_dir: str, col: str, *, txn_id: str | None = None) -> int:
         ndv_cols=trim(ndv) if ndv else None,
         require_parent=tip,
         phys=phys,
+    )
+
+
+def set_partition_spec(
+    table_dir: str, partition_by: list, *, txn_id: str | None = None
+) -> int:
+    """PARTITION EVOLUTION as a METADATA-ONLY commit (Iceberg's model):
+    declare a new spec — identity / ``(col, "day")`` / ``(col,
+    "bucket", n)`` entries over the CURRENT logical names — and only
+    files written AFTER it follow the new layout and record its
+    tuples. Old files keep the tuples they recorded under the old spec;
+    because ``prune_files`` matches tuples BY TRANSFORM NAME, a file
+    without the current spec's names simply never partition-prunes
+    (min/max stats still apply) — sound by construction, no rewrite at
+    any size. ``partition_by=[]`` clears the spec (later commits stop
+    clustering/recording). Run ``compact_snapshot`` afterwards to
+    migrate old files onto the new layout when pruning them matters.
+
+    Guards: columns must exist in the declared schema with the
+    transform's supported types (same contract as the commit-time
+    declaration). Spec entries store PHYSICAL names, so the evolution
+    composes with RENAME."""
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is None:
+        raise ValueError(
+            "set_partition_spec needs a declared table schema"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    norm = _norm_partition_by(partition_by)
+    missing = [e["col"] for e in norm if e["col"] not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"partition columns not in the table: {missing}")
+    for e in norm:
+        tn = schema[e["col"]].dataType.typeName()
+        ok = (
+            tn in ("date", "timestamp", "timestamp_ntz")
+            if e["kind"] == "day"
+            else tn in ("byte", "short", "integer", "long", "string")
+        )
+        if not ok:
+            raise ValueError(
+                f"partition transform {e['kind']!r} does not support "
+                f"column {e['col']!r} of type {tn}"
+            )
+    phys = _phys_map(manifest)
+    spec = [{**e, "col": phys.get(e["col"], e["col"])} for e in norm]
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        txn_id=txn_id,
+        schema=manifest.get("schema"),
+        require_parent=tip,
+        partition_spec=spec,  # [] explicitly clears
     )
 
 

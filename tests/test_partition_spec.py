@@ -178,6 +178,115 @@ def test_spec_follows_dml_and_rename(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="partition column"):
         drop_column(t, "nation")
 
+    # a full-rewrite compaction resets the physical mapping to identity
+    # and must REMAP the carried spec with it, so partition pruning
+    # keeps working on the compacted files under the current name
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+    )
+
+    compact_snapshot(spark, t, target_file_bytes=1 << 20)
+    mc = _read_manifest(t, latest_version(t))
+    assert mc["partition_spec"] == [{"col": "nation", "kind": "identity"}]
+    keptc = prune_files(mc, [("nation", "=", 3)])
+    assert 0 < len(keptc) < len(mc["files"])
+    gotc = scan_snapshot(spark, t, [("nation", "=", 3)])
+    assert gotc.count() == base.filter("c_nationkey = 3").count()
+
+
+def test_partition_evolution_metadata_only(spark, sf_dir, tmp_path):
+    """set_partition_spec evolves the spec WITHOUT rewriting a file:
+    old files keep their old-transform tuples (they no longer
+    partition-prune, but min/max still applies and reads stay exact),
+    files written after follow the new spec and prune under it;
+    clearing with [] stops clustering/recording; compaction migrates
+    the whole table onto the current spec."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        set_partition_spec,
+    )
+
+    t = str(tmp_path / "t")
+    base = _cust(spark, sf_dir)
+    snapshot_commit(base, t, partition_by=["c_nationkey"])           # v0
+    files_v0 = set(_read_manifest(t, 0)["files"])
+    set_partition_spec(t, [("c_custkey", "bucket", 8)])              # v1
+    m1 = _read_manifest(t, 1)
+    assert m1["partition_spec"] == [
+        {"col": "c_custkey", "kind": "bucket", "n": 8}
+    ]
+    assert set(m1["files"]) == files_v0, "evolution rewrites nothing"
+
+    # appends now follow the NEW spec
+    extra = base.limit(200).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    snapshot_commit(extra, t)                                        # v2
+    m2 = _read_manifest(t, 2)
+    new = [f for f in m2["files"] if f not in files_v0]
+    assert new
+    assert all(
+        "bucket(c_custkey,8)" in tup
+        for f in new
+        for tup in m2["stats"][f]["__pvals"]
+    )
+    # a point lookup on a NEW row prunes to the bucket's new files; OLD
+    # files' tuples predate the spec, so the PARTITION layer keeps them
+    # conservatively (here min/max stats still exclude them — pruning
+    # composes, exactness doesn't depend on the tuples)
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _pvals_exclude,
+    )
+
+    key = int(extra.limit(1).collect()[0]["c_custkey"])
+    old_f = next(iter(files_v0))
+    assert not _pvals_exclude(
+        m2["stats"][old_f]["__pvals"],
+        m2["partition_spec"],
+        "c_custkey",
+        "=",
+        key,
+    ), "old-spec tuples never partition-prune under the new spec"
+    kept = prune_files(m2, [("c_custkey", "=", key)])
+    assert len(kept) < len(m2["files"]), "new files still prune"
+    got = scan_snapshot(spark, t, [("c_custkey", "=", key)])
+    assert got.count() == 1
+    # reads stay exact across the evolution
+    tipdf = read_snapshot(spark, t)
+    want = base.unionByName(extra)
+    assert tipdf.subtract(want).count() == 0
+    assert want.subtract(tipdf).count() == 0
+
+    # compaction migrates everything onto the current spec
+    compact_snapshot(spark, t, target_file_bytes=1 << 20)
+    mt = _read_manifest(t, latest_version(t))
+    assert all(
+        tup.get("bucket(c_custkey,8)") is not None
+        for f in mt["files"]
+        for tup in (mt["stats"][f].get("__pvals") or [{}])
+        if mt["stats"][f].get("__pvals")
+    )
+
+    # clearing stops recording for later commits
+    set_partition_spec(t, [])
+    snapshot_commit(extra.limit(5), t)
+    mf = _read_manifest(t, latest_version(t))
+    assert "partition_spec" not in mf
+    newest = [
+        f for f in mf["files"] if f not in set(mt["files"])
+    ]
+    assert newest and all(
+        "__pvals" not in (mf["stats"].get(f) or {}) for f in newest
+    )
+
+    # guards mirror the commit-time declaration
+    with pytest.raises(ValueError, match="not in the table"):
+        set_partition_spec(t, ["nope"])
+    with pytest.raises(ValueError, match="does not support"):
+        set_partition_spec(t, [("c_acctbal", "bucket", 4)])
+
 
 def test_partitioned_source_pushdown_plans_fewer_files(spark, sf_dir, tmp_path):
     register_snapshot_source(spark)
