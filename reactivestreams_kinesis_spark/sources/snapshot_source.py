@@ -1314,10 +1314,78 @@ def _staged_stats(table_dir: str, rel_paths) -> dict:
     time — driver-side here because the harness is single-machine; on a
     real cluster each task would report its file's stats inside the
     WriterCommitMessage (same protocol, stats ride the messages instead
-    of a re-read)."""
-    from reactivestreams_kinesis_spark.operators.snapshots import _commit_stats
+    of a re-read). When the table declares a PARTITION SPEC, each
+    staged file's distinct partition tuples are recorded too (the
+    sink's commit hook has no SparkSession, so the tuples come from a
+    DuckDB distinct over exactly the new files — same bounded budget
+    as the constraint check); sink tasks don't cluster, so a file may
+    record several tuples — pruning stays exact either way."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _commit_stats,
+        _read_manifest,
+        latest_version,
+    )
 
-    return _commit_stats(table_dir, rel_paths)
+    stats = _commit_stats(table_dir, rel_paths)
+    tip = latest_version(table_dir)
+    spec = (
+        _read_manifest(table_dir, tip).get("partition_spec")
+        if tip is not None
+        else None
+    )
+    if spec:
+        for f, tuples in _staged_pvals(table_dir, rel_paths, spec).items():
+            stats.setdefault(f, {})["__pvals"] = tuples
+    return stats
+
+
+def _staged_pvals(table_dir: str, rel_paths, spec) -> dict:
+    """DuckDB twin of `_compute_pvals` for the sink's session-less
+    commit hook: per-file distinct partition tuples over the staged
+    (physical-named) files. Bucket values compute in Python (zlib.crc32
+    over the string form — the same portable definition the Spark
+    expression and the prune path use)."""
+    import zlib
+
+    import duckdb
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _transform_name,
+    )
+
+    con = duckdb.connect()
+    out: dict = {f: [] for f in rel_paths}
+    for rel in rel_paths:
+        path = os.path.join(table_dir, rel)
+        cols = []
+        for e in spec:
+            if e["kind"] == "day":
+                cols.append(f"strftime(CAST(\"{e['col']}\" AS DATE), '%Y-%m-%d')")
+            else:  # identity and bucket both need the raw value
+                cols.append(f'"{e["col"]}"')
+        rows = con.execute(
+            f"SELECT DISTINCT {', '.join(cols)} FROM read_parquet(?)", [path]
+        ).fetchall()
+        seen = set()
+        for r in rows:
+            tup = {}
+            for e, v in zip(spec, r):
+                if e["kind"] == "bucket":
+                    v = (
+                        zlib.crc32(str(v).encode()) % e["n"]
+                        if v is not None
+                        else None
+                    )
+                elif v is not None and not isinstance(
+                    v, (int, float, str, bool)
+                ):
+                    v = str(v)
+                tup[_transform_name(e)] = v
+            key = tuple(sorted(tup.items(), key=lambda kv: kv[0]))
+            if key not in seen:  # bucket collapse can merge raw tuples
+                seen.add(key)
+                out[rel].append(tup)
+    return out
 
 
 def _validate_staged(

@@ -140,6 +140,21 @@ def test_day_partition_prunes_time_ranges(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.subtract(want).count() == 0
 
+    # the sink's session-less DuckDB tuple derivation must agree with
+    # the Spark expression BIT-EXACTLY for the day transform (a
+    # disagreement would mis-prune = wrong rows, not just a perf miss)
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        _staged_pvals,
+    )
+
+    duck = _staged_pvals(t, m["files"], m["partition_spec"])
+    for f in m["files"]:
+        want_tuples = sorted(
+            (tup["day(ts)"] for tup in m["stats"][f]["__pvals"])
+        )
+        got_tuples = sorted(tup["day(ts)"] for tup in duck[f])
+        assert got_tuples == want_tuples, f
+
 
 def test_spec_follows_dml_and_rename(spark, sf_dir, tmp_path):
     t = str(tmp_path / "t")
@@ -309,6 +324,36 @@ def test_partitioned_source_pushdown_plans_fewer_files(spark, sf_dir, tmp_path):
     want = base.filter("c_nationkey = 3")
     assert pushed.subtract(want).count() == 0
     assert want.subtract(pushed).count() == 0
+
+    # the SINK path (df.write.format('snapshot_table')) records tuples
+    # too — its session-less commit hook derives them via DuckDB; sink
+    # tasks don't cluster, so files may carry several tuples, and
+    # pruning stays exact
+    extra = base.limit(300).select(
+        (F.col("c_custkey") + 5_000_000).alias("c_custkey"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    extra.write.format("snapshot_table").option("path", t).mode(
+        "append"
+    ).save()
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        latest_version,
+        read_snapshot,
+    )
+
+    mt = _read_manifest(t, latest_version(t))
+    sink_files = [f for f in mt["files"] if f.startswith("data-tasks")]
+    assert sink_files
+    assert all(
+        mt["stats"][f].get("__pvals") for f in sink_files
+    ), "sink files record partition tuples"
+    got2 = read_snapshot(spark, t).filter("c_nationkey = 3")
+    want2 = base.unionByName(extra).filter("c_nationkey = 3")
+    assert got2.subtract(want2).count() == 0
+    assert want2.subtract(got2).count() == 0
+    kept2 = prune_files(mt, [("c_nationkey", "=", 3)])
+    assert len(kept2) < len(mt["files"])
 
     # declaration guards
     with pytest.raises(ValueError, match="not in the commit"):
