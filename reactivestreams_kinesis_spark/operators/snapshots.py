@@ -470,7 +470,15 @@ def _file_stats(path: str) -> dict:
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't materialize stats for every physical type
+                # (e.g. FIXED_LEN_BYTE_ARRAY decimals raise
+                # ArrowNotImplementedError) — such a column just never
+                # prunes, same as any other stat-less column
+                bad.add(name)
+                continue
             if not isinstance(mn, (int, float, str, bool)) or isinstance(
                 mn, bytes
             ):

@@ -117,7 +117,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # a first-ever-driver-checked TPC-H shape) so the bare join_left_outer
     # variant moved past the cutoff
     "q13_customer_distribution",    # J2 A1 O1
-    "join_semi_anti",               # J3
+    # round-10 rotation (2nd): join_semi_anti ceded its slot (J3 stays
+    # driver-covered by rel_mor_delete's DV anti-join and rel_cdf_cow;
+    # the bare semi/anti form stays bit-exact in the local mirror) to
+    # rel_mv_incremental — the persisted incremental-materialized-view
+    # operator (operators/matview.py), which had no driver row
+    "rel_mv_incremental",           # S5 A1 A6 — incremental MV refresh
     # J5/J6: the binned rewrite carries the driver row (same oracle as
     # the theta form, but it is the plan you'd run at scale — round-4
     # swap); the theta form stays mirror-checked as the semantic baseline

@@ -1187,3 +1187,120 @@ def rel_cdf_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_snapshot(spark, t)                                             # v2
     delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v3
     return snapshot_change_feed(spark, t, from_version=0)
+
+
+@register(
+    "rel_mv_incremental",
+    oracle="""
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+        UNION ALL
+        SELECT CAST(1000000 + n_nationkey AS BIGINT),
+               n_nationkey,
+               CAST(n_nationkey AS DECIMAL(12,2))
+        FROM nation
+    ),
+    live1 AS (SELECT * FROM all_rows WHERE NOT (bal < 0.0)),
+    live2 AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey <= 100
+                    THEN CAST(bal + 1000 AS DECIMAL(12,2))
+                    ELSE bal END AS bal
+        FROM live1
+    ),
+    live AS (SELECT * FROM live2 WHERE c_nationkey NOT IN (3, 7))
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS sum_bal,
+           ROUND(CAST(MIN(bal) AS DOUBLE), 2) AS lo_bal,
+           ROUND(CAST(MAX(bal) AS DOUBLE), 2) AS hi_bal,
+           ROUND(CAST(SUM(bal) AS DOUBLE) / COUNT(bal), 6) AS avg_bal
+    FROM live
+    GROUP BY c_nationkey
+    """,
+    tags=("S5", "A1", "A6"),
+)
+def rel_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW under the value oracle
+    (`operators/matview.py` — the first-class persisted form of the
+    inline feed arithmetic `rel_cdf_materialize` demonstrates): create
+    a per-nation (count, sum, min, max, avg) view over the base table,
+    run every DML kind against the SOURCE — append (v1), merge-on-read
+    position delete (v2), copy-on-write update (v3: pre/postimage
+    pairs), equality delete (v4) — then ONE `refresh_materialized_view`
+    call folds the change feed into the stored state: count/sum/avg by
+    retraction arithmetic in exact decimals, min/max through the
+    dirty-group recompute (both v2..v4 retract rows, so every surviving
+    group recomputes its extremes from a pruned source scan at v4). The
+    oracle aggregates the equivalent end state directly from the
+    fixtures; the hash breaks if the feed misses a change, applies one
+    twice, or the dirty patch reads a stale extreme.
+
+    At 100 TB: the refresh reads the delta-proportional feed plus the
+    aggregate-sized view — never the table — and the refresh commit is
+    idempotent under replay (txn = consumed source version)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        snapshot_commit,
+        update_where,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
+    )
+    u = _uuid.uuid4().hex[:8]
+    t = os.path.join(tempfile.gettempdir(), f"rsk_mv_src_{u}")
+    v = os.path.join(tempfile.gettempdir(), f"rsk_mv_view_{u}")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["c_nationkey"],
+        aggs={
+            "n_rows": ("count", None),
+            "sum_bal": ("sum", "bal"),
+            "lo_bal": ("min", "bal"),
+            "hi_bal": ("max", "bal"),
+            "avg_bal": ("avg", "bal"),
+        },
+    )
+    snapshot_commit(ins, t)                                                # v1
+    delete_where(spark, t, [("bal", "<", 0.0)], strategy="merge_on_read")  # v2
+    update_where(
+        spark,
+        t,
+        [("c_custkey", "<=", 100)],
+        {"bal": (F.col("bal") + F.lit(1000)).cast("decimal(12,2)")},
+    )                                                                      # v3
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                           # v4
+    refresh_materialized_view(spark, v)
+    mv = read_materialized_view(spark, v)
+    return mv.select(
+        "c_nationkey",
+        "n_rows",
+        F.round(F.col("sum_bal").cast("double"), 2).alias("sum_bal"),
+        F.round(F.col("lo_bal").cast("double"), 2).alias("lo_bal"),
+        F.round(F.col("hi_bal").cast("double"), 2).alias("hi_bal"),
+        F.round("avg_bal", 6).alias("avg_bal"),
+    )

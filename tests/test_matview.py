@@ -1,0 +1,406 @@
+"""Incremental materialized views (operators/matview.py): create /
+refresh-from-change-feed / read, against full-recompute truth.
+
+The maintenance invariant under test everywhere:
+``read_materialized_view(view)`` after any refresh ≡ the spec's
+aggregate run directly over ``read_snapshot(source)`` at the consumed
+version — count/sum/avg by retraction arithmetic alone, min/max through
+the dirty-group recompute. Decimal value columns make the checks
+bit-exact (no float-summation-order caveats)."""
+
+from __future__ import annotations
+
+import os
+import uuid as _uuid
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.operators.matview import (
+    create_materialized_view,
+    materialized_view_status,
+    read_materialized_view,
+    refresh_materialized_view,
+)
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    compact_snapshot,
+    delete_by_key,
+    delete_where,
+    latest_version,
+    merge_upsert,
+    read_snapshot,
+    snapshot_commit,
+    update_where,
+    vacuum,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _dirs(tmp_path):
+    u = _uuid.uuid4().hex[:6]
+    return str(tmp_path / f"src_{u}"), str(tmp_path / f"view_{u}")
+
+
+def _customer_src(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        )
+    )
+
+
+_FULL_AGGS = {
+    "n": ("count", None),
+    "total": ("sum", "bal"),
+    "lo": ("min", "bal"),
+    "hi": ("max", "bal"),
+    "mean": ("avg", "bal"),
+    "nkeys": ("count", "c_custkey"),
+}
+
+
+def _recompute(df):
+    """The spec of _FULL_AGGS evaluated directly — avg in the same
+    exact sum/count form the view stores, so comparisons are bit-exact."""
+    return df.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal").alias("total"),
+        F.min("bal").alias("lo"),
+        F.max("bal").alias("hi"),
+        (F.sum("bal").cast("double") / F.count("bal")).alias("mean"),
+        F.count("c_custkey").alias("nkeys"),
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_mv_refresh_matches_recompute_over_mixed_dml(spark, sf_dir, tmp_path):
+    """Append + MoR position delete + CoW update + equality delete —
+    every feed change kind — then one incremental refresh ≡ full
+    recompute at the tip; a replayed refresh publishes nothing."""
+    t, v = _dirs(tmp_path)
+    snapshot_commit(_customer_src(spark, sf_dir).repartition(4), t)
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey"], aggs=_FULL_AGGS
+    )
+
+    ins = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        (F.lit(100000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
+    )
+    snapshot_commit(ins, t)
+    delete_where(spark, t, [("bal", "<", 0.0)], strategy="merge_on_read")
+    update_where(
+        spark,
+        t,
+        [("c_custkey", "<=", 50)],
+        {"bal": F.col("bal") + F.lit(1000).cast("decimal(12,2)")},
+    )
+    delete_by_key(
+        spark, t, spark.createDataFrame([(3,), (7,)], "c_nationkey int"), "c_nationkey"
+    )
+
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _recompute(read_snapshot(spark, t))
+    )
+    st_ = materialized_view_status(v)
+    assert st_["source_version"] == latest_version(t)
+
+    tip = latest_version(v)
+    assert refresh_materialized_view(spark, v) == tip
+    assert latest_version(v) == tip, "an already-current refresh must publish nothing"
+
+
+def test_mv_sum_nulls_and_group_death_rebirth(spark, tmp_path):
+    """SQL aggregate edges: a group whose non-null contributors all
+    retract reads SUM/AVG/MIN/MAX = NULL with COUNT(*) still live; a
+    group whose rows all retract disappears; a later insert rebirths it
+    from zero (no stale state)."""
+    t, v = _dirs(tmp_path)
+    d = lambda x: None if x is None else Decimal(str(x))
+    mk = lambda rows: spark.createDataFrame(
+        [(i, k, d(x)) for i, k, x in rows], "id bigint, k int, x decimal(10,2)"
+    )
+    snapshot_commit(
+        mk([(1, 1, 5.0), (2, 1, None), (3, 2, 7.0), (4, 3, 9.0)]), t
+    )
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["k"],
+        aggs={
+            "n": ("count", None),
+            "s": ("sum", "x"),
+            "m": ("avg", "x"),
+            "lo": ("min", "x"),
+            "hi": ("max", "x"),
+        },
+    )
+    # retract group 1's only non-null contributor; kill group 2 entirely
+    delete_where(spark, t, [("id", "=", 1)], strategy="merge_on_read")
+    delete_where(spark, t, [("k", "=", 2)])
+    refresh_materialized_view(spark, v)
+    got = {r["k"]: r for r in read_materialized_view(spark, v).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n"] == 1
+    assert got[1]["s"] is None and got[1]["m"] is None
+    assert got[1]["lo"] is None and got[1]["hi"] is None
+    # rebirth group 2 with a fresh value
+    snapshot_commit(mk([(5, 2, 2.5)]), t)
+    refresh_materialized_view(spark, v)
+    got = {r["k"]: r for r in read_materialized_view(spark, v).collect()}
+    assert got[2]["n"] == 1 and got[2]["s"] == got[2]["lo"]
+
+
+def test_mv_quiet_range_advances_watermark(spark, sf_dir, tmp_path):
+    """A reorg-only range (compaction) changes no rows: refresh advances
+    the watermark over identical state instead of erroring."""
+    t, v = _dirs(tmp_path)
+    snapshot_commit(_customer_src(spark, sf_dir).repartition(4), t)
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey"], aggs={"n": ("count", None)}
+    )
+    before = _rows(read_materialized_view(spark, v))
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    refresh_materialized_view(spark, v)
+    assert materialized_view_status(v)["source_version"] == latest_version(t)
+    assert _rows(read_materialized_view(spark, v)) == before
+
+
+def test_mv_vacuumed_gap_rebuild_or_error(spark, sf_dir, tmp_path):
+    """A vacuumed manifest inside the unconsumed range: on_gap='error'
+    refuses loudly (never a silently-truncated feed), on_gap='rebuild'
+    recomputes the same answer at full price."""
+    t, v = _dirs(tmp_path)
+    src = _customer_src(spark, sf_dir)
+    snapshot_commit(src.filter("c_custkey <= 40").repartition(2), t)
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey"], aggs=_FULL_AGGS
+    )
+    snapshot_commit(src.filter("c_custkey > 40 AND c_custkey <= 60"), t)
+    delete_where(spark, t, [("bal", "<", 0.0)])
+    vacuum(t, keep_from_version=latest_version(t))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        refresh_materialized_view(spark, v, on_gap="error")
+    refresh_materialized_view(spark, v, on_gap="rebuild")
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _recompute(read_snapshot(spark, t))
+    )
+
+
+def test_mv_dirty_recompute_semijoin_path(spark, sf_dir, tmp_path, monkeypatch):
+    """The min/max dirty-group recompute has two physical forms — the
+    collected IN-predicate prune scan and the null-safe semi-join; both
+    must produce the identical view."""
+    import reactivestreams_kinesis_spark.operators.matview as mv
+
+    src = _customer_src(spark, sf_dir)
+    results = []
+    for cap in (256, 0):
+        t, v = _dirs(tmp_path)
+        monkeypatch.setattr(mv, "_DIRTY_PRUNE_CAP", cap)
+        snapshot_commit(src.repartition(4), t)
+        create_materialized_view(
+            spark, v, t, group_by=["c_nationkey"], aggs=_FULL_AGGS
+        )
+        delete_where(spark, t, [("bal", ">", 9000.0)], strategy="merge_on_read")
+        refresh_materialized_view(spark, v)
+        results.append(_rows(read_materialized_view(spark, v)))
+        assert results[-1] == _rows(_recompute(read_snapshot(spark, t)))
+    assert results[0] == results[1]
+
+
+def test_mv_null_group_keys_and_where(spark, tmp_path):
+    """NULL group keys aggregate into SQL's null bucket (a join-based
+    state merge would drop them — the union+re-aggregate must not), and
+    the WHERE filter applies identically to base rows and feed rows."""
+    t, v = _dirs(tmp_path)
+    d = lambda x: None if x is None else Decimal(str(x))
+    mk = lambda rows: spark.createDataFrame(
+        [(i, k, d(x)) for i, k, x in rows], "id bigint, k int, x decimal(10,2)"
+    )
+    snapshot_commit(
+        mk([(1, None, 5.0), (2, None, 3.0), (3, 1, 7.0), (4, 1, 0.5)]), t
+    )
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["k"],
+        aggs={"n": ("count", None), "s": ("sum", "x"), "hi": ("max", "x")},
+        where="x >= 1.0",
+    )
+    # retraction in the NULL group (dirty recompute must hit the null
+    # bucket through the null-safe semi-join) + an insert below the WHERE
+    snapshot_commit(mk([(5, None, 0.2), (6, 1, 9.0)]), t)
+    delete_where(spark, t, [("id", "=", 1)], strategy="merge_on_read")
+    refresh_materialized_view(spark, v)
+    exp = (
+        read_snapshot(spark, t)
+        .filter("x >= 1.0")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.max("x").alias("hi"),
+        )
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(exp)
+
+
+def test_mv_time_travel_reads_past_refreshes(spark, tmp_path):
+    """Each refresh is a snapshot version of the VIEW: reading an older
+    view version returns that refresh's state exactly."""
+    t, v = _dirs(tmp_path)
+    d = lambda x: None if x is None else Decimal(str(x))
+    mk = lambda rows: spark.createDataFrame(
+        [(i, k, d(x)) for i, k, x in rows], "id bigint, k int, x decimal(10,2)"
+    )
+    snapshot_commit(mk([(1, 1, 5.0), (2, 2, 3.0)]), t)
+    create_materialized_view(
+        spark, v, t, group_by=["k"], aggs={"n": ("count", None), "s": ("sum", "x")}
+    )
+    v1 = latest_version(v)
+    first = _rows(read_materialized_view(spark, v))
+    snapshot_commit(mk([(3, 1, 2.0)]), t)
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v, version=v1)) == first
+    assert _rows(read_materialized_view(spark, v)) != first
+
+
+def test_mv_spec_validation(spark, sf_dir, tmp_path):
+    t, v = _dirs(tmp_path)
+    snapshot_commit(_customer_src(spark, sf_dir).limit(10), t)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        create_materialized_view(
+            spark, v, t, group_by=["c_nationkey"], aggs={"x": ("median", "bal")}
+        )
+    with pytest.raises(ValueError, match="collide"):
+        create_materialized_view(
+            spark, v, t, group_by=["c_nationkey"], aggs={"c_nationkey": ("count", None)}
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        create_materialized_view(
+            spark, v, t, group_by=["c_nationkey"], aggs={"__mv_x": ("count", None)}
+        )
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey"], aggs={"n": ("count", None)}
+    )
+    with pytest.raises(FileExistsError):
+        create_materialized_view(
+            spark, v, t, group_by=["c_nationkey"], aggs={"n": ("count", None)}
+        )
+
+
+# ---- randomized model check: interleaved DML + refreshes ------------------
+
+_MV_OP = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(-5, 9) | st.none()),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    st.tuples(st.just("pos_del"), st.integers(-2, 8)),
+    st.tuples(st.just("eq_del"), st.lists(st.integers(0, 4), min_size=1, max_size=2)),
+    st.tuples(st.just("update"), st.tuples(st.integers(0, 4), st.integers(100, 109))),
+    st.tuples(st.just("cow_del"), st.integers(-2, 8)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("refresh"), st.none()),
+)
+
+
+@given(
+    init=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-5, 9) | st.none()),
+        min_size=1,
+        max_size=6,
+    ),
+    ops=st.lists(_MV_OP, min_size=1, max_size=5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_mv_matches_recompute_over_random_history(
+    spark, tmp_path_factory, init, ops
+):
+    """Over any interleaving of appends (with NULL values), both
+    merge-on-read delete forms, CoW updates/deletes, reorg compactions,
+    and REFRESH POINTS — after a final refresh, the view ≡ the aggregate
+    recomputed from scratch at the source tip. Interleaved refreshes
+    matter: each one snapshots intermediate state that later arithmetic
+    must extend, which a single create-then-refresh test never exercises."""
+    t = str(tmp_path_factory.mktemp("mvprop") / f"t_{_uuid.uuid4().hex[:6]}")
+    v = str(tmp_path_factory.mktemp("mvprop") / f"v_{_uuid.uuid4().hex[:6]}")
+    uid = 0
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, k int, x int")
+
+    first = [(uid + i, k, x) for i, (k, x) in enumerate(init)]
+    uid += len(init)
+    snapshot_commit(mk(first).repartition(2), t)
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["k"],
+        aggs={
+            "n": ("count", None),
+            "s": ("sum", "x"),
+            "lo": ("min", "x"),
+            "hi": ("max", "x"),
+        },
+    )
+
+    for kind, arg in ops:
+        if kind == "append":
+            rows = [(uid + i, k, x) for i, (k, x) in enumerate(arg)]
+            uid += len(arg)
+            snapshot_commit(mk(rows), t)
+        elif kind == "pos_del":
+            delete_where(spark, t, [("x", "<", arg)], strategy="merge_on_read")
+        elif kind == "eq_del":
+            delete_by_key(
+                spark, t, mk([(0, k, 0) for k in arg]).select("k"), "k"
+            )
+        elif kind == "update":
+            key, newx = arg
+            update_where(spark, t, [("k", "=", key)], {"x": F.lit(newx)})
+        elif kind == "cow_del":
+            delete_where(spark, t, [("x", "<", arg)])
+        elif kind == "compact":
+            compact_snapshot(spark, t, target_file_bytes=1 << 40)
+        elif kind == "refresh":
+            refresh_materialized_view(spark, v)
+
+    refresh_materialized_view(spark, v)
+    try:
+        src = read_snapshot(spark, t)
+    except ValueError:
+        # a rewrite emptied the table: the view must hold zero groups
+        assert read_materialized_view(spark, v).count() == 0
+        return
+    exp = src.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(exp)
