@@ -530,3 +530,57 @@ register_sql(
     swap in any blocking scheme (phonetic code, sorted-neighborhood
     window, LSH bucket) without touching the distance stage.""",
 )
+
+
+@register(
+    "join_colocated_bucket",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE NOT (o.o_totalprice > 250000.0)
+    """,
+    tags=("J1", "S5"),
+)
+def join_colocated_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE CO-LOCATED JOIN under the value oracle
+    (`sources/colocated.py` — the storage-partitioned join): customer
+    and orders each commit bucketed 16 ways on the join key, orders
+    takes a merge-on-read delete (pending DVs the per-bucket reads must
+    apply), then the join plans ONE task per bucket reading both sides'
+    bucket files and hash-joining them with Arrow inside the task — the
+    physical plan is a bare BatchScan, no Exchange, no sort (plan-pinned
+    in tests/test_colocated_join.py). The oracle is the ordinary SQL
+    join over the fixtures: co-location is an execution strategy, never
+    a semantics change.
+
+    At 100 TB: the generic plan shuffles BOTH fact tables on the key;
+    this plan moves zero rows over the network and scales with the
+    largest bucket — the trade Iceberg/Delta users buy with
+    bucket-partitioned layouts, here native to the snapshot format."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        snapshot_commit,
+    )
+    from reactivestreams_kinesis_spark.sources.colocated import colocated_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    u = _uuid.uuid4().hex[:8]
+    lt = os.path.join(tempfile.gettempdir(), f"rsk_coloc_l_{u}")
+    rt = os.path.join(tempfile.gettempdir(), f"rsk_coloc_r_{u}")
+    snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 16)])
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 16)])
+    delete_where(
+        spark, rt, [("o_totalprice", ">", 250000.0)], strategy="merge_on_read"
+    )
+    return colocated_join(
+        spark, lt, rt, left_key="c_custkey", right_key="o_custkey"
+    )

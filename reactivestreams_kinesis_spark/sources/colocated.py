@@ -1,0 +1,362 @@
+"""Shuffle-free co-located join over two bucket-partitioned snapshot
+tables — the storage-partitioned join (Spark SPJ / Iceberg
+bucket-to-bucket) re-expressed through the Python Data Source API.
+
+When two snapshot tables declare the SAME bucket transform on their
+join keys (``partition_by=[(key, "bucket", N)]``), row equality implies
+bucket equality, so the join decomposes into N independent per-bucket
+joins with NO exchange of either table: one input partition per bucket
+reads that bucket's files from BOTH sides (through the full read stack
+— declared schema, physical column mapping, deletion vectors, equality
+deletes) and joins them with Arrow's hash-join kernel inside the task.
+The physical plan is a bare ``BatchScan`` — zero shuffles, zero sorts —
+where the generic plan exchanges both sides on the key.
+
+At 100 TB this is the difference between shuffling two fact tables and
+streaming N bounded bucket pairs: wall-clock scales with the largest
+bucket, network cost is zero, and AQE has nothing to fix. The price is
+layout discipline — both tables bucketed with the same N at write time
+— which is exactly the trade Iceberg/Delta users make for SPJ.
+
+Files whose recorded partition tuples straddle several buckets (or
+files from before the spec declaration / an older spec — partition
+evolution keeps their metadata) degrade safely: they are read in every
+bucket they may contain and row-filtered by the bucket function
+(crc32 of the key's canonical string form — the Python twin of the
+manifest's transform, ``operators/snapshots._bucket_of``). Tight
+layouts (the writer clusters each commit on the transform tuple) skip
+the filter entirely.
+
+Inner join only: a NULL key matches nothing, so null-key rows drop at
+read. Non-key column-name collisions are refused at plan time (project
+with ``leftColumns``/``rightColumns`` instead — which also prunes the
+parquet reads to exactly the named columns).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    _inv_phys,
+    _read_manifest,
+    _transform_name,
+    latest_version,
+)
+from reactivestreams_kinesis_spark.sources.snapshot_source import (
+    _SnapshotBatchReader,
+)
+
+
+@dataclass
+class _SideFiles:
+    """One table's contribution to one bucket's task."""
+
+    table_dir: str
+    phys: dict
+    schema: StructType  # projected LOGICAL read schema (key included)
+    key: str
+    files: list = field(default_factory=list)  # [(FilePartition, tight)]
+
+
+@dataclass
+class _BucketPartition(InputPartition):
+    bucket: int | None  # None = sentinel empty partition
+    n: int
+    left: _SideFiles | None = None
+    right: _SideFiles | None = None
+
+
+def _bucket_mask(col, n: int, b: int):
+    """Arrow boolean mask: rows of ``col`` whose bucket is ``b`` — the
+    Python twin of the manifest transform (pmod(crc32(cast(k as
+    string)), n)). Runs only for straddling files; NULL keys are False
+    (inner-join semantics)."""
+    import zlib
+
+    import pyarrow as pa
+
+    return pa.array(
+        [
+            v is not None and zlib.crc32(str(v).encode()) % n == b
+            for v in col.to_pylist()
+        ],
+        type=pa.bool_(),
+    )
+
+
+def _spec_bucket_entry(manifest: dict, key: str) -> dict:
+    """The manifest's bucket transform over logical ``key`` (spec
+    entries store PHYSICAL names — rename-proof), or a loud refusal:
+    without a shared bucket layout there is nothing co-located about
+    this join and the generic exchange join is the right plan."""
+    inv = _inv_phys(manifest)
+    for e in manifest.get("partition_spec") or []:
+        if e.get("kind") == "bucket" and inv.get(e["col"], e["col"]) == key:
+            return e
+    raise ValueError(
+        f"table has no bucket partition spec on {key!r} — colocated_join "
+        "needs both tables committed with partition_by=[(key, 'bucket', N)] "
+        "(same N); use a regular join otherwise"
+    )
+
+
+def _side_plan(table_dir: str, version: int, key: str, columns) -> tuple:
+    """Driver-side planning for one table: projected read schema,
+    per-file partitions (DV/eq-delete wired by the snapshot reader's own
+    planner), and each file's bucket assignment from the manifest's
+    recorded partition tuples."""
+    manifest = _read_manifest(table_dir, version)
+    if manifest.get("schema") is None:
+        raise ValueError(
+            f"{table_dir!r} has no declared schema — colocated_join needs "
+            "schema-carrying manifests"
+        )
+    full = StructType.fromJson(manifest["schema"])
+    names = [f.name for f in full.fields]
+    if key not in names:
+        raise ValueError(f"join key {key!r} not in {table_dir!r} columns {names}")
+    keep = list(columns) if columns else names
+    missing = [c for c in keep if c not in names]
+    if missing:
+        raise ValueError(f"projected columns not in {table_dir!r}: {missing}")
+    if key not in keep:
+        keep = [key, *keep]
+    proj = StructType([f for f in full.fields if f.name in set(keep)])
+
+    entry = _spec_bucket_entry(manifest, key)
+    n = int(entry["n"])
+    bname = _transform_name(entry)
+
+    side = _SideFiles(
+        table_dir=table_dir,
+        phys=dict(manifest.get("phys") or {}),
+        schema=proj,
+        key=key,
+    )
+    # the snapshot reader's own partition planner wires DV paths and
+    # scoped equality deletes per file — the join reads through the
+    # exact same merge-on-read stack as a plain scan
+    fps = _SnapshotBatchReader(table_dir, manifest, proj).partitions()
+    stats = manifest.get("stats") or {}
+    by_bucket: dict[int, list] = {}
+    straddlers: list = []  # (fp) readable in EVERY bucket, row-filtered
+    for fp in fps:
+        pvals = (stats.get(fp.rel) or {}).get("__pvals")
+        if pvals == []:
+            continue  # provably empty file
+        buckets = set()
+        unknown = pvals is None
+        for tup in pvals or []:
+            b = tup.get(bname)
+            if b is None:
+                unknown = True  # pre-spec or different-spec era file
+                break
+            buckets.add(int(b))
+        if unknown:
+            straddlers.append(fp)
+        else:
+            tight = len(buckets) == 1
+            for b in buckets:
+                by_bucket.setdefault(b, []).append((fp, tight))
+    return side, n, by_bucket, straddlers
+
+
+class ColocatedJoinDataSource(DataSource):
+    """``spark.read.format("snapshot_colocated_join")`` options:
+    ``leftPath``/``rightPath`` (table dirs), ``leftKey``/``rightKey``
+    (logical join columns; ``key`` sets both), optional
+    ``leftVersion``/``rightVersion`` time travel, optional
+    ``leftColumns``/``rightColumns`` comma-separated projections
+    (pruned down to the parquet reads)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_colocated_join"
+
+    def _opt(self, name: str, required: bool = False):
+        v = self.options.get(name)
+        if required and not v:
+            raise ValueError(f"snapshot_colocated_join requires .option({name!r}, ...)")
+        return v
+
+    def _plan_inputs(self):
+        ldir = self._opt("leftPath", required=True)
+        rdir = self._opt("rightPath", required=True)
+        lkey = self._opt("leftKey") or self._opt("key")
+        rkey = self._opt("rightKey") or self._opt("key")
+        if not lkey or not rkey:
+            raise ValueError(
+                "snapshot_colocated_join requires .option('key', <col>) or "
+                "both leftKey/rightKey"
+            )
+        lv = self._opt("leftVersion")
+        rv = self._opt("rightVersion")
+        lv = latest_version(ldir) if lv is None else int(lv)
+        rv = latest_version(rdir) if rv is None else int(rv)
+        if lv is None or rv is None:
+            raise FileNotFoundError("no snapshots in one of the join inputs")
+        cols = lambda s: [c.strip() for c in s.split(",")] if s else None
+        return (
+            (ldir, lv, lkey, cols(self._opt("leftColumns"))),
+            (rdir, rv, rkey, cols(self._opt("rightColumns"))),
+        )
+
+    def schema(self) -> StructType:
+        (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols) = self._plan_inputs()
+        left, _, _, _ = _side_plan(ldir, lv, lkey, lcols)
+        right, _, _, _ = _side_plan(rdir, rv, rkey, rcols)
+        out = list(left.schema.fields) + [
+            f for f in right.schema.fields if f.name != rkey
+        ]
+        names = [f.name for f in out]
+        dup = sorted({c for c in names if names.count(c) > 1})
+        if dup:
+            raise ValueError(
+                f"column name collision across join sides: {dup} — project "
+                "with leftColumns/rightColumns options"
+            )
+        return StructType(out)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols) = self._plan_inputs()
+        return _ColocatedJoinReader(
+            (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols), schema
+        )
+
+
+class _ColocatedJoinReader(DataSourceReader):
+    def __init__(self, left, right, schema: StructType):
+        self._left = left
+        self._right = right
+        self._schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lside, ln, lbuckets, lstrad = _side_plan(*self._left)
+        rside, rn, rbuckets, rstrad = _side_plan(*self._right)
+        if ln != rn:
+            raise ValueError(
+                f"bucket counts differ ({ln} vs {rn}) — co-location needs "
+                "the same N on both tables"
+            )
+        # inner join: a bucket produces rows only when both sides may
+        # hold it; a side with straddler/unknown files may hold EVERY
+        # bucket, so those files join into each candidate bucket under
+        # the row filter
+        lcand = set(lbuckets) | (set(range(ln)) if lstrad else set())
+        rcand = set(rbuckets) | (set(range(ln)) if rstrad else set())
+        live = sorted(lcand & rcand)
+        parts: list[InputPartition] = []
+        for b in live:
+            lf = _SideFiles(lside.table_dir, lside.phys, lside.schema, lside.key)
+            lf.files = list(lbuckets.get(b, [])) + [(fp, False) for fp in lstrad]
+            rf = _SideFiles(rside.table_dir, rside.phys, rside.schema, rside.key)
+            rf.files = list(rbuckets.get(b, [])) + [(fp, False) for fp in rstrad]
+            if lf.files and rf.files:
+                parts.append(_BucketPartition(b, ln, lf, rf))
+        if not parts:
+            # provably empty join — one sentinel keeps the Python DS
+            # contract (non-empty partition list), reads as zero rows
+            return [_BucketPartition(None, ln)]
+        return parts
+
+    def _side_table(self, side: _SideFiles, bucket: int, n: int):
+        """Read one side's bucket: every file through the snapshot
+        reader's full per-file path (declared schema, physical names,
+        DV mask, equality anti-join), straddlers row-filtered to the
+        bucket, NULL keys dropped."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(side.schema)
+        # a light reader carrying exactly what the per-file read path
+        # consumes: dir, physical map, declared schema (no pushdown)
+        rdr = _SnapshotBatchReader(
+            side.table_dir, {"files": [], "phys": side.phys}, side.schema
+        )
+        batches = []
+        for fp, tight in side.files:
+            for b in rdr.read(fp):
+                if not tight:
+                    mask = _bucket_mask(b.column(side.key), n, bucket)
+                    b = b.filter(mask)
+                if b.num_rows:
+                    batches.append(b)
+        if not batches:
+            return pa.Table.from_batches([], schema=arrow_schema)
+        tbl = pa.Table.from_batches(batches)
+        key_nulls = tbl.column(side.key).null_count
+        if key_nulls:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.is_valid(tbl.column(side.key)))
+        return tbl
+
+    def read(self, partition: _BucketPartition) -> Iterator:
+        if partition.bucket is None:
+            return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        left = self._side_table(partition.left, partition.bucket, partition.n)
+        if left.num_rows == 0:
+            return
+        right = self._side_table(partition.right, partition.bucket, partition.n)
+        if right.num_rows == 0:
+            return
+        joined = left.join(
+            right,
+            keys=[partition.left.key],
+            right_keys=[partition.right.key],
+            join_type="inner",
+        )
+        if joined.num_rows == 0:
+            return
+        out_schema = to_arrow_schema(self._schema)
+        cols = [joined.column(f.name).cast(f.type) for f in out_schema]
+        yield from pa.Table.from_arrays(cols, schema=out_schema).to_batches()
+
+
+def register_colocated_source(spark: SparkSession) -> None:
+    """Idempotent registration (same pattern as register_snapshot_source)."""
+    spark.dataSource.register(ColocatedJoinDataSource)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    *,
+    left_key: str,
+    right_key: str | None = None,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> DataFrame:
+    """The convenience wrapper: register + read. Returns the inner join
+    of the two snapshot tables on their bucket-co-located keys, with the
+    right key column dropped (``df.join(other, on=key)`` shape)."""
+    register_colocated_source(spark)
+    r = (
+        spark.read.format("snapshot_colocated_join")
+        .option("leftPath", left_dir)
+        .option("rightPath", right_dir)
+        .option("leftKey", left_key)
+        .option("rightKey", right_key or left_key)
+    )
+    if left_columns:
+        r = r.option("leftColumns", ",".join(left_columns))
+    if right_columns:
+        r = r.option("rightColumns", ",".join(right_columns))
+    if left_version is not None:
+        r = r.option("leftVersion", str(left_version))
+    if right_version is not None:
+        r = r.option("rightVersion", str(right_version))
+    return r.load()

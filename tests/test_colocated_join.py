@@ -1,0 +1,198 @@
+"""Shuffle-free bucket co-located join (sources/colocated.py): parity
+with the generic exchange join, the zero-shuffle plan shape, straddler
+degradation, and the spec guards."""
+
+from __future__ import annotations
+
+import os
+import uuid as _uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    _bucket_of,
+    delete_where,
+    rename_column,
+    set_partition_spec,
+    snapshot_commit,
+)
+from reactivestreams_kinesis_spark.sources.colocated import colocated_join
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _dirs(tmp_path):
+    u = _uuid.uuid4().hex[:6]
+    return str(tmp_path / f"l_{u}"), str(tmp_path / f"r_{u}")
+
+
+def _cust(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_colocated_join_parity_and_plan(spark, sf_dir, tmp_path):
+    """Bit-exact vs the generic join — including a merge-on-read delete
+    pending on the right side (the per-bucket read goes through the full
+    DV stack) — and the plan is a single BatchScan with NO exchange."""
+    lt, rt = _dirs(tmp_path)
+    cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
+    snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 8)])
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 8)])
+    delete_where(spark, rt, [("o_totalprice", ">", 400000.0)], strategy="merge_on_read")
+
+    j = colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey")
+    exp = (
+        cust.join(
+            orders.filter("o_totalprice <= 400000.0"),
+            cust.c_custkey == orders.o_custkey,
+        ).select("c_custkey", "c_nationkey", "c_acctbal", "o_orderkey", "o_totalprice")
+    )
+    assert _rows(j) == _rows(exp)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_colocated_join" in plan
+    assert "Exchange" not in plan, "co-located join must not shuffle"
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+
+
+def test_colocated_join_partition_evolution_straddlers(spark, sf_dir, tmp_path):
+    """Files committed BEFORE the bucket spec (metadata-only partition
+    evolution) have no recorded tuples: they read in every bucket under
+    the row filter — slower, never wrong."""
+    lt, rt = _dirs(tmp_path)
+    cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
+    # left: half the rows pre-spec (unknown buckets), half post-spec
+    snapshot_commit(cust.filter("c_custkey % 2 = 0").repartition(2), lt)
+    set_partition_spec(lt, [("c_custkey", "bucket", 4)])
+    snapshot_commit(cust.filter("c_custkey % 2 = 1"), lt)
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 4)])
+    j = colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey")
+    exp = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+    assert _rows(j) == _rows(exp)
+
+
+def test_colocated_join_projection_and_collision(spark, sf_dir, tmp_path):
+    """Column projections prune the read schema; a non-key name
+    collision is refused at plan time with a pointer to them."""
+    lt, rt = _dirs(tmp_path)
+    cust = _cust(spark, sf_dir)
+    dup = cust.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("shared")
+    )
+    other = cust.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("shared"),
+    )
+    snapshot_commit(dup, lt, partition_by=[("k", "bucket", 4)])
+    snapshot_commit(other, rt, partition_by=[("k2", "bucket", 4)])
+    with pytest.raises(Exception, match="collision"):
+        colocated_join(spark, lt, rt, left_key="k", right_key="k2").schema
+    j = colocated_join(
+        spark, lt, rt, left_key="k", right_key="k2",
+        right_columns=["nk"],
+    )
+    assert j.columns == ["k", "shared", "nk"]
+    exp = dup.join(other.select("k2", "nk"), dup.k == F.col("k2")).select(
+        "k", "shared", "nk"
+    )
+    assert _rows(j) == _rows(exp)
+
+
+def test_colocated_join_guards(spark, sf_dir, tmp_path):
+    """No spec / mismatched N refuse loudly (the generic join is the
+    right plan there — never silently fall back)."""
+    lt, rt = _dirs(tmp_path)
+    cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
+    snapshot_commit(cust.limit(50), lt)  # no partition spec
+    snapshot_commit(orders.limit(50), rt, partition_by=[("o_custkey", "bucket", 4)])
+    with pytest.raises(Exception, match="bucket partition spec"):
+        colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey").schema
+    lt2 = lt + "_b"
+    snapshot_commit(cust.limit(50), lt2, partition_by=[("c_custkey", "bucket", 8)])
+    with pytest.raises(Exception, match="bucket counts differ"):
+        colocated_join(
+            spark, lt2, rt, left_key="c_custkey", right_key="o_custkey"
+        ).collect()
+
+
+def test_colocated_join_empty_intersection_sentinel(spark, tmp_path):
+    """Buckets with files on only one side plan nothing; a join with no
+    common bucket returns an empty frame (sentinel partition), not an
+    error."""
+    lt, rt = _dirs(tmp_path)
+    n = 64
+    # two single-row tables whose keys land in different buckets
+    k1, k2 = 1, 2
+    assert _bucket_of(k1, n) != _bucket_of(k2, n)
+    snapshot_commit(
+        spark.createDataFrame([(k1, "a")], "k int, a string"),
+        lt,
+        partition_by=[("k", "bucket", n)],
+    )
+    snapshot_commit(
+        spark.createDataFrame([(k2, "b")], "k2 int, b string"),
+        rt,
+        partition_by=[("k2", "bucket", n)],
+    )
+    j = colocated_join(spark, lt, rt, left_key="k", right_key="k2")
+    assert j.count() == 0
+    assert j.columns == ["k", "a", "b"]
+
+
+def test_colocated_join_rename_proof_and_time_travel(spark, sf_dir, tmp_path):
+    """The spec stores physical names: a key RENAME after commit keeps
+    the co-location (join by the new logical name); version options read
+    each side as-of."""
+    lt, rt = _dirs(tmp_path)
+    cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
+    snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 8)])
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 8)])
+    rename_column(lt, "c_custkey", "cust_id")
+    j = colocated_join(spark, lt, rt, left_key="cust_id", right_key="o_custkey")
+    exp = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        F.col("c_custkey").alias("cust_id"),
+        "c_nationkey",
+        "c_acctbal",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    assert _rows(j) == _rows(exp)
+    # time travel: right at v0 (before any later DML), explicit versions
+    delete_where(spark, rt, [("o_totalprice", ">", 0.0)])
+    j0 = colocated_join(
+        spark, lt, rt, left_key="cust_id", right_key="o_custkey",
+        right_version=0,
+    )
+    assert _rows(j0) == _rows(exp)
+
+
+def test_colocated_join_null_keys_drop(spark, tmp_path):
+    """NULL join keys never match (inner semantics): rows with null keys
+    on either side vanish, exactly like the generic inner join."""
+    lt, rt = _dirs(tmp_path)
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (None, 20.0), (3, 30.0)], "k2 int, w double"
+    )
+    snapshot_commit(left, lt, partition_by=[("k", "bucket", 4)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", 4)])
+    j = colocated_join(spark, lt, rt, left_key="k", right_key="k2")
+    exp = left.join(right, left.k == right.k2).select("k", "v", "w")
+    assert _rows(j) == _rows(exp) == {(1, "a", 10.0)}
