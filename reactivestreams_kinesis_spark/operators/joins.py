@@ -302,3 +302,78 @@ def range_join(
         .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
         .drop("__bin")
     )
+
+
+def dynamic_prune_join(
+    spark,
+    fact_dir: str,
+    dim: DataFrame,
+    on: tuple,
+    *,
+    version: int | None = None,
+    max_keys: int = 1024,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """DYNAMIC FILE PRUNING for a fact⋈dim join over a snapshot-format
+    fact table — the Delta/Databricks DFP / Spark DPP shape, driven by
+    the manifest instead of a runtime exchange: evaluate the (already
+    filtered) dim side FIRST, derive a compact description of its join
+    keys, and plan the fact scan from only the files that can match.
+
+    ``on`` is ``(fact_key, dim_key)``. Two regimes, chosen by the dim's
+    observed key cardinality (one bounded driver job — the same budget
+    as `skew_split_join`'s eager mode, but over the DIM side, which is
+    small by assumption; a 100 TB fact side is never collected):
+
+    - ≤ ``max_keys`` distinct keys: an IN-list predicate prunes fact
+      files through every manifest index — partition tuples (a bucket
+      layout turns the IN-list into exact bucket hits), min/max stats,
+      and column blooms — then re-applies row-exactly in the scan.
+    - more: fall back to the dim keys' [min, max] RANGE, which still
+      prunes range-clustered fact layouts and never collects more than
+      one row.
+
+    The join itself broadcasts the dim by default (it was small enough
+    to collect keys from); pass ``broadcast_dim=False`` to let AQE
+    decide. Semantics are exactly ``fact.join(dim, fact_key == dim_key,
+    "inner")`` — pruning is planning-time only, the predicate re-applies
+    on rows, and NULL keys never match in either regime.
+
+    At 100 TB: a selective dim filter (the common star-schema query)
+    turns a full fact scan into a handful of file opens BEFORE the join
+    runs — the scan plans from metadata, not from a shuffle-time filter
+    the way JVM DPP does, so it works through the Python source and the
+    native scan alike."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        read_snapshot,
+        scan_snapshot,
+    )
+
+    fact_key, dim_key = on
+    keys_df = dim.select(dim_key).where(F.col(dim_key).isNotNull()).distinct()
+    sample = [r[0] for r in keys_df.limit(max_keys + 1).collect()]
+    if not sample:
+        # provably empty join: scan_snapshot with an impossible IN-list
+        # returns the fact's empty frame, keeping the schema contract
+        fact = scan_snapshot(spark, fact_dir, [(fact_key, "in", ())], version=version)
+    elif len(sample) <= max_keys:
+        fact = scan_snapshot(
+            spark, fact_dir, [(fact_key, "in", tuple(sample))], version=version
+        )
+    else:
+        lo_hi = dim.agg(
+            F.min(dim_key).alias("lo"), F.max(dim_key).alias("hi")
+        ).collect()[0]
+        if lo_hi["lo"] is None:
+            fact = scan_snapshot(
+                spark, fact_dir, [(fact_key, "in", ())], version=version
+            )
+        else:
+            fact = scan_snapshot(
+                spark,
+                fact_dir,
+                [(fact_key, ">=", lo_hi["lo"]), (fact_key, "<=", lo_hi["hi"])],
+                version=version,
+            )
+    rhs = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(rhs, fact[fact_key] == rhs[dim_key], "inner")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
-from reactivestreams_kinesis_spark.operators.joins import asof_join
+from reactivestreams_kinesis_spark.operators.joins import asof_join, dynamic_prune_join
 from reactivestreams_kinesis_spark.queries.registry import register, register_sql
 
 _REVENUE = (
@@ -584,3 +584,48 @@ def join_colocated_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colocated_join(
         spark, lt, rt, left_key="c_custkey", right_key="o_custkey"
     )
+
+
+@register(
+    "join_dynamic_prune",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 3
+    """,
+    tags=("J1", "S5", "P3"),
+)
+def join_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC FILE PRUNING under the value oracle
+    (`operators/joins.py:dynamic_prune_join` — the star-schema DFP
+    shape): orders commits as a bucket-partitioned fact snapshot, the
+    dim side is customers of ONE nation, and the join derives the dim's
+    key set FIRST to plan the fact scan from only matching files
+    (bucket tuples + min/max + blooms), broadcasting the dim for the
+    row join. Below the key cap it's an exact IN-list; above, the dim
+    range — either way the oracle pins that pruning is pure planning:
+    the result equals the ordinary join, row for row.
+
+    At 100 TB: the selective-dim query is THE star-schema pattern, and
+    metadata-planned file skipping is what keeps the fact side's scan
+    proportional to the answer, not to the table."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import snapshot_commit
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_acctbal")
+    )
+    t = os.path.join(
+        tempfile.gettempdir(), f"rsk_dfp_q_{_uuid.uuid4().hex[:8]}"
+    )
+    snapshot_commit(orders, t, partition_by=[("o_custkey", "bucket", 16)])
+    j = dynamic_prune_join(spark, t, dim, ("o_custkey", "c_custkey"))
+    return j.select("o_orderkey", "o_custkey", "o_totalprice", "c_acctbal")
