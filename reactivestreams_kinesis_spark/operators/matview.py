@@ -188,6 +188,28 @@ def _state_columns(group_by: list[str], aggs: dict) -> list[str]:
     return cols
 
 
+def _cast_to_view_schema(df: DataFrame, view_dir: str) -> DataFrame:
+    """Pin the refreshed state to the view's DECLARED column types.
+    Spark widens aggregate result types on every pass (sum(decimal(p,s))
+    → decimal(p+10,s)), so re-aggregating stored state would escalate
+    precision each refresh — and a merge commit retaining old files
+    under a widened declared schema would break their reads. The
+    create-time schema already carries sum's overflow headroom; casting
+    back keeps every refresh schema-stable (an actual overflow fails
+    loudly under ANSI instead of silently widening)."""
+    from pyspark.sql.types import StructType
+
+    tip = latest_version(view_dir)
+    m = _read_manifest(view_dir, tip)
+    declared = {f.name: f.dataType for f in StructType.fromJson(m["schema"]).fields}
+    return df.select(
+        *[
+            F.col(c).cast(declared[c]).alias(c) if c in declared else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def create_materialized_view(
     spark: SparkSession,
     view_dir: str,
@@ -259,11 +281,35 @@ def refresh_materialized_view(
     *,
     to_version: int | None = None,
     on_gap: str = "rebuild",
+    strategy: str = "overwrite",
 ) -> int:
     """Advance the view to the source's ``to_version`` (default tip) by
     applying the change feed since the last refresh; returns the view
     version (unchanged if already current — and idempotent under replay
     via the txn id).
+
+    ``strategy`` picks the commit shape:
+
+    - ``"overwrite"`` (default): one commit rewriting the whole view
+      state — simplest, write cost = view size. Right while the view is
+      aggregate-small.
+    - ``"merge"``: delta-proportional — dead groups equality-delete
+      (O(|keys|), no view file read), changed groups MERGE into the view
+      (only files holding a changed key rewrite), untouched groups'
+      files never open. Write cost = changed groups, which is what a
+      high-cardinality view (billions of groups at 100 TB) needs.
+      Requires a single group column (the merge primitive's key). The
+      two phase commits carry derived txn ids, so a crash between them
+      replays exactly-once — the recomputation always reads the old
+      state AS OF the watermark commit, never the possibly
+      half-advanced tip. Equality deletes pend on the view until its
+      next compaction, like any MoR table.
+
+    Corruption stays loud under both strategies: a group whose live
+    count goes NEGATIVE (a feed applied twice, a bad oracle) is NOT
+    filtered away with the legitimately-dead (count zero) groups — it
+    flows into the commit where the ``__mv_n >= 1`` CHECK constraint
+    fails it.
 
     ``on_gap`` controls what happens when the feed cannot be read
     incrementally (a manifest in the range was vacuumed): ``"rebuild"``
@@ -272,6 +318,8 @@ def refresh_materialized_view(
     operator can decide."""
     if on_gap not in ("rebuild", "error"):
         raise ValueError(f"on_gap must be 'rebuild' or 'error', got {on_gap!r}")
+    if strategy not in ("overwrite", "merge"):
+        raise ValueError(f"strategy must be 'overwrite' or 'merge', got {strategy!r}")
     meta = _load_meta(view_dir)
     source_dir = meta["source_dir"]
     group_by = list(meta["group_by"])
@@ -328,17 +376,92 @@ def refresh_materialized_view(
     if where:
         rows = rows.filter(F.expr(where))
     delta = _state_partials(rows, group_by, aggs, sgn=sgn)
+    minmax = {n: s for n, s in aggs.items() if s[0] in ("min", "max")}
+
+    if strategy == "merge":
+        if len(group_by) != 1:
+            raise ValueError(
+                "strategy='merge' needs a single group column (the merge "
+                "primitive's key); use strategy='overwrite' for composite keys"
+            )
+        return _merge_refresh(
+            spark, view_dir, source_dir, group_by, aggs, minmax, where,
+            delta, sv, ev, txn,
+        )
 
     old = read_snapshot(spark, view_dir)
-    merged = _merge_states(old, delta, group_by, aggs).filter(F.col("__mv_n") > 0)
+    # n == 0 is a legitimately dead group; n < 0 is corruption and must
+    # SURVIVE to the commit so the __mv_n >= 1 constraint fails it loudly
+    merged = _merge_states(old, delta, group_by, aggs).filter(F.col("__mv_n") != 0)
 
-    minmax = {n: s for n, s in aggs.items() if s[0] in ("min", "max")}
     if minmax:
         merged = _patch_dirty_extremes(
             spark, merged, source_dir, ev, group_by, minmax, where
         )
-    state = merged.select(*_state_columns(group_by, aggs))
+    state = _cast_to_view_schema(
+        merged.select(*_state_columns(group_by, aggs)), view_dir
+    )
     return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+
+
+def _merge_refresh(
+    spark, view_dir, source_dir, group_by, aggs, minmax, where, delta, sv, ev, txn
+) -> int:
+    """Delta-proportional refresh: recompute ONLY the groups the feed
+    touched (old watermark state restricted by a null-safe semi-join to
+    the delta's keys), equality-delete the dead ones, merge the live
+    ones. Reads the old state AS OF the watermark commit — not the tip —
+    so a replay after a crash between the two phase commits recomputes
+    from the same base and the phase txn ids make each commit at most
+    once."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        merge_upsert,
+    )
+
+    k = group_by[0]
+    wv = find_txn(view_dir, f"{_TXN_PREFIX}{sv}")
+    if wv is None:
+        raise RuntimeError(f"watermark commit for source v{sv} missing in {view_dir!r}")
+    old = read_snapshot(spark, view_dir, wv)
+    dkeys = delta.select(k)
+    old_sub = old.join(dkeys, old[k].eqNullSafe(dkeys[k]), "left_semi")
+    changed = _merge_states(old_sub, delta, group_by, aggs)
+    changed = changed.persist()
+    try:
+        if changed.filter(F.col(k).isNull()).limit(1).count():
+            # equality delete / merge match by equality, which NULL never
+            # satisfies — a NULL group key cannot be maintained this way
+            raise ValueError(
+                "strategy='merge' cannot maintain a NULL group key (equality "
+                "semantics); use strategy='overwrite' for this refresh"
+            )
+        dead = [r[0] for r in changed.filter(F.col("__mv_n") == 0).select(k).collect()]
+        live = changed.filter(F.col("__mv_n") != 0)
+        if minmax:
+            live = _patch_dirty_extremes(
+                spark, live, source_dir, ev, group_by, minmax, where
+            )
+        live = _cast_to_view_schema(
+            live.select(*_state_columns(group_by, aggs)), view_dir
+        )
+        if dead:
+            delete_by_key(
+                spark,
+                view_dir,
+                spark.createDataFrame([(d,) for d in dead], old.select(k).schema),
+                k,
+                txn_id=f"mv-stage-{ev}",
+            )
+        n_live = live.count()
+        if n_live:
+            return merge_upsert(spark, view_dir, live, k, txn_id=txn)
+        # nothing to upsert (pure-death refresh): publish the watermark
+        # over the post-delete state so the consumption point advances
+        state = read_snapshot(spark, view_dir)
+        return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+    finally:
+        changed.unpersist()
 
 
 def _full_rebuild(spark, view_dir, meta, aggs, ev, txn) -> int:
@@ -346,8 +469,11 @@ def _full_rebuild(spark, view_dir, meta, aggs, ev, txn) -> int:
     if meta.get("where"):
         src = src.filter(F.expr(meta["where"]))
     state = _state_partials(src, list(meta["group_by"]), aggs, sgn=F.lit(1))
-    state = state.filter(F.col("__mv_n") > 0).select(
-        *_state_columns(list(meta["group_by"]), aggs)
+    state = _cast_to_view_schema(
+        state.filter(F.col("__mv_n") > 0).select(
+            *_state_columns(list(meta["group_by"]), aggs)
+        ),
+        view_dir,
     )
     return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
 

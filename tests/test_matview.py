@@ -320,7 +320,7 @@ _MV_OP = st.one_of(
     st.tuples(st.just("update"), st.tuples(st.integers(0, 4), st.integers(100, 109))),
     st.tuples(st.just("cow_del"), st.integers(-2, 8)),
     st.tuples(st.just("compact"), st.none()),
-    st.tuples(st.just("refresh"), st.none()),
+    st.tuples(st.just("refresh"), st.sampled_from(["overwrite", "merge"])),
 )
 
 
@@ -388,7 +388,9 @@ def test_mv_matches_recompute_over_random_history(
         elif kind == "compact":
             compact_snapshot(spark, t, target_file_bytes=1 << 40)
         elif kind == "refresh":
-            refresh_materialized_view(spark, v)
+            # both strategies must extend intermediate state identically
+            # (keys here are never NULL, so merge is always legal)
+            refresh_materialized_view(spark, v, strategy=arg)
 
     refresh_materialized_view(spark, v)
     try:
@@ -404,3 +406,143 @@ def test_mv_matches_recompute_over_random_history(
         F.max("x").alias("hi"),
     )
     assert _rows(read_materialized_view(spark, v)) == _rows(exp)
+
+
+# ---- merge (delta-proportional) refresh strategy --------------------------
+
+
+def test_mv_merge_strategy_matches_overwrite(spark, sf_dir, tmp_path):
+    """Twin views over the same DML history, one refreshed with each
+    strategy: identical read-out, both equal to the recompute. The merge
+    view's files holding untouched groups never rewrite (the commit is
+    a merge/eq-delete, not a full overwrite)."""
+    t = str(tmp_path / f"src_{_uuid.uuid4().hex[:6]}")
+    vo = str(tmp_path / f"vo_{_uuid.uuid4().hex[:6]}")
+    vm = str(tmp_path / f"vm_{_uuid.uuid4().hex[:6]}")
+    snapshot_commit(_customer_src(spark, sf_dir).repartition(4), t)
+    for v in (vo, vm):
+        create_materialized_view(
+            spark, v, t, group_by=["c_nationkey"], aggs=_FULL_AGGS
+        )
+    ins = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        (F.lit(100000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
+    )
+    snapshot_commit(ins, t)
+    delete_where(spark, t, [("bal", "<", 0.0)], strategy="merge_on_read")
+    delete_by_key(
+        spark, t, spark.createDataFrame([(3,), (7,)], "c_nationkey int"), "c_nationkey"
+    )
+    refresh_materialized_view(spark, vo, strategy="overwrite")
+    refresh_materialized_view(spark, vm, strategy="merge")
+    exp = _rows(_recompute(read_snapshot(spark, t)))
+    assert _rows(read_materialized_view(spark, vo)) == exp
+    assert _rows(read_materialized_view(spark, vm)) == exp
+    # both watermarks advanced to the source tip
+    assert materialized_view_status(vm)["source_version"] == latest_version(t)
+    # replay is a no-op for both
+    tip = latest_version(vm)
+    assert refresh_materialized_view(spark, vm, strategy="merge") == tip
+
+
+def test_mv_merge_strategy_death_rebirth_and_pure_death(spark, tmp_path):
+    """Dead groups equality-delete from the view; a refresh that ONLY
+    kills groups still advances the watermark; a later insert rebirths
+    the group from zero."""
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    snapshot_commit(mk([(1, 1, 5), (2, 2, 3), (3, 3, 9)]), t)
+    create_materialized_view(
+        spark, v, t, group_by=["k"],
+        aggs={"n": ("count", None), "s": ("sum", "x")},
+    )
+    delete_where(spark, t, [("k", "=", 2)])
+    refresh_materialized_view(spark, v, strategy="merge")
+    assert materialized_view_status(v)["source_version"] == latest_version(t)
+    got = {r["k"]: r for r in read_materialized_view(spark, v).collect()}
+    assert set(got) == {1, 3}
+    snapshot_commit(mk([(4, 2, 11)]), t)
+    refresh_materialized_view(spark, v, strategy="merge")
+    got = {r["k"]: r for r in read_materialized_view(spark, v).collect()}
+    assert got[2]["n"] == 1 and got[2]["s"] == 11
+
+
+def test_mv_merge_strategy_crash_between_phases_replays(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the refresh between the eq-delete phase and the merge phase:
+    the watermark has NOT advanced, the replayed refresh recomputes from
+    the watermark state (not the half-advanced tip), the staged delete's
+    txn id makes its replay a no-op, and the final state matches the
+    recompute."""
+    import reactivestreams_kinesis_spark.operators.matview as mv
+    import reactivestreams_kinesis_spark.operators.snapshots as snaps
+
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    snapshot_commit(mk([(1, 1, 5), (2, 2, 3), (3, 3, 9), (4, 1, 2)]), t)
+    create_materialized_view(
+        spark, v, t, group_by=["k"],
+        aggs={"n": ("count", None), "s": ("sum", "x"), "hi": ("max", "x")},
+    )
+    # kill group 2 (exercises the delete phase) and mutate group 1
+    delete_where(spark, t, [("k", "=", 2)])
+    delete_where(spark, t, [("x", ">", 4)], strategy="merge_on_read")
+
+    real_merge = snaps.merge_upsert
+    calls = {"n": 0}
+
+    def exploding_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after delete phase")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(snaps, "merge_upsert", exploding_merge)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_materialized_view(spark, v, strategy="merge")
+    sv = materialized_view_status(v)["source_version"]
+    assert sv == 0, "watermark must not advance past a half-done refresh"
+    refresh_materialized_view(spark, v, strategy="merge")
+    exp = (
+        read_snapshot(spark, t)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.max("x").alias("hi"),
+        )
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(exp)
+    assert materialized_view_status(v)["source_version"] == latest_version(t)
+
+
+def test_mv_merge_strategy_null_group_refuses(spark, tmp_path):
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    snapshot_commit(mk([(1, None, 5), (2, 1, 3)]), t)
+    create_materialized_view(
+        spark, v, t, group_by=["k"], aggs={"n": ("count", None)}
+    )
+    snapshot_commit(mk([(3, None, 7)]), t)
+    with pytest.raises(ValueError, match="NULL group key"):
+        refresh_materialized_view(spark, v, strategy="merge")
+    # the overwrite strategy maintains the same history fine
+    refresh_materialized_view(spark, v, strategy="overwrite")
+    assert {tuple(r) for r in read_materialized_view(spark, v).collect()} == {
+        (None, 2),
+        (1, 1),
+    }
+
+
+def test_mv_merge_strategy_composite_key_refuses(spark, sf_dir, tmp_path):
+    t, v = _dirs(tmp_path)
+    snapshot_commit(_customer_src(spark, sf_dir).limit(100), t)
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey", "c_custkey"],
+        aggs={"n": ("count", None)},
+    )
+    snapshot_commit(_customer_src(spark, sf_dir).limit(10), t)
+    with pytest.raises(ValueError, match="single group column"):
+        refresh_materialized_view(spark, v, strategy="merge")
