@@ -969,3 +969,93 @@ def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "stream_mv_maintain",
+    oracle="""
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey FROM customer
+        UNION ALL
+        SELECT CAST(1000000 + n_nationkey AS BIGINT), n_nationkey FROM nation
+    ),
+    live AS (
+        SELECT * FROM all_rows
+        WHERE NOT (c_custkey > 1000000 AND c_custkey <= 1000012)
+          AND c_nationkey NOT IN (4, 11)
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM live
+    GROUP BY c_nationkey
+    """,
+    tags=("S5", "A8", "A1", "T9"),
+)
+def stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-MAINTAINED MATERIALIZED VIEW under the value oracle
+    (`operators/matview.py:stream_refresh_materialized_view` — the
+    standing form of `rel_mv_incremental`): the view is created at v0,
+    the source then takes an append, a merge-on-read position delete,
+    and an equality delete, and the CHANGE FEED STREAM (AvailableNow,
+    one version per micro-batch — the reference's demand-bounded fetch)
+    drives refreshes through foreachBatch until the backlog drains. All
+    aggregates are exact integers, so the oracle — the end state
+    aggregated directly from the fixtures — is bit-exact; it breaks if
+    any epoch double-applies (the refresh txns and the checkpoint
+    offsets must compose) or a version is skipped.
+
+    At 100 TB: this is the standing CDC pattern — delta-proportional
+    refreshes triggered by the feed, exactly-once under any crash or
+    replay, with the view itself a versioned table."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view,
+        read_materialized_view,
+        stream_refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+    )
+    u = _uuid.uuid4().hex[:8]
+    t = os.path.join(tempfile.gettempdir(), f"rsk_smv_src_{u}")
+    v = os.path.join(tempfile.gettempdir(), f"rsk_smv_view_{u}")
+    ck = os.path.join(tempfile.gettempdir(), f"rsk_smv_ck_{u}")
+    snapshot_commit(base.repartitionByRange(6, "c_custkey"), t)            # v0
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["c_nationkey"],
+        aggs={
+            "n_rows": ("count", None),
+            "sum_key": ("sum", "c_custkey"),
+            "min_key": ("min", "c_custkey"),
+            "max_key": ("max", "c_custkey"),
+        },
+    )
+    snapshot_commit(ins, t)                                                # v1
+    delete_where(
+        spark,
+        t,
+        [("c_custkey", ">", 1000000), ("c_custkey", "<=", 1000012)],
+        strategy="merge_on_read",
+    )                                                                      # v2
+    keys = spark.createDataFrame([(4,), (11,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                           # v3
+    q = stream_refresh_materialized_view(spark, v, ck, max_versions_per_trigger=1)
+    q.awaitTermination(300)
+    return read_materialized_view(spark, v)

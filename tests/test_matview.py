@@ -546,3 +546,54 @@ def test_mv_merge_strategy_composite_key_refuses(spark, sf_dir, tmp_path):
     snapshot_commit(_customer_src(spark, sf_dir).limit(10), t)
     with pytest.raises(ValueError, match="single group column"):
         refresh_materialized_view(spark, v, strategy="merge")
+
+
+# ---- streaming maintenance -------------------------------------------------
+
+
+def test_mv_stream_refresh_drains_and_resumes(spark, sf_dir, tmp_path):
+    """stream_refresh_materialized_view as the batch-twin (AvailableNow):
+    a backlog of DML drains to the recompute answer; more DML + a second
+    run over the SAME checkpoint resumes exactly (the refresh txns and
+    the stream offsets compose — nothing double-applies)."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        stream_refresh_materialized_view,
+    )
+
+    t, v = _dirs(tmp_path)
+    ck = str(tmp_path / "ckpt")
+    snapshot_commit(_customer_src(spark, sf_dir).repartition(4), t)
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey"], aggs=_FULL_AGGS
+    )
+    ins = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        (F.lit(100000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
+    )
+    snapshot_commit(ins, t)
+    delete_where(spark, t, [("bal", "<", 0.0)], strategy="merge_on_read")
+
+    q = stream_refresh_materialized_view(
+        spark, v, ck, max_versions_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert materialized_view_status(v)["source_version"] == latest_version(t)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _recompute(read_snapshot(spark, t))
+    )
+
+    # new backlog, same checkpoint: resume must extend, not replay
+    update_where(
+        spark, t, [("c_custkey", "<=", 30)],
+        {"bal": F.col("bal") + F.lit(500).cast("decimal(12,2)")},
+    )
+    delete_by_key(
+        spark, t, spark.createDataFrame([(9,)], "c_nationkey int"), "c_nationkey"
+    )
+    q2 = stream_refresh_materialized_view(spark, v, ck)
+    q2.awaitTermination(120)
+    assert materialized_view_status(v)["source_version"] == latest_version(t)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _recompute(read_snapshot(spark, t))
+    )
