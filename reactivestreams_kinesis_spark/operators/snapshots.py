@@ -54,7 +54,24 @@ _WIDEN_RANK_F = {"float": 0, "double": 1}
 
 def _wider_type(a, b):
     """The wider of two Spark DataTypes when they sit on one widening
-    chain, else None (incompatible change)."""
+    chain, else None (incompatible change). Decimals widen to their
+    least upper bound — max integer digits + max scale, which Spark 4's
+    vectorized parquet reader (and the source's pyarrow cast path)
+    promotes files to losslessly — refused only when that bound exceeds
+    decimal(38). Checked BEFORE the typeName shortcut: every decimal
+    shares the name 'decimal', and treating decimal(13,2) as equal to
+    decimal(12,2) once published a table whose declared schema couldn't
+    read its own files."""
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        if (a.precision, a.scale) == (b.precision, b.scale):
+            return a
+        scale = max(a.scale, b.scale)
+        int_digits = max(a.precision - a.scale, b.precision - b.scale)
+        if int_digits + scale > 38:
+            return None  # no decimal can hold both ranges losslessly
+        return DecimalType(int_digits + scale, scale)
     an, bn = a.typeName(), b.typeName()
     if an == bn:
         return a

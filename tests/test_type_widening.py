@@ -153,3 +153,55 @@ def test_widening_composes_with_rename(spark, sf_dir, tmp_path):
     assert _declared_types(t) == {"id": "integer", "amt": "long"}
     got = read_snapshot(spark, t).orderBy("id").collect()
     assert [(r["id"], r["amt"]) for r in got] == [(1, 10), (2, 5_000_000_000)]
+
+
+def test_decimal_widening_straddle_and_refusal(spark, tmp_path):
+    """Decimal widening (round 10): an append whose decimal column needs
+    more precision or scale widens the declared schema to the least
+    upper bound; files written under the narrow type read back promoted
+    (Spark's vectorized reader and the source's pyarrow cast both
+    support it — verified by value, not claimed). A pair whose bound
+    exceeds decimal(38) refuses. Before the _wider_type decimal branch,
+    decimal(13,2) silently 'equaled' decimal(12,2) by typeName and the
+    published table could not read its own files."""
+    from decimal import Decimal
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "dec_widen")
+    mk = lambda rows, typ: spark.createDataFrame(
+        [(i, Decimal(x)) for i, x in rows], f"id bigint, x decimal{typ}"
+    )
+    snapshot_commit(mk([(1, "12.34"), (2, "5.00")], "(12,2)"), t)   # v0
+    snapshot_commit(mk([(3, "123456789012.3")], "(13,1)"), t)       # v1 widens
+    got = {tuple(r) for r in read_snapshot(spark, t).collect()}
+    want = {
+        (1, Decimal("12.34")),
+        (2, Decimal("5.00")),
+        (3, Decimal("123456789012.30")),
+    }
+    assert got == want
+    # declared schema is the LUB: int digits 12, scale 2 -> decimal(14,2)
+    f = dict(zip(read_snapshot(spark, t).schema.names, read_snapshot(spark, t).schema))
+    assert f["x"].dataType.simpleString() == "decimal(14,2)"
+    # the Python-source read path promotes identically
+    register_snapshot_source(spark)
+    src = (
+        spark.read.format("snapshot_table").option("path", t).load()
+    )
+    assert {tuple(r) for r in src.collect()} == want
+    # beyond decimal(38): refuse, never truncate (int digits 25 + scale
+    # 20 has no representable least upper bound)
+    t2 = str(tmp_path / "dec_refuse")
+    snapshot_commit(mk([(1, "1")], "(25,0)"), t2)
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        snapshot_commit(mk([(2, "0.5")], "(20,20)"), t2)
