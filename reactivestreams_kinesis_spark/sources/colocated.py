@@ -41,7 +41,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
+
+_JOIN_TYPES = {"inner", "left_semi", "left_anti", "left_outer"}
 
 from reactivestreams_kinesis_spark.operators.snapshots import (
     _inv_phys,
@@ -71,20 +73,27 @@ class _BucketPartition(InputPartition):
     n: int
     left: _SideFiles | None = None
     right: _SideFiles | None = None
+    join_type: str = "inner"
+    # exactly ONE partition owns the left side's NULL-key rows from
+    # straddling files — they belong to no bucket, but anti/outer joins
+    # must emit them (exactly once)
+    owns_nulls: bool = False
 
 
-def _bucket_mask(col, n: int, b: int):
+def _bucket_mask(col, n: int, b: int, keep_nulls: bool = False):
     """Arrow boolean mask: rows of ``col`` whose bucket is ``b`` — the
     Python twin of the manifest transform (pmod(crc32(cast(k as
-    string)), n)). Runs only for straddling files; NULL keys are False
-    (inner-join semantics)."""
+    string)), n)). Runs only for straddling files. NULL keys belong to
+    no bucket; ``keep_nulls`` routes them to the one partition that
+    owns them (anti/outer semantics)."""
     import zlib
 
     import pyarrow as pa
 
     return pa.array(
         [
-            v is not None and zlib.crc32(str(v).encode()) % n == b
+            (keep_nulls if v is None
+             else zlib.crc32(str(v).encode()) % n == b)
             for v in col.to_pylist()
         ],
         type=pa.bool_(),
@@ -208,13 +217,28 @@ class ColocatedJoinDataSource(DataSource):
             (rdir, rv, rkey, cols(self._opt("rightColumns"))),
         )
 
+    def _join_type(self) -> str:
+        jt = (self._opt("joinType") or "inner").lower()
+        if jt not in _JOIN_TYPES:
+            raise ValueError(
+                f"unsupported joinType {jt!r} (supported: {sorted(_JOIN_TYPES)})"
+            )
+        return jt
+
     def schema(self) -> StructType:
         (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols) = self._plan_inputs()
+        jt = self._join_type()
         left, _, _, _ = _side_plan(ldir, lv, lkey, lcols)
+        if jt in ("left_semi", "left_anti"):
+            return left.schema  # existence tests surface left rows only
         right, _, _, _ = _side_plan(rdir, rv, rkey, rcols)
-        out = list(left.schema.fields) + [
-            f for f in right.schema.fields if f.name != rkey
-        ]
+        rfields = [f for f in right.schema.fields if f.name != rkey]
+        if jt == "left_outer":
+            # unmatched left rows pad NULL on the right side
+            rfields = [
+                StructField(f.name, f.dataType, nullable=True) for f in rfields
+            ]
+        out = list(left.schema.fields) + rfields
         names = [f.name for f in out]
         dup = sorted({c for c in names if names.count(c) > 1})
         if dup:
@@ -227,50 +251,67 @@ class ColocatedJoinDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols) = self._plan_inputs()
         return _ColocatedJoinReader(
-            (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols), schema
+            (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols), schema,
+            self._join_type(),
         )
 
 
 class _ColocatedJoinReader(DataSourceReader):
-    def __init__(self, left, right, schema: StructType):
+    def __init__(self, left, right, schema: StructType, join_type: str = "inner"):
         self._left = left
         self._right = right
         self._schema = schema
+        self._join_type = join_type
 
     def partitions(self) -> Sequence[InputPartition]:
         lside, ln, lbuckets, lstrad = _side_plan(*self._left)
         rside, rn, rbuckets, rstrad = _side_plan(*self._right)
+        jt = self._join_type
         if ln != rn:
             raise ValueError(
                 f"bucket counts differ ({ln} vs {rn}) — co-location needs "
                 "the same N on both tables"
             )
-        # inner join: a bucket produces rows only when both sides may
-        # hold it; a side with straddler/unknown files may hold EVERY
-        # bucket, so those files join into each candidate bucket under
-        # the row filter
+        # a side with straddler/unknown files may hold EVERY bucket, so
+        # those files join into each candidate bucket under the row
+        # filter. inner/semi need both sides present; anti/outer emit
+        # left rows even where the right has nothing
         lcand = set(lbuckets) | (set(range(ln)) if lstrad else set())
         rcand = set(rbuckets) | (set(range(ln)) if rstrad else set())
-        live = sorted(lcand & rcand)
+        live = sorted(lcand if jt in ("left_anti", "left_outer") else lcand & rcand)
         parts: list[InputPartition] = []
+        null_owner_assigned = False
         for b in live:
             lf = _SideFiles(lside.table_dir, lside.phys, lside.schema, lside.key)
             lf.files = list(lbuckets.get(b, [])) + [(fp, False) for fp in lstrad]
             rf = _SideFiles(rside.table_dir, rside.phys, rside.schema, rside.key)
             rf.files = list(rbuckets.get(b, [])) + [(fp, False) for fp in rstrad]
-            if lf.files and rf.files:
-                parts.append(_BucketPartition(b, ln, lf, rf))
+            if lf.files and (rf.files or jt in ("left_anti", "left_outer")):
+                owns = jt in ("left_anti", "left_outer") and not null_owner_assigned
+                null_owner_assigned = null_owner_assigned or owns
+                parts.append(
+                    _BucketPartition(b, ln, lf, rf, join_type=jt, owns_nulls=owns)
+                )
         if not parts:
             # provably empty join — one sentinel keeps the Python DS
             # contract (non-empty partition list), reads as zero rows
-            return [_BucketPartition(None, ln)]
+            return [_BucketPartition(None, ln, join_type=jt)]
         return parts
 
-    def _side_table(self, side: _SideFiles, bucket: int, n: int):
+    def _side_table(
+        self,
+        side: _SideFiles,
+        bucket: int,
+        n: int,
+        *,
+        keep_null_keys: bool = False,
+    ):
         """Read one side's bucket: every file through the snapshot
         reader's full per-file path (declared schema, physical names,
         DV mask, equality anti-join), straddlers row-filtered to the
-        bucket, NULL keys dropped."""
+        bucket. NULL keys drop unless this partition owns them
+        (anti/outer left side — a null key matches nothing but the row
+        itself must surface)."""
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -284,15 +325,16 @@ class _ColocatedJoinReader(DataSourceReader):
         for fp, tight in side.files:
             for b in rdr.read(fp):
                 if not tight:
-                    mask = _bucket_mask(b.column(side.key), n, bucket)
+                    mask = _bucket_mask(
+                        b.column(side.key), n, bucket, keep_nulls=keep_null_keys
+                    )
                     b = b.filter(mask)
                 if b.num_rows:
                     batches.append(b)
         if not batches:
             return pa.Table.from_batches([], schema=arrow_schema)
         tbl = pa.Table.from_batches(batches)
-        key_nulls = tbl.column(side.key).null_count
-        if key_nulls:
+        if not keep_null_keys and tbl.column(side.key).null_count:
             import pyarrow.compute as pc
 
             tbl = tbl.filter(pc.is_valid(tbl.column(side.key)))
@@ -304,18 +346,36 @@ class _ColocatedJoinReader(DataSourceReader):
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        left = self._side_table(partition.left, partition.bucket, partition.n)
+        jt = partition.join_type
+        keeps_left = jt in ("left_anti", "left_outer")
+        left = self._side_table(
+            partition.left,
+            partition.bucket,
+            partition.n,
+            keep_null_keys=keeps_left and partition.owns_nulls,
+        )
         if left.num_rows == 0:
             return
         right = self._side_table(partition.right, partition.bucket, partition.n)
-        if right.num_rows == 0:
-            return
-        joined = left.join(
-            right,
-            keys=[partition.left.key],
-            right_keys=[partition.right.key],
-            join_type="inner",
-        )
+        if right.num_rows == 0 and not keeps_left:
+            return  # inner/semi: nothing can match
+        if jt in ("left_semi", "left_anti"):
+            # existence test against the right KEYS only
+            rkeys = right.select([partition.right.key]).rename_columns(
+                [partition.left.key]
+            )
+            joined = left.join(
+                rkeys.group_by(partition.left.key).aggregate([]),
+                keys=[partition.left.key],
+                join_type="left semi" if jt == "left_semi" else "left anti",
+            )
+        else:
+            joined = left.join(
+                right,
+                keys=[partition.left.key],
+                right_keys=[partition.right.key],
+                join_type="inner" if jt == "inner" else "left outer",
+            )
         if joined.num_rows == 0:
             return
         out_schema = to_arrow_schema(self._schema)
@@ -335,14 +395,18 @@ def colocated_join(
     *,
     left_key: str,
     right_key: str | None = None,
+    how: str = "inner",
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
     left_version: int | None = None,
     right_version: int | None = None,
 ) -> DataFrame:
-    """The convenience wrapper: register + read. Returns the inner join
-    of the two snapshot tables on their bucket-co-located keys, with the
-    right key column dropped (``df.join(other, on=key)`` shape)."""
+    """The convenience wrapper: register + read. ``how`` is one of
+    inner / left_semi / left_anti / left_outer — semi/anti surface left
+    columns only; inner/outer drop the right key column
+    (``df.join(other, on=key)`` shape). NULL left keys match nothing,
+    so they vanish from inner/semi and surface (exactly once) from
+    anti/outer, the SQL contract."""
     register_colocated_source(spark)
     r = (
         spark.read.format("snapshot_colocated_join")
@@ -350,6 +414,7 @@ def colocated_join(
         .option("rightPath", right_dir)
         .option("leftKey", left_key)
         .option("rightKey", right_key or left_key)
+        .option("joinType", how)
     )
     if left_columns:
         r = r.option("leftColumns", ",".join(left_columns))

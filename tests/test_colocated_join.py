@@ -196,3 +196,75 @@ def test_colocated_join_null_keys_drop(spark, tmp_path):
     j = colocated_join(spark, lt, rt, left_key="k", right_key="k2")
     exp = left.join(right, left.k == right.k2).select("k", "v", "w")
     assert _rows(j) == _rows(exp) == {(1, "a", 10.0)}
+
+
+def test_colocated_join_semi_anti_outer_parity(spark, sf_dir, tmp_path):
+    """left_semi / left_anti / left_outer parity with the generic join —
+    including NULL left keys (vanish from semi, surface exactly once
+    from anti/outer) and buckets where the right side has no files at
+    all (anti/outer must still emit those left rows)."""
+    lt, rt = _dirs(tmp_path)
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "nul"), (2, "b"), (3, "c"), (4, "d")],
+        "k int, v string",
+    )
+    # right holds keys 1 and 3 only — sparse buckets, plus a null key
+    # (which must match nothing)
+    right = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (3, 30.0), (None, 99.0)], "k2 int, w double"
+    )
+    snapshot_commit(left, lt, partition_by=[("k", "bucket", 8)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", 8)])
+
+    gen = lambda how: left.join(right, left.k == right.k2, how)
+    semi = colocated_join(spark, lt, rt, left_key="k", right_key="k2", how="left_semi")
+    assert semi.columns == ["k", "v"]
+    assert _rows(semi) == _rows(gen("left_semi"))
+    anti = colocated_join(spark, lt, rt, left_key="k", right_key="k2", how="left_anti")
+    assert _rows(anti) == _rows(gen("left_anti"))
+    assert (None, "nul") in _rows(anti)
+    outer = colocated_join(
+        spark, lt, rt, left_key="k", right_key="k2", how="left_outer"
+    )
+    assert _rows(outer) == _rows(gen("left_outer").select("k", "v", "w"))
+    plan = outer._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_colocated_join_outer_null_owner_with_straddlers(spark, sf_dir, tmp_path):
+    """NULL-key left rows live in straddler files (a null partition
+    tuple makes the file 'unknown'), which every bucket task reads —
+    exactly ONE partition owns them, so anti/outer emit each null row
+    once, not once per bucket."""
+    lt, rt = _dirs(tmp_path)
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "n1"), (None, "n2"), (2, "b")], "k int, v string"
+    )
+    right = spark.createDataFrame([(2, 20.0)], "k2 int, w double")
+    snapshot_commit(left.repartition(1), lt, partition_by=[("k", "bucket", 16)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", 16)])
+    outer = colocated_join(
+        spark, lt, rt, left_key="k", right_key="k2", how="left_outer"
+    )
+    got = sorted(outer.collect(), key=str)
+    assert len(got) == 4, f"null rows must appear exactly once: {got}"
+    anti = colocated_join(
+        spark, lt, rt, left_key="k", right_key="k2", how="left_anti"
+    )
+    assert anti.count() == 3  # 1, n1, n2
+
+
+def test_colocated_join_bad_join_type(spark, sf_dir, tmp_path):
+    lt, rt = _dirs(tmp_path)
+    snapshot_commit(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        lt, partition_by=[("k", "bucket", 4)],
+    )
+    snapshot_commit(
+        spark.createDataFrame([(1, 1.0)], "k2 int, w double"),
+        rt, partition_by=[("k2", "bucket", 4)],
+    )
+    with pytest.raises(Exception, match="joinType"):
+        colocated_join(
+            spark, lt, rt, left_key="k", right_key="k2", how="full_outer"
+        ).schema
