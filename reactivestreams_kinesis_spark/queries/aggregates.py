@@ -438,3 +438,84 @@ def agg_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
     )
     return merge_day_partials_to_week(daily)
+
+
+@register(
+    "agg_quantile_kmv_sketch",
+    oracle="""
+    WITH sketch AS (
+        SELECT o_totalprice
+        FROM orders
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+        LIMIT 512
+    ),
+    ranked AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice) AS r,
+               COUNT(*) OVER () AS k
+        FROM sketch
+    )
+    SELECT
+        MAX(CASE WHEN r = CAST(CEIL(0.5 * k) AS BIGINT) THEN o_totalprice END) AS p50,
+        MAX(CASE WHEN r = CAST(CEIL(0.9 * k) AS BIGINT) THEN o_totalprice END) AS p90,
+        MAX(CASE WHEN r = CAST(CEIL(0.99 * k) AS BIGINT) THEN o_totalprice END) AS p99,
+        CAST(MAX(k) AS BIGINT) AS sample_k
+    FROM ranked
+    """,
+    tags=("A4", "A6", "W1"),
+)
+def agg_quantile_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH — percentiles that ROLL UP. The sketch
+    is a bottom-k (KMV) hash sample: the k rows with the smallest
+    md5(orderkey) are a deterministic uniform sample, and bottom-k is
+    an exact semilattice — merge(bottom-k(A), bottom-k(B)) ≡
+    bottom-k(A ∪ B) — so per-partition sketches merge hierarchically
+    to the same sketch a flat pass builds, which is the property
+    percentile rollups at 100 TB need (t-digest/KLL give it
+    approximately; KMV gives it EXACTLY, engine-portably, no RNG).
+
+    Spark builds per-month sketches first (rank by hash within month,
+    keep k), merges them by re-ranking the union (the rollup path a
+    day→week→month pipeline would run), then reads the 50/90/99th
+    percentiles off the merged sample. The ORACLE builds the flat
+    global sketch in one pass — the two agree only if the merge is
+    lossless, so the hash pins the mergeability invariant itself, not
+    just the numbers. Estimates are sample-exact (deterministic), with
+    the usual KMV error vs the true quantiles (k=512 → ~±2%% rank
+    error at 95%% confidence; the exact forms live in
+    `agg_percentiles`)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    k = 512
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    per_month = orders.select(
+        month.alias("m"), h.alias("h"), "o_totalprice"
+    ).withColumn(
+        "r", F.row_number().over(Window.partitionBy("m").orderBy("h"))
+    ).filter(F.col("r") <= k)
+    merged = (
+        per_month.withColumn(
+            "g", F.row_number().over(Window.orderBy("h"))
+        ).filter(F.col("g") <= k)
+    )
+    ranked = merged.select(
+        "o_totalprice",
+        F.row_number().over(Window.orderBy("o_totalprice")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    pick = lambda q: F.max(
+        F.when(
+            F.col("r") == F.ceil(F.lit(q) * F.col("k")).cast("bigint"),
+            F.col("o_totalprice"),
+        )
+    )
+    return ranked.agg(
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.max("k").cast("bigint").alias("sample_k"),
+    )

@@ -153,7 +153,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # one), plus the two streaming flagships that had only mirror checks
     "stream_stream_join",           # J9 — drained vs batch range join
     "stream_temporal_enrich",       # J8 J6 W2 — SCD2 point-in-time enrich
-    "stream_rollup_merge",          # A8 A6 — rollup maintained as a stream
+    # round-10 rotation (3rd): stream_rollup_merge ceded its slot (A8
+    # stays driver-covered by stream_window_counts, A6 by
+    # agg_rollup_merge; the rollup-as-stream form stays bit-exact in
+    # the local mirror) to stream_mv_maintain — the stream-maintained
+    # materialized view, which also gives T9 (checkpoint/recovery) its
+    # first driver row
+    "stream_mv_maintain",           # S5 A8 A1 T9 — stream-maintained MV
     # windows — round-6 rotation: W4 stays driver-covered by
     # sim_cosine_topk (bench) and sample_weighted below, so
     # win_topk_per_group ceded its slot; rel_cdc_latest_snapshot brings
