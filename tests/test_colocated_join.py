@@ -268,3 +268,76 @@ def test_colocated_join_bad_join_type(spark, sf_dir, tmp_path):
         colocated_join(
             spark, lt, rt, left_key="k", right_key="k2", how="full_outer"
         ).schema
+
+
+# ---- randomized model check ------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 12) | st.none(), st.integers(0, 99)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(
+    lrows=_ROWS,
+    rrows=_ROWS,
+    n=st.sampled_from([2, 4, 8]),
+    pre_spec=st.booleans(),
+    how=st.sampled_from(["inner", "left_semi", "left_anti", "left_outer"]),
+    extra_append=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_colocated_join_matches_generic_over_random_layouts(
+    spark, tmp_path_factory, lrows, rrows, n, pre_spec, how, extra_append
+):
+    """Over random row sets (NULL keys included), random bucket counts,
+    random straddler eras (half the left committed before the spec when
+    pre_spec), and every join type: the co-located join ≡ the generic
+    DataFrame join. Catches the interaction classes the example tests
+    sample — a null row in a straddler under anti/outer, a bucket with
+    rows on one side only, an empty side, a multi-commit left."""
+    base = tmp_path_factory.mktemp("colocprop")
+    lt, rt = str(base / "l"), str(base / "r")
+    left = spark.createDataFrame(
+        [(k, f"v{i}_{x}") for i, (k, x) in enumerate(lrows)] or [(None, None)],
+        "k int, v string",
+    )
+    if not lrows:
+        left = left.limit(0)
+    right = spark.createDataFrame(
+        [(k, float(x)) for (k, x) in rrows] or [(None, None)],
+        "k2 int, w double",
+    )
+    if not rrows:
+        right = right.limit(0)
+
+    if pre_spec and lrows:
+        half = max(1, len(lrows) // 2)
+        first = left.limit(half)
+        snapshot_commit(first, lt)
+        set_partition_spec(lt, [("k", "bucket", n)])
+        rest = left.subtract(first)
+        if rest.count():
+            snapshot_commit(rest, lt)
+    else:
+        snapshot_commit(left, lt, partition_by=[("k", "bucket", n)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", n)])
+    if extra_append and rrows:
+        snapshot_commit(right.limit(1).withColumn("w", F.lit(777.0)), rt)
+        right = right.unionByName(right.limit(1).withColumn("w", F.lit(777.0)))
+
+    j = colocated_join(spark, lt, rt, left_key="k", right_key="k2", how=how)
+    gen = left.join(right, left.k == right.k2, how)
+    if how in ("inner", "left_outer"):
+        gen = gen.select("k", "v", "w")
+    assert sorted([tuple(r) for r in j.collect()], key=str) == sorted(
+        [tuple(r) for r in gen.collect()], key=str
+    )
