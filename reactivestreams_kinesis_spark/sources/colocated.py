@@ -53,6 +53,7 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
 )
 from reactivestreams_kinesis_spark.sources.snapshot_source import (
     _SnapshotBatchReader,
+    _strip_file_scheme,
 )
 
 
@@ -196,8 +197,8 @@ class ColocatedJoinDataSource(DataSource):
         return v
 
     def _plan_inputs(self):
-        ldir = self._opt("leftPath", required=True)
-        rdir = self._opt("rightPath", required=True)
+        ldir = _strip_file_scheme(self._opt("leftPath", required=True))
+        rdir = _strip_file_scheme(self._opt("rightPath", required=True))
         lkey = self._opt("leftKey") or self._opt("key")
         rkey = self._opt("rightKey") or self._opt("key")
         if not lkey or not rkey:

@@ -80,6 +80,18 @@ def _version_files(table_dir: str, version: int) -> list[str]:
     ]
 
 
+def _strip_file_scheme(path: str) -> str:
+    """Local-path form of a possibly file-URI path option. Spark's SQL
+    surface (CREATE TABLE ... USING snapshot_table OPTIONS (path ...))
+    qualifies the option to ``file:/...`` before the source sees it; the
+    manifest layer works on plain OS paths."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def _read_parquet_batches(path: str, arrow_schema=None, read_names=None) -> Iterator:
     """Executor-side file read: Arrow record batches straight from the
     parquet file (zero row-by-row Python). With ``arrow_schema`` (the
@@ -127,7 +139,7 @@ class SnapshotTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_table requires .option('path', <table dir>)")
-        return path
+        return _strip_file_scheme(path)
 
     def _change_feed(self) -> bool:
         return str(self.options.get("changeFeed", "")).lower() in ("1", "true")

@@ -369,3 +369,38 @@ def test_snapshot_source_manifest_stats_file_skipping(spark, sf_dir, tmp_path):
     assert [r["user_id"] for r in got.collect()] == [
         r["user_id"] for r in want.collect()
     ]
+
+
+def test_source_accepts_file_uri_paths(spark, sf_dir, tmp_path):
+    """Spark's SQL surface qualifies path options to ``file:/...``
+    before a Python source sees them (CREATE TABLE ... USING
+    snapshot_table round-trips the option that way): the source
+    normalizes the scheme, so URI-qualified and plain paths read
+    identically. (Persistent-catalog SELECTs still don't work on Spark
+    4.1.x — the catalog hands the READ-time source an EMPTY options
+    dict, an upstream Python-DS limitation verified directly; the
+    supported SQL surface is load() + createOrReplaceTempView.)"""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.operators.snapshots import snapshot_commit
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / f"uri_{_uuid.uuid4().hex[:6]}")
+    df = spark.range(10).select(
+        F.col("id").cast("bigint").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_commit(df, t)
+    plain = spark.read.format("snapshot_table").option("path", t).load()
+    uri = spark.read.format("snapshot_table").option("path", f"file:{t}").load()
+    uri2 = spark.read.format("snapshot_table").option("path", f"file://{t}").load()
+    rows = {tuple(r) for r in plain.collect()}
+    assert {tuple(r) for r in uri.collect()} == rows
+    assert {tuple(r) for r in uri2.collect()} == rows
+    # the SQL access path that DOES work on this build
+    uri.createOrReplaceTempView("uri_snap_view")
+    assert spark.sql("SELECT count(*) AS n FROM uri_snap_view").collect()[0]["n"] == 10
