@@ -333,11 +333,15 @@ def dynamic_prune_join(
       prunes range-clustered fact layouts and never collects more than
       one row.
 
-    The join itself broadcasts the dim by default (it was small enough
-    to collect keys from); pass ``broadcast_dim=False`` to let AQE
-    decide. Semantics are exactly ``fact.join(dim, fact_key == dim_key,
-    "inner")`` — pruning is planning-time only, the predicate re-applies
-    on rows, and NULL keys never match in either regime.
+    The join itself pins a broadcast only in the IN-list regime (the
+    observed key cardinality is bounded, and the caller's contract is a
+    dimension-sized dim — rows on the order of keys, the star-schema
+    shape); the range regime never pins (the dim exceeded the key cap,
+    so AQE decides from its runtime size). ``broadcast_dim=False``
+    disables the pin entirely. Semantics are exactly ``fact.join(dim,
+    fact_key == dim_key, "inner")`` — pruning is planning-time only,
+    the predicate re-applies on rows, and NULL keys never match in
+    either regime.
 
     At 100 TB: a selective dim filter (the common star-schema query)
     turns a full fact scan into a handful of file opens BEFORE the join
@@ -350,6 +354,7 @@ def dynamic_prune_join(
     )
 
     fact_key, dim_key = on
+    in_list_regime = False
     keys_df = dim.select(dim_key).where(F.col(dim_key).isNotNull()).distinct()
     sample = [r[0] for r in keys_df.limit(max_keys + 1).collect()]
     if not sample:
@@ -357,6 +362,7 @@ def dynamic_prune_join(
         # returns the fact's empty frame, keeping the schema contract
         fact = scan_snapshot(spark, fact_dir, [(fact_key, "in", ())], version=version)
     elif len(sample) <= max_keys:
+        in_list_regime = True
         fact = scan_snapshot(
             spark, fact_dir, [(fact_key, "in", tuple(sample))], version=version
         )
@@ -375,5 +381,12 @@ def dynamic_prune_join(
                 [(fact_key, ">=", lo_hi["lo"]), (fact_key, "<=", lo_hi["hi"])],
                 version=version,
             )
-    rhs = F.broadcast(dim) if broadcast_dim else dim
+    # bounded_dim: key cardinality observed <= max_keys this call, rows
+    # dimension-sized by the documented caller contract (star-schema
+    # dim); the range regime never pins — AQE sizes it at runtime
+    if broadcast_dim and in_list_regime:
+        bounded_dim = dim
+        rhs = F.broadcast(bounded_dim)
+    else:
+        rhs = dim
     return fact.join(rhs, fact[fact_key] == rhs[dim_key], "inner")

@@ -92,6 +92,10 @@ _BOUNDED_BROADCAST_ROOTS = {
     # skew_split_join lazy detection: ≤ |left| / hot_threshold keys can
     # exceed the count threshold, at any scale factor
     "hot_key_frame",
+    # dynamic_prune_join IN-list regime only: key cardinality observed
+    # <= max_keys in THIS call, rows dimension-sized by the documented
+    # caller contract; the range-fallback regime never pins
+    "bounded_dim",
 }
 
 
