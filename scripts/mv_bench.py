@@ -84,7 +84,15 @@ def main() -> int:
         t = os.path.join(base, f"x{scale}_src")
         va = os.path.join(base, f"x{scale}_view_arith")
         vm = os.path.join(base, f"x{scale}_view_minmax")
-        snapshot_commit(src.repartition(max(8, 4 * scale)), t)
+        # identity partition spec on the group key: the min/max dirty
+        # recompute's IN-list scan then prunes to the dirty groups'
+        # files — the layout/operator synergy the refresh is designed
+        # around (without it the recompute reads the whole table)
+        snapshot_commit(
+            src.repartition(max(8, 4 * scale)),
+            t,
+            partition_by=["c_nationkey"],
+        )
         create_materialized_view(
             spark, va, t, group_by=["c_nationkey"], aggs=arith_aggs
         )
@@ -102,10 +110,13 @@ def main() -> int:
             F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
         )
         snapshot_commit(delta_ins, t)
+        # the retraction touches ONE group (nation 3) — the realistic
+        # CDC shape: a delta dirties few groups, so the min/max
+        # recompute scans only those groups' (partition-pruned) files
         delete_where(
             spark,
             t,
-            [("c_custkey", ">=", 900_000_000)],
+            [("c_custkey", "=", 900_000_003)],
             strategy="merge_on_read",
         )
         snapshot_commit(delta_ins.withColumn("bal", F.col("bal") + 1), t)
