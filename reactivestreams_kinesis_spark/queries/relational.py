@@ -1304,3 +1304,104 @@ def rel_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hi_bal").cast("double"), 2).alias("hi_bal"),
         F.round("avg_bal", 6).alias("avg_bal"),
     )
+
+
+@register(
+    "rel_merge_into",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k, CAST(c_custkey AS DECIMAL(12,2)) AS delta
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT CAST(1000000 + n_nationkey AS BIGINT),
+               CAST(n_nationkey AS DECIMAL(12,2))
+        FROM nation
+    ),
+    tgt AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+    ),
+    kept AS (
+        SELECT t.c_custkey, t.c_nationkey,
+               CASE WHEN s.k IS NOT NULL AND NOT (s.k % 10 = 0)
+                    THEN CAST(t.bal + s.delta AS DECIMAL(12,2))
+                    ELSE t.bal END AS bal
+        FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+        WHERE NOT (s.k IS NOT NULL AND s.k % 10 = 0)
+    ),
+    ins AS (
+        SELECT s.k AS c_custkey, 99 AS c_nationkey, s.delta AS bal
+        FROM src s
+        WHERE s.k NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT c_custkey, c_nationkey,
+           ROUND(CAST(bal AS DOUBLE), 2) AS bal
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    """,
+    tags=("S5", "J2", "P4"),
+)
+def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CONDITIONAL MERGE INTO under the value oracle
+    (`operators/merge_into.py` — the ANSI/Delta MERGE statement beyond
+    `merge_upsert`'s whole-row upsert): against the customer snapshot,
+    one statement runs WHEN MATCHED AND k%10=0 THEN DELETE, WHEN
+    MATCHED THEN UPDATE SET bal = t.bal + s.delta (an expression over
+    BOTH sides), and WHEN NOT MATCHED THEN INSERT with a projected row.
+    The oracle restates the clause algebra as CASE/anti-join SQL over
+    the fixtures; the hash breaks if clause order, a condition's NULL
+    handling, or the file-granular rewrite drops or doubles a row.
+
+    At 100 TB the mechanics are merge_upsert's: candidate files via
+    stats pruning, only files owning a matched key rewrite, optimistic
+    publish."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.merge_into import merge_into
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    tgt = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_custkey").cast("decimal(12,2)").alias("delta"),
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "nation").select(
+                (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("k"),
+                F.col("n_nationkey").cast("decimal(12,2)").alias("delta"),
+            )
+        )
+    )
+    t = os.path.join(tempfile.gettempdir(), f"rsk_mi_q_{_uuid.uuid4().hex[:8]}")
+    snapshot_commit(tgt.repartitionByRange(8, "c_custkey"), t)
+    merge_into(
+        spark,
+        t,
+        src,
+        ("c_custkey", "k"),
+        when_matched_update={"bal": "CAST(t.bal + s.delta AS DECIMAL(12,2))"},
+        when_matched_delete=True,
+        matched_delete_condition="s.k % 10 = 0",
+        when_not_matched_insert={
+            "c_custkey": "s.k",
+            "c_nationkey": "CAST(99 AS INT)",
+            "bal": "s.delta",
+        },
+    )
+    return read_snapshot(spark, t).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("bal").cast("double"), 2).alias("bal"),
+    )
