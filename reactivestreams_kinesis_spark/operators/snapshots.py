@@ -448,6 +448,21 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _data_path(table_dir: str, manifest: dict | None, rel: str) -> str:
+    """Absolute path of a manifest data file. Normally
+    ``table_dir/rel``; a SHALLOW CLONE's manifest carries a
+    ``file_bases`` map for files it references in the SOURCE table's
+    directory (``clone_snapshot``) — the file keys stay table-relative
+    everywhere (DV refs, targeting, change feeds compare rel paths),
+    only RESOLUTION consults the base."""
+    base = ((manifest or {}).get("file_bases") or {}).get(rel)
+    return os.path.join(base or table_dir, rel)
+
+
+def _data_paths(table_dir: str, manifest: dict | None, rels) -> list[str]:
+    return [_data_path(table_dir, manifest, f) for f in rels]
+
+
 def find_txn(table_dir: str, txn_id: str) -> int | None:
     """Version committed under ``txn_id``, or None. One scan of the
     (bounded) manifest set — production would keep a txn index, but the
@@ -1222,6 +1237,7 @@ def publish_manifest(
     change: dict | None = None,
     phys: dict | None = None,
     partition_spec: list | None = None,
+    file_bases: dict | None = None,
 ) -> int:
     """The commit protocol proper, decoupled from HOW the data files were
     written (``snapshot_commit`` writes them with a DataFrame write; the
@@ -1444,12 +1460,23 @@ def publish_manifest(
                     "a column must mint a fresh physical name "
                     "(_commit_phys), or restore a pre-drop version"
                 )
+        # shallow-clone file bases (rel path → foreign base dir) follow
+        # their files: retained files keep their entry, files no longer
+        # referenced (rewritten locally) drop it — a clone becomes
+        # self-contained exactly as fast as its data rewrites
+        out_bases = dict(file_bases or {})
+        if tip_manifest is not None:
+            parent_bases = tip_manifest.get("file_bases") or {}
+            out_bases = {**parent_bases, **out_bases}
+        out_bases = {f: b for f, b in out_bases.items() if f in set(files)}
         manifest = {
             "version": version,
             "parent": tip,
             "op": mode,
             "files": files,
         }
+        if out_bases:
+            manifest["file_bases"] = out_bases
         if out_deletes:
             manifest["delete_files"] = out_deletes
         if out_dvc:
@@ -1917,7 +1944,7 @@ def compact_snapshot(
 
     if small_file_bytes is not None:
         sizes = {
-            f: os.path.getsize(os.path.join(table_dir, f))
+            f: os.path.getsize(_data_path(table_dir, manifest, f))
             for f in manifest["files"]
         }
         small = [f for f, b in sizes.items() if b < small_file_bytes]
@@ -1941,7 +1968,7 @@ def compact_snapshot(
             change={"kind": "reorg"},
         )
 
-    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    paths = _data_paths(table_dir, manifest, manifest["files"])
     total = sum(os.path.getsize(p) for p in paths)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_snapshot(spark, table_dir, tip)
@@ -2212,7 +2239,7 @@ def _read_data_files(
     from pyspark.sql import functions as F
 
     reader = _declared_reader(spark, manifest)
-    paths = [os.path.join(table_dir, f) for f in rel_files]
+    paths = _data_paths(table_dir, manifest, rel_files)
     df = reader.parquet(*paths)
     # the scan surfaces PHYSICAL column names (what the files hold);
     # delete application below joins on physical (equality-delete key
@@ -2292,7 +2319,7 @@ def _read_plain(
     from pyspark.sql import functions as F
 
     df = _declared_reader(spark, manifest).parquet(
-        *[os.path.join(table_dir, f) for f in rel_files]
+        *_data_paths(table_dir, manifest, rel_files)
     )
     inv = _inv_phys(manifest)
     if not inv:
@@ -2859,7 +2886,12 @@ def vacuum(
         ]
         for f in m["files"] + (m.get("delete_files") or []) + eq_files:
             if f not in live:
-                p = os.path.join(table_dir, f)
+                p = os.path.abspath(_data_path(table_dir, m, f))
+                # ownership guard: a shallow clone's manifest references
+                # files in the SOURCE table's directory — retention on
+                # the clone must never delete what it doesn't own
+                if not p.startswith(os.path.abspath(table_dir) + os.sep):
+                    continue
                 if os.path.exists(p):
                     os.remove(p)
                     deleted.append(p)
@@ -3455,9 +3487,9 @@ def compaction_advice(
     manifest = _read_manifest(table_dir, tip)
     stats = manifest.get("stats") or {}
     sizes = {
-        f: os.path.getsize(os.path.join(table_dir, f))
+        f: os.path.getsize(_data_path(table_dir, manifest, f))
         for f in manifest["files"]
-        if os.path.exists(os.path.join(table_dir, f))
+        if os.path.exists(_data_path(table_dir, manifest, f))
     }
     small = [f for f, b in sizes.items() if b < small_file_bytes]
     # delete generations: distinct delete-file directories still pending
@@ -3549,7 +3581,7 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     missing = [
         f
         for f in m["files"] + (m.get("delete_files") or []) + eq_files
-        if not os.path.exists(os.path.join(table_dir, f))
+        if not os.path.exists(_data_path(table_dir, m, f))
     ]
     if missing:
         raise FileNotFoundError(
@@ -3620,7 +3652,7 @@ def snapshot_files(
     dv_counts = m.get("dv_counts") or {}
     rows = []
     for f in m["files"]:
-        p = os.path.join(table_dir, f)
+        p = _data_path(table_dir, m, f)
         s = dict(stats.get(f) or {})
         n_rows = s.pop("__rows", None)
         pvals = s.pop("__pvals", None)
@@ -3740,7 +3772,7 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
             )
         total = 0
         for f in m["files"]:
-            p = os.path.join(table_dir, f)
+            p = _data_path(table_dir, m, f)
             if os.path.exists(p):
                 total += os.path.getsize(p)
         parent_m = None
@@ -3766,4 +3798,68 @@ def describe_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "version int, parent int, op string, change_kind string, "
         "n_files int, total_bytes bigint, n_rows bigint, txn string, "
         "schema_change string, partition string",
+    )
+
+
+def clone_snapshot(
+    src_dir: str, dst_dir: str, *, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a new
+    table whose v0 manifest references the SOURCE's data files in place
+    — one metadata write at any table size, zero data copied. The clone
+    then evolves independently: appends/DML/compaction write its own
+    files (a copy-on-write rewrite that drops a foreign file simply
+    stops referencing it), the source never sees the clone's commits,
+    and retention on the clone NEVER deletes foreign files (the vacuum
+    ownership guard) — dropping the clone directory is always safe.
+
+    Mechanics: file keys stay table-relative (so every rel-path
+    comparison — targeting scans, change-feed diffs, partition tuples,
+    stats/blooms/NDV — works unchanged); a manifest-level
+    ``file_bases`` map records which files resolve in the source's
+    directory, consulted only at path-resolution time and carried
+    forward per retained file (``publish_manifest``), so the clone
+    becomes self-contained exactly as fast as its data rewrites.
+    Cloning a clone composes (entries keep pointing at the ORIGINAL
+    owner). Inherited metadata: schema, physical column mapping,
+    per-file stats/blooms/NDV/partition tuples, partition spec,
+    constraints, drop tombstones.
+
+    Refused: a source version with PENDING merge-on-read state
+    (position/equality delete files) — their file references are not
+    clone-aware; run ``compact_snapshot`` on the source (or clone an
+    older clean version) first. The source must also outlive the
+    clone's interest in the shared files: vacuuming the SOURCE can
+    delete files the clone still references (the same caveat Delta
+    documents); ``restore_snapshot``-style existence checks fail loudly
+    if that happens."""
+    sv = latest_version(src_dir) if version is None else version
+    if sv is None:
+        raise FileNotFoundError(f"no snapshots in {src_dir!r}")
+    m = _read_manifest(src_dir, sv)
+    if m.get("delete_files") or m.get("eq_deletes"):
+        raise ValueError(
+            f"cannot shallow-clone {src_dir!r}@v{sv}: pending merge-on-read "
+            "deletes (delete files are not clone-aware) — compact_snapshot "
+            "the source first, or clone a version without pending deletes"
+        )
+    if latest_version(dst_dir) is not None:
+        raise FileExistsError(f"{dst_dir!r} already holds a table")
+    src_abs = os.path.abspath(src_dir)
+    parent_bases = m.get("file_bases") or {}
+    bases = {f: parent_bases.get(f, src_abs) for f in m["files"]}
+    return publish_manifest(
+        dst_dir,
+        list(m["files"]),
+        mode="overwrite",
+        schema=m.get("schema"),
+        new_stats=dict(m.get("stats") or {}),
+        constraints=m.get("constraints"),
+        bloom_cols=m.get("bloom_cols"),
+        ndv_cols=m.get("ndv_cols"),
+        dropped_cols=m.get("dropped_cols"),
+        phys=dict(m.get("phys") or {}),
+        partition_spec=m.get("partition_spec"),
+        file_bases=bases,
+        change={"kind": "clone", "source": src_abs, "source_version": sv},
     )

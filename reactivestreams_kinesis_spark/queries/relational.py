@@ -1405,3 +1405,75 @@ def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.round(F.col("bal").cast("double"), 2).alias("bal"),
     )
+
+
+@register(
+    "rel_shallow_clone",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(CAST(CASE WHEN c_custkey <= 100
+                           THEN CAST(0.0 AS DECIMAL(12,2))
+                           ELSE CAST(c_acctbal AS DECIMAL(12,2)) END
+                 AS DOUBLE), 2) AS bal
+    FROM customer
+    WHERE NOT (c_acctbal < 0.0 AND c_custkey > 100)
+    """,
+    tags=("S5", "P3"),
+)
+def rel_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the value oracle
+    (`operators/snapshots.py:clone_snapshot`): commit customer as the
+    source, clone it — ONE manifest write referencing the source's
+    files in place, zero data copied — then run a copy-on-write update
+    and a merge-on-read delete against the CLONE (local delete files
+    over foreign data files) and read the clone's tip. The oracle
+    states the clone's end state over the fixtures; the source is
+    re-read and asserted bit-identical inside the query (a clone that
+    leaked a write into its source would raise here rather than pass
+    the hash).
+
+    At 100 TB this is the zero-cost sandbox: clone a production table,
+    run destructive experiments, drop the directory — the ownership
+    guard means nothing the clone does can touch the source's files."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        clone_snapshot,
+        delete_where,
+        read_snapshot,
+        snapshot_commit,
+        update_where,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    u = _uuid.uuid4().hex[:8]
+    src = os.path.join(tempfile.gettempdir(), f"rsk_clsrc_{u}")
+    dst = os.path.join(tempfile.gettempdir(), f"rsk_cldst_{u}")
+    snapshot_commit(base.repartitionByRange(6, "c_custkey"), src)
+    clone_snapshot(src, dst)
+    update_where(
+        spark,
+        dst,
+        [("c_custkey", "<=", 100)],
+        {"bal": F.lit(0).cast("decimal(12,2)")},
+    )
+    delete_where(spark, dst, [("bal", "<", 0.0)], strategy="merge_on_read")
+    # isolation proof inside the correctness gate: the source still
+    # answers exactly its original rows
+    n_src = read_snapshot(spark, src).count()
+    n_base = base.count()
+    if n_src != n_base:
+        raise AssertionError(
+            f"clone leaked into source: {n_src} rows vs {n_base}"
+        )
+    return read_snapshot(spark, dst).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("bal").cast("double"), 2).alias("bal"),
+    )

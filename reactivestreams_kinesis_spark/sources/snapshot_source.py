@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from reactivestreams_kinesis_spark.operators.snapshots import (
+    _data_path,
     _manifest_path,
     _read_manifest,
     latest_version,
@@ -405,7 +406,7 @@ class _SnapshotBatchReader(DataSourceReader):
 
         return [
             _FilePartition(
-                os.path.join(self._dir, f),
+                _data_path(self._dir, self._manifest, f),
                 rel=f,
                 dv_paths=dv_paths if dv_counts.get(f, 0) > 0 else None,
                 eq=eq_for(f),
@@ -612,7 +613,7 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                 if f not in base:
                     out.append(
                         _CDFPartition(
-                            "insert", os.path.join(table_dir, f), f, v
+                            "insert", _data_path(table_dir, m, f), f, v
                         )
                     )
             continue
@@ -650,8 +651,10 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                         for e in parent.get("eq_deletes") or []
                     ]
                     or None,
-                    old_files=[(f, os.path.join(table_dir, f)) for f in old_rel],
-                    new_files=[os.path.join(table_dir, f) for f in new_rel],
+                    old_files=[
+                        (f, _data_path(table_dir, parent, f)) for f in old_rel
+                    ],
+                    new_files=[_data_path(table_dir, m, f) for f in new_rel],
                     # recorded logical-at-commit → PHYSICAL (stable),
                     # translated back to the reader's logical at read time
                     change_key=(m.get("phys") or {}).get(
@@ -695,7 +698,7 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                 out.append(
                     _CDFPartition(
                         "pos_delete",
-                        os.path.join(table_dir, f),
+                        _data_path(table_dir, m, f),
                         f,
                         v,
                         delta_dv=delta_paths,
@@ -710,7 +713,7 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                 out.append(
                     _CDFPartition(
                         "eq_delete",
-                        os.path.join(table_dir, f),
+                        _data_path(table_dir, m, f),
                         f,
                         v,
                         parent_dv=p_dv,
@@ -823,9 +826,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 f for f in m["files"] if prev_files is None or f not in prev_files
             ]
             nbytes = sum(
-                os.path.getsize(os.path.join(self._dir, f))
+                os.path.getsize(_data_path(self._dir, m, f))
                 for f in new
-                if os.path.exists(os.path.join(self._dir, f))
+                if os.path.exists(_data_path(self._dir, m, f))
             )
             if end > cursor and total + nbytes > self._max_bytes:
                 break
@@ -884,7 +887,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             for f in m["files"]:
                 if f not in seen:
                     seen.add(f)
-                    out.append(_FilePartition(os.path.join(self._dir, f)))
+                    out.append(_FilePartition(_data_path(self._dir, m, f)))
         return out
 
     def _cdf_partitions(self, sv: int, ev: int) -> Sequence[InputPartition]:
