@@ -188,7 +188,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # in the driver top-50 (round 4): the exhaustive-Jaccard verify logic
     # is already exercised inside both LSH queries, and the pairs query
     # itself stays bit-exact-checked by the local oracle mirror.
-    "dedup_exact",                  # X2
+    # round-10 rotation (4th): dedup_exact ceded its slot (X2 stays
+    # driver-covered by pipeline_end_to_end, whose first stage IS the
+    # exact dedup; the bare form stays bit-exact in the local mirror)
+    # to rel_merge_into — the full conditional MERGE surface
+    # (operators/merge_into.py), which had no driver row
+    "rel_merge_into",               # S5 J2 P4 — conditional MERGE INTO
     "dedup_components_lsh",         # X3 (LSH + CC composition)
     # text analysis — round-6 rotation: text_tfidf_topk's ids (X4/W4)
     # remain covered by text_stats and the bench set
