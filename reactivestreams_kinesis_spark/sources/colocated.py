@@ -50,6 +50,7 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
     _read_manifest,
     _transform_name,
     latest_version,
+    prune_files,
 )
 from reactivestreams_kinesis_spark.sources.snapshot_source import (
     _SnapshotBatchReader,
@@ -66,6 +67,13 @@ class _SideFiles:
     schema: StructType  # projected LOGICAL read schema (key included)
     key: str
     files: list = field(default_factory=list)  # [(FilePartition, tight)]
+    # scan_snapshot-style (col, op, value) predicates, already consumed
+    # for FILE pruning at plan time; re-applied row-exactly in-task
+    predicates: list = field(default_factory=list)
+
+
+# scan-predicate op → the snapshot source's arrow-filter op vocabulary
+_ARROW_OPS = {"=": "eq", ">": "gt", ">=": "gte", "<": "lt", "<=": "lte", "in": "in"}
 
 
 @dataclass
@@ -117,11 +125,13 @@ def _spec_bucket_entry(manifest: dict, key: str) -> dict:
     )
 
 
-def _side_plan(table_dir: str, version: int, key: str, columns) -> tuple:
+def _side_plan(table_dir: str, version: int, key: str, columns, predicates=None) -> tuple:
     """Driver-side planning for one table: projected read schema,
     per-file partitions (DV/eq-delete wired by the snapshot reader's own
-    planner), and each file's bucket assignment from the manifest's
-    recorded partition tuples."""
+    planner) pruned by any side predicates (manifest stats / partition
+    tuples / blooms — the same `prune_files` every scan uses), and each
+    file's bucket assignment from the manifest's recorded partition
+    tuples."""
     manifest = _read_manifest(table_dir, version)
     if manifest.get("schema") is None:
         raise ValueError(
@@ -144,16 +154,26 @@ def _side_plan(table_dir: str, version: int, key: str, columns) -> tuple:
     n = int(entry["n"])
     bname = _transform_name(entry)
 
+    predicates = list(predicates or [])
+    bad_cols = [c for (c, _, _) in predicates if c not in set(keep)]
+    if bad_cols:
+        raise ValueError(
+            f"predicate columns not in the projected read: {bad_cols}"
+        )
     side = _SideFiles(
         table_dir=table_dir,
         phys=dict(manifest.get("phys") or {}),
         schema=proj,
         key=key,
+        predicates=predicates,
     )
     # the snapshot reader's own partition planner wires DV paths and
     # scoped equality deletes per file — the join reads through the
     # exact same merge-on-read stack as a plain scan
     fps = _SnapshotBatchReader(table_dir, manifest, proj).partitions()
+    if predicates:
+        survivors = set(prune_files(manifest, predicates))
+        fps = [fp for fp in fps if fp.rel in survivors]
     stats = manifest.get("stats") or {}
     by_bucket: dict[int, list] = {}
     straddlers: list = []  # (fp) readable in EVERY bucket, row-filtered
@@ -213,9 +233,20 @@ class ColocatedJoinDataSource(DataSource):
         if lv is None or rv is None:
             raise FileNotFoundError("no snapshots in one of the join inputs")
         cols = lambda s: [c.strip() for c in s.split(",")] if s else None
+
+        def preds(s):
+            if not s:
+                return None
+            import json
+
+            out = []
+            for c, op, v in json.loads(s):
+                out.append((c, op, tuple(v) if isinstance(v, list) else v))
+            return out
+
         return (
-            (ldir, lv, lkey, cols(self._opt("leftColumns"))),
-            (rdir, rv, rkey, cols(self._opt("rightColumns"))),
+            (ldir, lv, lkey, cols(self._opt("leftColumns")), preds(self._opt("leftWhere"))),
+            (rdir, rv, rkey, cols(self._opt("rightColumns")), preds(self._opt("rightWhere"))),
         )
 
     def _join_type(self) -> str:
@@ -227,12 +258,12 @@ class ColocatedJoinDataSource(DataSource):
         return jt
 
     def schema(self) -> StructType:
-        (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols) = self._plan_inputs()
+        (ldir, lv, lkey, lcols, lw), (rdir, rv, rkey, rcols, rw) = self._plan_inputs()
         jt = self._join_type()
-        left, _, _, _ = _side_plan(ldir, lv, lkey, lcols)
+        left, _, _, _ = _side_plan(ldir, lv, lkey, lcols, lw)
         if jt in ("left_semi", "left_anti"):
             return left.schema  # existence tests surface left rows only
-        right, _, _, _ = _side_plan(rdir, rv, rkey, rcols)
+        right, _, _, _ = _side_plan(rdir, rv, rkey, rcols, rw)
         rfields = [f for f in right.schema.fields if f.name != rkey]
         if jt == "left_outer":
             # unmatched left rows pad NULL on the right side
@@ -250,11 +281,8 @@ class ColocatedJoinDataSource(DataSource):
         return StructType(out)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols) = self._plan_inputs()
-        return _ColocatedJoinReader(
-            (ldir, lv, lkey, lcols), (rdir, rv, rkey, rcols), schema,
-            self._join_type(),
-        )
+        left, right = self._plan_inputs()
+        return _ColocatedJoinReader(left, right, schema, self._join_type())
 
 
 class _ColocatedJoinReader(DataSourceReader):
@@ -283,9 +311,15 @@ class _ColocatedJoinReader(DataSourceReader):
         parts: list[InputPartition] = []
         null_owner_assigned = False
         for b in live:
-            lf = _SideFiles(lside.table_dir, lside.phys, lside.schema, lside.key)
+            lf = _SideFiles(
+                lside.table_dir, lside.phys, lside.schema, lside.key,
+                predicates=lside.predicates,
+            )
             lf.files = list(lbuckets.get(b, [])) + [(fp, False) for fp in lstrad]
-            rf = _SideFiles(rside.table_dir, rside.phys, rside.schema, rside.key)
+            rf = _SideFiles(
+                rside.table_dir, rside.phys, rside.schema, rside.key,
+                predicates=rside.predicates,
+            )
             rf.files = list(rbuckets.get(b, [])) + [(fp, False) for fp in rstrad]
             if lf.files and (rf.files or jt in ("left_anti", "left_outer")):
                 owns = jt in ("left_anti", "left_outer") and not null_owner_assigned
@@ -335,6 +369,18 @@ class _ColocatedJoinReader(DataSourceReader):
         if not batches:
             return pa.Table.from_batches([], schema=arrow_schema)
         tbl = pa.Table.from_batches(batches)
+        if side.predicates:
+            # the predicates already pruned FILES at plan time; the
+            # row-exact re-apply happens here (Arrow kernel, logical
+            # names — batches are already renamed)
+            from reactivestreams_kinesis_spark.sources.snapshot_source import (
+                _arrow_expr,
+            )
+
+            triples = [
+                (_ARROW_OPS[op], c, v) for (c, op, v) in side.predicates
+            ]
+            tbl = tbl.filter(_arrow_expr(triples))
         if not keep_null_keys and tbl.column(side.key).null_count:
             import pyarrow.compute as pc
 
@@ -399,6 +445,8 @@ def colocated_join(
     how: str = "inner",
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
+    left_where: list | None = None,
+    right_where: list | None = None,
     left_version: int | None = None,
     right_version: int | None = None,
 ) -> DataFrame:
@@ -421,6 +469,16 @@ def colocated_join(
         r = r.option("leftColumns", ",".join(left_columns))
     if right_columns:
         r = r.option("rightColumns", ",".join(right_columns))
+    if left_where or right_where:
+        import json
+
+        to_json = lambda ps: json.dumps(
+            [[c, op, list(v) if isinstance(v, tuple) else v] for c, op, v in ps]
+        )
+        if left_where:
+            r = r.option("leftWhere", to_json(left_where))
+        if right_where:
+            r = r.option("rightWhere", to_json(right_where))
     if left_version is not None:
         r = r.option("leftVersion", str(left_version))
     if right_version is not None:
