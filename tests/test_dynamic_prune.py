@@ -85,3 +85,21 @@ def test_dynamic_prune_join_empty_and_null_dim(spark, sf_dir, tmp_path):
     assert j.columns == ["o_orderkey", "o_custkey", "o_totalprice", "k", "tag"]
     nulls = spark.createDataFrame([(None, "x")], "k bigint, tag string")
     assert dynamic_prune_join(spark, t, nulls, ("o_custkey", "k")).count() == 0
+
+
+def test_dynamic_prune_join_plan_shapes(spark, sf_dir, tmp_path):
+    """IN-list regime pins a broadcast-hash join (the dim was observed
+    bounded); the range-fallback regime pins NO broadcast hint — the
+    strategy is AQE's to pick from runtime sizes."""
+    t = str(tmp_path / f"fact_{_uuid.uuid4().hex[:6]}")
+    snapshot_commit(_orders(spark, sf_dir).limit(500), t)
+    small = spark.createDataFrame([(k, "x") for k in range(5)], "k bigint, tag string")
+    j = dynamic_prune_join(spark, t, small, ("o_custkey", "k"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    big = spark.createDataFrame([(k, "x") for k in range(50)], "k bigint, tag string")
+    j2 = dynamic_prune_join(spark, t, big, ("o_custkey", "k"), max_keys=10)
+    logical = j2._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower() or "ResolvedHint" not in logical, (
+        "range regime must not PIN a broadcast (AQE may still choose one)"
+    )
