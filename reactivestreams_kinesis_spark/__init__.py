@@ -54,6 +54,22 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.operators import snapshots
 
         return getattr(snapshots, name)
+    if name in _MATVIEW_OPS:
+        from reactivestreams_kinesis_spark.operators import matview
+
+        return getattr(matview, name)
+    if name == "merge_into":
+        from reactivestreams_kinesis_spark.operators.merge_into import merge_into
+
+        return merge_into
+    if name == "dynamic_prune_join":
+        from reactivestreams_kinesis_spark.operators.joins import dynamic_prune_join
+
+        return dynamic_prune_join
+    if name in ("colocated_join", "register_colocated_source"):
+        from reactivestreams_kinesis_spark.sources import colocated
+
+        return getattr(colocated, name)
     if name in _ANN_INDEX_OPS:
         from reactivestreams_kinesis_spark.operators import ann_index
 
@@ -118,6 +134,22 @@ _SNAPSHOT_OPS = (
     "SnapshotConflictError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",
+    "clone_snapshot",
+    "rename_column",
+    "add_column",
+    "drop_column",
+    "set_partition_spec",
+    "set_ndv_columns",
+    "approx_distinct_count",
+    "compaction_advice",
+)
+# Incremental materialized views (operators/matview.py)
+_MATVIEW_OPS = (
+    "create_materialized_view",
+    "refresh_materialized_view",
+    "read_materialized_view",
+    "materialized_view_status",
+    "stream_refresh_materialized_view",
 )
 _ANN_INDEX_OPS = ("build_ivf_index", "probe_ivf_index", "append_to_ivf_index")
 _PIPELINE_OPS = (
@@ -141,6 +173,11 @@ __all__ = [
     *_DEDUP_OPS,
     *_SIM_OPS,
     *_SNAPSHOT_OPS,
+    *_MATVIEW_OPS,
+    "merge_into",
+    "dynamic_prune_join",
+    "colocated_join",
+    "register_colocated_source",
     *_ANN_INDEX_OPS,
     *_PIPELINE_OPS,
     "__version__",
