@@ -257,6 +257,15 @@ class ColocatedJoinDataSource(DataSource):
             )
         return jt
 
+    def _left_split(self) -> int | None:
+        v = self._opt("leftSplit")
+        if v is None:
+            return None
+        n = int(v)
+        if n < 1:
+            raise ValueError("leftSplit must be >= 1")
+        return n
+
     def schema(self) -> StructType:
         (ldir, lv, lkey, lcols, lw), (rdir, rv, rkey, rcols, rw) = self._plan_inputs()
         jt = self._join_type()
@@ -282,15 +291,25 @@ class ColocatedJoinDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         left, right = self._plan_inputs()
-        return _ColocatedJoinReader(left, right, schema, self._join_type())
+        return _ColocatedJoinReader(
+            left, right, schema, self._join_type(), self._left_split()
+        )
 
 
 class _ColocatedJoinReader(DataSourceReader):
-    def __init__(self, left, right, schema: StructType, join_type: str = "inner"):
+    def __init__(
+        self,
+        left,
+        right,
+        schema: StructType,
+        join_type: str = "inner",
+        left_split: int | None = None,
+    ):
         self._left = left
         self._right = right
         self._schema = schema
         self._join_type = join_type
+        self._left_split = left_split
 
     def partitions(self) -> Sequence[InputPartition]:
         lside, ln, lbuckets, lstrad = _side_plan(*self._left)
@@ -310,23 +329,44 @@ class _ColocatedJoinReader(DataSourceReader):
         live = sorted(lcand if jt in ("left_anti", "left_outer") else lcand & rcand)
         parts: list[InputPartition] = []
         null_owner_assigned = False
+        split = self._left_split
         for b in live:
-            lf = _SideFiles(
-                lside.table_dir, lside.phys, lside.schema, lside.key,
-                predicates=lside.predicates,
-            )
-            lf.files = list(lbuckets.get(b, [])) + [(fp, False) for fp in lstrad]
             rf = _SideFiles(
                 rside.table_dir, rside.phys, rside.schema, rside.key,
                 predicates=rside.predicates,
             )
             rf.files = list(rbuckets.get(b, [])) + [(fp, False) for fp in rstrad]
-            if lf.files and (rf.files or jt in ("left_anti", "left_outer")):
-                owns = jt in ("left_anti", "left_outer") and not null_owner_assigned
-                null_owner_assigned = null_owner_assigned or owns
-                parts.append(
-                    _BucketPartition(b, ln, lf, rf, join_type=jt, owns_nulls=owns)
+            # skew control: a hot bucket's TIGHT left files split across
+            # tasks (each left row lives in exactly one chunk, so every
+            # join type stays row-local given the full right bucket);
+            # straddlers ride with chunk 0 only — they are per-bucket
+            # row-filtered, so spreading them over chunks would re-emit
+            # their rows once per chunk
+            tight_files = list(lbuckets.get(b, []))
+            chunks = (
+                [tight_files[i : i + split] for i in range(0, len(tight_files), split)]
+                if split and len(tight_files) > split
+                else [tight_files]
+            )
+            strad_files = [(fp, False) for fp in lstrad]
+            for ci, chunk in enumerate(chunks):
+                lf = _SideFiles(
+                    lside.table_dir, lside.phys, lside.schema, lside.key,
+                    predicates=lside.predicates,
                 )
+                lf.files = list(chunk) + (strad_files if ci == 0 else [])
+                if lf.files and (rf.files or jt in ("left_anti", "left_outer")):
+                    owns = (
+                        jt in ("left_anti", "left_outer")
+                        and ci == 0
+                        and not null_owner_assigned
+                    )
+                    null_owner_assigned = null_owner_assigned or owns
+                    parts.append(
+                        _BucketPartition(
+                            b, ln, lf, rf, join_type=jt, owns_nulls=owns
+                        )
+                    )
         if not parts:
             # provably empty join — one sentinel keeps the Python DS
             # contract (non-empty partition list), reads as zero rows
@@ -449,13 +489,19 @@ def colocated_join(
     right_where: list | None = None,
     left_version: int | None = None,
     right_version: int | None = None,
+    left_split: int | None = None,
 ) -> DataFrame:
     """The convenience wrapper: register + read. ``how`` is one of
     inner / left_semi / left_anti / left_outer — semi/anti surface left
     columns only; inner/outer drop the right key column
     (``df.join(other, on=key)`` shape). NULL left keys match nothing,
     so they vanish from inner/semi and surface (exactly once) from
-    anti/outer, the SQL contract."""
+    anti/outer, the SQL contract. ``left_split`` caps the tight left
+    files per task (skew control: a hot bucket fans out over
+    ceil(files/split) tasks, each joining its slice against the full
+    right bucket — wall-clock stops being bounded by the largest
+    bucket, at the price of re-reading that bucket's right side per
+    slice)."""
     register_colocated_source(spark)
     r = (
         spark.read.format("snapshot_colocated_join")
@@ -483,4 +529,6 @@ def colocated_join(
         r = r.option("leftVersion", str(left_version))
     if right_version is not None:
         r = r.option("rightVersion", str(right_version))
+    if left_split is not None:
+        r = r.option("leftSplit", str(left_split))
     return r.load()

@@ -399,3 +399,36 @@ def test_colocated_join_side_predicates_prune_and_apply(spark, sf_dir, tmp_path)
             spark, lt, rt, left_key="c_custkey", right_key="o_custkey",
             left_where=[("not_a_col", "=", 1)],
         ).schema
+
+
+def test_colocated_join_left_split_skew_control(spark, sf_dir, tmp_path):
+    """leftSplit fans a hot bucket's tight left files across tasks —
+    identical rows for every join type (straddlers and NULL-key rows
+    ride chunk 0 only, so nothing re-emits per chunk), strictly more
+    input partitions."""
+    lt, rt = _dirs(tmp_path)
+    cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
+    # pre-spec straddler era + a NULL-key row, then tight multi-file era
+    nulled = cust.limit(3).withColumn("c_custkey", F.lit(None).cast("bigint"))
+    snapshot_commit(cust.filter("c_custkey % 2 = 0").unionByName(nulled).repartition(2), lt)
+    set_partition_spec(lt, [("c_custkey", "bucket", 2)])  # 2 hot buckets
+    # several appends → several TIGHT files per bucket (each clustered
+    # commit lands ~one file per bucket), so split=1 has chunks to cut
+    for m in (1, 3, 5):
+        snapshot_commit(cust.filter(f"c_custkey % 6 = {m}"), lt)
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 2)])
+
+    for how in ("inner", "left_semi", "left_anti", "left_outer"):
+        base = colocated_join(
+            spark, lt, rt, left_key="c_custkey", right_key="o_custkey", how=how
+        )
+        split = colocated_join(
+            spark, lt, rt, left_key="c_custkey", right_key="o_custkey", how=how,
+            left_split=1,
+        )
+        b = sorted([tuple(r) for r in base.collect()], key=str)
+        s = sorted([tuple(r) for r in split.collect()], key=str)
+        assert b == s, f"left_split changed {how} results"
+        assert (
+            split.rdd.getNumPartitions() > base.rdd.getNumPartitions()
+        ), f"{how}: split must add tasks"
