@@ -9,8 +9,14 @@ the view itself gets time travel, constraints, and idempotent commits
 for free.
 
 Supported aggregate spec: ``{output_name: (fn, col)}`` with fn in
-``sum | count | min | max | avg`` (``col=None`` with ``count`` is
-COUNT(*)), grouped by any key tuple, over an optional row-local WHERE.
+``sum | count | min | max | avg | approx_distinct`` (``col=None`` with
+``count`` is COUNT(*)), grouped by any key tuple, over an optional
+row-local WHERE. ``approx_distinct`` stores a datasketches HLL sketch
+per group (Spark's hll_sketch_agg/hll_union_agg): insert-only deltas
+UNION into the stored sketch — the "distinct users per day" standing
+metric costs sketch-merge arithmetic, never a source scan — while a
+retraction marks the group dirty like min/max (sketches don't
+subtract) and its sketch recomputes from the pruned source scan.
 
 Maintenance algebra (per group):
 - ``count``/``sum``/``avg`` are ABELIAN — each feed row contributes
@@ -71,7 +77,10 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
 
 _MV_META = "_mv.json"
 _TXN_PREFIX = "mv-refresh-"
-_SUPPORTED = ("sum", "count", "min", "max", "avg")
+_SUPPORTED = ("sum", "count", "min", "max", "avg", "approx_distinct")
+# aggregates with no retraction inverse: a group that saw a retraction
+# recomputes these from the source (min/max extremes, HLL sketches)
+_NON_ABELIAN = ("min", "max", "approx_distinct")
 # above this many dirty groups the min/max recompute switches from a
 # collected IN-predicate scan (manifest-prunable) to a semi-join
 _DIRTY_PRUNE_CAP = 256
@@ -137,6 +146,12 @@ def _state_partials(rows: DataFrame, group_by: list[str], aggs: dict, *, sgn):
                     F.sum(F.when(c.isNotNull(), sgn)), F.lit(0)
                 ).cast("long").alias(f"__mv_cnt__{name}")
             )
+        elif fn == "approx_distinct":
+            # datasketches HLL: insert-side sketch only (sketches union
+            # but never subtract — retractions mark the group dirty)
+            exprs.append(
+                F.hll_sketch_agg(F.when(sgn > 0, c)).alias(f"__mv_hll__{name}")
+            )
         else:  # min / max
             agg = F.min if fn == "min" else F.max
             # insert-side extreme only: retractions can't fold into an
@@ -167,6 +182,10 @@ def _merge_states(
         elif fn == "avg":
             exprs.append(F.sum(f"__mv_sum__{name}").alias(f"__mv_sum__{name}"))
             exprs.append(F.sum(f"__mv_cnt__{name}").cast("long").alias(f"__mv_cnt__{name}"))
+        elif fn == "approx_distinct":
+            exprs.append(
+                F.hll_union_agg(f"__mv_hll__{name}").alias(f"__mv_hll__{name}")
+            )
         else:
             agg = F.min if fn == "min" else F.max
             exprs.append(agg(name).alias(name))
@@ -183,6 +202,8 @@ def _state_columns(group_by: list[str], aggs: dict) -> list[str]:
             cols += [f"__mv_sum__{name}", f"__mv_cnt__{name}"]
         elif fn == "sum":
             cols += [name, f"__mv_nn__{name}"]
+        elif fn == "approx_distinct":
+            cols.append(f"__mv_hll__{name}")
         else:
             cols.append(name)
     return cols
@@ -376,7 +397,7 @@ def refresh_materialized_view(
     if where:
         rows = rows.filter(F.expr(where))
     delta = _state_partials(rows, group_by, aggs, sgn=sgn)
-    minmax = {n: s for n, s in aggs.items() if s[0] in ("min", "max")}
+    nonabelian = {n: s for n, s in aggs.items() if s[0] in _NON_ABELIAN}
 
     if strategy == "merge":
         if len(group_by) != 1:
@@ -385,7 +406,7 @@ def refresh_materialized_view(
                 "primitive's key); use strategy='overwrite' for composite keys"
             )
         return _merge_refresh(
-            spark, view_dir, source_dir, group_by, aggs, minmax, where,
+            spark, view_dir, source_dir, group_by, aggs, nonabelian, where,
             delta, sv, ev, txn,
         )
 
@@ -394,9 +415,9 @@ def refresh_materialized_view(
     # SURVIVE to the commit so the __mv_n >= 1 constraint fails it loudly
     merged = _merge_states(old, delta, group_by, aggs).filter(F.col("__mv_n") != 0)
 
-    if minmax:
+    if nonabelian:
         merged = _patch_dirty_extremes(
-            spark, merged, source_dir, ev, group_by, minmax, where
+            spark, merged, source_dir, ev, group_by, nonabelian, where
         )
     state = _cast_to_view_schema(
         merged.select(*_state_columns(group_by, aggs)), view_dir
@@ -405,7 +426,7 @@ def refresh_materialized_view(
 
 
 def _merge_refresh(
-    spark, view_dir, source_dir, group_by, aggs, minmax, where, delta, sv, ev, txn
+    spark, view_dir, source_dir, group_by, aggs, nonabelian, where, delta, sv, ev, txn
 ) -> int:
     """Delta-proportional refresh: recompute ONLY the groups the feed
     touched (old watermark state restricted by a null-safe semi-join to
@@ -438,9 +459,9 @@ def _merge_refresh(
             )
         dead = [r[0] for r in changed.filter(F.col("__mv_n") == 0).select(k).collect()]
         live = changed.filter(F.col("__mv_n") != 0)
-        if minmax:
+        if nonabelian:
             live = _patch_dirty_extremes(
-                spark, live, source_dir, ev, group_by, minmax, where
+                spark, live, source_dir, ev, group_by, nonabelian, where
             )
         live = _cast_to_view_schema(
             live.select(*_state_columns(group_by, aggs)), view_dir
@@ -479,9 +500,10 @@ def _full_rebuild(spark, view_dir, meta, aggs, ev, txn) -> int:
 
 
 def _patch_dirty_extremes(
-    spark, merged, source_dir, ev, group_by, minmax, where
+    spark, merged, source_dir, ev, group_by, nonabelian, where
 ) -> DataFrame:
-    """Recompute min/max for groups that saw a retraction, from the
+    """Recompute the non-invertible aggregates (min/max extremes, HLL
+    distinct sketches) for groups that saw a retraction, from the
     source AS OF the refresh version, restricted to exactly those
     groups. Small dirty sets (≤ _DIRTY_PRUNE_CAP, single key) collect to
     an IN-predicate ``scan_snapshot`` so manifest stats / partition
@@ -518,24 +540,33 @@ def _patch_dirty_extremes(
             src = src.join(kdf, cond, "left_semi")
         if where:
             src = src.filter(F.expr(where))
+        def rec_expr(n, fn, col):
+            if fn == "approx_distinct":
+                return F.hll_sketch_agg(col).alias(f"__mv_rec__{n}")
+            return (F.min(col) if fn == "min" else F.max(col)).alias(
+                f"__mv_rec__{n}"
+            )
+
         rec = src.groupBy(*group_by).agg(
-            *[
-                (F.min(col) if fn == "min" else F.max(col)).alias(f"__mv_rec__{n}")
-                for n, (fn, col) in minmax.items()
-            ]
+            *[rec_expr(n, fn, col) for n, (fn, col) in nonabelian.items()]
         )
         cond = None
         for k in group_by:
             c = merged[k].eqNullSafe(rec[k])
             cond = c if cond is None else (cond & c)
         out = merged.join(rec, cond, "left")
+        # state column ← which recompute alias patches it
+        patch = {}
+        for n, (fn, col) in nonabelian.items():
+            state_col = f"__mv_hll__{n}" if fn == "approx_distinct" else n
+            patch[state_col] = f"__mv_rec__{n}"
         sel = []
         for c in merged.columns:
             if c == "__mv_dirty":
                 continue
-            if c in minmax:
+            if c in patch:
                 sel.append(
-                    F.when(merged["__mv_dirty"] == 1, rec[f"__mv_rec__{c}"])
+                    F.when(merged["__mv_dirty"] == 1, rec[patch[c]])
                     .otherwise(merged[c])
                     .alias(c)
                 )
@@ -575,6 +606,10 @@ def read_materialized_view(
                     F.col(f"__mv_sum__{name}").cast("double")
                     / F.col(f"__mv_cnt__{name}"),
                 ).alias(name)
+            )
+        elif fn == "approx_distinct":
+            sel.append(
+                F.hll_sketch_estimate(F.col(f"__mv_hll__{name}")).alias(name)
             )
         else:
             sel.append(F.col(name))

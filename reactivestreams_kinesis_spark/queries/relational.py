@@ -1477,3 +1477,88 @@ def rel_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.round(F.col("bal").cast("double"), 2).alias("bal"),
     )
+
+
+@register(
+    "rel_mv_approx_distinct",
+    oracle="""
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey FROM customer
+        UNION ALL
+        SELECT CAST(1000000 + n_nationkey AS BIGINT), n_nationkey FROM nation
+    ),
+    live AS (SELECT * FROM all_rows WHERE NOT (c_custkey <= 200))
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_custkey) AS exact_users,
+           CAST(1 AS INT) AS approx_ok
+    FROM live
+    GROUP BY c_nationkey
+    """,
+    tags=("S5", "A3", "A1"),
+)
+def rel_mv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX-DISTINCT MATERIALIZED VIEW under the bounds oracle
+    (`operators/matview.py` with the ``approx_distinct`` aggregate —
+    per-group datasketches HLL state): the view maintains per-nation
+    COUNT(*) and a distinct-custkey sketch; the source takes an append
+    (sketches UNION in — no source access) and a merge-on-read delete
+    (dirty groups recompute their sketch from the pruned source scan),
+    then the view's estimate is checked within 10% of the EXACT
+    distinct count computed directly — `approx_ok` must be 1 for every
+    group, and the exact counts hash against the oracle's SQL. A stale
+    sketch (a retraction that failed to dirty its group) fails the
+    bound; a lost insert fails the exact column."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(1000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+    )
+    u = _uuid.uuid4().hex[:8]
+    t = os.path.join(tempfile.gettempdir(), f"rsk_mvad_{u}")
+    v = os.path.join(tempfile.gettempdir(), f"rsk_mvadv_{u}")
+    snapshot_commit(base.repartitionByRange(6, "c_custkey"), t)
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["c_nationkey"],
+        aggs={"n_rows": ("count", None), "users": ("approx_distinct", "c_custkey")},
+    )
+    snapshot_commit(ins, t)                                         # union path
+    delete_where(
+        spark, t, [("c_custkey", "<=", 200)], strategy="merge_on_read"
+    )                                                               # dirty path
+    refresh_materialized_view(spark, v)
+    mv = read_materialized_view(spark, v)
+    exact = (
+        read_snapshot(spark, t)
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("exact_users"))
+    )
+    return mv.join(exact, "c_nationkey").select(
+        "c_nationkey",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("approx_ok"),
+    )

@@ -597,3 +597,48 @@ def test_mv_stream_refresh_drains_and_resumes(spark, sf_dir, tmp_path):
     assert _rows(read_materialized_view(spark, v)) == _rows(
         _recompute(read_snapshot(spark, t))
     )
+
+
+def test_mv_approx_distinct_sketch_maintenance(spark, tmp_path):
+    """approx_distinct state: insert-only refreshes UNION sketches
+    (estimate equals the direct hll estimate over the same rows —
+    sketch algebra is deterministic), retractions route through the
+    dirty recompute, and both strategies agree."""
+    t, vo, vm = (
+        str(tmp_path / "src"), str(tmp_path / "vo"), str(tmp_path / "vm")
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, u string")
+    snapshot_commit(
+        mk([(i, i % 3, f"user{i % 40}") for i in range(100)]).repartition(2), t
+    )
+    aggs = {"n": ("count", None), "users": ("approx_distinct", "u")}
+    for v in (vo, vm):
+        create_materialized_view(spark, v, t, group_by=["k"], aggs=aggs)
+    # insert-only delta: sketch-union path, no dirty recompute
+    snapshot_commit(mk([(1000 + i, i % 3, f"user{40 + i}") for i in range(20)]), t)
+    refresh_materialized_view(spark, vo)
+    refresh_materialized_view(spark, vm, strategy="merge")
+
+    def direct():
+        return (
+            read_snapshot(spark, t)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("users"),
+            )
+        )
+
+    exp = _rows(direct())
+    assert _rows(read_materialized_view(spark, vo)) == exp
+    assert _rows(read_materialized_view(spark, vm)) == exp
+    # retraction: the group's sketch must recompute, not stay stale —
+    # delete ALL rows of user0..user9 in group 0 and check the estimate
+    # drops to the direct recompute's value
+    delete_where(spark, t, [("id", "<", 30)], strategy="merge_on_read")
+    refresh_materialized_view(spark, vo)
+    refresh_materialized_view(spark, vm, strategy="merge")
+    exp2 = _rows(direct())
+    assert _rows(read_materialized_view(spark, vo)) == exp2
+    assert _rows(read_materialized_view(spark, vm)) == exp2
+    assert exp2 != exp, "the retraction must change the sketch estimates"
