@@ -1594,6 +1594,49 @@ def snapshot_changes(
     )
 
 
+def _schema_field_names(mf: dict) -> list:
+    return [f["name"] for f in (mf.get("schema") or {}).get("fields", [])]
+
+
+def _logical_to_end_maps(
+    table_dir: str, from_version: int, to_version: int
+) -> dict:
+    """Per-version map {logical-name-at-v → logical-name-at-to_version},
+    composed backward one version STEP at a time: within a stable
+    physical namespace (append/delete/metadata commits) columns
+    correspond by PHYSICAL name — that is what carries a rename — while
+    an overwrite-op commit may RESET the namespace (a full
+    snapshot_commit(mode='overwrite'), compaction) and always preserves
+    logical names, so the step across it matches by NAME. A single
+    end-manifest inverse cannot cross the reset: a rename followed by a
+    compaction used to surface pre-rename change-feed inserts
+    NULL-padded under the new name (caught by the replay property
+    test). A column dropped before the end simply has no entry. Pure
+    metadata — one manifest read per version."""
+    end_manifest = _read_manifest(table_dir, to_version)
+    to_end: dict[int, dict] = {
+        to_version: {c: c for c in _schema_field_names(end_manifest)}
+    }
+    m_next = end_manifest
+    for mv in range(to_version - 1, from_version - 1, -1):
+        if not os.path.exists(_manifest_path(table_dir, mv)):
+            break  # callers' own range guards fail loudly for gaps
+        m_v = _read_manifest(table_dir, mv)
+        nxt = to_end[mv + 1]
+        if m_next["op"] == "overwrite":
+            step = {c: c for c in _schema_field_names(m_v)}
+        else:
+            phys_v = _phys_map(m_v)
+            inv_next = _inv_phys(m_next)
+            step = {
+                c: inv_next.get(phys_v.get(c, c), phys_v.get(c, c))
+                for c in _schema_field_names(m_v)
+            }
+        to_end[mv] = {c: nxt[n] for c, n in step.items() if n in nxt}
+        m_next = m_v
+    return to_end
+
+
 def snapshot_change_feed(
     spark: SparkSession,
     table_dir: str,
@@ -1642,19 +1685,24 @@ def snapshot_change_feed(
         raise ValueError(f"bad version range {from_version}..{to_version} (tip {tip})")
 
     parts: list[DataFrame] = []
-    # the feed surfaces the ENDING version's logical names; a column
-    # renamed inside the range is the SAME physical column, so each
-    # part's columns remap logical-at-read → physical → logical-at-end
-    # (physical identity is the anchor that makes renames crossable)
-    end_manifest = _read_manifest(table_dir, to_version)
-    end_inv = _inv_phys(end_manifest)
+    # the feed surfaces the ENDING version's logical names. Each part's
+    # columns remap logical-at-its-version → logical-at-end via maps
+    # COMPOSED one version step at a time: within a stable physical
+    # namespace (append/delete/metadata commits) columns correspond by
+    # PHYSICAL name — that is what carries a rename — while an
+    # overwrite-op commit may RESET the physical namespace
+    # (snapshot_commit(mode="overwrite"), compaction) and always
+    # preserves logical names, so the step across it matches by NAME.
+    # A single end-manifest inverse cannot cross the reset: a rename
+    # followed by a compaction used to surface pre-rename inserts
+    # NULL-padded under the new name (caught by the replay property
+    # test) because the pre-rename physical no longer appeared in the
+    # ending map.
+    to_end = _logical_to_end_maps(table_dir, from_version, to_version)
 
-    def remap(df: DataFrame, m_read: dict) -> DataFrame:
-        phys_read = _phys_map(m_read)
-        renames = {
-            c: end_inv.get(phys_read.get(c, c), phys_read.get(c, c))
-            for c in df.columns
-        }
+    def remap(df: DataFrame, version: int) -> DataFrame:
+        mp = to_end.get(version) or {}
+        renames = {c: mp.get(c, c) for c in df.columns}
         if all(new == c for c, new in renames.items()):
             return df
         return df.select(
@@ -1686,7 +1734,7 @@ def snapshot_change_feed(
                 # appended files carry no positions and sit outside every
                 # equality scope — a plain declared-schema read suffices
                 df = _read_plain(spark, table_dir, m, new_rel)
-                parts.append(stamp(remap(df, m), "insert", v))
+                parts.append(stamp(remap(df, v), "insert", v))
         elif m["op"] == "delete":
             parent_dvc = parent.get("dv_counts") or {}
             delta_dv = [
@@ -1720,7 +1768,7 @@ def snapshot_change_feed(
                             scan.join(
                                 pos, ["__cf_file", "__cf_pos"], "semi"
                             ).drop("__cf_file", "__cf_pos"),
-                            parent,
+                            v - 1,
                         ),
                         "delete",
                         v,
@@ -1758,7 +1806,7 @@ def snapshot_change_feed(
                             scan.join(keys, join_cols, "semi").select(
                                 *scan.columns
                             ),
-                            parent,
+                            v - 1,
                         ),
                         "delete",
                         v,
@@ -1766,7 +1814,7 @@ def snapshot_change_feed(
                 )
         else:
             parts.extend(
-                remap(p_df, m)
+                remap(p_df, v)
                 for p_df in _rewrite_change_rows(spark, table_dir, m, parent, v)
             )
     if not parts:

@@ -555,7 +555,7 @@ class _CDFPartition(InputPartition):
     def __init__(self, kind, path, rel, version, parent_dv=None,
                  parent_eq=None, delta_dv=None, delta_keys=None,
                  old_files=None, new_files=None, change_key=None,
-                 change_kind=None):
+                 change_kind=None, read_names=None, read_names_old=None):
         self.kind = kind
         self.path = path
         self.rel = rel
@@ -570,6 +570,12 @@ class _CDFPartition(InputPartition):
         self.new_files = new_files
         self.change_key = change_key    # pairing key ("rewrite" w/ key)
         self.change_kind = change_kind  # "update" | "rewrite" | None
+        # file-side (physical-at-version) column name per ENDING schema
+        # field — planned per version so a rename followed by an
+        # overwrite-op physical reset resolves correctly; None falls
+        # back to the reader's end-manifest mapping (legacy manifests)
+        self.read_names = read_names
+        self.read_names_old = read_names_old  # rewrite_diff old side
 
 
 def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition]:
@@ -590,6 +596,43 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
     the table). A vacuumed version in range raises — its changes are
     unreconstructable, and silently skipping would emit an incomplete
     feed."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _logical_to_end_maps,
+        _phys_map,
+        _schema_field_names,
+    )
+
+    # per-version file-side names for the ENDING schema's fields: the
+    # step-composed maps resolve renames across overwrite-op physical
+    # resets (see _logical_to_end_maps); an end field with no pre-image
+    # at v reads a guaranteed-absent name, padding NULL — never an old
+    # physical column's bytes
+    end_fields: list = []
+    maps: dict = {}
+    if os.path.exists(_manifest_path(table_dir, ev)):
+        end_fields = _schema_field_names(_read_manifest(table_dir, ev))
+        if end_fields:
+            maps = _logical_to_end_maps(table_dir, max(sv, 0), ev)
+    _rn_cache: dict = {}
+
+    def rn(v: int):
+        if not end_fields:
+            return None  # legacy schema-less manifests: reader fallback
+        if v not in _rn_cache:
+            mp = maps.get(v)
+            if mp is None:
+                _rn_cache[v] = None
+            else:
+                inv_end = {e: c for c, e in mp.items()}
+                phys_v = _phys_map(_read_manifest(table_dir, v))
+                _rn_cache[v] = [
+                    phys_v.get(inv_end[f], inv_end[f])
+                    if f in inv_end
+                    else f"__absent__{f}"
+                    for f in end_fields
+                ]
+        return _rn_cache[v]
+
     out: list[_CDFPartition] = []
     for v in range(max(sv + 1, 0), ev + 1):
         if not os.path.exists(_manifest_path(table_dir, v)):
@@ -613,7 +656,8 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                 if f not in base:
                     out.append(
                         _CDFPartition(
-                            "insert", _data_path(table_dir, m, f), f, v
+                            "insert", _data_path(table_dir, m, f), f, v,
+                            read_names=rn(v),
                         )
                     )
             continue
@@ -661,6 +705,8 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                         change.get("key"), change.get("key")
                     ),
                     change_kind=change.get("kind"),
+                    read_names=rn(v),
+                    read_names_old=rn(v - 1),
                 )
             )
             continue
@@ -702,6 +748,7 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                         f,
                         v,
                         delta_dv=delta_paths,
+                        read_names=rn(v),
                     )
                 )
         for entry in (m.get("eq_deletes") or [])[len(p_eq_all):]:
@@ -719,6 +766,7 @@ def _plan_cdf_partitions(table_dir: str, sv: int, ev: int) -> list[_CDFPartition
                         parent_dv=p_dv,
                         parent_eq=p_eq_for(f),
                         delta_keys=keys,
+                        read_names=rn(v),
                     )
                 )
     return out
@@ -1028,7 +1076,9 @@ def _parent_live_table(rel, path, parent_dv, parent_eq, arrow_schema,
     return tbl
 
 
-def _read_rewrite_diff(p: _CDFPartition, arrow_schema, read_names=None) -> Iterator:
+def _read_rewrite_diff(
+    p: _CDFPartition, arrow_schema, read_names=None, read_names_old=None
+) -> Iterator:
     """Change rows of ONE copy-on-write rewrite commit, derived by
     multiset-diffing the dropped files' parent-live rows against their
     replacement files (both padded to the declared schema):
@@ -1085,7 +1135,7 @@ def _read_rewrite_diff(p: _CDFPartition, arrow_schema, read_names=None) -> Itera
             [
                 _parent_live_table(
                     rel, path, p.parent_dv, p.parent_eq, arrow_schema,
-                    read_names,
+                    read_names if read_names_old is None else read_names_old,
                 )
                 for rel, path in p.old_files
             ]
@@ -1149,6 +1199,8 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema, read_names=None) -> Iter
 
     if p.kind == "empty":
         return  # quiet-range sentinel: zero rows, matching readChangeFeed
+    if p.read_names is not None:
+        read_names = p.read_names  # per-version plan beats the end fallback
 
     if p.kind == "insert":
         for batch in _read_parquet_batches(p.path, arrow_schema, read_names):
@@ -1158,7 +1210,10 @@ def _read_cdf_partition(p: _CDFPartition, arrow_schema, read_names=None) -> Iter
         return
 
     if p.kind == "rewrite_diff":
-        yield from _read_rewrite_diff(p, arrow_schema, read_names)
+        yield from _read_rewrite_diff(
+            p, arrow_schema, read_names,
+            p.read_names_old if p.read_names_old is not None else read_names,
+        )
         return
 
     if p.kind == "pos_delete":

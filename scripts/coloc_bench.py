@@ -140,6 +140,55 @@ def main() -> int:
         result["tiers"][f"x{scale}"] = tier
         print(f"x{scale}: {tier}", file=sys.stderr)
 
+    # SKEW tier: every key hashes into ONE bucket (filtered by the
+    # bucket expression itself), so the plain co-located join runs a
+    # single task — leftSplit fans the hot bucket across tasks. Multiple
+    # appends give the splitter tight files to cut.
+    skew_keys = (
+        spark.range(4_000_000)
+        .select(F.col("id").alias("k"))
+        .where(F.pmod(F.crc32(F.col("id").cast("string")), F.lit(N_BUCKETS)) == 0)
+    )
+    lt = os.path.join(base, "skew_l")
+    rt = os.path.join(base, "skew_r")
+    left = skew_keys.select(
+        F.col("k").alias("c_custkey"),
+        (F.col("k") % 25).cast("int").alias("c_nationkey"),
+        (F.col("k") % 1000).cast("double").alias("c_acctbal"),
+    )
+    for i in range(8):
+        snapshot_commit(
+            left.where(F.col("c_custkey") % 8 == i),
+            lt,
+            partition_by=[("c_custkey", "bucket", N_BUCKETS)]
+            if i == 0
+            else None,
+        )
+    snapshot_commit(
+        skew_keys.select(
+            F.col("k").alias("o_custkey"),
+            (F.col("k") * 10).alias("o_orderkey"),
+            (F.col("k") % 500).cast("double").alias("o_totalprice"),
+        ),
+        rt,
+        partition_by=[("o_custkey", "bucket", N_BUCKETS)],
+    )
+    hot = colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey")
+    split = colocated_join(
+        spark, lt, rt, left_key="c_custkey", right_key="o_custkey", left_split=1
+    )
+    n_h, h_h = checksum(hot)
+    n_s, h_s = checksum(split)
+    assert (n_h, h_h) == (n_s, h_s), "skew split parity broke"
+    result["skew"] = {
+        "join_rows": n_h,
+        "hot_tasks": hot.rdd.getNumPartitions(),
+        "split_tasks": split.rdd.getNumPartitions(),
+        "hot_sec": round(timed(hot), 3),
+        "split_sec": round(timed(split), 3),
+    }
+    print(f"skew: {result['skew']}", file=sys.stderr)
+
     shutil.rmtree(base, ignore_errors=True)
     doc = json.dumps(result)
     print(doc)

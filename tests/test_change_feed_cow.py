@@ -484,3 +484,62 @@ def test_streaming_changefeed_after_drop_uses_narrowed_schema(
     assert set(r[0] for r in got.select("_change_type").distinct().collect()) == {
         "insert"
     }
+
+
+def test_feed_crosses_rename_then_physical_reset(spark, tmp_path):
+    """REGRESSION (found by the replay property test): a RENAME followed
+    by an overwrite-op commit (compaction here) RESETS the physical
+    namespace, and the old single-end-inverse remap surfaced pre-rename
+    inserts NULL-padded under the new name — a silent wrong answer. The
+    step-composed maps (`_logical_to_end_maps`) resolve the chain:
+    physical matching carries the rename, name matching crosses the
+    reset. Pinned on BOTH the operator and the source (batch changeFeed),
+    with post-reset MoR + CoW commits in range to cover every partition
+    kind's per-version read names."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        compact_snapshot,
+        delete_where,
+        rename_column,
+        snapshot_change_feed,
+        snapshot_commit,
+        update_where,
+    )
+    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / f"cfreset_{_uuid.uuid4().hex[:6]}")
+    mk = lambda rows: spark.createDataFrame(rows, "uid bigint, k int, v int")
+    snapshot_commit(mk([(0, 0, 0), (5, 1, 7)]), t)                    # v0
+    snapshot_commit(mk([(1, 0, 0)]), t)                               # v1
+    rename_column(t, "k", "k2")                                       # v2
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)             # v3 reset
+    delete_where(spark, t, [("v", "=", 7)], strategy="merge_on_read") # v4
+    update_where(spark, t, [("uid", "=", 0)], {"v": F.lit(9)})        # v5
+
+    expect = {
+        (1, 0, 0, "insert", 1),
+        (5, 1, 7, "delete", 4),
+        (0, 0, 0, "update_preimage", 5),
+        (0, 0, 9, "update_postimage", 5),
+    }
+    op = {tuple(r) for r in snapshot_change_feed(spark, t, from_version=0).collect()}
+    assert op == expect
+    assert snapshot_change_feed(spark, t, from_version=0).columns[:3] == [
+        "uid", "k2", "v",
+    ]
+    src = {
+        tuple(r)
+        for r in spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .collect()
+    }
+    assert src == expect
