@@ -132,6 +132,7 @@ _SNAPSHOT_OPS = (
     "snapshot_files",
     "snapshot_change_feed",
     "SnapshotConflictError",
+    "QuietRangeError",
     "snapshot_stream_sink",
     "snapshot_stream_merge_sink",
     "clone_snapshot",

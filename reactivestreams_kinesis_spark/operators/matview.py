@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.operators.snapshots import (
+    QuietRangeError,
     add_constraint,
     find_txn,
     latest_version,
@@ -266,16 +267,30 @@ def create_materialized_view(
         "aggs": {n: [fn, col] for n, (fn, col) in aggs.items()},
         "where": where,
     }
-    with open(os.path.join(view_dir, _MV_META), "x") as f:
+    meta_path = os.path.join(view_dir, _MV_META)
+    with open(meta_path, "x") as f:
         json.dump(meta, f)
-    src = read_snapshot(spark, source_dir, sv)
-    if where:
-        src = src.filter(F.expr(where))
-    state = _state_partials(src, list(group_by), aggs, sgn=F.lit(1))
-    state = state.filter(F.col("__mv_n") > 0).select(
-        *_state_columns(list(group_by), aggs)
-    )
-    snapshot_commit(state, view_dir, mode="overwrite", txn_id=f"{_TXN_PREFIX}{sv}")
+    try:
+        src = read_snapshot(spark, source_dir, sv)
+        if where:
+            src = src.filter(F.expr(where))
+        state = _state_partials(src, list(group_by), aggs, sgn=F.lit(1))
+        state = state.filter(F.col("__mv_n") > 0).select(
+            *_state_columns(list(group_by), aggs)
+        )
+        snapshot_commit(state, view_dir, mode="overwrite", txn_id=f"{_TXN_PREFIX}{sv}")
+    except BaseException:
+        # a failed initial build (bad WHERE, unresolvable agg column,
+        # Spark error) must not strand the exclusive-create meta file —
+        # remove it so a corrected retry isn't met with FileExistsError.
+        # Only while nothing committed: once v0 exists the view is real
+        # and the meta stays (the failure is downstream of the build).
+        if latest_version(view_dir) is None:
+            try:
+                os.remove(meta_path)
+            except OSError:
+                pass
+        raise
     # a refresh that drives any group's live count to <= 0 is a feed
     # application bug — fail the COMMIT, not the reader
     return add_constraint(spark, view_dir, "mv_live_groups", "__mv_n >= 1")
@@ -287,13 +302,20 @@ def materialized_view_status(view_dir: str) -> dict:
     meta = _load_meta(view_dir)
     tip = latest_version(view_dir)
     consumed = None
+    watermark_view = None
     if tip is not None:
         for v in range(tip, -1, -1):
             txn = _read_manifest(view_dir, v).get("txn") or ""
             if txn.startswith(_TXN_PREFIX):
                 consumed = int(txn[len(_TXN_PREFIX):])
+                watermark_view = v
                 break
-    return {**meta, "view_version": tip, "source_version": consumed}
+    return {
+        **meta,
+        "view_version": tip,
+        "source_version": consumed,
+        "watermark_view_version": watermark_view,
+    }
 
 
 def refresh_materialized_view(
@@ -349,6 +371,7 @@ def refresh_materialized_view(
 
     status = materialized_view_status(view_dir)
     sv = status["source_version"]
+    wv = status["watermark_view_version"]
     if sv is None:
         raise RuntimeError(f"{view_dir!r} has no refresh watermark commit")
     ev = latest_version(source_dir) if to_version is None else to_version
@@ -383,11 +406,13 @@ def refresh_materialized_view(
         feed = snapshot_change_feed(
             spark, source_dir, from_version=sv, to_version=ev
         )
-    except ValueError:
-        # a quiet range (reorg/rename-only commits raise "no changes"):
-        # the row set is provably unchanged — advance the watermark over
-        # the same state
-        state = read_snapshot(spark, view_dir)
+    except QuietRangeError:
+        # a quiet range (reorg/rename-only commits): the row set is
+        # provably unchanged — advance the watermark over the WATERMARK
+        # state (not the tip, which a crashed merge refresh may have
+        # left mid-phase). Any other feed error propagates: quietly
+        # skipping real changes would permanently publish a stale view.
+        state = read_snapshot(spark, view_dir, wv)
         return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
 
     sgn = F.when(
@@ -410,7 +435,13 @@ def refresh_materialized_view(
             delta, sv, ev, txn,
         )
 
-    old = read_snapshot(spark, view_dir)
+    # fold the delta over the WATERMARK state, not the tip: the delta is
+    # anchored at from_version=sv, so its base must be the state that
+    # consumed sv. A stray intermediate commit (an orphaned mv-stage
+    # equality delete from a merge refresh that crashed between its two
+    # phase commits) diverges the tip — folding over it would silently
+    # publish wrong counts for groups that died and were reborn in range.
+    old = read_snapshot(spark, view_dir, wv)
     # n == 0 is a legitimately dead group; n < 0 is corruption and must
     # SURVIVE to the commit so the __mv_n >= 1 constraint fails it loudly
     merged = _merge_states(old, delta, group_by, aggs).filter(F.col("__mv_n") != 0)
@@ -457,7 +488,11 @@ def _merge_refresh(
                 "strategy='merge' cannot maintain a NULL group key (equality "
                 "semantics); use strategy='overwrite' for this refresh"
             )
-        dead = [r[0] for r in changed.filter(F.col("__mv_n") == 0).select(k).collect()]
+        # dead keys STAY a DataFrame: delete_by_key takes the key set
+        # distributed (it writes the distinct keys as parquet itself),
+        # so a wide retraction on a billion-group view never routes its
+        # keys through the driver — only the 0/1 existence probe runs
+        dead = changed.filter(F.col("__mv_n") == 0).select(k)
         live = changed.filter(F.col("__mv_n") != 0)
         if nonabelian:
             live = _patch_dirty_extremes(
@@ -466,14 +501,8 @@ def _merge_refresh(
         live = _cast_to_view_schema(
             live.select(*_state_columns(group_by, aggs)), view_dir
         )
-        if dead:
-            delete_by_key(
-                spark,
-                view_dir,
-                spark.createDataFrame([(d,) for d in dead], old.select(k).schema),
-                k,
-                txn_id=f"mv-stage-{ev}",
-            )
+        if dead.limit(1).count():
+            delete_by_key(spark, view_dir, dead, k, txn_id=f"mv-stage-{ev}")
         n_live = live.count()
         if n_live:
             return merge_upsert(spark, view_dir, live, k, txn_id=txn)
@@ -514,28 +543,37 @@ def _patch_dirty_extremes(
     merged = merged.persist()
     try:
         dirty = merged.filter(F.col("__mv_dirty") == 1)
-        dirty_keys = [tuple(r) for r in dirty.select(*group_by).collect()]
-        if not dirty_keys:
+        # bounded probe: at most _DIRTY_PRUNE_CAP + 1 key rows ever
+        # reach the driver — just enough to decide zero / within-cap /
+        # over-cap. A limit that returns <= cap rows has by definition
+        # returned ALL dirty keys, so the IN-list branch reuses them;
+        # over the cap the full key set stays distributed and flows as
+        # a DataFrame into the semi-join below.
+        probe = dirty.select(*group_by).limit(_DIRTY_PRUNE_CAP + 1).collect()
+        if not probe:
             return merged.drop("__mv_dirty")
         if (
             len(group_by) == 1
-            and len(dirty_keys) <= _DIRTY_PRUNE_CAP
-            and all(k[0] is not None for k in dirty_keys)
+            and len(probe) <= _DIRTY_PRUNE_CAP
+            and all(r[0] is not None for r in probe)
         ):
             src = scan_snapshot(
                 spark,
                 source_dir,
-                [(group_by[0], "in", tuple(k[0] for k in dirty_keys))],
+                [(group_by[0], "in", tuple(r[0] for r in probe))],
                 version=ev,
             )
         else:
             src = read_snapshot(spark, source_dir, ev)
-            kdf = spark.createDataFrame(
-                dirty_keys, dirty.select(*group_by).schema
+            # fresh exprIds via alias: kdf derives from `merged`, which
+            # reappears on the other side of the final patch join —
+            # aliasing keeps the self-join resolvable and unambiguous
+            kdf = dirty.select(
+                *[F.col(c).alias(f"__mv_k__{c}") for c in group_by]
             )
             cond = None
             for k in group_by:
-                c = src[k].eqNullSafe(kdf[k])
+                c = src[k].eqNullSafe(kdf[f"__mv_k__{k}"])
                 cond = c if cond is None else (cond & c)
             src = src.join(kdf, cond, "left_semi")
         if where:

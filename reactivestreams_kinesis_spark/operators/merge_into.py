@@ -138,6 +138,23 @@ def merge_into(
     table_cols = [
         f["name"] for f in (manifest.get("schema") or {}).get("fields", [])
     ] or _read_data_files(spark, table_dir, manifest, manifest["files"][:1]).columns
+    # NULL padding for table columns absent from the source must carry
+    # the DECLARED type: an untyped lit(None) is VoidType, which survives
+    # to the parquet writer when NO file is touched (insert-only merge,
+    # nothing to unionByName-coerce against) and fails the write there
+    if manifest.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        _declared = {
+            f.name: f.dataType
+            for f in StructType.fromJson(manifest["schema"]).fields
+        }
+    else:
+        _declared = {}
+
+    def _null_for(c: str) -> Column:
+        lit = F.lit(None)
+        return lit.cast(_declared[c]) if c in _declared else lit
 
     parts: list[DataFrame] = []
     if touched:
@@ -198,14 +215,14 @@ def merge_into(
                 )
             inserts = nm.select(
                 *[
-                    (ins_exprs[c] if c in ins_exprs else F.lit(None)).alias(c)
+                    (ins_exprs[c] if c in ins_exprs else _null_for(c)).alias(c)
                     for c in table_cols
                 ]
             )
         else:
             inserts = nm.select(
                 *[
-                    (F.col(c) if c in nm.columns else F.lit(None)).alias(c)
+                    (F.col(c) if c in nm.columns else _null_for(c)).alias(c)
                     for c in table_cols
                 ]
             )

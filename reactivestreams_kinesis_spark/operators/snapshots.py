@@ -42,6 +42,16 @@ class SnapshotConflictError(RuntimeError):
     whole operation against the new tip."""
 
 
+class QuietRangeError(ValueError):
+    """Raised by ``snapshot_change_feed`` when the requested version
+    range contains commits but NO row-level changes (reorg/rename/
+    metadata-only commits): the live row set at the range's two ends is
+    provably identical. A dedicated subtype so consumers (the MV
+    refresher) can treat exactly this case as "advance the watermark
+    over unchanged state" — any OTHER ValueError from feed derivation
+    must propagate, never be mistaken for quiet."""
+
+
 # Safe numeric widening chains (the Delta type-widening set this repo
 # supports): byte → short → int → long, and float → double. Spark 4's
 # vectorized parquet reader promotes a narrower file column to the
@@ -1818,7 +1828,7 @@ def snapshot_change_feed(
                 for p_df in _rewrite_change_rows(spark, table_dir, m, parent, v)
             )
     if not parts:
-        raise ValueError(f"no changes in {from_version}..{to_version}")
+        raise QuietRangeError(f"no changes in {from_version}..{to_version}")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)

@@ -642,3 +642,178 @@ def test_mv_approx_distinct_sketch_maintenance(spark, tmp_path):
     assert _rows(read_materialized_view(spark, vo)) == exp2
     assert _rows(read_materialized_view(spark, vm)) == exp2
     assert exp2 != exp, "the retraction must change the sketch estimates"
+
+
+# ---- round-11 hardening ----------------------------------------------------
+
+
+def test_mv_refresh_never_collects_unbounded_group_keys(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Scale pin: with the dirty-group count far above _DIRTY_PRUNE_CAP,
+    no refresh path may materialize the group-key set on the driver —
+    the semi-join / delete_by_key branches take the keys as DataFrames.
+    Every DataFrame.collect() during the refresh is instrumented and
+    must stay within the bounded-probe budget."""
+    import reactivestreams_kinesis_spark.operators.matview as mv
+
+    # the classic session's concrete class — pyspark.sql.DataFrame is
+    # the abstract parent whose collect the subclass overrides
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    t, v = _dirs(tmp_path)
+    snapshot_commit(_customer_src(spark, sf_dir).repartition(4), t)
+    create_materialized_view(
+        spark, v, t, group_by=["c_nationkey"], aggs=_FULL_AGGS
+    )
+    # a wide retraction dirties every nation group (25 > cap=1)
+    delete_where(spark, t, [("bal", ">", 0.0)], strategy="merge_on_read")
+    monkeypatch.setattr(mv, "_DIRTY_PRUNE_CAP", 1)
+
+    real_collect = DataFrame.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    refresh_materialized_view(spark, v)
+    refresh_sizes = list(sizes)
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    # budget: the cap+1 probe plus bounded metadata/stats rows — never
+    # the 25-group key set, and at 1e9 groups never that either
+    assert refresh_sizes, "instrumentation saw no collects at all?"
+    assert max(refresh_sizes) <= 16, (
+        f"a refresh collect materialized {max(refresh_sizes)} rows — "
+        "group keys are reaching the driver"
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _recompute(read_snapshot(spark, t))
+    )
+
+
+def test_mv_merge_dead_keys_stay_distributed(spark, tmp_path, monkeypatch):
+    """The merge strategy's dead-group equality delete must route the
+    key set straight into delete_by_key as a DataFrame (existence probe
+    only on the driver)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    snapshot_commit(mk([(i, i, i) for i in range(40)]), t)
+    create_materialized_view(
+        spark, v, t, group_by=["k"], aggs={"n": ("count", None), "s": ("sum", "x")}
+    )
+    delete_where(spark, t, [("k", "<", 30)])  # 30 dead groups
+
+    real_collect = DataFrame.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    refresh_materialized_view(spark, v, strategy="merge")
+    refresh_sizes = list(sizes)
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert max(refresh_sizes) <= 16, (
+        f"merge refresh collected {max(refresh_sizes)} rows on the driver"
+    )
+    got = {r["k"] for r in read_materialized_view(spark, v).collect()}
+    assert got == set(range(30, 40))
+
+
+def test_mv_overwrite_replay_after_merge_crash_anchors_watermark(
+    spark, tmp_path, monkeypatch
+):
+    """A merge refresh crashes between its eq-delete phase and its merge
+    phase, leaving the view TIP diverged from the watermark state (dead
+    groups already deleted). A replay with strategy='overwrite' must
+    fold the delta over the WATERMARK state, not the tip: a group that
+    died and was reborn with MORE rows would otherwise publish
+    inserts-minus-retractions (> 0, so the __mv_n >= 1 constraint can't
+    catch it) — a silent wrong answer."""
+    import reactivestreams_kinesis_spark.operators.snapshots as snaps
+
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    # group 2 starts with 3 rows; group 1 with 2 (so the crashed refresh
+    # has both a dead group for its delete phase AND a live changed
+    # group that reaches the merge phase where the crash fires)
+    snapshot_commit(
+        mk([(1, 1, 5), (5, 1, 7), (2, 2, 1), (3, 2, 2), (4, 2, 3)]), t
+    )
+    create_materialized_view(
+        spark, v, t, group_by=["k"], aggs={"n": ("count", None), "s": ("sum", "x")}
+    )
+    # group 2 dies, group 1 shrinks ...
+    delete_where(spark, t, [("k", "=", 2)])
+    delete_where(spark, t, [("id", "=", 5)])
+
+    def exploding_merge(*a, **kw):
+        raise RuntimeError("simulated crash after delete phase")
+
+    monkeypatch.setattr(snaps, "merge_upsert", exploding_merge)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_materialized_view(spark, v, strategy="merge")
+    monkeypatch.undo()
+    # ... and is reborn with FIVE rows (more than it lost)
+    snapshot_commit(mk([(10 + i, 2, 10 + i) for i in range(5)]), t)
+    refresh_materialized_view(spark, v, strategy="overwrite")
+    got = {r["k"]: r for r in read_materialized_view(spark, v).collect()}
+    assert got[2]["n"] == 5, (
+        f"reborn group folded over the diverged tip: n={got[2]['n']}"
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        read_snapshot(spark, t)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    )
+
+
+def test_mv_create_failure_removes_meta_for_retry(spark, tmp_path):
+    """A failed initial build (unresolvable WHERE column) must not
+    strand the exclusive-create meta file — the corrected retry
+    succeeds instead of hitting FileExistsError."""
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    snapshot_commit(mk([(1, 1, 5)]), t)
+    with pytest.raises(Exception):
+        create_materialized_view(
+            spark, v, t, group_by=["k"],
+            aggs={"n": ("count", None)}, where="no_such_column > 0",
+        )
+    assert not os.path.exists(os.path.join(v, "_mv.json"))
+    create_materialized_view(
+        spark, v, t, group_by=["k"], aggs={"n": ("count", None)}
+    )
+    assert _rows(read_materialized_view(spark, v)) == {(1, 1)}
+
+
+def test_mv_non_quiet_feed_error_propagates(spark, tmp_path, monkeypatch):
+    """Only QuietRangeError (the provably-unchanged range) may advance
+    the watermark without changes; any other ValueError from feed
+    derivation must propagate — silently skipping real changes would
+    permanently publish a stale view."""
+    import reactivestreams_kinesis_spark.operators.matview as mv
+
+    t, v = _dirs(tmp_path)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, k int, x int")
+    snapshot_commit(mk([(1, 1, 5)]), t)
+    create_materialized_view(
+        spark, v, t, group_by=["k"], aggs={"n": ("count", None)}
+    )
+    snapshot_commit(mk([(2, 1, 6)]), t)
+
+    def broken_feed(*a, **kw):
+        raise ValueError("unexpected feed derivation failure")
+
+    monkeypatch.setattr(mv, "snapshot_change_feed", broken_feed)
+    before = materialized_view_status(v)["source_version"]
+    with pytest.raises(ValueError, match="unexpected feed"):
+        refresh_materialized_view(spark, v)
+    assert materialized_view_status(v)["source_version"] == before

@@ -164,3 +164,25 @@ def test_merge_into_change_feed_replays(spark, tmp_path):
         else:
             replayed.discard(key)
     assert replayed == {tuple(r) for r in read_snapshot(spark, t).collect()}
+
+
+def test_merge_into_insert_only_pads_typed_nulls(spark, tmp_path):
+    """An insert-only merge (no key matches, so NO file is touched)
+    whose source lacks some table columns: the NULL padding must carry
+    the declared types — an untyped lit(None) is VoidType, which has no
+    unionByName partner to coerce against in this shape and would fail
+    at the parquet writer."""
+    t = _t(tmp_path)
+    _mk_target(spark, t)
+    src = spark.createDataFrame([(100,), (101,)], "k int")  # no name/qty
+    merge_into(spark, t, src, "k")
+    got = {r["k"]: r for r in read_snapshot(spark, t).collect()}
+    assert set(got) == {1, 2, 3, 4, 100, 101}
+    assert got[100]["name"] is None and got[100]["qty"] is None
+    # declared schema unchanged (no void-type leakage into the manifest)
+    from pyspark.sql.types import StructType
+
+    m = _read_manifest(t, latest_version(t))
+    names = {f.name: f.dataType.simpleString()
+             for f in StructType.fromJson(m["schema"]).fields}
+    assert names == {"k": "int", "name": "string", "qty": "int"}
