@@ -147,6 +147,7 @@ _SNAPSHOT_OPS = (
 # Incremental materialized views (operators/matview.py)
 _MATVIEW_OPS = (
     "create_materialized_view",
+    "create_materialized_view_over_join",
     "refresh_materialized_view",
     "read_materialized_view",
     "materialized_view_status",

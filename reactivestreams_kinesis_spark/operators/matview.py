@@ -34,6 +34,14 @@ Maintenance algebra (per group):
   otherwise). Insert-only groups fold monotonically
   (``min(old, min(inserted))``) with no source access.
 
+Join views (round 11): ``create_materialized_view_over_join`` builds
+the denormalized star-schema view — an aggregate over ``fact INNER
+JOIN dim`` maintained from the fact side's feed alone, with the
+dimension FROZEN at a pinned version (SCD trade, refuse-or-rebuild on
+dim change). All refresh paths below read the source relation through
+``_source_rows``, so plain and join views share one maintenance
+algebra.
+
 Cost model at 100 TB: a refresh reads the FEED (delta-proportional —
 appended files for inserts, bounded delete-set semi-joins for
 retractions, rewritten-file diffs for CoW; see snapshot_change_feed)
@@ -95,6 +103,55 @@ def _load_meta(view_dir: str) -> dict:
         )
     with open(p) as f:
         return json.load(f)
+
+
+def _enrich_with_dim(spark: SparkSession, jn: dict, rows: DataFrame) -> DataFrame:
+    """Inner-join ``rows`` (fact rows or feed rows — extra columns like
+    ``_change_type`` ride through) to the FROZEN dimension: the dim is
+    read AS OF the version pinned in the spec, so every refresh — and
+    every retraction's preimage — enriches against the same dimension
+    state, which is what makes fact-delta-only maintenance sound. Fact
+    rows without a dim match drop (inner-join view semantics,
+    documented on create)."""
+    dim = read_snapshot(spark, jn["dim_dir"], jn["dim_version"])
+    dsel = [dim[jn["dim_key"]].alias("__mv_dimkey")] + [
+        dim[c] for c in jn["dim_columns"]
+    ]
+    dim = dim.select(*dsel)
+    out = rows.join(
+        dim, rows[jn["fact_key"]] == dim["__mv_dimkey"], "inner"
+    ).drop("__mv_dimkey")
+    return out
+
+
+def _fact_columns(meta: dict) -> list[str]:
+    from pyspark.sql.types import StructType
+
+    tip = latest_version(meta["source_dir"])
+    m = _read_manifest(meta["source_dir"], tip)
+    if m.get("schema") is None:
+        return []
+    return [f.name for f in StructType.fromJson(m["schema"]).fields]
+
+
+def _source_rows(
+    spark: SparkSession, meta: dict, version=None, predicates=None
+) -> DataFrame:
+    """The view's source RELATION at a version: the fact table
+    (optionally scan-pruned by ``predicates`` — fact columns only)
+    enriched through the frozen-dimension join when the spec declares
+    one. Every build/rebuild/dirty-recompute path reads through here so
+    plain and join views share one maintenance algebra."""
+    if predicates:
+        src = scan_snapshot(
+            spark, meta["source_dir"], predicates, version=version
+        )
+    else:
+        src = read_snapshot(spark, meta["source_dir"], version)
+    jn = meta.get("join")
+    if jn:
+        src = _enrich_with_dim(spark, jn, src)
+    return src
 
 
 def _norm_aggs(aggs: dict) -> dict:
@@ -296,6 +353,122 @@ def create_materialized_view(
     return add_constraint(spark, view_dir, "mv_live_groups", "__mv_n >= 1")
 
 
+def create_materialized_view_over_join(
+    spark: SparkSession,
+    view_dir: str,
+    fact_dir: str,
+    dim_dir: str,
+    *,
+    join_on,
+    group_by: list[str],
+    aggs: dict,
+    where: str | None = None,
+    fact_version: int | None = None,
+    dim_version: int | None = None,
+    dim_columns: list[str] | None = None,
+) -> int:
+    """The DENORMALIZED STAR-SCHEMA VIEW: an aggregate over ``fact
+    INNER JOIN dim``, maintained incrementally from the FACT side's
+    change feed alone. Group keys, aggregate columns, and the WHERE all
+    range over the joined row (so "revenue by region name" — a dim
+    attribute — is one spec).
+
+    What makes fact-only maintenance sound: the dimension is FROZEN at
+    ``dim_version`` (default its tip at create), pinned in the spec and
+    read AS OF that version on every refresh — inserts and retractions
+    both enrich against the same dim state, so the delta algebra is
+    exactly the single-table one over the enriched relation.
+    **Dimension changes are NOT folded in** (the classic SCD trade):
+    a refresh that finds real dim row changes since the pin REFUSES by
+    default; pass ``on_dim_change='rebuild'`` to re-pin at the dim tip
+    via a full recompute (paid like any rebuild). Quiet dim history
+    (compaction/rename-only) never blocks.
+
+    ``join_on`` is a shared column name or ``(fact_key, dim_key)``;
+    ``dim_columns`` projects which dim attributes join in (default: all
+    but the key — fewer is cheaper). Fact rows with NULL or unmatched
+    keys drop (inner-join semantics). Non-key column-name collisions
+    across the sides are refused.
+
+    At 100 TB the refresh reads the fact DELTA joined to the (pinned)
+    dim plus the aggregate-sized view — the dim join is the same join
+    the direct query would pay, but over delta-proportional rows. The
+    dirty min/max recompute reads fact⋈dim restricted to the dirty
+    groups."""
+    if not group_by:
+        raise ValueError("group_by must name at least one key column")
+    aggs = _norm_aggs(aggs)
+    clash = sorted(set(aggs) & set(group_by))
+    if clash:
+        raise ValueError(f"aggregate output names collide with group keys: {clash}")
+    fk, dk = (join_on, join_on) if isinstance(join_on, str) else join_on
+    fv = latest_version(fact_dir) if fact_version is None else fact_version
+    dv = latest_version(dim_dir) if dim_version is None else dim_version
+    if fv is None:
+        raise FileNotFoundError(f"no snapshots in {fact_dir!r}")
+    if dv is None:
+        raise FileNotFoundError(f"no snapshots in {dim_dir!r}")
+    fact_cols = read_snapshot(spark, fact_dir, fv).columns
+    dim_all = read_snapshot(spark, dim_dir, dv).columns
+    if fk not in fact_cols:
+        raise ValueError(f"join key {fk!r} not in fact columns {fact_cols}")
+    if dk not in dim_all:
+        raise ValueError(f"join key {dk!r} not in dim columns {dim_all}")
+    dcols = (
+        [c for c in dim_all if c != dk] if dim_columns is None else list(dim_columns)
+    )
+    missing = [c for c in dcols if c not in dim_all]
+    if missing:
+        raise ValueError(f"dim_columns not in the dimension: {missing}")
+    clash = sorted(set(dcols) & set(fact_cols))
+    if clash:
+        raise ValueError(
+            f"column name collision across the join sides: {clash} — "
+            "project with dim_columns"
+        )
+    bad = sorted(n for n in aggs if n.startswith("__mv_"))
+    if bad:
+        raise ValueError(f"'__mv_' output names are reserved for view state: {bad}")
+    joined_cols = set(fact_cols) | set(dcols)
+    missing = [k for k in group_by if k not in joined_cols]
+    if missing:
+        raise ValueError(f"group keys not in the joined relation: {missing}")
+    os.makedirs(view_dir, exist_ok=True)
+    meta = {
+        "source_dir": os.path.abspath(fact_dir),
+        "group_by": list(group_by),
+        "aggs": {n: [fn, col] for n, (fn, col) in aggs.items()},
+        "where": where,
+        "join": {
+            "dim_dir": os.path.abspath(dim_dir),
+            "fact_key": fk,
+            "dim_key": dk,
+            "dim_version": int(dv),
+            "dim_columns": dcols,
+        },
+    }
+    meta_path = os.path.join(view_dir, _MV_META)
+    with open(meta_path, "x") as f:
+        json.dump(meta, f)
+    try:
+        src = _source_rows(spark, meta, version=fv)
+        if where:
+            src = src.filter(F.expr(where))
+        state = _state_partials(src, list(group_by), aggs, sgn=F.lit(1))
+        state = state.filter(F.col("__mv_n") > 0).select(
+            *_state_columns(list(group_by), aggs)
+        )
+        snapshot_commit(state, view_dir, mode="overwrite", txn_id=f"{_TXN_PREFIX}{fv}")
+    except BaseException:
+        if latest_version(view_dir) is None:
+            try:
+                os.remove(meta_path)
+            except OSError:
+                pass
+        raise
+    return add_constraint(spark, view_dir, "mv_live_groups", "__mv_n >= 1")
+
+
 def materialized_view_status(view_dir: str) -> dict:
     """Spec + consumption watermark, recovered from versioned state only
     (meta file is immutable; the watermark is the tip manifest's txn)."""
@@ -325,6 +498,7 @@ def refresh_materialized_view(
     to_version: int | None = None,
     on_gap: str = "rebuild",
     strategy: str = "overwrite",
+    on_dim_change: str = "refuse",
 ) -> int:
     """Advance the view to the source's ``to_version`` (default tip) by
     applying the change feed since the last refresh; returns the view
@@ -363,6 +537,10 @@ def refresh_materialized_view(
         raise ValueError(f"on_gap must be 'rebuild' or 'error', got {on_gap!r}")
     if strategy not in ("overwrite", "merge"):
         raise ValueError(f"strategy must be 'overwrite' or 'merge', got {strategy!r}")
+    if on_dim_change not in ("refuse", "rebuild"):
+        raise ValueError(
+            f"on_dim_change must be 'refuse' or 'rebuild', got {on_dim_change!r}"
+        )
     meta = _load_meta(view_dir)
     source_dir = meta["source_dir"]
     group_by = list(meta["group_by"])
@@ -383,6 +561,44 @@ def refresh_materialized_view(
     done = find_txn(view_dir, txn)
     if done is not None:
         return done
+
+    jn = meta.get("join")
+    if jn is not None:
+        dtip = latest_version(jn["dim_dir"])
+        if dtip != jn["dim_version"]:
+            # the dimension moved past the pin: quiet history (reorg/
+            # rename-only) is provably row-identical and never blocks;
+            # REAL dim row changes cannot fold through a fact-only
+            # delta, so refuse (default) or re-pin via a full rebuild
+            dim_quiet = False
+            try:
+                snapshot_change_feed(
+                    spark,
+                    jn["dim_dir"],
+                    from_version=jn["dim_version"],
+                    to_version=dtip,
+                )
+            except QuietRangeError:
+                dim_quiet = True
+            except Exception:
+                pass  # vacuumed/underivable: treat as changed
+            if not dim_quiet:
+                if on_dim_change == "refuse":
+                    raise ValueError(
+                        f"dimension {jn['dim_dir']!r} changed rows since its "
+                        f"pin (v{jn['dim_version']} -> v{dtip}) — a fact-only "
+                        "delta cannot fold dim changes; pass "
+                        "on_dim_change='rebuild' to re-pin at the dim tip "
+                        "via a full recompute"
+                    )
+                # re-pin: rewrite the spec's dim version, then rebuild —
+                # the rebuild commit's txn carries the fact watermark, so
+                # a crash between the two steps replays safely (the new
+                # pin + missing txn just rebuilds again)
+                meta["join"] = {**jn, "dim_version": int(dtip)}
+                with open(os.path.join(view_dir, _MV_META), "w") as f:
+                    json.dump(meta, f)
+                return _full_rebuild(spark, view_dir, meta, aggs, ev, txn)
 
     from reactivestreams_kinesis_spark.operators.snapshots import _manifest_path
 
@@ -419,6 +635,13 @@ def refresh_materialized_view(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     rows = feed
+    if jn is not None:
+        # enrich the fact delta through the frozen dimension BEFORE the
+        # filter/partials: the spec's WHERE, keys, and aggregates all
+        # range over the joined row (retraction preimages enrich
+        # against the same pinned dim state — that's what makes the
+        # delta algebra sound)
+        rows = _enrich_with_dim(spark, jn, rows)
     if where:
         rows = rows.filter(F.expr(where))
     delta = _state_partials(rows, group_by, aggs, sgn=sgn)
@@ -431,7 +654,7 @@ def refresh_materialized_view(
                 "primitive's key); use strategy='overwrite' for composite keys"
             )
         return _merge_refresh(
-            spark, view_dir, source_dir, group_by, aggs, nonabelian, where,
+            spark, view_dir, meta, group_by, aggs, nonabelian, where,
             delta, sv, ev, txn,
         )
 
@@ -448,7 +671,7 @@ def refresh_materialized_view(
 
     if nonabelian:
         merged = _patch_dirty_extremes(
-            spark, merged, source_dir, ev, group_by, nonabelian, where
+            spark, merged, meta, ev, group_by, nonabelian, where
         )
     state = _cast_to_view_schema(
         merged.select(*_state_columns(group_by, aggs)), view_dir
@@ -457,7 +680,7 @@ def refresh_materialized_view(
 
 
 def _merge_refresh(
-    spark, view_dir, source_dir, group_by, aggs, nonabelian, where, delta, sv, ev, txn
+    spark, view_dir, meta, group_by, aggs, nonabelian, where, delta, sv, ev, txn
 ) -> int:
     """Delta-proportional refresh: recompute ONLY the groups the feed
     touched (old watermark state restricted by a null-safe semi-join to
@@ -496,7 +719,7 @@ def _merge_refresh(
         live = changed.filter(F.col("__mv_n") != 0)
         if nonabelian:
             live = _patch_dirty_extremes(
-                spark, live, source_dir, ev, group_by, nonabelian, where
+                spark, live, meta, ev, group_by, nonabelian, where
             )
         live = _cast_to_view_schema(
             live.select(*_state_columns(group_by, aggs)), view_dir
@@ -515,7 +738,7 @@ def _merge_refresh(
 
 
 def _full_rebuild(spark, view_dir, meta, aggs, ev, txn) -> int:
-    src = read_snapshot(spark, meta["source_dir"], ev)
+    src = _source_rows(spark, meta, version=ev)
     if meta.get("where"):
         src = src.filter(F.expr(meta["where"]))
     state = _state_partials(src, list(meta["group_by"]), aggs, sgn=F.lit(1))
@@ -529,7 +752,7 @@ def _full_rebuild(spark, view_dir, meta, aggs, ev, txn) -> int:
 
 
 def _patch_dirty_extremes(
-    spark, merged, source_dir, ev, group_by, nonabelian, where
+    spark, merged, meta, ev, group_by, nonabelian, where
 ) -> DataFrame:
     """Recompute the non-invertible aggregates (min/max extremes, HLL
     distinct sketches) for groups that saw a retraction, from the
@@ -556,15 +779,19 @@ def _patch_dirty_extremes(
             len(group_by) == 1
             and len(probe) <= _DIRTY_PRUNE_CAP
             and all(r[0] is not None for r in probe)
+            # the IN-predicate prune reads the FACT scan, so it needs a
+            # fact-side group key; dim-side keys (a join view grouping
+            # by a dim attribute) recompute via the semi-join below
+            and (meta.get("join") is None or group_by[0] in _fact_columns(meta))
         ):
-            src = scan_snapshot(
+            src = _source_rows(
                 spark,
-                source_dir,
-                [(group_by[0], "in", tuple(r[0] for r in probe))],
+                meta,
                 version=ev,
+                predicates=[(group_by[0], "in", tuple(r[0] for r in probe))],
             )
         else:
-            src = read_snapshot(spark, source_dir, ev)
+            src = _source_rows(spark, meta, version=ev)
             # fresh exprIds via alias: kdf derives from `merged`, which
             # reappears on the other side of the final patch join —
             # aliasing keeps the self-join resolvable and unambiguous
@@ -717,7 +944,29 @@ def stream_refresh_materialized_view(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
+        if max_versions_per_trigger is None:
+            return writer.trigger(availableNow=True).start()
+        # Python-source AvailableNow executes a SINGLE batch per run
+        # (Spark falls back to single-batch execution for Python data
+        # sources), and round 11's admission control caps even the
+        # cold-start batch — so a capped drain loops runs, each
+        # resuming from the checkpoint, until the watermark reaches
+        # the source tip. The refresh txns and the stream offsets both
+        # make replays no-ops, so the loop is exactly-once however the
+        # runs interleave; a run that makes no progress returns rather
+        # than spinning.
+        source = meta["source_dir"]
+        prev = None
+        while True:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            tip = latest_version(source)
+            st = materialized_view_status(view_dir)["source_version"]
+            if tip is None or (st is not None and st >= tip):
+                return q
+            if prev is not None and st == prev:
+                return q
+            prev = st
+    if processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()

@@ -1,0 +1,482 @@
+"""SQL statement front-end for the snapshot warehouse — the thin
+dispatcher that lets the Delta/Iceberg-shaped surface be driven by the
+SQL texts users actually type (``spark.sql("MERGE INTO ...")`` is most
+users' first contact with a lakehouse), without building a planner:
+every statement parses onto an EXISTING operator whose semantics are
+already oracle-proven per query.
+
+Supported dialect (the shared Delta/Iceberg statement shapes):
+
+- ``SELECT ...`` — any Spark SQL over the registered tables; a table
+  reference may carry time travel: ``t VERSION AS OF <n>`` or
+  ``t TIMESTAMP AS OF '<iso>'`` (resolved via ``read_snapshot`` /
+  ``version_at_timestamp``, then handed to Spark's own planner).
+- ``MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k`` with any of
+  ``WHEN MATCHED [AND c] THEN DELETE``,
+  ``WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ...``,
+  ``WHEN NOT MATCHED [AND c] THEN INSERT *`` or
+  ``INSERT (cols) VALUES (exprs)`` → ``operators/merge_into.py``.
+- ``DELETE FROM t WHERE <conjunction>`` → ``delete_where`` (the WHERE
+  must be an AND-conjunction of ``col op literal`` / ``col IN (...)``
+  comparisons — the operator's pruning-predicate vocabulary; anything
+  richer is refused loudly rather than silently scanned).
+- ``UPDATE t SET col = expr, ... [WHERE <conjunction>]`` →
+  ``update_where`` (SET expressions are full Spark SQL over the row).
+- ``ALTER TABLE t RENAME COLUMN a TO b`` → ``rename_column``.
+- ``ALTER TABLE t ADD COLUMN c <type>`` → ``add_column``.
+- ``ALTER TABLE t DROP COLUMN c`` → ``drop_column``.
+- ``RESTORE TABLE t TO VERSION AS OF n`` → ``restore_snapshot``.
+- ``DESCRIBE HISTORY t`` → ``describe_history``.
+
+Unsupported syntax refuses with a pointed error (never a silent
+misread): multi-table FROM in DELETE, OR-predicates in DELETE WHERE,
+subqueries as MERGE sources, multiple UPDATE clauses, etc.
+
+Scale note: the front-end adds NOTHING to the execution path — each
+statement becomes exactly the operator call a Python caller would have
+made, so the 100 TB cost model (stats-pruned rewrites, metadata-only
+DDL, manifest-bounded time travel) is the operators', unchanged.
+
+Reference lineage: the reference engine exposes no SQL (it is a Kinesis
+record publisher, ShardPublisher.java:16-77); this surface exists for
+parity with the lakehouse engines whose storage semantics the snapshot
+substrate re-implements.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    add_column,
+    delete_where,
+    describe_history,
+    drop_column,
+    latest_version,
+    read_snapshot,
+    rename_column,
+    restore_snapshot,
+    update_where,
+    version_at_timestamp,
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class SnapshotWarehouse:
+    """Bind table names to snapshot dirs and dispatch SQL statements.
+
+    ``sql(text)`` returns a DataFrame for reads (SELECT / DESCRIBE
+    HISTORY) and the committed snapshot version (int) for DML/DDL —
+    the same value the underlying operator returns, so txn replay
+    semantics surface unchanged."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, str]):
+        self._spark = spark
+        self._tables = dict(tables)
+
+    def _dir(self, name: str) -> str:
+        if name not in self._tables:
+            raise ValueError(
+                f"unknown warehouse table {name!r} "
+                f"(registered: {sorted(self._tables)})"
+            )
+        return self._tables[name]
+
+    # -- dispatch ------------------------------------------------------------
+
+    def sql(self, text: str):
+        stmt = text.strip().rstrip(";").strip()
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if head == "SELECT" or stmt.upper().startswith("WITH"):
+            return self._select(stmt)
+        if head == "MERGE":
+            return self._merge(stmt)
+        if head == "DELETE":
+            return self._delete(stmt)
+        if head == "UPDATE":
+            return self._update(stmt)
+        if head == "ALTER":
+            return self._alter(stmt)
+        if head == "RESTORE":
+            return self._restore(stmt)
+        if head == "DESCRIBE":
+            m = re.fullmatch(
+                rf"DESCRIBE\s+HISTORY\s+({_IDENT})", stmt, re.I | re.S
+            )
+            if not m:
+                raise ValueError(
+                    "only DESCRIBE HISTORY <table> is supported"
+                )
+            return describe_history(self._spark, self._dir(m.group(1)))
+        raise ValueError(
+            f"unsupported statement {head or '<empty>'!r} — supported: "
+            "SELECT/WITH, MERGE INTO, DELETE FROM, UPDATE, ALTER TABLE, "
+            "RESTORE TABLE, DESCRIBE HISTORY"
+        )
+
+    # -- SELECT with time travel --------------------------------------------
+
+    def _select(self, stmt: str) -> DataFrame:
+        names = "|".join(re.escape(n) for n in sorted(self._tables, key=len, reverse=True))
+        if not names:
+            return self._spark.sql(stmt)
+        out = stmt
+        # VERSION AS OF n → a pinned temp view per (table, version)
+        def _vsub(m):
+            name, ver = m.group(1), int(m.group(2))
+            view = f"__wh_{name}_v{ver}"
+            read_snapshot(self._spark, self._dir(name), ver).createOrReplaceTempView(view)
+            return f" {view} "
+
+        out = re.sub(
+            rf"\b({names})\s+VERSION\s+AS\s+OF\s+(\d+)", _vsub, out, flags=re.I
+        )
+
+        # TIMESTAMP AS OF '<iso>' → resolve to a version first
+        def _tsub(m):
+            import datetime as _dt
+
+            name, ts = m.group(1), m.group(2)
+            when = _dt.datetime.fromisoformat(ts)
+            if when.tzinfo is None:
+                when = when.replace(tzinfo=_dt.timezone.utc)
+            ver = version_at_timestamp(self._dir(name), when.timestamp())
+            view = f"__wh_{name}_v{ver}"
+            read_snapshot(self._spark, self._dir(name), ver).createOrReplaceTempView(view)
+            return f" {view} "
+
+        out = re.sub(
+            rf"\b({names})\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            _tsub,
+            out,
+            flags=re.I,
+        )
+        # bare table names resolve at the current tip
+        for name in self._tables:
+            if re.search(rf"\b{re.escape(name)}\b", out):
+                read_snapshot(self._spark, self._dir(name)).createOrReplaceTempView(name)
+        return self._spark.sql(out)
+
+    # -- MERGE INTO ----------------------------------------------------------
+
+    def _merge(self, stmt: str) -> int:
+        from reactivestreams_kinesis_spark.operators.merge_into import merge_into
+
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
+            rf"USING\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
+            rf"ON\s+(.*?)\s+(WHEN\s+.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported MERGE shape — expected MERGE INTO <table> [AS t] "
+                "USING <table-or-view> [AS s] ON <cond> WHEN ... (subquery "
+                "sources are not supported; register a temp view instead)"
+            )
+        tname, talias, sname, salias, on_text, clauses_text = m.groups()
+        talias = talias or tname
+        salias = salias or sname
+        if talias.upper() in ("WHEN",) or salias.upper() in ("WHEN",):
+            raise ValueError("MERGE aliases may not be the keyword WHEN")
+        table_dir = self._dir(tname)
+        if sname in self._tables:
+            source = read_snapshot(self._spark, self._tables[sname])
+        else:
+            try:
+                source = self._spark.table(sname)
+            except Exception:
+                raise ValueError(
+                    f"MERGE source {sname!r} is neither a warehouse table "
+                    "nor a registered view"
+                )
+
+        def _norm(expr: str) -> str:
+            # rewrite the statement's aliases onto the operator's fixed
+            # t./s. namespace (whole-word, qualified references only)
+            expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
+            expr = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+            return expr.strip()
+
+        on_m = re.fullmatch(
+            rf"\(?\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*\)?",
+            on_text.strip(),
+        )
+        if not on_m:
+            raise ValueError(
+                "unsupported MERGE ON condition — the operator's key is one "
+                "equality: ON t.<col> = s.<col>"
+            )
+        q1, c1, q2, c2 = on_m.groups()
+        if q1 == talias and q2 == salias:
+            t_key, s_key = c1, c2
+        elif q1 == salias and q2 == talias:
+            t_key, s_key = c2, c1
+        else:
+            raise ValueError(
+                f"MERGE ON must compare the target alias {talias!r} with the "
+                f"source alias {salias!r}"
+            )
+
+        kw: dict = {}
+        clause_re = re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+            r"(DELETE|UPDATE\s+SET\s+.*?|INSERT\s+.*?)\s*(?=WHEN\s+|$)",
+            re.I | re.S,
+        )
+        consumed = 0
+        for cm in clause_re.finditer(clauses_text):
+            if cm.start() != consumed:
+                break
+            consumed = cm.end()
+            is_not, cond, action = cm.group(1), cm.group(2), cm.group(3).strip()
+            cond = _norm(cond) if cond else None
+            a_up = action.upper()
+            if a_up == "DELETE":
+                if is_not:
+                    raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid SQL")
+                if kw.get("when_matched_delete"):
+                    raise ValueError("at most one WHEN MATCHED ... DELETE clause")
+                kw["when_matched_delete"] = True
+                kw["matched_delete_condition"] = cond
+            elif a_up.startswith("UPDATE"):
+                if is_not:
+                    raise ValueError("WHEN NOT MATCHED THEN UPDATE is not valid SQL")
+                if "when_matched_update" in kw:
+                    raise ValueError("at most one WHEN MATCHED ... UPDATE clause")
+                sets = _split_assignments(action[len("UPDATE SET"):])
+                kw["when_matched_update"] = {
+                    _strip_target_prefix(cname, talias): _norm(expr)
+                    for cname, expr in sets
+                }
+                kw["matched_update_condition"] = cond
+            else:  # INSERT
+                if not is_not:
+                    raise ValueError("WHEN MATCHED THEN INSERT is not valid SQL")
+                if "when_not_matched_insert" in kw:
+                    raise ValueError("at most one WHEN NOT MATCHED ... INSERT clause")
+                body = action[len("INSERT"):].strip()
+                if body == "*":
+                    kw["when_not_matched_insert"] = True
+                else:
+                    im = re.fullmatch(
+                        r"\((.*?)\)\s*VALUES\s*\((.*)\)", body, re.I | re.S
+                    )
+                    if not im:
+                        raise ValueError(
+                            "unsupported INSERT shape — INSERT * or "
+                            "INSERT (cols) VALUES (exprs)"
+                        )
+                    cols = [c.strip() for c in im.group(1).split(",")]
+                    exprs = _split_top_level(im.group(2))
+                    if len(cols) != len(exprs):
+                        raise ValueError(
+                            f"INSERT column/value arity mismatch "
+                            f"({len(cols)} vs {len(exprs)})"
+                        )
+                    kw["when_not_matched_insert"] = {
+                        c: _norm(e) for c, e in zip(cols, exprs)
+                    }
+                kw["not_matched_condition"] = cond
+        if clauses_text[consumed:].strip():
+            raise ValueError(
+                f"unparsed MERGE clause text: {clauses_text[consumed:].strip()!r}"
+            )
+        if "when_not_matched_insert" not in kw:
+            kw["when_not_matched_insert"] = False
+        return merge_into(
+            self._spark, table_dir, source, (t_key, s_key), **kw
+        )
+
+    # -- DELETE / UPDATE -----------------------------------------------------
+
+    def _delete(self, stmt: str) -> int:
+        m = re.fullmatch(
+            rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)", stmt, re.I | re.S
+        )
+        if not m:
+            raise ValueError(
+                "unsupported DELETE shape — expected DELETE FROM <table> "
+                "WHERE <conjunction> (an unqualified delete-all is refused; "
+                "state WHERE TRUE via predicates if you mean it)"
+            )
+        return delete_where(
+            self._spark, self._dir(m.group(1)), _parse_conjunction(m.group(2))
+        )
+
+    def _update(self, stmt: str) -> int:
+        m = re.fullmatch(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported UPDATE shape — expected UPDATE <table> SET "
+                "col = expr[, ...] [WHERE <conjunction>]"
+            )
+        name, sets_text, where = m.groups()
+        from pyspark.sql import functions as F
+
+        # update_where treats plain strings as LITERAL values; the SQL
+        # statement's right-hand sides are expressions over the row
+        assignments = {c: F.expr(e) for c, e in _split_assignments(sets_text)}
+        preds = _parse_conjunction(where) if where else []
+        return update_where(
+            self._spark, self._dir(name), preds, assignments
+        )
+
+    # -- ALTER / RESTORE -----------------------------------------------------
+
+    def _alter(self, stmt: str) -> int:
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
+            stmt,
+            re.I,
+        )
+        if m:
+            return rename_column(self._dir(m.group(1)), m.group(2), m.group(3))
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+\(?\s*({_IDENT})\s+([A-Za-z0-9_(),\s]+?)\s*\)?",
+            stmt,
+            re.I,
+        )
+        if m:
+            return add_column(self._dir(m.group(1)), m.group(2), m.group(3).strip())
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s+\(?\s*({_IDENT})\s*\)?",
+            stmt,
+            re.I,
+        )
+        if m:
+            return drop_column(self._dir(m.group(1)), m.group(2))
+        raise ValueError(
+            "unsupported ALTER TABLE shape — supported: RENAME COLUMN a TO b, "
+            "ADD COLUMN c <type>, DROP COLUMN c"
+        )
+
+    def _restore(self, stmt: str) -> int:
+        m = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported RESTORE shape — expected RESTORE TABLE <t> TO "
+                "VERSION AS OF <n>"
+            )
+        return restore_snapshot(self._dir(m.group(1)), int(m.group(2)))
+
+
+# -- small parsers -----------------------------------------------------------
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not nested in parens/quotes."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+def _strip_target_prefix(col: str, talias: str) -> str:
+    col = col.strip()
+    if col.startswith(f"{talias}."):
+        return col[len(talias) + 1:]
+    if col.startswith("t."):
+        return col[2:]
+    return col
+
+
+def _split_assignments(text: str) -> list[tuple[str, str]]:
+    out = []
+    for part in _split_top_level(text):
+        if "=" not in part:
+            raise ValueError(f"malformed SET assignment {part!r}")
+        cname, expr = part.split("=", 1)
+        out.append((cname.strip(), expr.strip()))
+    return out
+
+
+_CMP = re.compile(
+    rf"({_IDENT})\s*(=|!=|<>|<=|>=|<|>)\s*(.+)", re.S
+)
+_IN = re.compile(rf"({_IDENT})\s+IN\s*\((.*)\)", re.I | re.S)
+
+
+def _parse_literal(text: str):
+    t = text.strip()
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d*\.\d+([eE][-+]?\d+)?", t) or re.fullmatch(
+        r"-?\d+[eE][-+]?\d+", t
+    ):
+        return float(t)
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1]
+    raise ValueError(
+        f"unsupported literal {text!r} in WHERE — numbers and "
+        "single-quoted strings only"
+    )
+
+
+def _parse_conjunction(text: str) -> list[tuple]:
+    """An AND-conjunction of simple comparisons onto the operators'
+    pruning-predicate triples. OR / NOT / functions / column-to-column
+    comparisons refuse loudly — those need a different operator, not a
+    silent full scan under a misread predicate."""
+    preds: list[tuple] = []
+    for raw in re.split(r"\s+AND\s+", text.strip(), flags=re.I):
+        part = raw.strip()
+        if part.startswith("(") and part.endswith(")"):
+            part = part[1:-1].strip()
+        if re.search(r"\s+OR\s+", part, re.I):
+            raise ValueError(
+                f"unsupported WHERE term {part!r} — OR is outside the "
+                "pruning-predicate vocabulary (use two statements or the "
+                "Python operator surface)"
+            )
+        im = _IN.fullmatch(part)
+        if im:
+            vals = tuple(_parse_literal(v) for v in _split_top_level(im.group(2)))
+            preds.append((im.group(1), "in", vals))
+            continue
+        cm = _CMP.fullmatch(part)
+        if not cm:
+            raise ValueError(
+                f"unsupported WHERE term {part!r} — expected "
+                "<col> <op> <literal> or <col> IN (...)"
+            )
+        col, op, lit = cm.groups()
+        if op in ("!=", "<>"):
+            raise ValueError(
+                "!= is outside the pruning-predicate vocabulary — "
+                "express the complement or use the Python surface"
+            )
+        preds.append((col, op, _parse_literal(lit)))
+    return preds

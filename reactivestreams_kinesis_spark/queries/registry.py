@@ -112,7 +112,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_cdf_feed",                 # S5 — MoR delete retraction feed
     "fn_array_vector",
     "fn_json",                      # json + map + P1
-    "fn_conditional_null",
+    # round-11 rotation: fn_conditional_null ceded its slot (the
+    # conditional/null family stays driver-exercised inside q13's CASE,
+    # the MERGE clauses, and the local mirror keeps it bit-exact) to
+    # join_colocated_bucket — the zero-exchange storage-partitioned
+    # join (sources/colocated.py), which had no driver row
+    "join_colocated_bucket",        # J1 — shuffle-free co-located join
     # joins — round-6 rotation: q13 carries J2 (outer join + distribution,
     # a first-ever-driver-checked TPC-H shape) so the bare join_left_outer
     # variant moved past the cutoff
@@ -134,7 +139,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # stream_gapfill_locf, round 9's stateful gap-fill twin
     "rel_projection_compute",       # P2 P4
     "stream_gapfill_locf",          # T7 W2 — stateful LOCF gap fill
-    "setop_intersect_except",       # O5
+    # round-11 rotation: setop_intersect_except ceded its slot (O4/O5
+    # stay bit-exact in the local mirror; the set-op algebra is also
+    # exercised inside the dedup/decontamination rows) to
+    # rel_partition_prune — the hidden-partition-spec pruning flagship
+    # (identity/day/bucket transforms), the evolution family's last
+    # member without a driver row
+    "rel_partition_prune",          # S5 P3 — partition-spec file pruning
     # streaming batch-twins
     "stream_window_counts",         # T1 T3 A8
     "stream_sliding_counts",        # T4
@@ -193,7 +204,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # exact dedup; the bare form stays bit-exact in the local mirror)
     # to rel_merge_into — the full conditional MERGE surface
     # (operators/merge_into.py), which had no driver row
-    "rel_merge_into",               # S5 J2 P4 — conditional MERGE INTO
+    # round-11 swap: rel_merge_into_sql supersedes rel_merge_into's
+    # driver row — it runs the SAME conditional MERGE through the SQL
+    # statement front-end (operators/sql_frontend.py) plus ALTER RENAME
+    # and the SELECT dispatcher, so the slot now proves strictly more;
+    # the Python-surface form stays bit-exact in the local mirror
+    "rel_merge_into_sql",           # S5 J2 P4 — MERGE via SQL front-end
     "dedup_components_lsh",         # X3 (LSH + CC composition)
     # text analysis — round-6 rotation: text_tfidf_topk's ids (X4/W4)
     # remain covered by text_stats and the bench set

@@ -1307,6 +1307,119 @@ def rel_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_mv_join",
+    oracle="""
+    WITH fact0 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+        UNION ALL
+        SELECT CAST(o_orderkey + 9000000 AS BIGINT), o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey <= 80
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey <= 100
+                    THEN CAST(price + 5 AS DECIMAL(12,2))
+                    ELSE price END AS price
+        FROM fact0
+    ),
+    live AS (SELECT * FROM upd WHERE NOT (price > 300000.0))
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(l.price) AS DOUBLE), 2) AS rev,
+           ROUND(CAST(MAX(l.price) AS DOUBLE), 2) AS hi
+    FROM live l JOIN customer c ON l.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("S5", "J1", "A1"),
+)
+def rel_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN MATERIALIZED VIEW under the value oracle
+    (`operators/matview.py:create_materialized_view_over_join` — the
+    denormalized star-schema view): revenue per nation over orders ⋈
+    customer, grouped by a DIMENSION attribute, maintained from the
+    FACT side's change feed alone with the dimension frozen at its
+    pinned version. The fact history runs append + copy-on-write
+    update + merge-on-read delete, then ONE refresh folds the enriched
+    delta (count/sum arithmetic; max through the dirty recompute over
+    the joined relation). The oracle restates the end state as a
+    direct join-aggregate over the fixtures; the hash breaks if the
+    enrichment drops/doubles a delta row or a retraction enriches
+    against the wrong dim state.
+
+    At 100 TB: refresh cost = fact delta ⋈ (pinned) dim + the
+    aggregate-sized view — the join the direct query would pay, over
+    delta-proportional rows."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view_over_join,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        snapshot_commit,
+        update_where,
+    )
+
+    fact_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    dim_df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    u = _uuid.uuid4().hex[:8]
+    fact = os.path.join(tempfile.gettempdir(), f"rsk_mvj_fact_{u}")
+    dim = os.path.join(tempfile.gettempdir(), f"rsk_mvj_dim_{u}")
+    view = os.path.join(tempfile.gettempdir(), f"rsk_mvj_view_{u}")
+    snapshot_commit(fact_df.repartitionByRange(8, "o_orderkey"), fact)     # v0
+    snapshot_commit(dim_df, dim)
+    create_materialized_view_over_join(
+        spark,
+        view,
+        fact,
+        dim,
+        join_on=("o_custkey", "c_custkey"),
+        group_by=["c_nationkey"],
+        aggs={
+            "n_orders": ("count", None),
+            "rev": ("sum", "price"),
+            "hi": ("max", "price"),
+        },
+    )
+    snapshot_commit(
+        fact_df.filter(F.col("o_orderkey") <= 80).withColumn(
+            "o_orderkey",
+            (F.col("o_orderkey") + F.lit(9000000)).cast("bigint"),
+        ),
+        fact,
+    )                                                                      # v1
+    update_where(
+        spark,
+        fact,
+        [("o_orderkey", "<=", 100)],
+        {"price": (F.col("price") + F.lit(5)).cast("decimal(12,2)")},
+    )                                                                      # v2
+    delete_where(
+        spark, fact, [("price", ">", 300000.0)], strategy="merge_on_read"
+    )                                                                      # v3
+    refresh_materialized_view(spark, view)
+    return read_materialized_view(spark, view).select(
+        "c_nationkey",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(F.col("hi").cast("double"), 2).alias("hi"),
+    )
+
+
+@register(
     "rel_merge_into",
     oracle="""
     WITH src AS (
@@ -1404,6 +1517,105 @@ def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.round(F.col("bal").cast("double"), 2).alias("bal"),
+    )
+
+
+@register(
+    "rel_merge_into_sql",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k, CAST(c_nationkey AS DECIMAL(12,2)) AS delta
+        FROM customer WHERE c_custkey <= 200
+        UNION ALL
+        SELECT CAST(2000000 + n_nationkey AS BIGINT),
+               CAST(n_nationkey AS DECIMAL(12,2))
+        FROM nation
+    ),
+    tgt AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+    ),
+    kept AS (
+        SELECT t.c_custkey, t.c_nationkey,
+               CASE WHEN s.k IS NOT NULL
+                    THEN CAST(t.bal + s.delta AS DECIMAL(12,2))
+                    ELSE t.bal END AS bal
+        FROM tgt t LEFT JOIN src s ON t.c_custkey = s.k
+        WHERE NOT (s.k IS NOT NULL AND s.k % 7 = 0)
+    ),
+    ins AS (
+        SELECT s.k AS c_custkey, 77 AS c_nationkey, s.delta AS bal
+        FROM src s
+        WHERE s.k NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT c_custkey, c_nationkey,
+           ROUND(CAST(bal AS DOUBLE), 2) AS balance
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    """,
+    tags=("S5", "J2", "P4"),
+)
+def rel_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL STATEMENT FRONT-END end-to-end under the value oracle
+    (`operators/sql_frontend.py:SnapshotWarehouse`): the LITERAL texts a
+    lakehouse user types — MERGE INTO with all three conditional
+    clauses, ALTER TABLE RENAME COLUMN, and the final SELECT — execute
+    through the dispatcher onto the same operators the Python surface
+    proves (`merge_into.py`, `rename_column`, `read_snapshot`). The
+    oracle restates the statement algebra over the fixtures; the hash
+    breaks if the parser misreads a clause, an alias rewrite corrupts
+    an expression, or the rename leaks into stored data.
+
+    At 100 TB the dispatcher adds nothing to the execution path — each
+    statement becomes exactly the operator call (stats-pruned MERGE
+    rewrite, metadata-only rename), so the cost model is unchanged."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.sql_frontend import (
+        SnapshotWarehouse,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import snapshot_commit
+
+    tgt = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").cast("decimal(12,2)").alias("delta"),
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "nation").select(
+                (F.lit(2000000) + F.col("n_nationkey")).cast("bigint").alias("k"),
+                F.col("n_nationkey").cast("decimal(12,2)").alias("delta"),
+            )
+        )
+    )
+    uid = _uuid.uuid4().hex[:8]
+    t = os.path.join(tempfile.gettempdir(), f"rsk_misql_q_{uid}")
+    snapshot_commit(tgt.repartitionByRange(8, "c_custkey"), t)
+    view = f"__misql_src_{uid}"
+    src.createOrReplaceTempView(view)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    wh.sql(
+        f"""
+        MERGE INTO accounts AS t USING {view} AS u ON t.c_custkey = u.k
+        WHEN MATCHED AND u.k % 7 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = CAST(t.bal + u.delta AS DECIMAL(12,2))
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_nationkey, bal)
+            VALUES (u.k, CAST(77 AS INT), u.delta)
+        """
+    )
+    wh.sql("ALTER TABLE accounts RENAME COLUMN bal TO balance")
+    return wh.sql(
+        "SELECT c_custkey, c_nationkey, "
+        "ROUND(CAST(balance AS DOUBLE), 2) AS balance FROM accounts"
     )
 
 

@@ -27,10 +27,19 @@ manifest's transform, ``operators/snapshots._bucket_of``). Tight
 layouts (the writer clusters each commit on the transform tuple) skip
 the filter entirely.
 
-Inner join only: a NULL key matches nothing, so null-key rows drop at
-read. Non-key column-name collisions are refused at plan time (project
-with ``leftColumns``/``rightColumns`` instead — which also prunes the
-parquet reads to exactly the named columns).
+Join types: inner / left_semi / left_anti / left_outer / right_outer /
+full_outer. A NULL key matches nothing (SQL equality): null-key rows
+drop from inner/semi and surface exactly once from the side an
+anti/outer join preserves (one designated partition owns each side's
+null rows). Non-key column-name collisions are refused at plan time
+(project with ``leftColumns``/``rightColumns`` instead — which also
+prunes the parquet reads to exactly the named columns).
+
+Bucket-count mismatch: when one table is bucketed kN-ways and the other
+N-ways (one count divides the other — the Iceberg SPJ compatibility
+rule), the join plans at the COARSER count: ``crc32(k) % kN ≡ b``
+implies ``crc32(k) % N ≡ b % N``, so each coarse task reads the finer
+side's k child buckets. Incommensurable counts are refused.
 """
 
 from __future__ import annotations
@@ -43,7 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructField, StructType
 
-_JOIN_TYPES = {"inner", "left_semi", "left_anti", "left_outer"}
+_JOIN_TYPES = {
+    "inner", "left_semi", "left_anti", "left_outer", "right_outer", "full_outer",
+}
+# join types that emit left / right rows even without a match
+_KEEPS_LEFT = {"left_anti", "left_outer", "full_outer"}
+_KEEPS_RIGHT = {"right_outer", "full_outer"}
+# the Python bucket function's exactness contract (str(v) must equal
+# Spark's cast-to-string) — mirrors operators/snapshots._bucket_of
+_EXACT_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 
 from reactivestreams_kinesis_spark.operators.snapshots import (
     _inv_phys,
@@ -83,10 +100,11 @@ class _BucketPartition(InputPartition):
     left: _SideFiles | None = None
     right: _SideFiles | None = None
     join_type: str = "inner"
-    # exactly ONE partition owns the left side's NULL-key rows from
+    # exactly ONE partition owns each side's NULL-key rows from
     # straddling files — they belong to no bucket, but anti/outer joins
     # must emit them (exactly once)
     owns_nulls: bool = False
+    owns_right_nulls: bool = False
 
 
 def _bucket_mask(col, n: int, b: int, keep_nulls: bool = False):
@@ -195,6 +213,23 @@ def _side_plan(table_dir: str, version: int, key: str, columns, predicates=None)
             tight = len(buckets) == 1
             for b in buckets:
                 by_bucket.setdefault(b, []).append((fp, tight))
+    if straddlers:
+        # straddling files are row-filtered by the PYTHON bucket twin,
+        # whose str(v) is only guaranteed to equal Spark's
+        # cast-to-string for integers and strings (same exactness
+        # contract as _bucket_of / the blooms). Other key types (float
+        # 1e20 → '1e+20' vs '1.0E20', bool True → 'True' vs 'true')
+        # would silently route rows to the wrong bucket and DROP them
+        # from the join — refuse at plan time instead.
+        kt = {f.name: f.dataType for f in proj.fields}[key].simpleString()
+        if kt not in _EXACT_KEY_TYPES:
+            raise ValueError(
+                f"colocated_join: {table_dir!r} has files without exact "
+                f"bucket metadata (pre-spec or straddling commits) and the "
+                f"join key {key!r} is {kt} — the row-level bucket filter is "
+                f"only exact for {sorted(_EXACT_KEY_TYPES)}; compact the "
+                "table onto the bucket spec or use a regular join"
+            )
     return side, n, by_bucket, straddlers
 
 
@@ -273,13 +308,22 @@ class ColocatedJoinDataSource(DataSource):
         if jt in ("left_semi", "left_anti"):
             return left.schema  # existence tests surface left rows only
         right, _, _, _ = _side_plan(rdir, rv, rkey, rcols, rw)
+        lfields = list(left.schema.fields)
         rfields = [f for f in right.schema.fields if f.name != rkey]
-        if jt == "left_outer":
+        if jt in ("left_outer", "full_outer"):
             # unmatched left rows pad NULL on the right side
             rfields = [
                 StructField(f.name, f.dataType, nullable=True) for f in rfields
             ]
-        out = list(left.schema.fields) + rfields
+        if jt in ("right_outer", "full_outer"):
+            # unmatched right rows pad NULL on the left side (the output
+            # key column is the coalesced join key, NULL only for
+            # null-key rows — but unmatched-right padding makes every
+            # left field nullable in the declared shape)
+            lfields = [
+                StructField(f.name, f.dataType, nullable=True) for f in lfields
+            ]
+        out = lfields + rfields
         names = [f.name for f in out]
         dup = sorted({c for c in names if names.count(c) > 1})
         if dup:
@@ -291,9 +335,15 @@ class ColocatedJoinDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         left, right = self._plan_inputs()
-        return _ColocatedJoinReader(
-            left, right, schema, self._join_type(), self._left_split()
-        )
+        jt = self._join_type()
+        split = self._left_split()
+        if split is not None and jt in _KEEPS_RIGHT:
+            raise ValueError(
+                "leftSplit cannot compose with right_outer/full_outer: each "
+                "left chunk would re-emit the right bucket's unmatched rows "
+                "once per chunk"
+            )
+        return _ColocatedJoinReader(left, right, schema, jt, split)
 
 
 class _ColocatedJoinReader(DataSourceReader):
@@ -316,19 +366,50 @@ class _ColocatedJoinReader(DataSourceReader):
         rside, rn, rbuckets, rstrad = _side_plan(*self._right)
         jt = self._join_type
         if ln != rn:
-            raise ValueError(
-                f"bucket counts differ ({ln} vs {rn}) — co-location needs "
-                "the same N on both tables"
-            )
+            # compatible mismatch (one count divides the other): plan at
+            # the COARSER count — crc32(k) % kN ≡ b implies
+            # crc32(k) % N ≡ b % N, so a coarse task reads the finer
+            # side's k child buckets; file tightness survives (a file
+            # within one child bucket is within one coarse bucket), and
+            # the straddler row filter runs at the coarse modulus
+            hi, lo = max(ln, rn), min(ln, rn)
+            if hi % lo != 0:
+                raise ValueError(
+                    f"bucket counts differ ({ln} vs {rn}) and neither "
+                    "divides the other — co-location needs the same N or "
+                    "a kN/N pair on the two tables"
+                )
+
+            def coarsen(by_bucket: dict) -> dict:
+                out: dict[int, list] = {}
+                for b in sorted(by_bucket):
+                    out.setdefault(b % lo, []).extend(by_bucket[b])
+                return out
+
+            if ln > lo:
+                lbuckets = coarsen(lbuckets)
+            if rn > lo:
+                rbuckets = coarsen(rbuckets)
+            n = lo
+        else:
+            n = ln
         # a side with straddler/unknown files may hold EVERY bucket, so
         # those files join into each candidate bucket under the row
         # filter. inner/semi need both sides present; anti/outer emit
-        # left rows even where the right has nothing
-        lcand = set(lbuckets) | (set(range(ln)) if lstrad else set())
-        rcand = set(rbuckets) | (set(range(ln)) if rstrad else set())
-        live = sorted(lcand if jt in ("left_anti", "left_outer") else lcand & rcand)
+        # a preserved side's rows even where the other has nothing
+        lcand = set(lbuckets) | (set(range(n)) if lstrad else set())
+        rcand = set(rbuckets) | (set(range(n)) if rstrad else set())
+        if jt in ("left_anti", "left_outer"):
+            live = sorted(lcand)
+        elif jt == "right_outer":
+            live = sorted(rcand)
+        elif jt == "full_outer":
+            live = sorted(lcand | rcand)
+        else:
+            live = sorted(lcand & rcand)
         parts: list[InputPartition] = []
         null_owner_assigned = False
+        right_null_owner_assigned = False
         split = self._left_split
         for b in live:
             rf = _SideFiles(
@@ -338,10 +419,10 @@ class _ColocatedJoinReader(DataSourceReader):
             rf.files = list(rbuckets.get(b, [])) + [(fp, False) for fp in rstrad]
             # skew control: a hot bucket's TIGHT left files split across
             # tasks (each left row lives in exactly one chunk, so every
-            # join type stays row-local given the full right bucket);
-            # straddlers ride with chunk 0 only — they are per-bucket
-            # row-filtered, so spreading them over chunks would re-emit
-            # their rows once per chunk
+            # left-preserving join type stays row-local given the full
+            # right bucket); straddlers ride with chunk 0 only — they
+            # are per-bucket row-filtered, so spreading them over chunks
+            # would re-emit their rows once per chunk
             tight_files = list(lbuckets.get(b, []))
             chunks = (
                 [tight_files[i : i + split] for i in range(0, len(tight_files), split)]
@@ -355,22 +436,40 @@ class _ColocatedJoinReader(DataSourceReader):
                     predicates=lside.predicates,
                 )
                 lf.files = list(chunk) + (strad_files if ci == 0 else [])
-                if lf.files and (rf.files or jt in ("left_anti", "left_outer")):
+                has_l, has_r = bool(lf.files), bool(rf.files)
+                if jt in ("left_anti", "left_outer"):
+                    include = has_l
+                elif jt == "right_outer":
+                    include = has_r and (has_l or ci == 0)
+                elif jt == "full_outer":
+                    include = (has_l or has_r) and (has_l or ci == 0)
+                else:  # inner / left_semi
+                    include = has_l and has_r
+                if include:
                     owns = (
-                        jt in ("left_anti", "left_outer")
+                        jt in _KEEPS_LEFT
+                        and has_l
                         and ci == 0
                         and not null_owner_assigned
                     )
                     null_owner_assigned = null_owner_assigned or owns
+                    owns_r = (
+                        jt in _KEEPS_RIGHT
+                        and has_r
+                        and ci == 0
+                        and not right_null_owner_assigned
+                    )
+                    right_null_owner_assigned = right_null_owner_assigned or owns_r
                     parts.append(
                         _BucketPartition(
-                            b, ln, lf, rf, join_type=jt, owns_nulls=owns
+                            b, n, lf, rf, join_type=jt,
+                            owns_nulls=owns, owns_right_nulls=owns_r,
                         )
                     )
         if not parts:
             # provably empty join — one sentinel keeps the Python DS
             # contract (non-empty partition list), reads as zero rows
-            return [_BucketPartition(None, ln, join_type=jt)]
+            return [_BucketPartition(None, n, join_type=jt)]
         return parts
 
     def _side_table(
@@ -434,18 +533,28 @@ class _ColocatedJoinReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         jt = partition.join_type
-        keeps_left = jt in ("left_anti", "left_outer")
+        keeps_left = jt in _KEEPS_LEFT
+        keeps_right = jt in _KEEPS_RIGHT
         left = self._side_table(
             partition.left,
             partition.bucket,
             partition.n,
             keep_null_keys=keeps_left and partition.owns_nulls,
         )
-        if left.num_rows == 0:
+        if left.num_rows == 0 and not keeps_right:
             return
-        right = self._side_table(partition.right, partition.bucket, partition.n)
-        if right.num_rows == 0 and not keeps_left:
+        right = self._side_table(
+            partition.right,
+            partition.bucket,
+            partition.n,
+            # null right keys match nothing but right_outer/full_outer
+            # must surface them — exactly once, from the owner partition
+            keep_null_keys=keeps_right and partition.owns_right_nulls,
+        )
+        if right.num_rows == 0 and not keeps_left and jt != "right_outer":
             return  # inner/semi: nothing can match
+        if right.num_rows == 0 and jt == "right_outer":
+            return  # right outer preserves only right rows
         if jt in ("left_semi", "left_anti"):
             # existence test against the right KEYS only
             rkeys = right.select([partition.right.key]).rename_columns(
@@ -457,12 +566,30 @@ class _ColocatedJoinReader(DataSourceReader):
                 join_type="left semi" if jt == "left_semi" else "left anti",
             )
         else:
+            # Arrow's hash join already gives SQL null semantics: a NULL
+            # key matches nothing, and outer types emit each side's
+            # null-key rows unmatched (null never equals null)
+            arrow_jt = {
+                "inner": "inner",
+                "left_outer": "left outer",
+                "right_outer": "right outer",
+                "full_outer": "full outer",
+            }[jt]
             joined = left.join(
                 right,
                 keys=[partition.left.key],
                 right_keys=[partition.right.key],
-                join_type="inner" if jt == "inner" else "left outer",
+                join_type=arrow_jt,
             )
+            if jt == "right_outer" and partition.right.key != partition.left.key:
+                # arrow names a right-outer's coalesced key after the
+                # RIGHT side; the declared output schema keys on the left
+                joined = joined.rename_columns(
+                    [
+                        partition.left.key if c == partition.right.key else c
+                        for c in joined.column_names
+                    ]
+                )
         if joined.num_rows == 0:
             return
         out_schema = to_arrow_schema(self._schema)
@@ -492,16 +619,18 @@ def colocated_join(
     left_split: int | None = None,
 ) -> DataFrame:
     """The convenience wrapper: register + read. ``how`` is one of
-    inner / left_semi / left_anti / left_outer — semi/anti surface left
-    columns only; inner/outer drop the right key column
-    (``df.join(other, on=key)`` shape). NULL left keys match nothing,
-    so they vanish from inner/semi and surface (exactly once) from
-    anti/outer, the SQL contract. ``left_split`` caps the tight left
-    files per task (skew control: a hot bucket fans out over
-    ceil(files/split) tasks, each joining its slice against the full
-    right bucket — wall-clock stops being bounded by the largest
-    bucket, at the price of re-reading that bucket's right side per
-    slice)."""
+    inner / left_semi / left_anti / left_outer / right_outer /
+    full_outer — semi/anti surface left columns only; the others drop
+    the right key column (``df.join(other, on=key)`` shape, the output
+    key coalesced across sides for right/full outer). NULL keys match
+    nothing, so they vanish from inner/semi and surface (exactly once)
+    from the side an anti/outer preserves, the SQL contract.
+    ``left_split`` caps the tight left files per task (skew control: a
+    hot bucket fans out over ceil(files/split) tasks, each joining its
+    slice against the full right bucket — wall-clock stops being
+    bounded by the largest bucket, at the price of re-reading that
+    bucket's right side per slice); it refuses to compose with
+    right/full outer (chunking would re-emit unmatched right rows)."""
     register_colocated_source(spark)
     r = (
         spark.read.format("snapshot_colocated_join")

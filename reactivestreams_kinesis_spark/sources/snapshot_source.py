@@ -786,7 +786,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     and every emitted batch carries ``_change_type`` /
     ``_commit_version``. The feed crosses rewrite commits too: reorgs
     (compaction) emit nothing, copy-on-write DML rewrites plan a
-    ``rewrite_diff`` partition (see ``_read_rewrite_diff``)."""
+    ``rewrite_diff`` partition (see ``_read_rewrite_diff``).
+
+    Caveat — AvailableNow with a trigger cap: Spark executes Python
+    data sources under AvailableNow as a SINGLE batch, so a capped run
+    drains at most one cap's worth and stops; pair the caps with a
+    processing-time trigger for a standing drain, or loop AvailableNow
+    runs over the same checkpoint (``stream_refresh_materialized_view``
+    does exactly that) until caught up."""
 
     def __init__(
         self,
@@ -812,18 +819,22 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # as latestOffset-side cursor advancement — each answer moves at
         # most ``max_versions`` past the last offset this reader has
         # seen. ``_cursor`` is None until the reader learns a REAL
-        # offset (a planned/committed batch boundary), because capping
-        # from an assumed position could hand out an offset BELOW the
-        # checkpointed one — a non-monotone offset would re-plan and
-        # silently duplicate already-emitted versions, and the engine
-        # PREFETCHES latestOffset before it ever calls initialOffset
-        # (measured on Spark 4.1), so even a fresh start cannot anchor
-        # the cursor first. Consequence — the documented residual: the
-        # FIRST batch of every run (fresh or restart) plans the whole
-        # backlog; every batch after it caps. This is the admission
-        # control a standing stream needs (bound how far one trigger
-        # can fall behind); bounding the initial backfill too requires
-        # a ReadLimit the Python API doesn't expose.
+        # offset; an unanchored answer below the checkpointed offset
+        # would be POISON — Spark 4.1 plans the backwards batch without
+        # complaint and commits its end, regressing the offset log and
+        # silently re-emitting already-committed versions (measured
+        # with a probe source). Anchoring is safe anyway, because of
+        # two measured engine behaviors (both trigger modes):
+        # - FRESH start: latestOffset is prefetched before
+        #   initialOffset, but no checkpoint exists, so ``_start`` (the
+        #   very offset initialOffset will return) is the true anchor —
+        #   capping from it bounds the FIRST batch over a deep backlog.
+        # - RESTART: the engine reconstructs the last checkpointed
+        #   batch via partitions(committed, committed) BEFORE its first
+        #   latestOffset call, so the cursor is already anchored at the
+        #   checkpoint when admission is first consulted.
+        # Together: every batch of every run is capped, and no answer
+        # can fall below a checkpointed offset.
         if max_versions is not None and max_versions < 1:
             raise ValueError(
                 f"maxVersionsPerTrigger must be >= 1, got {max_versions}"
@@ -847,11 +858,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         tip = latest_version(self._dir)
         target = self._start if tip is None else tip
-        if self._cursor is not None and target > self._cursor:
+        # unanchored = fresh start (a restart anchors via the engine's
+        # partitions(committed, committed) reconstruction first): the
+        # starting version is the true admission anchor, so even the
+        # cold-start backlog drains in capped batches
+        cursor = self._start if self._cursor is None else self._cursor
+        if target > cursor:
             if self._max_versions is not None:
-                target = min(target, self._cursor + self._max_versions)
+                target = min(target, cursor + self._max_versions)
             if self._max_bytes is not None:
-                target = self._bytes_bounded_end(self._cursor, target)
+                target = self._bytes_bounded_end(cursor, target)
         self._advance_cursor(target)
         return {"version": target}
 

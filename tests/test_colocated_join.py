@@ -114,8 +114,8 @@ def test_colocated_join_projection_and_collision(spark, sf_dir, tmp_path):
 
 
 def test_colocated_join_guards(spark, sf_dir, tmp_path):
-    """No spec / mismatched N refuse loudly (the generic join is the
-    right plan there — never silently fall back)."""
+    """No spec / incommensurable N refuse loudly (the generic join is
+    the right plan there — never silently fall back)."""
     lt, rt = _dirs(tmp_path)
     cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
     snapshot_commit(cust.limit(50), lt)  # no partition spec
@@ -123,7 +123,7 @@ def test_colocated_join_guards(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="bucket partition spec"):
         colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey").schema
     lt2 = lt + "_b"
-    snapshot_commit(cust.limit(50), lt2, partition_by=[("c_custkey", "bucket", 8)])
+    snapshot_commit(cust.limit(50), lt2, partition_by=[("c_custkey", "bucket", 6)])
     with pytest.raises(Exception, match="bucket counts differ"):
         colocated_join(
             spark, lt2, rt, left_key="c_custkey", right_key="o_custkey"
@@ -266,8 +266,15 @@ def test_colocated_join_bad_join_type(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="joinType"):
         colocated_join(
-            spark, lt, rt, left_key="k", right_key="k2", how="full_outer"
+            spark, lt, rt, left_key="k", right_key="k2", how="cross"
         ).schema
+    # skew chunking cannot compose with right-preserving joins: each
+    # chunk would re-emit the right bucket's unmatched rows
+    with pytest.raises(Exception, match="leftSplit"):
+        colocated_join(
+            spark, lt, rt, left_key="k", right_key="k2", how="full_outer",
+            left_split=1,
+        ).collect()
 
 
 # ---- randomized model check ------------------------------------------------
@@ -286,19 +293,23 @@ _ROWS = st.lists(
     lrows=_ROWS,
     rrows=_ROWS,
     n=st.sampled_from([2, 4, 8]),
+    rn_mult=st.sampled_from([1, 1, 2]),
     pre_spec=st.booleans(),
-    how=st.sampled_from(["inner", "left_semi", "left_anti", "left_outer"]),
+    how=st.sampled_from(
+        ["inner", "left_semi", "left_anti", "left_outer", "right_outer", "full_outer"]
+    ),
     extra_append=st.booleans(),
 )
 @settings(
-    max_examples=12,
+    max_examples=14,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 def test_colocated_join_matches_generic_over_random_layouts(
-    spark, tmp_path_factory, lrows, rrows, n, pre_spec, how, extra_append
+    spark, tmp_path_factory, lrows, rrows, n, rn_mult, pre_spec, how, extra_append
 ):
-    """Over random row sets (NULL keys included), random bucket counts,
+    """Over random row sets (NULL keys included), random bucket counts
+    (sometimes MISMATCHED by a compatible 2× — the coarsening path),
     random straddler eras (half the left committed before the spec when
     pre_spec), and every join type: the co-located join ≡ the generic
     DataFrame join. Catches the interaction classes the example tests
@@ -329,15 +340,21 @@ def test_colocated_join_matches_generic_over_random_layouts(
             snapshot_commit(rest, lt)
     else:
         snapshot_commit(left, lt, partition_by=[("k", "bucket", n)])
-    snapshot_commit(right, rt, partition_by=[("k2", "bucket", n)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", n * rn_mult)])
     if extra_append and rrows:
         snapshot_commit(right.limit(1).withColumn("w", F.lit(777.0)), rt)
         right = right.unionByName(right.limit(1).withColumn("w", F.lit(777.0)))
 
     j = colocated_join(spark, lt, rt, left_key="k", right_key="k2", how=how)
-    gen = left.join(right, left.k == right.k2, how)
-    if how in ("inner", "left_outer"):
-        gen = gen.select("k", "v", "w")
+    if how in ("right_outer", "full_outer"):
+        # USING-join shape: the output key is coalesced across sides
+        gen = left.join(
+            right.withColumnRenamed("k2", "k"), on="k", how=how
+        ).select("k", "v", "w")
+    else:
+        gen = left.join(right, left.k == right.k2, how)
+        if how in ("inner", "left_outer"):
+            gen = gen.select("k", "v", "w")
     assert sorted([tuple(r) for r in j.collect()], key=str) == sorted(
         [tuple(r) for r in gen.collect()], key=str
     )
@@ -432,3 +449,111 @@ def test_colocated_join_left_split_skew_control(spark, sf_dir, tmp_path):
         assert (
             split.rdd.getNumPartitions() > base.rdd.getNumPartitions()
         ), f"{how}: split must add tasks"
+
+
+def test_colocated_join_right_full_outer_parity(spark, tmp_path):
+    """right_outer / full_outer parity with the generic USING-join
+    (coalesced key), including NULL keys on both sides (each surfaces
+    exactly once from the side its outer preserves, never matching) and
+    buckets populated on only one side."""
+    lt, rt = _dirs(tmp_path)
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "lnul"), (2, "b"), (4, "d")], "k int, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (3, 30.0), (None, 99.0), (1, 11.0)], "k2 int, w double"
+    )
+    snapshot_commit(left, lt, partition_by=[("k", "bucket", 8)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", 8)])
+    for how in ("right_outer", "full_outer"):
+        j = colocated_join(spark, lt, rt, left_key="k", right_key="k2", how=how)
+        exp = left.join(
+            right.withColumnRenamed("k2", "k"), on="k", how=how
+        ).select("k", "v", "w")
+        assert _rows(j) == _rows(exp), how
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{how} must stay shuffle-free"
+    fo = _rows(
+        colocated_join(spark, lt, rt, left_key="k", right_key="k2", how="full_outer")
+    )
+    assert (None, "lnul", None) in fo and (None, None, 99.0) in fo
+
+
+def test_colocated_join_right_nulls_owned_once_with_straddlers(spark, tmp_path):
+    """Straddler files on the RIGHT (pre-spec era) hold its null-key
+    rows; every bucket task reads them, but only the designated owner
+    emits them — right/full outer surface each null row once."""
+    lt, rt = _dirs(tmp_path)
+    left = spark.createDataFrame([(2, "b")], "k int, v string")
+    right = spark.createDataFrame(
+        [(2, 20.0), (None, 91.0), (None, 92.0), (5, 50.0)], "k2 int, w double"
+    )
+    snapshot_commit(left, lt, partition_by=[("k", "bucket", 16)])
+    snapshot_commit(right.repartition(1), rt)  # pre-spec: straddlers
+    set_partition_spec(rt, [("k2", "bucket", 16)])
+    snapshot_commit(spark.createDataFrame([(7, 70.0)], "k2 int, w double"), rt)
+    for how in ("right_outer", "full_outer"):
+        j = colocated_join(spark, lt, rt, left_key="k", right_key="k2", how=how)
+        exp = left.join(
+            right.unionByName(
+                spark.createDataFrame([(7, 70.0)], "k2 int, w double")
+            ).withColumnRenamed("k2", "k"),
+            on="k",
+            how=how,
+        ).select("k", "v", "w")
+        assert _rows(j) == _rows(exp), how
+        assert j.count() == exp.count(), f"{how}: null rows re-emitted per bucket?"
+
+
+def test_colocated_join_bucket_count_mismatch_coarsens(spark, sf_dir, tmp_path):
+    """A compatible kN/N bucket pair plans at the coarser N (each task
+    reads the finer side's k child buckets) — parity with the generic
+    join in both directions, still zero exchanges."""
+    cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
+    for ln, rn in ((8, 4), (4, 8), (16, 4)):
+        lt, rt = _dirs(tmp_path)
+        snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", ln)])
+        snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", rn)])
+        j = colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey")
+        exp = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+            "c_custkey", "c_nationkey", "c_acctbal", "o_orderkey", "o_totalprice"
+        )
+        assert _rows(j) == _rows(exp), (ln, rn)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (ln, rn)
+        # the plan width is the coarse count (one task per coarse bucket)
+        assert j.rdd.getNumPartitions() <= min(ln, rn)
+
+
+def test_colocated_join_straddler_key_type_guard(spark, tmp_path, monkeypatch):
+    """The straddler row filter (Python bucket twin) is only exact for
+    int/str keys — the write path already enforces that contract
+    (bucket specs refuse float/bool columns, and the widening chains
+    keep int types int), so this guard is defense-in-depth for
+    foreign/hand-built manifests. Unit-prove the mechanism by shrinking
+    the allowed set: straddler layouts refuse at plan time; tight
+    layouts (no Python filter anywhere) stay unaffected."""
+    import reactivestreams_kinesis_spark.sources.colocated as coloc
+
+    lt, rt = _dirs(tmp_path)
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, 15.0), (2, 25.0)], "k2 int, w double")
+    snapshot_commit(left, lt, partition_by=[("k", "bucket", 4)])
+    snapshot_commit(right, rt, partition_by=[("k2", "bucket", 4)])
+    lt2 = lt + "_strad"
+    snapshot_commit(left, lt2)  # pre-spec: straddler era
+    set_partition_spec(lt2, [("k", "bucket", 4)])
+    snapshot_commit(spark.createDataFrame([(3, "c")], "k int, v string"), lt2)
+
+    from reactivestreams_kinesis_spark.operators.snapshots import latest_version
+
+    monkeypatch.setattr(coloc, "_EXACT_KEY_TYPES", {"bigint", "string"})
+    # tight layout: the guard never fires (no straddlers to row-filter)
+    coloc._side_plan(lt, latest_version(lt), "k", None, None)
+    # straddler layout under the shrunken contract: plan-time refusal
+    with pytest.raises(ValueError, match="exact"):
+        coloc._side_plan(lt2, latest_version(lt2), "k", None, None)
+    monkeypatch.undo()
+    # the real contract (int keys) accepts the same straddler layout
+    ok = colocated_join(spark, lt2, rt, left_key="k", right_key="k2")
+    assert _rows(ok) == {(1, "a", 15.0), (2, "b", 25.0)}

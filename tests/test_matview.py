@@ -817,3 +817,191 @@ def test_mv_non_quiet_feed_error_propagates(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="unexpected feed"):
         refresh_materialized_view(spark, v)
     assert materialized_view_status(v)["source_version"] == before
+
+
+# ---- join views (round 11) -------------------------------------------------
+
+
+def _join_mv_setup(spark, sf_dir, tmp_path, group_by, aggs, **kw):
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view_over_join,
+    )
+
+    u = _uuid.uuid4().hex[:6]
+    fact, dim, v = (
+        str(tmp_path / f"fact_{u}"), str(tmp_path / f"dim_{u}"),
+        str(tmp_path / f"jview_{u}"),
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    snapshot_commit(orders.repartitionByRange(4, "o_orderkey"), fact)
+    snapshot_commit(cust, dim)
+    create_materialized_view_over_join(
+        spark, v, fact, dim,
+        join_on=("o_custkey", "c_custkey"),
+        group_by=group_by, aggs=aggs, **kw,
+    )
+    return fact, dim, v, orders, cust
+
+
+def _join_recompute(spark, fact, dim, group_by, agg_exprs):
+    from reactivestreams_kinesis_spark.operators.matview import _load_meta
+
+    f = read_snapshot(spark, fact)
+    d = read_snapshot(spark, dim)
+    return (
+        f.join(d, f.o_custkey == d.c_custkey)
+        .groupBy(*group_by)
+        .agg(*agg_exprs)
+    )
+
+
+def test_join_mv_fact_dml_refresh_matches_direct_join(spark, sf_dir, tmp_path):
+    """The star-schema view (orders ⋈ customer grouped by a DIM
+    attribute) maintained through append + CoW update + MoR delete on
+    the FACT ≡ the direct join-aggregate at the tip, under both
+    strategies; replays publish nothing."""
+    aggs = {
+        "n": ("count", None),
+        "rev": ("sum", "price"),
+        "hi": ("max", "price"),
+    }
+    exprs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").alias("rev"),
+        F.max("price").alias("hi"),
+    ]
+    for strategy in ("overwrite", "merge"):
+        fact, dim, v, orders, cust = _join_mv_setup(
+            spark, sf_dir, tmp_path, ["c_nationkey"], aggs
+        )
+        snapshot_commit(
+            orders.limit(50).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(9000000).cast("bigint")
+            ),
+            fact,
+        )
+        update_where(
+            spark, fact, [("o_orderkey", "<=", 100)],
+            {"price": F.col("price") + F.lit(5).cast("decimal(12,2)")},
+        )
+        delete_where(spark, fact, [("price", ">", 300000.0)], strategy="merge_on_read")
+        refresh_materialized_view(spark, v, strategy=strategy)
+        assert _rows(read_materialized_view(spark, v)) == _rows(
+            _join_recompute(spark, fact, dim, ["c_nationkey"], exprs)
+        ), strategy
+        tip = latest_version(v)
+        assert refresh_materialized_view(spark, v, strategy=strategy) == tip
+
+
+def test_join_mv_dim_change_refuses_or_rebuilds(spark, sf_dir, tmp_path):
+    """Real dim row changes refuse by default (a fact-only delta cannot
+    fold them); on_dim_change='rebuild' re-pins at the dim tip with a
+    full recompute; QUIET dim history (compaction) never blocks."""
+    from reactivestreams_kinesis_spark.operators.matview import _load_meta
+
+    aggs = {"n": ("count", None), "rev": ("sum", "price")}
+    exprs = [F.count(F.lit(1)).alias("n"), F.sum("price").alias("rev")]
+    fact, dim, v, orders, cust = _join_mv_setup(
+        spark, sf_dir, tmp_path, ["c_mktsegment"], aggs
+    )
+    # quiet dim commit: compaction changes no rows — refresh proceeds
+    compact_snapshot(spark, dim, target_file_bytes=1 << 40)
+    snapshot_commit(orders.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(8000000).cast("bigint")
+    ), fact)
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+    )
+    # real dim change: move some customers to a new segment
+    update_where(
+        spark, dim, [("c_custkey", "<=", 200)],
+        {"c_mktsegment": F.lit("MIGRATED")},
+    )
+    snapshot_commit(orders.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(7000000).cast("bigint")
+    ), fact)
+    with pytest.raises(ValueError, match="dim"):
+        refresh_materialized_view(spark, v)
+    refresh_materialized_view(spark, v, on_dim_change="rebuild")
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+    )
+    # the pin advanced: a further fact-only refresh folds incrementally
+    assert _load_meta(v)["join"]["dim_version"] == latest_version(dim)
+    delete_where(spark, fact, [("o_orderkey", ">", 7000000)])
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+    )
+
+
+def test_join_mv_spec_guards(spark, sf_dir, tmp_path):
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view_over_join,
+    )
+
+    u = _uuid.uuid4().hex[:6]
+    fact, dim = str(tmp_path / f"gf_{u}"), str(tmp_path / f"gd_{u}")
+    snapshot_commit(
+        spark.createDataFrame([(1, 10, 5.0)], "id bigint, ck int, x double"), fact
+    )
+    snapshot_commit(
+        spark.createDataFrame([(10, "a", 5.0)], "ck2 int, seg string, x double"), dim
+    )
+    with pytest.raises(ValueError, match="collision"):
+        create_materialized_view_over_join(
+            spark, str(tmp_path / f"gv1_{u}"), fact, dim,
+            join_on=("ck", "ck2"), group_by=["seg"], aggs={"n": ("count", None)},
+        )
+    with pytest.raises(ValueError, match="join key"):
+        create_materialized_view_over_join(
+            spark, str(tmp_path / f"gv2_{u}"), fact, dim,
+            join_on=("nope", "ck2"), group_by=["seg"], aggs={"n": ("count", None)},
+        )
+    with pytest.raises(ValueError, match="group keys"):
+        create_materialized_view_over_join(
+            spark, str(tmp_path / f"gv3_{u}"), fact, dim,
+            join_on=("ck", "ck2"), group_by=["nope"],
+            aggs={"n": ("count", None)}, dim_columns=["seg"],
+        )
+    # projection resolves the collision
+    vd = str(tmp_path / f"gv4_{u}")
+    create_materialized_view_over_join(
+        spark, vd, fact, dim, join_on=("ck", "ck2"),
+        group_by=["seg"], aggs={"n": ("count", None)}, dim_columns=["seg"],
+    )
+    assert _rows(read_materialized_view(spark, vd)) == {("a", 1)}
+
+
+def test_join_mv_stream_maintenance(spark, sf_dir, tmp_path):
+    """The standing CDF-stream maintainer composes with join views: a
+    fact backlog drains (capped), the view lands at the direct
+    join-aggregate."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        stream_refresh_materialized_view,
+    )
+
+    aggs = {"n": ("count", None), "rev": ("sum", "price")}
+    exprs = [F.count(F.lit(1)).alias("n"), F.sum("price").alias("rev")]
+    fact, dim, v, orders, cust = _join_mv_setup(
+        spark, sf_dir, tmp_path, ["c_nationkey"], aggs
+    )
+    snapshot_commit(orders.limit(20).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(6000000).cast("bigint")
+    ), fact)
+    delete_where(spark, fact, [("price", "<", 5000.0)])
+    q = stream_refresh_materialized_view(
+        spark, v, str(tmp_path / "jck"), max_versions_per_trigger=1
+    )
+    q.awaitTermination(300)
+    assert materialized_view_status(v)["source_version"] == latest_version(fact)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_nationkey"], exprs)
+    )

@@ -1,0 +1,164 @@
+"""SQL statement front-end (operators/sql_frontend.py): every supported
+statement shape dispatches onto its oracle-proven operator and produces
+the same state the Python call would; unsupported syntax refuses loudly
+(never a silent misread)."""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactivestreams_kinesis_spark.operators.snapshots import (
+    latest_version,
+    read_snapshot,
+    snapshot_commit,
+)
+from reactivestreams_kinesis_spark.operators.sql_frontend import SnapshotWarehouse
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _t(tmp_path):
+    return str(tmp_path / f"wh_{_uuid.uuid4().hex[:6]}")
+
+
+def _mk(spark, t, rows=None):
+    rows = rows or [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+    snapshot_commit(
+        spark.createDataFrame(rows, "k int, name string, qty int").repartition(2),
+        t,
+    )
+    return rows
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_sql_merge_into_three_clauses(spark, tmp_path):
+    """The literal MERGE text (aliases, conditions, expressions over
+    both sides, projected INSERT) executes end-to-end through the
+    dispatcher and lands the same state as the Python operator call."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    spark.createDataFrame(
+        [(2, 5), (3, -1), (5, 50)], "k int, delta int"
+    ).createOrReplaceTempView("updates")
+    v = wh.sql(
+        """
+        MERGE INTO accounts AS a USING updates AS u ON a.k = u.k
+        WHEN MATCHED AND u.delta < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET qty = a.qty + u.delta
+        WHEN NOT MATCHED THEN INSERT (k, name, qty) VALUES (u.k, 'new', u.delta)
+        """
+    )
+    assert v == latest_version(t)
+    assert _rows(read_snapshot(spark, t)) == {
+        (1, "a", 10),
+        (2, "b", 25),
+        (4, "d", 40),
+        (5, "new", 50),
+    }
+
+
+def test_sql_merge_insert_star_and_idempotent_source_table(spark, tmp_path):
+    """INSERT * takes the source's same-named columns; the source may be
+    another WAREHOUSE table (read at its tip), not just a view."""
+    t, s = _t(tmp_path), _t(tmp_path)
+    _mk(spark, t)
+    snapshot_commit(
+        spark.createDataFrame([(7, "g", 70), (1, "A", 99)], "k int, name string, qty int"),
+        s,
+    )
+    wh = SnapshotWarehouse(spark, {"accounts": t, "incoming": s})
+    wh.sql(
+        "MERGE INTO accounts t USING incoming s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r for r in read_snapshot(spark, t).collect()}
+    assert got[1]["name"] == "A" and got[7]["qty"] == 70
+
+
+def test_sql_delete_update_where(spark, tmp_path):
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    wh.sql("DELETE FROM accounts WHERE k IN (2, 3) AND qty >= 30")
+    assert {r["k"] for r in read_snapshot(spark, t).collect()} == {1, 2, 4}
+    wh.sql("UPDATE accounts SET qty = qty * 2 WHERE k <= 2")
+    got = {r["k"]: r["qty"] for r in read_snapshot(spark, t).collect()}
+    assert got == {1: 20, 2: 40, 4: 40}
+    # unqualified UPDATE (no WHERE) touches every row
+    wh.sql("UPDATE accounts SET name = upper(name)")
+    assert {r["name"] for r in read_snapshot(spark, t).collect()} == {"A", "B", "D"}
+
+
+def test_sql_alter_and_select_time_travel(spark, tmp_path):
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    wh.sql("ALTER TABLE accounts RENAME COLUMN qty TO amount")
+    wh.sql("ALTER TABLE accounts ADD COLUMN note string")
+    cols = read_snapshot(spark, t).columns
+    assert cols == ["k", "name", "amount", "note"]
+    wh.sql("ALTER TABLE accounts DROP COLUMN note")
+    assert read_snapshot(spark, t).columns == ["k", "name", "amount"]
+    # SELECT at the tip sees the renamed column; VERSION AS OF 0 the old
+    tip = wh.sql("SELECT k, amount FROM accounts WHERE k = 1")
+    assert _rows(tip) == {(1, 10)}
+    v0 = wh.sql("SELECT k, qty FROM accounts VERSION AS OF 0 WHERE k = 1")
+    assert _rows(v0) == {(1, 10)}
+    hist = wh.sql("DESCRIBE HISTORY accounts")
+    assert hist.count() == latest_version(t) + 1
+
+
+def test_sql_select_timestamp_as_of_and_restore(spark, tmp_path):
+    import datetime as _dt
+
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    wh.sql("DELETE FROM accounts WHERE k >= 3")
+    future = (_dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(hours=1)).isoformat()
+    at_tip = wh.sql(
+        f"SELECT count(*) AS n FROM accounts TIMESTAMP AS OF '{future}'"
+    )
+    assert at_tip.collect()[0]["n"] == 2
+    wh.sql("RESTORE TABLE accounts TO VERSION AS OF 0")
+    assert read_snapshot(spark, t).count() == 4
+
+
+def test_sql_refusals(spark, tmp_path):
+    """Every unsupported shape refuses with a pointed error instead of
+    silently misreading the statement."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    with pytest.raises(ValueError, match="unknown warehouse table"):
+        wh.sql("DELETE FROM nope WHERE k = 1")
+    with pytest.raises(ValueError, match="OR is outside"):
+        wh.sql("DELETE FROM accounts WHERE k = 1 OR k = 2")
+    with pytest.raises(ValueError, match="!="):
+        wh.sql("DELETE FROM accounts WHERE k != 1")
+    with pytest.raises(ValueError, match="DELETE FROM"):
+        wh.sql("DELETE FROM accounts")  # delete-all must be explicit
+    with pytest.raises(ValueError, match="WHERE term"):
+        wh.sql("DELETE FROM accounts WHERE abs(k) = 1")
+    with pytest.raises(ValueError, match="MERGE shape"):
+        wh.sql("MERGE INTO accounts USING (SELECT 1 AS k) s ON accounts.k = s.k "
+               "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="ON t.<col> = s.<col>"):
+        wh.sql("MERGE INTO accounts t USING accounts s ON t.k = s.k + 1 "
+               "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        wh.sql("TRUNCATE TABLE accounts")
+    with pytest.raises(ValueError, match="ALTER TABLE shape"):
+        wh.sql("ALTER TABLE accounts SET TBLPROPERTIES ('a'='b')")
+    with pytest.raises(ValueError, match="unparsed MERGE clause"):
+        wh.sql("MERGE INTO accounts t USING accounts s ON t.k = s.k "
+               "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+               "WHEN MATCHED THEN FROB")

@@ -7,15 +7,18 @@ applied to the engine's own connector, and the Delta
 shape.
 
 Contract:
-- under a continuous (processing-time) trigger, every batch AFTER the
-  first advances the version cursor by at most N. The FIRST batch of a
-  run (fresh or restart) plans the whole backlog — the documented
-  residual: the engine prefetches latestOffset before initialOffset
-  and a fresh runner cannot know the checkpointed position, so any
-  capped guess could hand out a NON-MONOTONE offset and duplicate
-  versions; planning to the tip is the only safe answer. The cap is
-  the standing-stream admission control (bound how far one trigger can
-  fall behind), not an initial-backfill chunker;
+- under a continuous (processing-time) trigger, EVERY batch — the
+  cold-start backlog included — advances the version cursor by at most
+  N (round 11; previously the first batch of a run planned the whole
+  backlog). Safe because of two measured engine behaviors: on a FRESH
+  start no checkpoint exists, so the starting version (the very offset
+  initialOffset returns) anchors the cap; on a RESTART the engine
+  reconstructs the last checkpointed batch via
+  partitions(committed, committed) BEFORE its first latestOffset call,
+  so the cursor is anchored at the checkpoint before admission is
+  consulted. An answer below a checkpointed offset would be poison —
+  Spark plans the backwards batch and commits it, silently duplicating
+  versions (probe-measured) — which the anchor ordering rules out;
 - bounded batches' union equals the unbounded drain exactly (no loss,
   no dup), including across a checkpoint stop/resume;
 - Trigger.AvailableNow falls back to single-batch execution for Python
@@ -84,10 +87,9 @@ def _run_until_version(q, target, timeout=240):
 
 
 def test_max_versions_per_trigger_bounds_standing_stream(spark, sf_dir, tmp_path):
-    """v0..v1 exist at start (first batch = backlog, uncapped residual);
-    six more versions land while the stream runs — every subsequent
-    batch spans at most 2 versions, and the drained rows equal the
-    table exactly."""
+    """v0..v1 exist at start; six more versions land while the stream
+    runs — EVERY batch (the cold-start one included) spans at most 2
+    versions, and the drained rows equal the table exactly."""
     register_snapshot_source(spark)
     t = str(tmp_path / "tbl")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
@@ -125,10 +127,10 @@ def test_max_versions_per_trigger_bounds_standing_stream(spark, sf_dir, tmp_path
         snapshot_commit(s.coalesce(1), t)  # v2..v7 while q2 runs
     progresses = _run_until_version(q2, 7)
     spans = _batch_spans(progresses)
-    # q2's first batch is the documented residual; every later one caps.
-    # (How many capped batches occur depends on append/trigger timing —
-    # the deterministic progression is pinned by the unit test below.)
-    assert all(e - s <= 2 for s, e in spans[1:]), spans
+    # every batch caps — restart included. (How many batches occur
+    # depends on append/trigger timing — the deterministic progression
+    # is pinned by the unit test below.)
+    assert all(e - s <= 2 for s, e in spans), spans
     drained = spark.read.parquet(out)
     assert drained.count() == ev.count()
     assert drained.subtract(ev).count() == 0 and ev.subtract(drained).count() == 0
@@ -137,14 +139,18 @@ def test_max_versions_per_trigger_bounds_standing_stream(spark, sf_dir, tmp_path
 def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
     """Deterministic pin of the admission-control cursor, simulating the
     engine's exact call order (latestOffset is PREFETCHED before
-    initialOffset on Spark 4.1 — measured):
+    initialOffset on a fresh start; a restart reconstructs the last
+    checkpointed batch via partitions(committed, committed) BEFORE its
+    first latestOffset — both measured on Spark 4.1):
 
-    fresh run:   latest → tip (residual), then min(tip, cursor+N) each
-                 trigger; a 10-version backlog added mid-run drains in
-                 ceil(10/N) bounded batches;
-    restart run: a new reader with a checkpointed offset it never saw —
-                 first latest → tip (monotone-safe), partitions() anchors
-                 the cursor, later batches cap."""
+    fresh run:   every answer is min(tip, anchor+N) from the starting
+                 version on — the cold-start backlog drains bounded
+                 from batch one; a 10-version backlog added mid-run
+                 drains in ceil(10/N) bounded batches;
+    restart run: the reconstruction call anchors the cursor at the
+                 checkpoint, so the first post-restart answer is
+                 already capped (and can never fall below the
+                 checkpoint — the non-monotone poison case)."""
     from reactivestreams_kinesis_spark.sources.snapshot_source import (
         _SnapshotStreamReader,
     )
@@ -153,8 +159,9 @@ def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select("event_id").limit(40)
     snapshot_commit(ev.coalesce(1), t)  # v0
     r = _SnapshotStreamReader(t, -1, None, max_versions=2)
-    # engine order: latestOffset BEFORE initialOffset
-    assert r.latestOffset() == {"version": 0}  # residual = tip
+    # engine order: latestOffset BEFORE initialOffset — the fresh-start
+    # anchor is the starting version, so the answer is already capped
+    assert r.latestOffset() == {"version": 0}  # min(tip=0, -1+2)
     assert r.initialOffset() == {"version": -1}
     r.partitions({"version": -1}, {"version": 0})
     r.commit({"version": 0})
@@ -164,7 +171,7 @@ def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
     cur = 0
     while cur < 10:
         nxt = r.latestOffset()["version"]
-        assert nxt - cur <= 2, "every post-residual batch is capped"
+        assert nxt - cur <= 2, "every batch is capped"
         if nxt > cur:
             r.partitions({"version": cur}, {"version": nxt})
             r.commit({"version": nxt})
@@ -172,18 +179,25 @@ def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
             cur = nxt
     assert seen == [(0, 2), (2, 4), (4, 6), (6, 8), (8, 10)]
 
-    # restart: fresh reader, checkpoint at v4 (it never sees that value
-    # before its first latestOffset) — the residual answer must be the
-    # TIP, never anything below the checkpoint (monotone safety)
+    # COLD start over the whole 10-version backlog: a brand-new reader
+    # (no checkpoint) caps from the starting version — the first batch
+    # no longer plans the backlog
+    rc = _SnapshotStreamReader(t, -1, None, max_versions=2)
+    assert rc.latestOffset() == {"version": 1}, "cold-start batch capped"
+    rc.partitions({"version": -1}, {"version": 1})
+    rc.commit({"version": 1})
+    assert rc.latestOffset() == {"version": 3}
+
+    # restart: fresh reader, checkpoint at v4 — the engine reconstructs
+    # the committed batch FIRST (measured), anchoring the cursor, so
+    # the first latestOffset is capped from the checkpoint and can
+    # never fall below it
     r2 = _SnapshotStreamReader(t, -1, None, max_versions=2)
-    assert r2.latestOffset() == {"version": 10}
-    r2.partitions({"version": 4}, {"version": 10})  # engine replans (4,10]
-    r2.commit({"version": 10})
-    snapshot_commit(ev.limit(1).coalesce(1), t)      # v11
-    snapshot_commit(ev.limit(1).coalesce(1), t)      # v12
-    snapshot_commit(ev.limit(1).coalesce(1), t)      # v13
-    assert r2.latestOffset() == {"version": 12}, "capped after the anchor"
-    assert r2.latestOffset() == {"version": 13}
+    r2.partitions({"version": 4}, {"version": 4})  # engine reconstruction
+    assert r2.latestOffset() == {"version": 6}, "capped from the checkpoint"
+    r2.partitions({"version": 4}, {"version": 6})
+    r2.commit({"version": 6})
+    assert r2.latestOffset() == {"version": 8}
 
     # guard
     with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
@@ -289,10 +303,55 @@ def test_max_bytes_end_to_end_drain(spark, sf_dir, tmp_path):
     assert final.subtract(ev).count() == 0 and ev.subtract(final).count() == 0
 
 
+def test_max_versions_cold_start_backlog_drains_capped(spark, sf_dir, tmp_path):
+    """The round-9 verdict residual, closed: a COLD start (fresh
+    checkpoint) over a 10-version backlog drains in >= 10 capped
+    batches under maxVersionsPerTrigger=1 — bounded from batch one —
+    across a stop/resume, and the result equals the table exactly."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tblc")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    for i in range(10):
+        snapshot_commit(ev.filter(F.col("event_id") % 10 == i).coalesce(1), t)
+    out = str(tmp_path / "outc")
+    ckpt = str(tmp_path / "ckptc")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("maxVersionsPerTrigger", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = start()
+    spans = _batch_spans(_run_until_version(q, 4, timeout=180))
+    assert spans and all(e - s <= 1 for s, e in spans), spans
+    q2 = start()
+    spans2 = _batch_spans(_run_until_version(q2, 9, timeout=180))
+    assert spans2 and all(e - s <= 1 for s, e in spans2), spans2
+    # recentProgress only retains a window, so pin the batch count from
+    # the checkpoint's offset log: one commit per version = 10 batches
+    import os as _os
+
+    n_batches = len(
+        [f for f in _os.listdir(_os.path.join(ckpt, "commits")) if f.isdigit()]
+    )
+    assert n_batches >= 10, f"backlog must drain one version per batch: {n_batches}"
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count()
+    assert final.subtract(ev).count() == 0 and ev.subtract(final).count() == 0
+
+
 def test_max_versions_cap_resumes_across_restart(spark, sf_dir, tmp_path):
     """Stop mid-history, append more versions, restart: the union of all
-    drained rows equals the table exactly (no loss, no dup) even though
-    each run's first batch is the uncapped residual."""
+    drained rows equals the table exactly (no loss, no dup), every
+    run's batches capped."""
     register_snapshot_source(spark)
     t = str(tmp_path / "tbl2")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
