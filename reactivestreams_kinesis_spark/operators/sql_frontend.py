@@ -22,11 +22,18 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   richer is refused loudly rather than silently scanned).
 - ``UPDATE t SET col = expr, ... [WHERE <conjunction>]`` →
   ``update_where`` (SET expressions are full Spark SQL over the row).
+- ``INSERT INTO t VALUES (...), (...)`` and ``INSERT INTO t SELECT
+  ...`` (the SELECT runs through the same time-travel-aware resolver)
+  → an append ``snapshot_commit``; column count/names must line up
+  with the table's declared schema.
 - ``ALTER TABLE t RENAME COLUMN a TO b`` → ``rename_column``.
 - ``ALTER TABLE t ADD COLUMN c <type>`` → ``add_column``.
 - ``ALTER TABLE t DROP COLUMN c`` → ``drop_column``.
 - ``RESTORE TABLE t TO VERSION AS OF n`` → ``restore_snapshot``.
 - ``DESCRIBE HISTORY t`` → ``describe_history``.
+- ``OPTIMIZE t`` → ``compact_snapshot`` (``ZORDER BY (cols)`` maps to
+  its z-order clustering).
+- ``VACUUM t RETAIN <n> HOURS`` → ``vacuum_by_retention``.
 
 Unsupported syntax refuses with a pointed error (never a silent
 misread): multi-table FROM in DELETE, OR-predicates in DELETE WHERE,
@@ -98,10 +105,16 @@ class SnapshotWarehouse:
             return self._delete(stmt)
         if head == "UPDATE":
             return self._update(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
         if head == "ALTER":
             return self._alter(stmt)
         if head == "RESTORE":
             return self._restore(stmt)
+        if head == "OPTIMIZE":
+            return self._optimize(stmt)
+        if head == "VACUUM":
+            return self._vacuum(stmt)
         if head == "DESCRIBE":
             m = re.fullmatch(
                 rf"DESCRIBE\s+HISTORY\s+({_IDENT})", stmt, re.I | re.S
@@ -113,8 +126,8 @@ class SnapshotWarehouse:
             return describe_history(self._spark, self._dir(m.group(1)))
         raise ValueError(
             f"unsupported statement {head or '<empty>'!r} — supported: "
-            "SELECT/WITH, MERGE INTO, DELETE FROM, UPDATE, ALTER TABLE, "
-            "RESTORE TABLE, DESCRIBE HISTORY"
+            "SELECT/WITH, MERGE INTO, INSERT INTO, DELETE FROM, UPDATE, "
+            "ALTER TABLE, RESTORE TABLE, DESCRIBE HISTORY, OPTIMIZE, VACUUM"
         )
 
     # -- SELECT with time travel --------------------------------------------
@@ -330,6 +343,70 @@ class SnapshotWarehouse:
             self._spark, self._dir(name), preds, assignments
         )
 
+    # -- INSERT INTO ---------------------------------------------------------
+
+    def _insert(self, stmt: str) -> int:
+        from pyspark.sql import functions as F
+
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            snapshot_commit,
+        )
+
+        m = re.fullmatch(
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s*(.*)",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported INSERT shape — expected INSERT INTO <table> "
+                "[(cols)] VALUES (...)[, ...] or INSERT INTO <table> "
+                "[(cols)] SELECT ..."
+            )
+        name, col_list, body = m.groups()
+        body = body.strip()
+        table_dir = self._dir(name)
+        head = body.split(None, 1)[0].upper() if body else ""
+        if head in ("SELECT", "WITH"):
+            df = self._select(body)
+        elif head == "VALUES":
+            df = self._spark.sql(body)  # VALUES rows are a valid query
+        else:
+            raise ValueError(
+                f"INSERT body must be VALUES or SELECT, got {head or '<empty>'!r}"
+            )
+        declared = {
+            f.name: f.dataType
+            for f in read_snapshot(self._spark, table_dir).schema.fields
+        }
+        table_cols = list(declared)
+        targets = (
+            [c.strip() for c in col_list.split(",")] if col_list else table_cols
+        )
+        unknown = [c for c in targets if c not in declared]
+        if unknown:
+            raise ValueError(f"INSERT columns not in {name!r}: {unknown}")
+        if len(df.columns) != len(targets):
+            raise ValueError(
+                f"INSERT arity mismatch: {len(df.columns)} values for "
+                f"{len(targets)} columns"
+            )
+        # positional resolution (the SQL INSERT contract), cast to the
+        # declared types; unmentioned table columns pad typed NULL
+        aligned = df.select(
+            *[
+                F.col(df.columns[i]).cast(declared[t]).alias(t)
+                for i, t in enumerate(targets)
+            ]
+        )
+        rows = aligned.select(
+            *[
+                F.col(c) if c in targets else F.lit(None).cast(declared[c]).alias(c)
+                for c in table_cols
+            ]
+        )
+        return snapshot_commit(rows, table_dir)
+
     # -- ALTER / RESTORE -----------------------------------------------------
 
     def _alter(self, stmt: str) -> int:
@@ -371,6 +448,54 @@ class SnapshotWarehouse:
                 "VERSION AS OF <n>"
             )
         return restore_snapshot(self._dir(m.group(1)), int(m.group(2)))
+
+    def _optimize(self, stmt: str) -> int:
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            compact_snapshot,
+        )
+
+        m = re.fullmatch(
+            rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported OPTIMIZE shape — expected OPTIMIZE <table> "
+                "[ZORDER BY (cols)]"
+            )
+        cols = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        return compact_snapshot(
+            self._spark,
+            self._dir(m.group(1)),
+            cluster_by=cols,
+            zorder=bool(cols),
+        )
+
+    def _vacuum(self, stmt: str) -> list:
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            vacuum_by_retention,
+        )
+
+        m = re.fullmatch(
+            rf"VACUUM\s+({_IDENT})\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?",
+            stmt,
+            re.I,
+        )
+        if not m:
+            # Delta's bare VACUUM implies a 7-day default; this surface
+            # requires the retention stated (explicit beats implicit for
+            # an operation that deletes history)
+            raise ValueError(
+                "unsupported VACUUM shape — expected VACUUM <table> RETAIN "
+                "<n> HOURS (the retention must be explicit)"
+            )
+        return vacuum_by_retention(
+            self._dir(m.group(1)),
+            retention_seconds=float(m.group(2)) * 3600.0,
+        )
 
 
 # -- small parsers -----------------------------------------------------------

@@ -71,7 +71,11 @@ def main() -> int:
     arith_aggs = {"n": ("count", None), "total": ("sum", "bal")}
     minmax_aggs = {**arith_aggs, "lo": ("min", "bal"), "hi": ("max", "bal")}
 
-    for scale in (1, 4, 16, 64):
+    # x256 tier added in round 11: at x64 the arith refresh and the
+    # recompute sat at parity (1.13 vs 1.11 s) — the crossover claim
+    # needs a tier where the growing recompute is unambiguously past
+    # the flat refresh
+    for scale in (1, 4, 16, 64, 256):
         rep = spark.range(scale).withColumnRenamed("id", "__rep")
         src = (
             cust0.crossJoin(rep)

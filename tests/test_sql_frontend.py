@@ -162,3 +162,57 @@ def test_sql_refusals(spark, tmp_path):
         wh.sql("MERGE INTO accounts t USING accounts s ON t.k = s.k "
                "WHEN MATCHED THEN UPDATE SET qty = s.qty "
                "WHEN MATCHED THEN FROB")
+
+
+def test_sql_insert_into_values_and_select(spark, tmp_path):
+    """INSERT INTO with VALUES rows, a column-list projection (typed
+    NULL padding), and a SELECT body (time-travel-aware) — positional
+    resolution, declared-type casts."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    wh.sql("INSERT INTO accounts VALUES (10, 'j', 100), (11, 'k', 110)")
+    got = {r["k"]: r for r in read_snapshot(spark, t).collect()}
+    assert got[10]["name"] == "j" and got[11]["qty"] == 110
+    wh.sql("INSERT INTO accounts (k, qty) VALUES (12, 120)")
+    got = {r["k"]: r for r in read_snapshot(spark, t).collect()}
+    assert got[12]["name"] is None and got[12]["qty"] == 120
+    # SELECT body reads another statement's view of the same warehouse
+    wh.sql(
+        "INSERT INTO accounts SELECT k + 100, upper(name), qty "
+        "FROM accounts VERSION AS OF 0 WHERE k = 1"
+    )
+    got = {r["k"]: r for r in read_snapshot(spark, t).collect()}
+    assert got[101]["name"] == "A" and got[101]["qty"] == 10
+    with pytest.raises(ValueError, match="arity"):
+        wh.sql("INSERT INTO accounts VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="not in"):
+        wh.sql("INSERT INTO accounts (nope) VALUES (1)")
+
+
+def test_sql_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts (fewer files, same rows); VACUUM requires an
+    explicit retention and trims history."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        snapshot_files,
+    )
+
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    for i in range(3):
+        wh.sql(f"INSERT INTO accounts VALUES ({20 + i}, 'z', {i})")
+    before_rows = _rows(read_snapshot(spark, t))
+    n_before = len(_read_manifest(t, latest_version(t))["files"])
+    wh.sql("OPTIMIZE accounts")
+    assert _rows(read_snapshot(spark, t)) == before_rows
+    assert len(_read_manifest(t, latest_version(t))["files"]) < n_before
+    # zorder form parses and preserves rows
+    wh.sql("OPTIMIZE accounts ZORDER BY (k, qty)")
+    assert _rows(read_snapshot(spark, t)) == before_rows
+    with pytest.raises(ValueError, match="RETAIN"):
+        wh.sql("VACUUM accounts")
+    removed = wh.sql("VACUUM accounts RETAIN 0 HOURS")
+    assert isinstance(removed, list)
+    assert _rows(read_snapshot(spark, t)) == before_rows
