@@ -381,9 +381,24 @@ class _ColocatedJoinReader(DataSourceReader):
                 )
 
             def coarsen(by_bucket: dict) -> dict:
-                out: dict[int, list] = {}
+                # per-FILE collapse, not per-entry: a multi-bucket file
+                # (its commit's clustering packed several child buckets
+                # into one output file) appears under EACH child bucket;
+                # children congruent mod lo would land the same coarse
+                # task twice and double its rows. Collapse to the file's
+                # coarse-bucket SET — tight iff that set is a singleton
+                # (then every row provably belongs to the one coarse
+                # bucket and the row filter is skipped).
+                per_file: dict[str, list] = {}
                 for b in sorted(by_bucket):
-                    out.setdefault(b % lo, []).extend(by_bucket[b])
+                    for fp, _tight in by_bucket[b]:
+                        ent = per_file.setdefault(fp.rel, [fp, set()])
+                        ent[1].add(b % lo)
+                out: dict[int, list] = {}
+                for fp, coarse in per_file.values():
+                    tight = len(coarse) == 1
+                    for cb in sorted(coarse):
+                        out.setdefault(cb, []).append((fp, tight))
                 return out
 
             if ln > lo:

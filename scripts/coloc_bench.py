@@ -189,6 +189,43 @@ def main() -> int:
     }
     print(f"skew: {result['skew']}", file=sys.stderr)
 
+    # MISMATCH tier (round 11): a compatible 2N/N bucket pair — the
+    # coarsened plan (each task reads the finer side's two child
+    # buckets) must stay zero-exchange, one task per COARSE bucket, and
+    # parity-exact vs the generic join
+    lt = os.path.join(base, "mm_cust")
+    rt = os.path.join(base, "mm_orders")
+    snapshot_commit(
+        cust0, lt, partition_by=[("c_custkey", "bucket", 2 * N_BUCKETS)]
+    )
+    snapshot_commit(
+        orders0, rt, partition_by=[("o_custkey", "bucket", N_BUCKETS)]
+    )
+    mm = colocated_join(
+        spark, lt, rt, left_key="c_custkey", right_key="o_custkey"
+    )
+    gen = (
+        read_snapshot(spark, lt)
+        .join(read_snapshot(spark, rt), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_nationkey", "c_acctbal", "o_orderkey", "o_totalprice"
+        )
+    )
+    plan_m = mm._jdf.queryExecution().executedPlan().toString()
+    n_m, h_m = checksum(mm)
+    n_g2, h_g2 = checksum(gen)
+    assert (n_m, h_m) == (n_g2, h_g2), "mismatch-tier parity broke"
+    result["mismatch"] = {
+        "left_buckets": 2 * N_BUCKETS,
+        "right_buckets": N_BUCKETS,
+        "join_rows": n_m,
+        "tasks": mm.rdd.getNumPartitions(),
+        "exchanges": plan_m.count("Exchange"),
+        "coloc_sec": round(timed(mm), 3),
+        "generic_sec": round(timed(gen), 3),
+    }
+    print(f"mismatch: {result['mismatch']}", file=sys.stderr)
+
     shutil.rmtree(base, ignore_errors=True)
     doc = json.dumps(result)
     print(doc)

@@ -99,13 +99,13 @@ def main() -> int:
         # the FIXED fact delta: same row count at every tier
         delta = orders0.limit(500).withColumn(
             "o_orderkey",
-            (F.col("o_orderkey") + F.lit(9_000_000_000)).cast("bigint"),
+            (F.col("o_orderkey") + F.lit(100_000_000_000)).cast("bigint"),
         )
         snapshot_commit(delta, t)
         delete_where(
             spark,
             t,
-            [("o_orderkey", ">=", 9_000_000_000), ("price", ">", 200000.0)],
+            [("o_orderkey", ">=", 100_000_000_000), ("price", ">", 200000.0)],
             strategy="merge_on_read",
         )
 

@@ -510,7 +510,12 @@ def test_colocated_join_bucket_count_mismatch_coarsens(spark, sf_dir, tmp_path):
     reads the finer side's k child buckets) — parity with the generic
     join in both directions, still zero exchanges."""
     cust, orders = _cust(spark, sf_dir), _orders(spark, sf_dir)
-    for ln, rn in ((8, 4), (4, 8), (16, 4)):
+    # the 64-bucket tiers exceed the 32 shuffle partitions the commit
+    # clusters over, so the finer side's files hold SEVERAL child
+    # buckets each — two children congruent mod the coarse count used
+    # to double the file into one coarse task (caught by the bench's
+    # parity checksum; the per-file collapse in coarsen() is the fix)
+    for ln, rn in ((8, 4), (4, 8), (16, 4), (64, 32), (32, 64)):
         lt, rt = _dirs(tmp_path)
         snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", ln)])
         snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", rn)])
@@ -523,6 +528,33 @@ def test_colocated_join_bucket_count_mismatch_coarsens(spark, sf_dir, tmp_path):
         assert "Exchange" not in plan, (ln, rn)
         # the plan width is the coarse count (one task per coarse bucket)
         assert j.rdd.getNumPartitions() <= min(ln, rn)
+
+    # deterministic congruent-children repro: commit the finer side as
+    # ONE file holding every child bucket (shuffle partitions pinned to
+    # 1), so children b and b+N collapse to the same coarse bucket —
+    # the per-file coarsen collapse must emit that file once per coarse
+    # task, not once per child (pre-fix this doubled its rows)
+    lt, rt = _dirs(tmp_path)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 8)])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        latest_version,
+    )
+
+    m = _read_manifest(lt, latest_version(lt))
+    assert len(m["files"]) == 1, "repro needs the one-file multi-bucket layout"
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 4)])
+    j = colocated_join(spark, lt, rt, left_key="c_custkey", right_key="o_custkey")
+    exp = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+    assert j.count() == exp.count(), "congruent children doubled rows"
+    assert _rows(j) == _rows(exp)
 
 
 def test_colocated_join_straddler_key_type_guard(spark, tmp_path, monkeypatch):

@@ -216,3 +216,60 @@ def test_sql_optimize_and_vacuum(spark, tmp_path):
     removed = wh.sql("VACUUM accounts RETAIN 0 HOURS")
     assert isinstance(removed, list)
     assert _rows(read_snapshot(spark, t)) == before_rows
+
+
+# ---- parser model checks ---------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from reactivestreams_kinesis_spark.operators.sql_frontend import (  # noqa: E402
+    _parse_conjunction,
+)
+
+_COLS = st.sampled_from(["k", "qty", "name", "a_b", "c1"])
+_OPS = st.sampled_from(["=", "<", ">", "<=", ">="])
+_LIT = (
+    st.integers(-10**6, 10**6)
+    | st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ).map(lambda f: round(f, 3))
+    | st.text(
+        alphabet="abcXYZ 0_-", min_size=0, max_size=8
+    ).filter(lambda s: "'" not in s)
+)
+
+
+def _render_lit(v):
+    return f"'{v}'" if isinstance(v, str) else repr(v)
+
+
+@given(
+    triples=st.lists(
+        st.tuples(_COLS, _OPS, _LIT) | st.tuples(_COLS, st.just("in"), st.lists(_LIT, min_size=1, max_size=4).map(tuple)),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_where_parser_roundtrip(triples):
+    """Any predicate list the operators accept, rendered to its SQL
+    conjunction text, parses back to the same triples (modulo int/float
+    literal identity) — so the front-end's WHERE can't silently misread
+    a conjunction the Python surface would have run."""
+    parts = []
+    for c, op, v in triples:
+        if op == "in":
+            parts.append(f"{c} IN ({', '.join(_render_lit(x) for x in v)})")
+        else:
+            parts.append(f"{c} {op} {_render_lit(v)}")
+    text = " AND ".join(parts)
+    parsed = _parse_conjunction(text)
+    assert len(parsed) == len(triples)
+    for (c, op, v), (pc, pop, pv) in zip(triples, parsed):
+        assert pc == c and pop == op
+        if op == "in":
+            assert tuple(pv) == tuple(v)
+        else:
+            assert pv == v
