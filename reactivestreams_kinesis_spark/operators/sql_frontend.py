@@ -34,6 +34,17 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
 - ``OPTIMIZE t`` → ``compact_snapshot`` (``ZORDER BY (cols)`` maps to
   its z-order clustering).
 - ``VACUUM t RETAIN <n> HOURS`` → ``vacuum_by_retention``.
+- ``CREATE TABLE name AS SELECT ...`` (needs a warehouse ``root``) →
+  an initial ``snapshot_commit`` under ``root/name``; the new name is
+  registered and immediately usable by every other statement.
+- ``CREATE MATERIALIZED VIEW name AS SELECT <keys and aggregates>
+  FROM <table> [WHERE <expr>] GROUP BY <keys>`` →
+  ``create_materialized_view`` (aggregate vocabulary: COUNT(*) /
+  COUNT / SUM / MIN / MAX / AVG / APPROX_COUNT_DISTINCT, each aliased;
+  the WHERE is the view's standing row filter). ``REFRESH MATERIALIZED
+  VIEW name`` folds the source's change feed; SELECTs over the view's
+  name read ``read_materialized_view`` (aggregate semantics, not raw
+  state).
 
 Unsupported syntax refuses with a pointed error (never a silent
 misread): multi-table FROM in DELETE, OR-predicates in DELETE WHERE,
@@ -80,9 +91,17 @@ class SnapshotWarehouse:
     the same value the underlying operator returns, so txn replay
     semantics surface unchanged."""
 
-    def __init__(self, spark: SparkSession, tables: dict[str, str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, str],
+        *,
+        root: str | None = None,
+    ):
         self._spark = spark
         self._tables = dict(tables)
+        self._views: dict[str, str] = {}  # materialized views by name
+        self._root = root
 
     def _dir(self, name: str) -> str:
         if name not in self._tables:
@@ -91,6 +110,19 @@ class SnapshotWarehouse:
                 f"(registered: {sorted(self._tables)})"
             )
         return self._tables[name]
+
+    def _new_dir(self, name: str, kind: str) -> str:
+        import os
+
+        if self._root is None:
+            raise ValueError(
+                f"CREATE {kind} needs a warehouse root — construct "
+                "SnapshotWarehouse(..., root=<dir>) to allow creating "
+                "new objects"
+            )
+        if name in self._tables or name in self._views:
+            raise ValueError(f"{name!r} already exists in this warehouse")
+        return os.path.join(self._root, name)
 
     # -- dispatch ------------------------------------------------------------
 
@@ -107,6 +139,10 @@ class SnapshotWarehouse:
             return self._update(stmt)
         if head == "INSERT":
             return self._insert(stmt)
+        if head == "CREATE":
+            return self._create(stmt)
+        if head == "REFRESH":
+            return self._refresh_mv(stmt)
         if head == "ALTER":
             return self._alter(stmt)
         if head == "RESTORE":
@@ -127,7 +163,8 @@ class SnapshotWarehouse:
         raise ValueError(
             f"unsupported statement {head or '<empty>'!r} — supported: "
             "SELECT/WITH, MERGE INTO, INSERT INTO, DELETE FROM, UPDATE, "
-            "ALTER TABLE, RESTORE TABLE, DESCRIBE HISTORY, OPTIMIZE, VACUUM"
+            "ALTER TABLE, RESTORE TABLE, DESCRIBE HISTORY, OPTIMIZE, "
+            "VACUUM, CREATE TABLE AS, CREATE/REFRESH MATERIALIZED VIEW"
         )
 
     # -- SELECT with time travel --------------------------------------------
@@ -167,10 +204,19 @@ class SnapshotWarehouse:
             out,
             flags=re.I,
         )
-        # bare table names resolve at the current tip
+        # bare table names resolve at the current tip; materialized view
+        # names read through read_materialized_view (aggregate
+        # semantics, never the raw __mv_* state)
         for name in self._tables:
             if re.search(rf"\b{re.escape(name)}\b", out):
                 read_snapshot(self._spark, self._dir(name)).createOrReplaceTempView(name)
+        for name, vdir in self._views.items():
+            if re.search(rf"\b{re.escape(name)}\b", out):
+                from reactivestreams_kinesis_spark.operators.matview import (
+                    read_materialized_view,
+                )
+
+                read_materialized_view(self._spark, vdir).createOrReplaceTempView(name)
         return self._spark.sql(out)
 
     # -- MERGE INTO ----------------------------------------------------------
@@ -406,6 +452,115 @@ class SnapshotWarehouse:
             ]
         )
         return snapshot_commit(rows, table_dir)
+
+    # -- CREATE / REFRESH ----------------------------------------------------
+
+    _MV_FNS = {
+        "count": "count",
+        "sum": "sum",
+        "min": "min",
+        "max": "max",
+        "avg": "avg",
+        "approx_count_distinct": "approx_distinct",
+    }
+
+    def _create(self, stmt: str):
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            snapshot_commit,
+        )
+
+        m = re.fullmatch(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(.*)", stmt, re.I | re.S
+        )
+        if m:
+            name, body = m.groups()
+            d = self._new_dir(name, "TABLE")
+            v = snapshot_commit(self._select(body.strip()), d)
+            self._tables[name] = d
+            return v
+        m = re.fullmatch(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+"
+            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+(.*)",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported CREATE shape — CREATE TABLE <name> AS SELECT "
+                "..., or CREATE MATERIALIZED VIEW <name> AS SELECT <keys "
+                "and aggregates> FROM <table> [WHERE ...] GROUP BY <keys>"
+            )
+        from reactivestreams_kinesis_spark.operators.matview import (
+            create_materialized_view,
+        )
+
+        name, items_text, src, where, group_text = m.groups()
+        src_dir = self._dir(src)  # MV over an MV / unknown name refuses
+        group_by = [c.strip() for c in group_text.split(",")]
+        aggs: dict = {}
+        keys_seen: list[str] = []
+        for item in _split_top_level(items_text):
+            bare = re.fullmatch(_IDENT, item)
+            if bare:
+                keys_seen.append(item)
+                continue
+            fm = re.fullmatch(
+                rf"({_IDENT})\s*\(\s*(\*|{_IDENT})\s*\)\s+AS\s+({_IDENT})",
+                item,
+                re.I | re.S,
+            )
+            if not fm:
+                raise ValueError(
+                    f"unsupported MV select item {item!r} — bare group keys "
+                    "and <fn>(col|*) AS <alias> only (the maintenance "
+                    "algebra needs each output to be one named aggregate)"
+                )
+            fn, arg, alias = fm.group(1).lower(), fm.group(2), fm.group(3)
+            if fn not in self._MV_FNS:
+                raise ValueError(
+                    f"unsupported MV aggregate {fn!r} "
+                    f"(supported: {sorted(self._MV_FNS)})"
+                )
+            if arg == "*" and fn != "count":
+                raise ValueError(f"{fn}(*) is not a thing — only COUNT(*)")
+            aggs[alias] = (self._MV_FNS[fn], None if arg == "*" else arg)
+        if sorted(keys_seen) != sorted(group_by):
+            raise ValueError(
+                f"MV select keys {sorted(keys_seen)} must equal the GROUP "
+                f"BY list {sorted(group_by)}"
+            )
+        d = self._new_dir(name, "MATERIALIZED VIEW")
+        v = create_materialized_view(
+            self._spark,
+            d,
+            src_dir,
+            group_by=group_by,
+            aggs=aggs,
+            where=where.strip() if where else None,
+        )
+        self._views[name] = d
+        return v
+
+    def _refresh_mv(self, stmt: str) -> int:
+        from reactivestreams_kinesis_spark.operators.matview import (
+            refresh_materialized_view,
+        )
+
+        m = re.fullmatch(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", stmt, re.I
+        )
+        if not m:
+            raise ValueError(
+                "unsupported REFRESH shape — REFRESH MATERIALIZED VIEW <name>"
+            )
+        name = m.group(1)
+        if name not in self._views:
+            raise ValueError(
+                f"unknown materialized view {name!r} "
+                f"(registered: {sorted(self._views)})"
+            )
+        return refresh_materialized_view(self._spark, self._views[name])
 
     # -- ALTER / RESTORE -----------------------------------------------------
 

@@ -273,3 +273,66 @@ def test_where_parser_roundtrip(triples):
             assert tuple(pv) == tuple(v)
         else:
             assert pv == v
+
+
+def test_sql_create_table_and_materialized_view_lifecycle(spark, tmp_path):
+    """The full SQL-only lifecycle: CTAS creates a new warehouse table,
+    CREATE MATERIALIZED VIEW parses the aggregate list onto the MV
+    spec, DML on the source + REFRESH folds the change feed, and a
+    SELECT over the view name reads aggregate semantics (never raw
+    __mv_* state) — all through the literal statement texts."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(
+        spark, {"accounts": t}, root=str(tmp_path / "wh_root")
+    )
+    wh.sql(
+        "CREATE TABLE big_accounts AS "
+        "SELECT k, name, qty * 10 AS qty FROM accounts WHERE k <= 3"
+    )
+    assert _rows(wh.sql("SELECT k, qty FROM big_accounts")) == {
+        (1, 100), (2, 200), (3, 300),
+    }
+    wh.sql(
+        "CREATE MATERIALIZED VIEW by_name AS "
+        "SELECT name, COUNT(*) AS n, SUM(qty) AS total, MAX(qty) AS hi "
+        "FROM big_accounts WHERE qty > 0 GROUP BY name"
+    )
+    got = _rows(wh.sql("SELECT name, n, total, hi FROM by_name"))
+    assert got == {("a", 1, 100, 100), ("b", 1, 200, 200), ("c", 1, 300, 300)}
+    # DML through the SQL surface, then REFRESH folds it incrementally
+    wh.sql("INSERT INTO big_accounts VALUES (9, 'a', 55)")
+    wh.sql("DELETE FROM big_accounts WHERE k = 2")
+    wh.sql("REFRESH MATERIALIZED VIEW by_name")
+    got = _rows(wh.sql("SELECT name, n, total, hi FROM by_name"))
+    assert got == {("a", 2, 155, 100), ("c", 1, 300, 300)}
+    # the view joins like any relation in a SELECT
+    j = wh.sql(
+        "SELECT b.k, v.total FROM big_accounts b JOIN by_name v "
+        "ON b.name = v.name WHERE b.k = 1"
+    )
+    assert _rows(j) == {(1, 155)}
+
+
+def test_sql_create_refusals(spark, tmp_path):
+    t = _t(tmp_path)
+    _mk(spark, t)
+    no_root = SnapshotWarehouse(spark, {"accounts": t})
+    with pytest.raises(ValueError, match="root"):
+        no_root.sql("CREATE TABLE x AS SELECT * FROM accounts")
+    wh = SnapshotWarehouse(spark, {"accounts": t}, root=str(tmp_path / "r"))
+    with pytest.raises(ValueError, match="already exists"):
+        wh.sql("CREATE TABLE accounts AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="unsupported MV aggregate"):
+        wh.sql("CREATE MATERIALIZED VIEW v AS SELECT k, median(qty) AS m "
+               "FROM accounts GROUP BY k")
+    with pytest.raises(ValueError, match="MV select item"):
+        wh.sql("CREATE MATERIALIZED VIEW v AS SELECT k, qty + 1 AS q "
+               "FROM accounts GROUP BY k")
+    with pytest.raises(ValueError, match="GROUP BY list"):
+        wh.sql("CREATE MATERIALIZED VIEW v AS SELECT name, COUNT(*) AS n "
+               "FROM accounts GROUP BY k")
+    with pytest.raises(ValueError, match="unknown materialized view"):
+        wh.sql("REFRESH MATERIALIZED VIEW nope")
+    with pytest.raises(ValueError, match="CREATE shape"):
+        wh.sql("CREATE MATERIALIZED VIEW v AS SELECT COUNT(*) AS n FROM accounts")
