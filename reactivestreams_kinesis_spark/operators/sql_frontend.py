@@ -37,14 +37,20 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
 - ``CREATE TABLE name AS SELECT ...`` (needs a warehouse ``root``) →
   an initial ``snapshot_commit`` under ``root/name``; the new name is
   registered and immediately usable by every other statement.
+- ``CREATE TABLE name SHALLOW CLONE source [VERSION AS OF n]`` →
+  ``clone_snapshot`` (one metadata write, zero data copied; the clone
+  evolves independently).
 - ``CREATE MATERIALIZED VIEW name AS SELECT <keys and aggregates>
   FROM <table> [WHERE <expr>] GROUP BY <keys>`` →
   ``create_materialized_view`` (aggregate vocabulary: COUNT(*) /
   COUNT / SUM / MIN / MAX / AVG / APPROX_COUNT_DISTINCT, each aliased;
-  the WHERE is the view's standing row filter). ``REFRESH MATERIALIZED
-  VIEW name`` folds the source's change feed; SELECTs over the view's
-  name read ``read_materialized_view`` (aggregate semantics, not raw
-  state).
+  the WHERE is the view's standing row filter). A two-table FROM —
+  ``FROM fact f JOIN dim d ON f.k = d.k`` — maps onto
+  ``create_materialized_view_over_join`` (the star-schema view: fact
+  feed maintains, dim frozen at its current version). ``REFRESH
+  MATERIALIZED VIEW name`` folds the source's change feed; SELECTs
+  over the view's name read ``read_materialized_view`` (aggregate
+  semantics, not raw state).
 
 Unsupported syntax refuses with a pointed error (never a silent
 misread): multi-table FROM in DELETE, OR-predicates in DELETE WHERE,
@@ -470,6 +476,25 @@ class SnapshotWarehouse:
         )
 
         m = re.fullmatch(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?",
+            stmt,
+            re.I,
+        )
+        if m:
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                clone_snapshot,
+            )
+
+            name, src, ver = m.groups()
+            src_dir = self._dir(src)
+            d = self._new_dir(name, "TABLE")
+            v = clone_snapshot(
+                src_dir, d, version=None if ver is None else int(ver)
+            )
+            self._tables[name] = d
+            return v
+        m = re.fullmatch(
             rf"CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(.*)", stmt, re.I | re.S
         )
         if m:
@@ -480,7 +505,7 @@ class SnapshotWarehouse:
             return v
         m = re.fullmatch(
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+AS\s+"
-            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            rf"SELECT\s+(.*?)\s+FROM\s+(.*?)"
             rf"(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+(.*)",
             stmt,
             re.I | re.S,
@@ -488,15 +513,17 @@ class SnapshotWarehouse:
         if not m:
             raise ValueError(
                 "unsupported CREATE shape — CREATE TABLE <name> AS SELECT "
-                "..., or CREATE MATERIALIZED VIEW <name> AS SELECT <keys "
-                "and aggregates> FROM <table> [WHERE ...] GROUP BY <keys>"
+                "... | SHALLOW CLONE <table> [VERSION AS OF n], or CREATE "
+                "MATERIALIZED VIEW <name> AS SELECT <keys and aggregates> "
+                "FROM <table>[ JOIN <dim> ON ...] [WHERE ...] GROUP BY <keys>"
             )
         from reactivestreams_kinesis_spark.operators.matview import (
             create_materialized_view,
+            create_materialized_view_over_join,
         )
 
-        name, items_text, src, where, group_text = m.groups()
-        src_dir = self._dir(src)  # MV over an MV / unknown name refuses
+        name, items_text, from_text, where, group_text = m.groups()
+        join_spec = self._parse_mv_from(from_text.strip())
         group_by = [c.strip() for c in group_text.split(",")]
         aggs: dict = {}
         keys_seen: list[str] = []
@@ -531,16 +558,73 @@ class SnapshotWarehouse:
                 f"BY list {sorted(group_by)}"
             )
         d = self._new_dir(name, "MATERIALIZED VIEW")
-        v = create_materialized_view(
-            self._spark,
-            d,
-            src_dir,
-            group_by=group_by,
-            aggs=aggs,
-            where=where.strip() if where else None,
-        )
+        if join_spec["dim_dir"] is None:
+            v = create_materialized_view(
+                self._spark,
+                d,
+                join_spec["fact_dir"],
+                group_by=group_by,
+                aggs=aggs,
+                where=where.strip() if where else None,
+            )
+        else:
+            v = create_materialized_view_over_join(
+                self._spark,
+                d,
+                join_spec["fact_dir"],
+                join_spec["dim_dir"],
+                join_on=(join_spec["fact_key"], join_spec["dim_key"]),
+                group_by=group_by,
+                aggs=aggs,
+                where=where.strip() if where else None,
+            )
         self._views[name] = d
         return v
+
+    def _parse_mv_from(self, text: str) -> dict:
+        """The MV statement's FROM: one warehouse table, or the
+        star-schema pair ``fact [AS a] JOIN dim [AS b] ON a.k = b.k``
+        (inner join, dim frozen — the left relation is the maintained
+        FACT side). Select/GROUP BY columns stay UNQUALIFIED: the
+        joined relation's names are collision-checked by the operator,
+        so qualification would add nothing but parse surface."""
+        single = re.fullmatch(_IDENT, text)
+        if single:
+            return {
+                "fact_dir": self._dir(text),
+                "dim_dir": None,
+                "fact_key": None,
+                "dim_key": None,
+            }
+        m = re.fullmatch(
+            rf"({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+JOIN\s+"
+            rf"({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+ON\s+"
+            rf"({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})",
+            text,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported MV FROM {text!r} — a warehouse table, or "
+                "<fact> [AS a] JOIN <dim> [AS b] ON a.<col> = b.<col>"
+            )
+        fact, fa, dim, da, q1, c1, q2, c2 = m.groups()
+        fa, da = fa or fact, da or dim
+        if q1 == fa and q2 == da:
+            fk, dk = c1, c2
+        elif q1 == da and q2 == fa:
+            fk, dk = c2, c1
+        else:
+            raise ValueError(
+                f"MV join ON must compare the fact alias {fa!r} with the "
+                f"dim alias {da!r}"
+            )
+        return {
+            "fact_dir": self._dir(fact),
+            "dim_dir": self._dir(dim),
+            "fact_key": fk,
+            "dim_key": dk,
+        }
 
     def _refresh_mv(self, stmt: str) -> int:
         from reactivestreams_kinesis_spark.operators.matview import (

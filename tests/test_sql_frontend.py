@@ -336,3 +336,57 @@ def test_sql_create_refusals(spark, tmp_path):
         wh.sql("REFRESH MATERIALIZED VIEW nope")
     with pytest.raises(ValueError, match="CREATE shape"):
         wh.sql("CREATE MATERIALIZED VIEW v AS SELECT COUNT(*) AS n FROM accounts")
+
+
+def test_sql_shallow_clone_and_join_mv(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE (time-travel form included) and
+    the star-schema CREATE MATERIALIZED VIEW ... JOIN ... — the SQL
+    forms of clone_snapshot and create_materialized_view_over_join —
+    drive end-to-end through literal texts."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t}, root=str(tmp_path / "r2"))
+    wh.sql("DELETE FROM accounts WHERE k = 4")
+    # clone at v0 resurrects the pre-delete state as a NEW table
+    wh.sql("CREATE TABLE snap0 AS SELECT 1 AS never_used")  # name clash guard below
+    wh.sql("CREATE TABLE cloned SHALLOW CLONE accounts VERSION AS OF 0")
+    assert wh.sql("SELECT count(*) AS n FROM cloned").collect()[0]["n"] == 4
+    wh.sql("CREATE TABLE cloned_tip SHALLOW CLONE accounts")
+    assert wh.sql("SELECT count(*) AS n FROM cloned_tip").collect()[0]["n"] == 3
+    # the clone evolves independently of its source
+    wh.sql("INSERT INTO cloned VALUES (99, 'z', 9)")
+    assert wh.sql("SELECT count(*) AS n FROM accounts").collect()[0]["n"] == 3
+    with pytest.raises(ValueError, match="already exists"):
+        wh.sql("CREATE TABLE cloned SHALLOW CLONE accounts")
+
+    # star-schema MV over a join: dims table + fact table
+    dims = _t(tmp_path)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "gold"), (3, "silver"), (4, "bronze")],
+            "ck int, tier string",
+        ),
+        dims,
+    )
+    wh2 = SnapshotWarehouse(
+        spark, {"fact": t, "dims": dims}, root=str(tmp_path / "r3")
+    )
+    wh2.sql(
+        "CREATE MATERIALIZED VIEW rev_by_tier AS "
+        "SELECT tier, COUNT(*) AS n, SUM(qty) AS total "
+        "FROM fact f JOIN dims d ON f.k = d.ck GROUP BY tier"
+    )
+    assert _rows(wh2.sql("SELECT tier, n, total FROM rev_by_tier")) == {
+        ("gold", 2, 30), ("silver", 1, 30),
+    }
+    wh2.sql("INSERT INTO fact VALUES (4, 'd2', 7)")
+    wh2.sql("REFRESH MATERIALIZED VIEW rev_by_tier")
+    assert _rows(wh2.sql("SELECT tier, n, total FROM rev_by_tier")) == {
+        ("gold", 2, 30), ("silver", 1, 30), ("bronze", 1, 7),
+    }
+    with pytest.raises(ValueError, match="MV FROM"):
+        wh2.sql("CREATE MATERIALIZED VIEW bad AS SELECT tier, COUNT(*) AS n "
+                "FROM fact f LEFT JOIN dims d ON f.k = d.ck GROUP BY tier")
+    with pytest.raises(ValueError, match="fact alias"):
+        wh2.sql("CREATE MATERIALIZED VIEW bad AS SELECT tier, COUNT(*) AS n "
+                "FROM fact f JOIN dims d ON f.k = f.ck GROUP BY tier")
