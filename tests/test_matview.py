@@ -1005,3 +1005,122 @@ def test_join_mv_stream_maintenance(spark, sf_dir, tmp_path):
     assert _rows(read_materialized_view(spark, v)) == _rows(
         _join_recompute(spark, fact, dim, ["c_nationkey"], exprs)
     )
+
+
+_JMV_OP = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(st.integers(0, 6) | st.none(), st.integers(-5, 9) | st.none()),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    st.tuples(st.just("pos_del"), st.integers(-2, 8)),
+    st.tuples(st.just("eq_del"), st.lists(st.integers(0, 6), min_size=1, max_size=2)),
+    st.tuples(st.just("update"), st.tuples(st.integers(0, 6), st.integers(100, 109))),
+    st.tuples(st.just("cow_del"), st.integers(-2, 8)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("refresh"), st.sampled_from(["overwrite", "merge"])),
+)
+
+
+@given(
+    init=st.lists(
+        st.tuples(st.integers(0, 6) | st.none(), st.integers(-5, 9) | st.none()),
+        min_size=1,
+        max_size=6,
+    ),
+    ops=st.lists(_JMV_OP, min_size=1, max_size=5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_join_mv_matches_recompute_over_random_history(
+    spark, tmp_path_factory, init, ops
+):
+    """The join-MV twin of the single-table model check: over any
+    interleaving of fact DML (appends with NULL keys/values, both
+    merge-on-read delete forms, CoW updates/deletes, reorgs) and
+    interleaved refreshes under both strategies, the star-schema view
+    grouped by a DIM attribute ≡ the direct fact⋈dim aggregate at the
+    tip. Fact keys 5..6 have no dim row and NULL keys match nothing —
+    both drop under the inner join at every stage, including inside
+    retraction preimages."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view_over_join,
+    )
+
+    base = tmp_path_factory.mktemp("jmvprop")
+    t = str(base / f"t_{_uuid.uuid4().hex[:6]}")
+    d = str(base / f"d_{_uuid.uuid4().hex[:6]}")
+    v = str(base / f"v_{_uuid.uuid4().hex[:6]}")
+    uid = 0
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, ck int, x int")
+
+    dim = spark.createDataFrame(
+        [(0, "red"), (1, "red"), (2, "blue"), (3, "blue"), (4, "green")],
+        "ck2 int, g string",
+    )
+    snapshot_commit(dim, d)
+    first = [(uid + i, k, x) for i, (k, x) in enumerate(init)]
+    uid += len(init)
+    snapshot_commit(mk(first).repartition(2), t)
+    create_materialized_view_over_join(
+        spark,
+        v,
+        t,
+        d,
+        join_on=("ck", "ck2"),
+        group_by=["g"],
+        aggs={
+            "n": ("count", None),
+            "s": ("sum", "x"),
+            "lo": ("min", "x"),
+            "hi": ("max", "x"),
+        },
+    )
+
+    for kind, arg in ops:
+        if kind == "append":
+            rows = [(uid + i, k, x) for i, (k, x) in enumerate(arg)]
+            uid += len(arg)
+            snapshot_commit(mk(rows), t)
+        elif kind == "pos_del":
+            delete_where(spark, t, [("x", "<", arg)], strategy="merge_on_read")
+        elif kind == "eq_del":
+            delete_by_key(
+                spark, t, mk([(0, k, 0) for k in arg]).select("ck"), "ck"
+            )
+        elif kind == "update":
+            key, newx = arg
+            update_where(spark, t, [("ck", "=", key)], {"x": F.lit(newx)})
+        elif kind == "cow_del":
+            delete_where(spark, t, [("x", "<", arg)])
+        elif kind == "compact":
+            compact_snapshot(spark, t, target_file_bytes=1 << 40)
+        elif kind == "refresh":
+            refresh_materialized_view(spark, v, strategy=arg)
+
+    refresh_materialized_view(spark, v)
+    try:
+        src = read_snapshot(spark, t)
+    except ValueError:
+        assert read_materialized_view(spark, v).count() == 0
+        return
+    dd = read_snapshot(spark, d)
+    exp = (
+        src.join(dd, src.ck == dd.ck2)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(exp)
