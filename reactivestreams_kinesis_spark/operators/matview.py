@@ -515,7 +515,8 @@ def refresh_materialized_view(
       (only files holding a changed key rewrite), untouched groups'
       files never open. Write cost = changed groups, which is what a
       high-cardinality view (billions of groups at 100 TB) needs.
-      Requires a single group column (the merge primitive's key). The
+      Composite group keys are supported: the equality delete and the
+      merge primitive both key on the column tuple. The
       two phase commits carry derived txn ids, so a crash between them
       replays exactly-once — the recomputation always reads the old
       state AS OF the watermark commit, never the possibly
@@ -648,11 +649,6 @@ def refresh_materialized_view(
     nonabelian = {n: s for n, s in aggs.items() if s[0] in _NON_ABELIAN}
 
     if strategy == "merge":
-        if len(group_by) != 1:
-            raise ValueError(
-                "strategy='merge' needs a single group column (the merge "
-                "primitive's key); use strategy='overwrite' for composite keys"
-            )
         return _merge_refresh(
             spark, view_dir, meta, group_by, aggs, nonabelian, where,
             delta, sv, ev, txn,
@@ -694,17 +690,25 @@ def _merge_refresh(
         merge_upsert,
     )
 
-    k = group_by[0]
+    keys = list(group_by)
     wv = find_txn(view_dir, f"{_TXN_PREFIX}{sv}")
     if wv is None:
         raise RuntimeError(f"watermark commit for source v{sv} missing in {view_dir!r}")
     old = read_snapshot(spark, view_dir, wv)
-    dkeys = delta.select(k)
-    old_sub = old.join(dkeys, old[k].eqNullSafe(dkeys[k]), "left_semi")
+    dkeys = delta.select(*keys)
+    semi_cond = None
+    for k in keys:
+        c = old[k].eqNullSafe(dkeys[k])
+        semi_cond = c if semi_cond is None else (semi_cond & c)
+    old_sub = old.join(dkeys, semi_cond, "left_semi")
     changed = _merge_states(old_sub, delta, group_by, aggs)
     changed = changed.persist()
     try:
-        if changed.filter(F.col(k).isNull()).limit(1).count():
+        null_cond = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_cond = c if null_cond is None else (null_cond | c)
+        if changed.filter(null_cond).limit(1).count():
             # equality delete / merge match by equality, which NULL never
             # satisfies — a NULL group key cannot be maintained this way
             raise ValueError(
@@ -714,8 +718,10 @@ def _merge_refresh(
         # dead keys STAY a DataFrame: delete_by_key takes the key set
         # distributed (it writes the distinct keys as parquet itself),
         # so a wide retraction on a billion-group view never routes its
-        # keys through the driver — only the 0/1 existence probe runs
-        dead = changed.filter(F.col("__mv_n") == 0).select(k)
+        # keys through the driver — only the 0/1 existence probe runs.
+        # Composite keys pass whole: the equality-delete entry and the
+        # merge primitive both key on the column TUPLE.
+        dead = changed.filter(F.col("__mv_n") == 0).select(*keys)
         live = changed.filter(F.col("__mv_n") != 0)
         if nonabelian:
             live = _patch_dirty_extremes(
@@ -725,10 +731,10 @@ def _merge_refresh(
             live.select(*_state_columns(group_by, aggs)), view_dir
         )
         if dead.limit(1).count():
-            delete_by_key(spark, view_dir, dead, k, txn_id=f"mv-stage-{ev}")
+            delete_by_key(spark, view_dir, dead, keys, txn_id=f"mv-stage-{ev}")
         n_live = live.count()
         if n_live:
-            return merge_upsert(spark, view_dir, live, k, txn_id=txn)
+            return merge_upsert(spark, view_dir, live, keys, txn_id=txn)
         # nothing to upsert (pure-death refresh): publish the watermark
         # over the post-delete state so the consumption point advances
         state = read_snapshot(spark, view_dir)
@@ -850,9 +856,18 @@ def read_materialized_view(
     """The view with SQL aggregate semantics surfaced: COUNT(*) from the
     live count, SUM masked to NULL when its last non-null contributor
     retracted, AVG divided from its exact sum/count pair. Time travel
-    (``version``) reads any historical refresh."""
+    (``version``) reads any historical refresh.
+
+    The DEFAULT read anchors at the WATERMARK commit, not the tip: a
+    merge-strategy refresh that crashed between its two phase commits
+    leaves the tip at the orphaned equality delete — readers in that
+    window must not see groups deleted before the upsert landed. The
+    watermark is the last fully-published refresh; with no watermark
+    (no refresh yet ran) the tip IS consistent and reads directly."""
     meta = _load_meta(view_dir)
     aggs = _norm_aggs({n: tuple(s) for n, s in meta["aggs"].items()})
+    if version is None:
+        version = materialized_view_status(view_dir)["watermark_view_version"]
     state = read_snapshot(spark, view_dir, version)
     sel = [F.col(c) for c in meta["group_by"]]
     for name, (fn, col) in aggs.items():

@@ -1913,16 +1913,17 @@ def _rewrite_change_rows(
         .filter(F.col("__d") != 0)
     )
     kind, key = change.get("kind"), change.get("key")
+    keys = [key] if isinstance(key, str) else list(key or [])
     if kind == "update":
         ctype = F.when(
             F.col("__d") < 0, F.lit("update_preimage")
         ).otherwise(F.lit("update_postimage"))
-    elif key and key in cols:
-        flags = delta.groupBy(key).agg(
+    elif keys and all(k in cols for k in keys):
+        flags = delta.groupBy(*keys).agg(
             F.max((F.col("__d") < 0).cast("int")).alias("__has_old"),
             F.max((F.col("__d") > 0).cast("int")).alias("__has_new"),
         )
-        delta = delta.join(flags, key)
+        delta = delta.join(flags, keys)
         ctype = F.when(
             F.col("__d") < 0,
             F.when(
@@ -2068,7 +2069,7 @@ def merge_upsert(
     spark: SparkSession,
     table_dir: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     *,
     delete_col: str | None = None,
     txn_id: str | None = None,
@@ -2108,9 +2109,18 @@ def merge_upsert(
 
     Publishes with ``op=overwrite`` — a merge rewrites history, so
     incremental readers (``snapshot_changes``, the streaming source)
-    correctly refuse to diff across it, exactly like compaction."""
+    correctly refuse to diff across it, exactly like compaction.
+
+    ``key`` may be a LIST of columns (composite equality key): the
+    touched-file targeting, duplicate guard, and survivor anti-join all
+    range over the key tuple; the stats pre-prune intersects each
+    column's [min, max] envelope (conservative, still sound), while the
+    bloom probe stays single-column (per-file blooms hash one column)."""
     if strategy not in ("copy_on_write", "merge_on_read"):
         raise ValueError(f"unknown merge strategy: {strategy!r}")
+    kcols = [key] if isinstance(key, str) else list(key)
+    if not kcols:
+        raise ValueError("merge_upsert needs at least one key column")
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -2119,24 +2129,26 @@ def merge_upsert(
         if done is not None:
             return done
     manifest = _read_manifest(table_dir, tip)
-    upd_keys = updates.select(key).distinct()
+    upd_keys = updates.select(*kcols).distinct()
 
     from pyspark.sql import functions as F
 
     # one bounded stats job serves both strategies: the duplicate-key
-    # guard (both), and the [min, max] prune bounds (copy-on-write)
-    bounds = updates.agg(
-        F.min(key).alias("lo"),
-        F.max(key).alias("hi"),
+    # guard (both), and the per-column [min, max] prune bounds (COW)
+    stat_exprs = [
         F.count(F.lit(1)).alias("rows"),
-        F.countDistinct(key).alias("n"),
-    ).collect()[0]
+        F.countDistinct(*kcols).alias("n"),
+    ]
+    for i, k in enumerate(kcols):
+        stat_exprs.append(F.min(k).alias(f"lo{i}"))
+        stat_exprs.append(F.max(k).alias(f"hi{i}"))
+    bounds = updates.agg(*stat_exprs).collect()[0]
     if bounds["rows"] > bounds["n"]:
         # Delta/Iceberg MERGE raise on multiple matches per key; silently
         # inserting both rows would corrupt key uniqueness
         raise ValueError(
             f"merge_upsert: updates carry {bounds['rows'] - bounds['n']} "
-            f"extra row(s) for duplicated {key!r} values — compact the "
+            f"extra row(s) for duplicated {kcols!r} values — compact the "
             "batch to one row per key first (last-writer-wins is the "
             "CALLER's ordering decision; see snapshot_stream_merge_sink)"
         )
@@ -2151,7 +2163,7 @@ def merge_upsert(
             spark,
             table_dir,
             upd_keys,
-            key,
+            kcols,
             txn_id=f"{txn_id}-morD" if txn_id else None,
         )
         if delete_col is not None:
@@ -2175,31 +2187,39 @@ def merge_upsert(
     # the same stats job). Keys neither localized nor bloomed degrade
     # gracefully to the full targeting scan.
     candidates = manifest["files"]
-    if bounds["lo"] is not None:
-        candidates = prune_files(
-            manifest, [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
-        )
+    range_preds = [
+        p
+        for i, k in enumerate(kcols)
+        if bounds[f"lo{i}"] is not None
+        for p in ((k, ">=", bounds[f"lo{i}"]), (k, "<=", bounds[f"hi{i}"]))
+    ]
+    if range_preds:
+        candidates = prune_files(manifest, range_preds)
         table_stats = manifest.get("stats") or {}
         # NDV-sketch gate on the probe: when the per-file/table distinct
         # ratio says the average key lives in most files (an unclustered
         # layout with repeated keys), bloom probing cannot prune — skip
         # the collect+probe entirely. No sketches → stay optimistic.
-        overlap = _key_overlap_factor(manifest, key)
+        # Composite keys skip the probe: per-file blooms hash ONE column.
+        overlap = (
+            _key_overlap_factor(manifest, kcols[0]) if len(kcols) == 1 else None
+        )
         probe_can_prune = overlap is None or len(manifest["files"]) < 2 or (
             overlap <= max(2.0, 0.5 * len(manifest["files"]))
         )
         if (
-            probe_can_prune
+            len(kcols) == 1
+            and probe_can_prune
             and bounds["n"] <= _MERGE_BLOOM_PROBE_CAP
             and any(
                 table_stats.get(f, {})
-                .get(_phys_col(manifest, key), {})
+                .get(_phys_col(manifest, kcols[0]), {})
                 .get("bloom")
                 for f in candidates
             )
         ):
             probe_keys = [r[0] for r in upd_keys.collect()]
-            candidates = prune_files(manifest, [(key, "in", probe_keys)])
+            candidates = prune_files(manifest, [(kcols[0], "in", probe_keys)])
     # name the files owning a matched key: bounded driver list (≤ |files|).
     # DV-aware scan — a key whose rows are all DV-deleted is an INSERT,
     # not a match, and must not drag its file into the rewrite
@@ -2209,7 +2229,7 @@ def merge_upsert(
             spark, table_dir, manifest, candidates, keep_file_col="__file"
         )
         touched_rows = (
-            cand_df.join(upd_keys, key, "semi")
+            cand_df.join(upd_keys, kcols, "semi")
             .select("__file")
             .distinct()
             .collect()
@@ -2230,7 +2250,7 @@ def merge_upsert(
         touched_list = [f for f in manifest["files"] if f in touched]
         survivors = _read_data_files(
             spark, table_dir, manifest, touched_list
-        ).join(upd_keys, key, "anti")
+        ).join(upd_keys, kcols, "anti")
         rewrite = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
         rewrite = upserts
@@ -2242,7 +2262,7 @@ def merge_upsert(
         txn_id=txn_id,
         require_parent=tip,
         parent_manifest=manifest,
-        change={"kind": "rewrite", "key": key},
+        change={"kind": "rewrite", "key": kcols[0] if len(kcols) == 1 else kcols},
     )
 
 
@@ -3258,6 +3278,72 @@ def add_column(
         replace_schema=True,
         require_parent=tip,
         phys=phys,
+    )
+
+
+def alter_column_type(
+    table_dir: str, col: str, dtype: str, *, txn_id: str | None = None
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE as a METADATA-ONLY commit:
+    widen the declared type of ``col`` to ``dtype`` along the safe
+    chains (byte→short→int→long, float→double, decimal least-upper-
+    bound — exactly ``_wider_type``'s vocabulary, the same oracle the
+    implicit append-widening uses). No data file rewrites: files keep
+    their written (narrow) types and the declared-schema read promotes
+    them at scan time (Spark 4's vectorized parquet reader; the
+    snapshot_table source's pyarrow cast path). The explicit form
+    exists so a schema can widen AHEAD of the first wide data — the
+    usual migration order — instead of as an append side effect.
+
+    Narrowing or cross-chain changes refuse loudly (they are a table
+    rewrite, not a commit side effect). Re-declaring the CURRENT type
+    is a no-op returning the tip unchanged."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    tip = latest_version(table_dir)
+    if tip is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+    if txn_id is not None:
+        done = find_txn(table_dir, txn_id)
+        if done is not None:
+            return done
+    manifest = _read_manifest(table_dir, tip)
+    if manifest.get("schema") is None:
+        raise ValueError(
+            "alter_column_type needs a declared table schema (commit once "
+            "with a schema-bearing writer first)"
+        )
+    schema = StructType.fromJson(manifest["schema"])
+    if col not in schema.fieldNames():
+        raise ValueError(f"column {col!r} is not in the table schema")
+    target = _parse_datatype_string(dtype)
+    have = schema[col].dataType
+    if target == have:
+        return tip
+    w = _wider_type(have, target)
+    if w is None or w != target:
+        raise ValueError(
+            f"cannot alter column {col!r}: {have.simpleString()} -> "
+            f"{target.simpleString()} is not a widening along "
+            "byte->short->int->long, float->double, or a decimal "
+            "least-upper-bound (narrowing/cross-chain changes rewrite "
+            "data — use a CTAS)"
+        )
+    widened = StructType(
+        [
+            StructField(f.name, target if f.name == col else f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    ).jsonValue()
+    return publish_manifest(
+        table_dir,
+        [],
+        mode="append",
+        txn_id=txn_id,
+        schema=widened,
+        replace_schema=True,
+        require_parent=tip,
     )
 
 

@@ -25,18 +25,38 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
 - ``INSERT INTO t VALUES (...), (...)`` and ``INSERT INTO t SELECT
   ...`` (the SELECT runs through the same time-travel-aware resolver)
   → an append ``snapshot_commit``; column count/names must line up
-  with the table's declared schema.
+  with the table's declared schema. ``INSERT OVERWRITE t ...``
+  replaces the whole table (one overwrite commit);
+  ``INSERT INTO t REPLACE WHERE <conjunction> SELECT ...`` replaces
+  exactly the predicate's rows (delete + append, phase txn ids) and
+  REFUSES batches whose rows fall outside the predicate — Delta's
+  replaceWhere constraint check.
+- ``SELECT ... FROM table_changes('t', v1[, v2])`` → the change data
+  feed (``snapshot_change_feed``) as a table-valued read, rows
+  stamped ``_change_type`` / ``_commit_version``.
 - ``ALTER TABLE t RENAME COLUMN a TO b`` → ``rename_column``.
 - ``ALTER TABLE t ADD COLUMN c <type>`` → ``add_column``.
+- ``ALTER TABLE t ALTER COLUMN c TYPE <type>`` → ``alter_column_type``
+  (metadata-only widening along byte→short→int→long, float→double,
+  decimal least-upper-bound; narrowing refuses).
 - ``ALTER TABLE t DROP COLUMN c`` → ``drop_column``.
 - ``RESTORE TABLE t TO VERSION AS OF n`` → ``restore_snapshot``.
 - ``DESCRIBE HISTORY t`` → ``describe_history``.
 - ``OPTIMIZE t`` → ``compact_snapshot`` (``ZORDER BY (cols)`` maps to
   its z-order clustering).
 - ``VACUUM t RETAIN <n> HOURS`` → ``vacuum_by_retention``.
-- ``CREATE TABLE name AS SELECT ...`` (needs a warehouse ``root``) →
-  an initial ``snapshot_commit`` under ``root/name``; the new name is
-  registered and immediately usable by every other statement.
+- ``CREATE TABLE name [PARTITIONED BY (col | day(col) |
+  bucket(n, col), ...)] [CLUSTERED BY (k) INTO n BUCKETS] AS SELECT
+  ...`` (needs a warehouse ``root``) → an initial ``snapshot_commit``
+  under ``root/name`` carrying the declared partition/bucket spec —
+  the layout levers (hidden-partition pruning, the co-located join)
+  are SQL-reachable; the new name is registered and immediately
+  usable by every other statement.
+- A ``SELECT`` joining two warehouse tables bucket-partitioned
+  compatibly on the join keys routes onto the ZERO-EXCHANGE
+  co-located bucket join (``sources/colocated.py``) automatically;
+  ineligible joins fall through to Spark's generic plan (this path
+  upgrades, never refuses).
 - ``CREATE TABLE name SHALLOW CLONE source [VERSION AS OF n]`` →
   ``clone_snapshot`` (one metadata write, zero data copied; the clone
   evolves independently).
@@ -180,22 +200,69 @@ class SnapshotWarehouse:
         if not names:
             return self._spark.sql(stmt)
         out = stmt
-        # VERSION AS OF n → a pinned temp view per (table, version)
-        def _vsub(m):
+        # table_changes('t', v1[, v2]) → the change feed as a pinned
+        # temp view (Delta's CDF table-valued function shape); the feed
+        # carries _change_type/_commit_version alongside the row
+        def _cfsub(m, text):
+            name = text[m.start(1) : m.end(1)]
+            v1 = int(m.group(2))
+            v2 = None if m.group(3) is None else int(m.group(3))
+            from pyspark.sql import functions as F
+
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                QuietRangeError,
+                snapshot_change_feed,
+            )
+
+            view = f"__wh_cf_{name}_{v1}_{v2 if v2 is not None else 'tip'}"
+            try:
+                feed = snapshot_change_feed(
+                    self._spark,
+                    self._dir(name),
+                    from_version=v1,
+                    to_version=v2,
+                )
+            except QuietRangeError:
+                # a quiet range (metadata-only / reorg commits) is ZERO
+                # row changes — a table-valued READ surfaces the empty
+                # feed under the table's schema, it doesn't error (the
+                # refresh path treats quiet ranges differently: it must
+                # still advance its watermark)
+                feed = (
+                    read_snapshot(self._spark, self._dir(name), v2)
+                    .limit(0)
+                    .withColumn("_change_type", F.lit(None).cast("string"))
+                    .withColumn("_commit_version", F.lit(None).cast("long"))
+                )
+            feed.createOrReplaceTempView(view)
+            return f" {view} "
+
+        out = _sub_blind(
+            r"table_changes\s*\(\s*'(\x00+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+            _cfsub,
+            out,
+            flags=re.I,
+        )
+
+        # VERSION AS OF n → a pinned temp view per (table, version);
+        # matched over the quote-blinded text so a literal containing
+        # the phrase is never rewritten (the module's refusal contract)
+        def _vsub(m, text):
             name, ver = m.group(1), int(m.group(2))
             view = f"__wh_{name}_v{ver}"
             read_snapshot(self._spark, self._dir(name), ver).createOrReplaceTempView(view)
             return f" {view} "
 
-        out = re.sub(
+        out = _sub_blind(
             rf"\b({names})\s+VERSION\s+AS\s+OF\s+(\d+)", _vsub, out, flags=re.I
         )
 
-        # TIMESTAMP AS OF '<iso>' → resolve to a version first
-        def _tsub(m):
+        # TIMESTAMP AS OF '<iso>' → resolve to a version first (the
+        # timestamp's CONTENT is a literal — sliced from the original)
+        def _tsub(m, text):
             import datetime as _dt
 
-            name, ts = m.group(1), m.group(2)
+            name, ts = m.group(1), text[m.start(2) : m.end(2)]
             when = _dt.datetime.fromisoformat(ts)
             if when.tzinfo is None:
                 when = when.replace(tzinfo=_dt.timezone.utc)
@@ -204,26 +271,122 @@ class SnapshotWarehouse:
             read_snapshot(self._spark, self._dir(name), ver).createOrReplaceTempView(view)
             return f" {view} "
 
-        out = re.sub(
+        out = _sub_blind(
             rf"\b({names})\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
             _tsub,
             out,
             flags=re.I,
         )
+        # co-located fast path: a two-table equi-join whose sides are
+        # bucket-partitioned compatibly on the join keys plans through
+        # the zero-exchange source; anything else falls through
+        routed = self._try_colocated_select(out)
+        if routed is not None:
+            return routed
         # bare table names resolve at the current tip; materialized view
         # names read through read_materialized_view (aggregate
-        # semantics, never the raw __mv_* state)
+        # semantics, never the raw __mv_* state). Detection is
+        # quote-blind: a literal mentioning a table is data.
+        blind = _quote_blind(out)
         for name in self._tables:
-            if re.search(rf"\b{re.escape(name)}\b", out):
+            if re.search(rf"\b{re.escape(name)}\b", blind):
                 read_snapshot(self._spark, self._dir(name)).createOrReplaceTempView(name)
         for name, vdir in self._views.items():
-            if re.search(rf"\b{re.escape(name)}\b", out):
+            if re.search(rf"\b{re.escape(name)}\b", blind):
                 from reactivestreams_kinesis_spark.operators.matview import (
                     read_materialized_view,
                 )
 
                 read_materialized_view(self._spark, vdir).createOrReplaceTempView(name)
         return self._spark.sql(out)
+
+    def _try_colocated_select(self, stmt: str) -> DataFrame | None:
+        """Route ``SELECT ... FROM a [x] JOIN b [y] ON x.k = y.j ...``
+        onto the zero-exchange co-located bucket join when BOTH sides
+        are registered warehouse tables bucket-partitioned on their
+        join keys with commensurable counts. Returns None (→ generic
+        Spark plan) for every other shape or on ANY eligibility
+        failure — this path refuses nothing, it only upgrades.
+
+        Scale note: this is the planner hook that makes the layout
+        levers pay off from SQL — the generic plan shuffles both sides
+        on the key; the routed plan reads N bucket pairs with zero
+        exchanges (sources/colocated.py)."""
+        m = re.fullmatch(
+            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?"
+            rf"\s+JOIN\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+ON\s+"
+            rf"({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})"
+            rf"(?:\s+((?:WHERE|GROUP|ORDER|HAVING|LIMIT)\b.*))?",
+            _quote_blind(stmt),
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        items, lname, lal, rname, ral, q1, c1, q2, c2 = m.groups()[:9]
+        tail_span = m.span(10)
+        tail = stmt[tail_span[0] : tail_span[1]] if m.group(10) else ""
+        items = stmt[m.start(1) : m.end(1)]
+        if lal and lal.upper() == "JOIN":
+            return None
+        if lname not in self._tables or rname not in self._tables:
+            return None
+        lal, ral = lal or lname, ral or rname
+        if q1 == lal and q2 == ral:
+            lk, rk = c1, c2
+        elif q1 == ral and q2 == lal:
+            lk, rk = c2, c1
+        else:
+            return None
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            _read_manifest,
+        )
+
+        try:
+            from reactivestreams_kinesis_spark.sources.colocated import (
+                _spec_bucket_entry,
+                colocated_join,
+            )
+
+            ldir, rdir = self._tables[lname], self._tables[rname]
+            lv, rv = latest_version(ldir), latest_version(rdir)
+            le = _spec_bucket_entry(_read_manifest(ldir, lv), lk)
+            re_ = _spec_bucket_entry(_read_manifest(rdir, rv), rk)
+            ln, rn = int(le["n"]), int(re_["n"])
+            if ln % rn != 0 and rn % ln != 0:
+                return None  # incommensurable bucket counts
+            joined = colocated_join(
+                self._spark, ldir, rdir, left_key=lk, right_key=rk,
+                left_version=lv, right_version=rv,
+            )
+        except Exception:
+            return None  # not co-locatable — the generic plan is correct
+        # the joined relation's columns are unqualified; a duplicate
+        # non-key name would make alias-stripped references ambiguous —
+        # fall back to the generic two-view plan
+        if len(set(joined.columns)) != len(joined.columns):
+            return None
+        view = f"__wh_coloc_{lname}_{rname}"
+        joined.createOrReplaceTempView(view)
+        strip = rf"\b(?:{re.escape(lal)}|{re.escape(ral)})\."
+
+        def _strip(mm, text):
+            return ""
+
+        items = _sub_blind(strip, _strip, items, flags=0)
+        tail = _sub_blind(strip, _strip, tail, flags=0) if tail else ""
+        # the right key column is coalesced away by the source; its
+        # (now-unqualified) references map onto the left-named output key
+        if rk != lk:
+            _to_lk = lambda mm, text: lk
+            items = _sub_blind(rf"\b{re.escape(rk)}\b", _to_lk, items)
+            tail = _sub_blind(rf"\b{re.escape(rk)}\b", _to_lk, tail) if tail else ""
+        sql = f"SELECT {items} FROM {view}"
+        if tail:
+            sql = f"{sql} {tail}"
+        try:
+            return self._spark.sql(sql)
+        except Exception:
+            return None  # any resolution miss → generic plan
 
     # -- MERGE INTO ----------------------------------------------------------
 
@@ -262,9 +425,10 @@ class SnapshotWarehouse:
 
         def _norm(expr: str) -> str:
             # rewrite the statement's aliases onto the operator's fixed
-            # t./s. namespace (whole-word, qualified references only)
-            expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
-            expr = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+            # t./s. namespace (whole-word, qualified references only;
+            # quote-blind so alias-shaped text inside literals is data)
+            expr = _sub_blind(rf"\b{re.escape(talias)}\.", lambda m, _t: "t.", expr)
+            expr = _sub_blind(rf"\b{re.escape(salias)}\.", lambda m, _t: "s.", expr)
             return expr.strip()
 
         on_m = re.fullmatch(
@@ -288,17 +452,27 @@ class SnapshotWarehouse:
             )
 
         kw: dict = {}
+        # clause boundaries anchor on WHEN [NOT] MATCHED only — an
+        # interior WHEN (a CASE WHEN in a SET expression or condition)
+        # is NOT a boundary; matching runs over the quote-blinded text
+        # (clause keywords inside string literals are data) with group
+        # content sliced back out of the original by span
         clause_re = re.compile(
             r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
-            r"(DELETE|UPDATE\s+SET\s+.*?|INSERT\s+.*?)\s*(?=WHEN\s+|$)",
+            r"(DELETE|UPDATE\s+SET\s+.*?|INSERT\s+.*?)\s*"
+            r"(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
             re.I | re.S,
         )
         consumed = 0
-        for cm in clause_re.finditer(clauses_text):
+        for cm in clause_re.finditer(_quote_blind(clauses_text)):
             if cm.start() != consumed:
                 break
             consumed = cm.end()
-            is_not, cond, action = cm.group(1), cm.group(2), cm.group(3).strip()
+            is_not = cm.group(1)
+            cond = (
+                clauses_text[cm.start(2) : cm.end(2)] if cm.group(2) else None
+            )
+            action = clauses_text[cm.start(3) : cm.end(3)].strip()
             cond = _norm(cond) if cond else None
             a_up = action.upper()
             if a_up == "DELETE":
@@ -313,7 +487,9 @@ class SnapshotWarehouse:
                     raise ValueError("WHEN NOT MATCHED THEN UPDATE is not valid SQL")
                 if "when_matched_update" in kw:
                     raise ValueError("at most one WHEN MATCHED ... UPDATE clause")
-                sets = _split_assignments(action[len("UPDATE SET"):])
+                sets = _split_assignments(
+                    re.sub(r"(?is)^UPDATE\s+SET\s+", "", action)
+                )
                 kw["when_matched_update"] = {
                     _strip_target_prefix(cname, talias): _norm(expr)
                     for cname, expr in sets
@@ -374,9 +550,11 @@ class SnapshotWarehouse:
         )
 
     def _update(self, stmt: str) -> int:
+        # matched over the quote-blinded text: a WHERE inside a SET
+        # string literal is data, not the clause boundary
         m = re.fullmatch(
             rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?",
-            stmt,
+            _quote_blind(stmt),
             re.I | re.S,
         )
         if not m:
@@ -384,7 +562,9 @@ class SnapshotWarehouse:
                 "unsupported UPDATE shape — expected UPDATE <table> SET "
                 "col = expr[, ...] [WHERE <conjunction>]"
             )
-        name, sets_text, where = m.groups()
+        name = m.group(1)
+        sets_text = stmt[m.start(2) : m.end(2)]
+        where = stmt[m.start(3) : m.end(3)] if m.group(3) else None
         from pyspark.sql import functions as F
 
         # update_where treats plain strings as LITERAL values; the SQL
@@ -405,18 +585,27 @@ class SnapshotWarehouse:
         )
 
         m = re.fullmatch(
-            rf"INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s*(.*)",
-            stmt,
+            rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
+            rf"(?:\(([^)]*)\))?\s*(?:REPLACE\s+WHERE\s+(.*?)\s+(?=SELECT|WITH|VALUES))?(.*)",
+            _quote_blind(stmt),
             re.I | re.S,
         )
         if not m:
             raise ValueError(
-                "unsupported INSERT shape — expected INSERT INTO <table> "
-                "[(cols)] VALUES (...)[, ...] or INSERT INTO <table> "
-                "[(cols)] SELECT ..."
+                "unsupported INSERT shape — expected INSERT INTO|OVERWRITE "
+                "<table> [(cols)] [REPLACE WHERE <conjunction>] "
+                "VALUES (...)[, ...] or SELECT ..."
             )
-        name, col_list, body = m.groups()
-        body = body.strip()
+        mode_kw = m.group(1).upper()
+        name, col_list = m.group(2), m.group(3)
+        replace_where = stmt[m.start(4) : m.end(4)] if m.group(4) else None
+        body = stmt[m.start(5) : m.end(5)].strip()
+        if replace_where is not None and mode_kw == "OVERWRITE":
+            raise ValueError(
+                "REPLACE WHERE composes with INSERT INTO (a scoped "
+                "replacement); INSERT OVERWRITE already replaces the whole "
+                "table"
+            )
         table_dir = self._dir(name)
         head = body.split(None, 1)[0].upper() if body else ""
         if head in ("SELECT", "WITH"):
@@ -457,7 +646,30 @@ class SnapshotWarehouse:
                 for c in table_cols
             ]
         )
-        return snapshot_commit(rows, table_dir)
+        if replace_where is not None:
+            # Delta's REPLACE WHERE: atomically-in-effect replace the
+            # predicate's rows with the batch. Two phase commits with
+            # derived txn ids (delete then append) — the same
+            # exactly-once-under-replay shape as the MoR merge. The
+            # inserted rows MUST satisfy the predicate (Delta's
+            # constraint check): silently landing rows outside the
+            # replaced region would corrupt the "replace" contract.
+            preds = _parse_conjunction(replace_where)
+            cond = _preds_to_column(preds)
+            n_bad = rows.filter(~F.coalesce(cond, F.lit(False))).limit(1).count()
+            if n_bad:
+                raise ValueError(
+                    "REPLACE WHERE refused: the inserted rows do not all "
+                    f"satisfy the predicate {replace_where.strip()!r} "
+                    "(Delta's replaceWhere constraint check)"
+                )
+            delete_where(self._spark, table_dir, preds)
+            return snapshot_commit(rows, table_dir)
+        return snapshot_commit(
+            rows,
+            table_dir,
+            mode="overwrite" if mode_kw == "OVERWRITE" else "append",
+        )
 
     # -- CREATE / REFRESH ----------------------------------------------------
 
@@ -495,12 +707,49 @@ class SnapshotWarehouse:
             self._tables[name] = d
             return v
         m = re.fullmatch(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(.*)", stmt, re.I | re.S
+            rf"CREATE\s+TABLE\s+({_IDENT})"
+            rf"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+            rf"(?:\s+CLUSTERED\s+BY\s*\(\s*({_IDENT})\s*\)\s+INTO\s+(\d+)\s+BUCKETS)?"
+            rf"\s+AS\s+(.*)",
+            stmt,
+            re.I | re.S,
         )
         if m:
-            name, body = m.groups()
+            name, part_text, clus_col, clus_n, body = m.groups()
+            # the layout levers, SQL-reachable: PARTITIONED BY entries
+            # are identity cols / day(col) / bucket(n, col) (Iceberg's
+            # transform spellings); CLUSTERED BY (k) INTO n BUCKETS is
+            # the Hive/Spark spelling of the bucket transform — the
+            # co-located join's prerequisite
+            partition_by: list = []
+            for item in _split_top_level(part_text) if part_text else []:
+                fm = re.fullmatch(
+                    rf"(?:({_IDENT})"
+                    rf"|day\s*\(\s*({_IDENT})\s*\)"
+                    rf"|bucket\s*\(\s*(\d+)\s*,\s*({_IDENT})\s*\))",
+                    item,
+                    re.I,
+                )
+                if not fm:
+                    raise ValueError(
+                        f"unsupported PARTITIONED BY entry {item!r} — "
+                        "<col>, day(<col>), or bucket(<n>, <col>)"
+                    )
+                ident, day_col, bn, bcol = fm.groups()
+                if ident:
+                    partition_by.append(ident)
+                elif day_col:
+                    partition_by.append((day_col, "day"))
+                else:
+                    partition_by.append((bcol, "bucket", int(bn)))
+            if clus_col:
+                partition_by.append((clus_col, "bucket", int(clus_n)))
             d = self._new_dir(name, "TABLE")
-            v = snapshot_commit(self._select(body.strip()), d)
+            v = snapshot_commit(
+                self._select(body.strip()),
+                d,
+                partition_by=partition_by or None,
+            )
             self._tables[name] = d
             return v
         m = re.fullmatch(
@@ -648,6 +897,12 @@ class SnapshotWarehouse:
 
     # -- ALTER / RESTORE -----------------------------------------------------
 
+    # a datatype token: bare name, parameterized (DECIMAL(12,2),
+    # VARCHAR(10)), or nested (ARRAY<INT>, MAP<STRING,INT>) — balanced
+    # parens required so the parenthesized ADD COLUMNS (...) wrapper
+    # can't eat a parameterized type's closing paren
+    _TYPE = r"[A-Za-z_][A-Za-z0-9_<>,\s]*?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+
     def _alter(self, stmt: str) -> int:
         m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
@@ -656,13 +911,34 @@ class SnapshotWarehouse:
         )
         if m:
             return rename_column(self._dir(m.group(1)), m.group(2), m.group(3))
+        # the bare and parenthesized ADD COLUMN forms parse as SEPARATE
+        # alternatives: a shared optional \)? once consumed the closing
+        # paren of a parameterized type (DECIMAL(12,2) parsed as
+        # 'DECIMAL(12,2'), so each form owns its own parens now
         m = re.fullmatch(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+\(?\s*({_IDENT})\s+([A-Za-z0-9_(),\s]+?)\s*\)?",
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+({_IDENT})\s+({self._TYPE})",
+            stmt,
+            re.I,
+        ) or re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+\(\s*({_IDENT})\s+({self._TYPE})\s*\)",
             stmt,
             re.I,
         )
         if m:
             return add_column(self._dir(m.group(1)), m.group(2), m.group(3).strip())
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+({self._TYPE})",
+            stmt,
+            re.I,
+        )
+        if m:
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                alter_column_type,
+            )
+
+            return alter_column_type(
+                self._dir(m.group(1)), m.group(2), m.group(3).strip()
+            )
         m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s+\(?\s*({_IDENT})\s*\)?",
             stmt,
@@ -672,7 +948,7 @@ class SnapshotWarehouse:
             return drop_column(self._dir(m.group(1)), m.group(2))
         raise ValueError(
             "unsupported ALTER TABLE shape — supported: RENAME COLUMN a TO b, "
-            "ADD COLUMN c <type>, DROP COLUMN c"
+            "ADD COLUMN c <type>, ALTER COLUMN c TYPE <type>, DROP COLUMN c"
         )
 
     def _restore(self, stmt: str) -> int:
@@ -738,6 +1014,65 @@ class SnapshotWarehouse:
 
 
 # -- small parsers -----------------------------------------------------------
+
+
+def _quote_blind(text: str) -> str:
+    """``text`` with every string-literal's CONTENT replaced by \\x00
+    (same length, quotes kept) — regex matching over the blinded text
+    can never match inside a literal, while match SPANS map 1:1 back
+    onto the original. This is what keeps the front-end's rewrites
+    (time travel, alias normalization, clause splitting) refusal-safe:
+    a literal containing ``'orders VERSION AS OF 3'`` or
+    ``'WHEN MATCHED'`` is DATA, never syntax."""
+    out, quote = [], None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                out.append(ch)
+                quote = None
+            else:
+                out.append("\x00")
+        elif ch in ("'", '"'):
+            out.append(ch)
+            quote = ch
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _sub_blind(pattern: str, repl, text: str, flags: int = 0) -> str:
+    """``re.sub`` that matches over the quote-blinded text but splices
+    replacements into the ORIGINAL — string literals pass through
+    verbatim and are never rewritten. ``repl`` receives
+    ``(match, text)`` so group content can be sliced from the original
+    via spans (a group that covers a literal's interior would otherwise
+    read \\x00s)."""
+    blind = _quote_blind(text)
+    out, last = [], 0
+    for m in re.finditer(pattern, blind, flags):
+        out.append(text[last : m.start()])
+        out.append(repl(m, text))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _search_blind(pattern: str, text: str, flags: int = 0):
+    """``re.search`` over the quote-blinded text (matches in literals
+    don't count)."""
+    return re.search(pattern, _quote_blind(text), flags)
+
+
+def _split_blind(pattern: str, text: str, flags: int = 0) -> list[str]:
+    """``re.split`` at separators found OUTSIDE string literals; the
+    returned pieces are slices of the original text."""
+    blind = _quote_blind(text)
+    out, last = [], 0
+    for m in re.finditer(pattern, blind, flags):
+        out.append(text[last : m.start()])
+        last = m.end()
+    out.append(text[last:])
+    return out
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -809,17 +1144,39 @@ def _parse_literal(text: str):
     )
 
 
+def _preds_to_column(preds: list[tuple]):
+    """The pruning-predicate triples as one Spark Column conjunction —
+    the row-exact twin of the file-level prune, used where a statement
+    must VALIDATE rows against the predicate (REPLACE WHERE's
+    constraint check)."""
+    from pyspark.sql import functions as F
+
+    ops = {
+        "=": lambda c, v: F.col(c) == v,
+        "<": lambda c, v: F.col(c) < v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        ">=": lambda c, v: F.col(c) >= v,
+        "in": lambda c, v: F.col(c).isin(list(v)),
+    }
+    cond = None
+    for col, op, val in preds:
+        c = ops[op](col, val)
+        cond = c if cond is None else (cond & c)
+    return cond if cond is not None else F.lit(True)
+
+
 def _parse_conjunction(text: str) -> list[tuple]:
     """An AND-conjunction of simple comparisons onto the operators'
     pruning-predicate triples. OR / NOT / functions / column-to-column
     comparisons refuse loudly — those need a different operator, not a
     silent full scan under a misread predicate."""
     preds: list[tuple] = []
-    for raw in re.split(r"\s+AND\s+", text.strip(), flags=re.I):
+    for raw in _split_blind(r"\s+AND\s+", text.strip(), flags=re.I):
         part = raw.strip()
         if part.startswith("(") and part.endswith(")"):
             part = part[1:-1].strip()
-        if re.search(r"\s+OR\s+", part, re.I):
+        if _search_blind(r"\s+OR\s+", part, re.I):
             raise ValueError(
                 f"unsupported WHERE term {part!r} — OR is outside the "
                 "pruning-predicate vocabulary (use two statements or the "

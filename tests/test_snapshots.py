@@ -1537,3 +1537,58 @@ def test_drop_constraint(spark, sf_dir, tmp_path):
     drop_constraint(t, "bal_floor2")
     drop_column(t, "c_acctbal")
     assert read_snapshot(spark, t).columns == ["c_custkey", "c_nationkey"]
+
+
+def test_snapshot_merge_upsert_composite_key(spark, tmp_path):
+    """merge_upsert over a COMPOSITE equality key (round 12): matched
+    TUPLES update, unmatched tuples insert, delete-flagged tuples
+    vanish; a row sharing only ONE key column with an update is
+    untouched; untouched files survive verbatim; the duplicate-tuple
+    guard fires on repeated tuples (while repeated single-column values
+    across distinct tuples are legal); MoR strategy lands the same
+    state via equality-delete + append."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        merge_upsert,
+    )
+
+    base = [(a, b, a * 10 + b) for a in range(4) for b in range(3)]
+    mk = lambda rows, s="a int, b int, x int": spark.createDataFrame(rows, s)
+
+    for strategy in ("copy_on_write", "merge_on_read"):
+        t = str(tmp_path / f"cmk_{strategy}")
+        snapshot_commit(mk(base).repartitionByRange(4, "a"), t)
+        updates = mk(
+            [
+                (0, 0, 999, False),   # update tuple (0,0)
+                (0, 9, 90, False),    # insert: a=0 exists, (0,9) doesn't
+                (3, 2, None, True),   # delete tuple (3,2)
+            ],
+            "a int, b int, x int, _del boolean",
+        )
+        merge_upsert(
+            spark, t, updates, ["a", "b"], delete_col="_del", strategy=strategy
+        )
+        got = {(r["a"], r["b"]): r["x"] for r in read_snapshot(spark, t).collect()}
+        assert got[(0, 0)] == 999
+        assert got[(0, 9)] == 90
+        assert (3, 2) not in got
+        assert got[(0, 1)] == 1 and got[(3, 1)] == 31  # shared-column rows untouched
+        assert len(got) == len(base) - 1 + 1
+
+    # COW file granularity: only the range files owning a matched tuple rewrite
+    t = str(tmp_path / "cmk_files")
+    snapshot_commit(mk(base).repartitionByRange(4, "a"), t)
+    files_v0 = _read_manifest(t, 0)["files"]
+    merge_upsert(spark, t, mk([(0, 0, 7)]), ["a", "b"])
+    files_v1 = set(_read_manifest(t, 1)["files"])
+    assert len([f for f in files_v0 if f in files_v1]) == len(files_v0) - 1
+
+    # duplicate TUPLE refuses; duplicate single-column values don't
+    with _pytest.raises(ValueError, match="duplicated"):
+        merge_upsert(spark, t, mk([(1, 1, 1), (1, 1, 2)]), ["a", "b"])
+    merge_upsert(spark, t, mk([(1, 1, 1), (1, 2, 2)]), ["a", "b"])
+    got = {(r["a"], r["b"]): r["x"] for r in read_snapshot(spark, t).collect()}
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 2
