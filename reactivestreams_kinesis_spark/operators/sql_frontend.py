@@ -633,10 +633,14 @@ class SnapshotWarehouse:
                 f"{len(targets)} columns"
             )
         # positional resolution (the SQL INSERT contract), cast to the
-        # declared types; unmentioned table columns pad typed NULL
-        aligned = df.select(
+        # declared types; unmentioned table columns pad typed NULL.
+        # toDF renames by POSITION first — name-based resolution would
+        # be ambiguous when the SELECT repeats a source column next to
+        # an expression over it (auto-named to the same identifier)
+        uniq = df.toDF(*[f"__ins_c{i}" for i in range(len(df.columns))])
+        aligned = uniq.select(
             *[
-                F.col(df.columns[i]).cast(declared[t]).alias(t)
+                F.col(f"__ins_c{i}").cast(declared[t]).alias(t)
                 for i, t in enumerate(targets)
             ]
         )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
 from reactivestreams_kinesis_spark.operators.joins import asof_join, dynamic_prune_join
-from reactivestreams_kinesis_spark.queries.registry import register, register_sql
+from reactivestreams_kinesis_spark.queries.registry import register, register_sql, scratch_dir
 
 _REVENUE = (
     "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
@@ -574,8 +574,8 @@ def join_colocated_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     u = _uuid.uuid4().hex[:8]
-    lt = os.path.join(tempfile.gettempdir(), f"rsk_coloc_l_{u}")
-    rt = os.path.join(tempfile.gettempdir(), f"rsk_coloc_r_{u}")
+    lt = scratch_dir("rsk_coloc_l")
+    rt = scratch_dir("rsk_coloc_r")
     snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 16)])
     snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 16)])
     delete_where(
@@ -623,9 +623,7 @@ def join_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == 3)
         .select("c_custkey", "c_acctbal")
     )
-    t = os.path.join(
-        tempfile.gettempdir(), f"rsk_dfp_q_{_uuid.uuid4().hex[:8]}"
-    )
+    t = scratch_dir("rsk_dfp_q")
     snapshot_commit(orders, t, partition_by=[("o_custkey", "bucket", 16)])
     j = dynamic_prune_join(spark, t, dim, ("o_custkey", "c_custkey"))
     return j.select("o_orderkey", "o_custkey", "o_totalprice", "c_acctbal")

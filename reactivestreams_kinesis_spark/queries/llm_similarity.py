@@ -24,7 +24,7 @@ from reactivestreams_kinesis_spark.functions.vector import (
     duckdb_dot,
     spark_dot,
 )
-from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.queries.registry import register, scratch_dir
 from reactivestreams_kinesis_spark.session import persist_once
 
 def _with_norm(df, vec: str, norm_name: str):
@@ -1105,8 +1105,8 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     run = uuid.uuid4().hex[:8]
-    out = os.path.join(tempfile.gettempdir(), f"rsk_ann_probe_out_{run}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"rsk_ann_probe_ckpt_{run}")
+    out = scratch_dir("rsk_ann_probe_out")
+    ckpt = scratch_dir("rsk_ann_probe_ckpt")
 
     def _probe_batch(batch: DataFrame, _epoch: int) -> None:
         if batch.isEmpty():

@@ -38,6 +38,27 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A uuid'd temp path for a query's snapshot-table fixture, under
+    ONE per-process root that is removed at interpreter exit — repeated
+    driver/bench/verify runs leave /tmp flat instead of accumulating
+    per-run warehouse fixtures (round-12 hygiene). The path itself is
+    not created; the fixture's first commit does that."""
+    global _SCRATCH_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="rsk_q_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return os.path.join(_SCRATCH_ROOT, f"{prefix}_{uuid.uuid4().hex[:8]}")
+
 
 def register(
     name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False
@@ -109,8 +130,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # retraction-feed flagship that had never had a driver row
     "fn_string",
     "fn_datetime",
-    "rel_cdf_feed",                 # S5 — MoR delete retraction feed
-    "fn_array_vector",
+    # round-12 rotation: rel_cdf_feed ceded its slot (the retraction
+    # feed stays driver-covered by rel_cdf_cow, which exercises strictly
+    # more change kinds, and by rel_sql_evolution's table_changes read)
+    # to src_snapshot_table_read — the CONNECTOR surface (the Python
+    # Data Source batch read path every warehouse query routes through),
+    # which had never had a driver row of its own
+    "src_snapshot_table_read",      # S5 — snapshot_table DSv2 batch read
+    # round-12 rotation: fn_array_vector ceded its slot (array/higher-
+    # order exprs stay driver-exercised inside sim_cosine_topk's
+    # aggregate/zip_with dot product and the local mirror keeps the
+    # family bit-exact) to rel_mv_join — the star-schema join MV
+    # (fact-delta ⋈ version-pinned dim), round 11's flagship that only
+    # had a mirror row
+    "rel_mv_join",                  # S5 J1 A1 — incremental join MV
     "fn_json",                      # json + map + P1
     # round-11 rotation: fn_conditional_null ceded its slot (the
     # conditional/null family stays driver-exercised inside q13's CASE,
@@ -137,8 +170,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # slot (O4 stays driver-covered inside setop_intersect_except's
     # union legs and the local mirror keeps it bit-exact) to
     # stream_gapfill_locf, round 9's stateful gap-fill twin
-    "rel_projection_compute",       # P2 P4
-    "stream_gapfill_locf",          # T7 W2 — stateful LOCF gap fill
+    # round-12 rotation: rel_projection_compute ceded its slot (P2/P4
+    # stay driver-exercised by rel_rename_evolution's computed reads and
+    # every SELECT row; the bare form stays bit-exact in the mirror) to
+    # rel_sql_evolution — the round-12 SQL dialect completion flagship
+    # (ALTER COLUMN TYPE widening + INSERT over the straddle + the
+    # table_changes() TVF), executing the literal statement texts
+    "rel_sql_evolution",            # S5 P3 P4 — SQL widen + CDF TVF
+    # round-12 rotation: stream_gapfill_locf ceded its slot (T7 stays
+    # driver-covered by stream_stateful_user_stats, W2 by
+    # stream_temporal_enrich; the gap-fill twin stays bit-exact in the
+    # mirror) to stream_cdc_apply_mor — the write-optimized CDC apply
+    # (stream → equality-delete + append), which had no driver row
+    "stream_cdc_apply_mor",         # T7 S5 — MoR CDC apply stream
     # round-11 rotation: setop_intersect_except ceded its slot (O4/O5
     # stay bit-exact in the local mirror; the set-op algebra is also
     # exercised inside the dedup/decontamination rows) to
@@ -221,10 +265,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
     "udf_row_scalar",
-    # pipeline ops — round-6 rotation: sample_weighted (priority
-    # sampling, engine-portable arithmetic) replaces sample_hash as the
-    # sampling representative
-    "sample_weighted",              # X-pipeline W4
+    # round-12 rotation: sample_weighted ceded its slot (W4 stays
+    # driver-covered by sim_cosine_topk's per-group top-k; the sampling
+    # arithmetic stays bit-exact in the mirror and inside
+    # pipeline_end_to_end's split stage) to rel_mv_composite_merge —
+    # the composite-key delta-proportional MV refresh, round 12's
+    # flagship (the last not-delta-proportional refresh path closed)
+    "rel_mv_composite_merge",       # S5 A1 A6 — composite-key merge MV
     "pack_sequences",               # X-pipeline W3
 )
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
-from reactivestreams_kinesis_spark.queries.registry import register, register_sql
+from reactivestreams_kinesis_spark.queries.registry import register, register_sql, scratch_dir
 
 # Exact-decimal aggregate fragments shared by Spark expr and DuckDB oracle.
 _QTY = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -601,9 +601,7 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    t = os.path.join(
-        tempfile.gettempdir(), f"rsk_merge_q_{_uuid.uuid4().hex[:8]}"
-    )
+    t = scratch_dir("rsk_merge_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)
 
     upd = base.filter(F.col("c_custkey") % 10 == 0).select(
@@ -708,7 +706,7 @@ def rel_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_mor_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_mor_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)
     delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")
     delete_where(spark, t, [("c_custkey", "<=", 200)], strategy="merge_on_read")
@@ -750,7 +748,7 @@ def rel_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_eqd_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_eqd_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)
     keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
     delete_by_key(spark, t, keys, "c_nationkey")
@@ -821,7 +819,7 @@ def rel_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_nationkey").cast("double").alias("c_acctbal"),
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_cdf_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_cdf_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
     snapshot_commit(ins, t)                                                # v1
     delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
@@ -889,7 +887,7 @@ def rel_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_nationkey").cast("double").alias("balance"),
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_ren_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_ren_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
     rename_column(t, "c_acctbal", "balance")                               # v1
     snapshot_commit(ins, t)                                                # v2
@@ -935,7 +933,7 @@ def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_part_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_part_q")
     snapshot_commit(base, t, partition_by=["c_nationkey"])
     return scan_snapshot(
         spark,
@@ -992,7 +990,7 @@ def rel_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_nationkey").cast("double").alias("c_acctbal"),
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_wid_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_wid_q")
     snapshot_commit(narrow.repartitionByRange(4, "c_custkey"), t)          # v0
     snapshot_commit(wide, t)                                               # v1
     return read_snapshot(spark, t).select("c_custkey", "c_nationkey", "c_acctbal")
@@ -1052,7 +1050,7 @@ def rel_cdf_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_nationkey").cast("double").alias("c_acctbal"),
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_cdfm_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_cdfm_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
     snapshot_commit(ins, t)                                                # v1
     delete_where(spark, t, [("c_acctbal", "<", 0.0)], strategy="merge_on_read")  # v2
@@ -1163,7 +1161,7 @@ def rel_cdf_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_cdfcow_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_cdfcow_q")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
     upd = base.filter("c_custkey <= 100").select(
         "c_custkey",
@@ -1268,8 +1266,8 @@ def rel_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
     )
     u = _uuid.uuid4().hex[:8]
-    t = os.path.join(tempfile.gettempdir(), f"rsk_mv_src_{u}")
-    v = os.path.join(tempfile.gettempdir(), f"rsk_mv_view_{u}")
+    t = scratch_dir("rsk_mv_src")
+    v = scratch_dir("rsk_mv_view")
     snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
     create_materialized_view(
         spark,
@@ -1303,6 +1301,101 @@ def rel_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo_bal").cast("double"), 2).alias("lo_bal"),
         F.round(F.col("hi_bal").cast("double"), 2).alias("hi_bal"),
         F.round("avg_bal", 6).alias("avg_bal"),
+    )
+
+
+@register(
+    "rel_mv_composite_merge",
+    oracle="""
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+        UNION ALL
+        SELECT CAST(2000000 + n_nationkey AS BIGINT),
+               n_nationkey,
+               'SYNTH',
+               CAST(n_nationkey AS DECIMAL(12,2))
+        FROM nation
+    ),
+    live1 AS (SELECT * FROM all_rows WHERE NOT (bal < 0.0)),
+    live AS (SELECT * FROM live1 WHERE c_nationkey NOT IN (3, 7))
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS sum_bal,
+           ROUND(CAST(MAX(bal) AS DOUBLE), 2) AS hi_bal
+    FROM live
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=("S5", "A1", "A6"),
+)
+def rel_mv_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-KEY materialized view maintained DELTA-PROPORTIONALLY
+    (round 12 — the last not-delta-proportional refresh path closed):
+    the view groups by the (c_nationkey, c_mktsegment) TUPLE and
+    refreshes under ``strategy='merge'`` — dead tuples equality-delete
+    (the entry keys on both columns), changed tuples MERGE through the
+    composite-key ``merge_upsert``, untouched groups' files never open.
+    DML history: append (v1), merge-on-read delete (v2), equality
+    delete by a SINGLE source column (v3 — kills every segment of
+    nations 3/7, so whole key-tuple families die at once). The max
+    aggregate forces the dirty-extreme recompute down the composite
+    semi-join path. The oracle aggregates the equivalent end state
+    directly; the hash breaks if tuple identity is lost anywhere
+    (e.g. keys matched per-column instead of per-tuple).
+
+    At 100 TB: a composite-key view (billions of (dim1, dim2) groups)
+    now pays write cost = changed tuples per refresh, not VIEW size —
+    the same contract the single-key path has had since round 10."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(2000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit("SYNTH").alias("c_mktsegment"),
+        F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
+    )
+    t = scratch_dir("rsk_mvck_src")
+    v = scratch_dir("rsk_mvck_view")
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["c_nationkey", "c_mktsegment"],
+        aggs={
+            "n_rows": ("count", None),
+            "sum_bal": ("sum", "bal"),
+            "hi_bal": ("max", "bal"),
+        },
+    )
+    snapshot_commit(ins, t)                                                # v1
+    delete_where(spark, t, [("bal", "<", 0.0)], strategy="merge_on_read")  # v2
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                           # v3
+    refresh_materialized_view(spark, v, strategy="merge")
+    mv = read_materialized_view(spark, v)
+    return mv.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        F.round(F.col("sum_bal").cast("double"), 2).alias("sum_bal"),
+        F.round(F.col("hi_bal").cast("double"), 2).alias("hi_bal"),
     )
 
 
@@ -1376,9 +1469,9 @@ def rel_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey"
     )
     u = _uuid.uuid4().hex[:8]
-    fact = os.path.join(tempfile.gettempdir(), f"rsk_mvj_fact_{u}")
-    dim = os.path.join(tempfile.gettempdir(), f"rsk_mvj_dim_{u}")
-    view = os.path.join(tempfile.gettempdir(), f"rsk_mvj_view_{u}")
+    fact = scratch_dir("rsk_mvj_fact")
+    dim = scratch_dir("rsk_mvj_dim")
+    view = scratch_dir("rsk_mvj_view")
     snapshot_commit(fact_df.repartitionByRange(8, "o_orderkey"), fact)     # v0
     snapshot_commit(dim_df, dim)
     create_materialized_view_over_join(
@@ -1497,7 +1590,7 @@ def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    t = os.path.join(tempfile.gettempdir(), f"rsk_mi_q_{_uuid.uuid4().hex[:8]}")
+    t = scratch_dir("rsk_mi_q")
     snapshot_commit(tgt.repartitionByRange(8, "c_custkey"), t)
     merge_into(
         spark,
@@ -1598,7 +1691,7 @@ def rel_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     uid = _uuid.uuid4().hex[:8]
-    t = os.path.join(tempfile.gettempdir(), f"rsk_misql_q_{uid}")
+    t = scratch_dir("rsk_misql_q")
     snapshot_commit(tgt.repartitionByRange(8, "c_custkey"), t)
     view = f"__misql_src_{uid}"
     src.createOrReplaceTempView(view)
@@ -1616,6 +1709,107 @@ def rel_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.sql(
         "SELECT c_custkey, c_nationkey, "
         "ROUND(CAST(balance AS DOUBLE), 2) AS balance FROM accounts"
+    )
+
+
+@register(
+    "rel_sql_evolution",
+    oracle="""
+    WITH all_rows AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+        UNION ALL
+        SELECT CAST(10000000000 + n_nationkey AS BIGINT),
+               n_nationkey,
+               CAST(n_nationkey AS DECIMAL(12,2))
+        FROM nation
+    ),
+    live AS (SELECT * FROM all_rows WHERE NOT (bal < 0.0)),
+    agg AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS sum_bal,
+               CAST(MAX(c_custkey) AS BIGINT) AS hi_key
+        FROM live GROUP BY c_nationkey
+    ),
+    del AS (
+        SELECT c_nationkey, COUNT(*) AS n_del
+        FROM all_rows WHERE bal < 0.0 GROUP BY c_nationkey
+    )
+    SELECT agg.c_nationkey, n_rows, sum_bal, hi_key,
+           COALESCE(n_del, 0) AS n_del
+    FROM agg LEFT JOIN del ON agg.c_nationkey = del.c_nationkey
+    """,
+    tags=("S5", "P3", "P4"),
+)
+def rel_sql_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 SQL DIALECT COMPLETION under the value oracle — the
+    LITERAL statement texts: CREATE TABLE AS SELECT (narrow int key),
+    ``ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT`` (metadata-only
+    widening — no file rewrite; the narrow-era files read back
+    promoted), an INSERT whose keys only fit the widened type, a
+    DELETE, and two reads that must agree: the tip aggregate over the
+    straddle (narrow files + wide files under one declared schema) and
+    the retraction side read through the ``table_changes('t', v, v')``
+    table-valued change feed. The oracle restates the end state AND the
+    delete set directly from the fixtures; the hash breaks if the widen
+    rewrites data, the wide insert truncates, the CDF misses or
+    double-counts a retraction, or the TVF range is misread.
+
+    At 100 TB: every statement here is metadata-bounded (widen = one
+    manifest write) or delta-proportional (the CDF read) — the SQL
+    surface adds no execution cost over the Python operators it
+    dispatches to."""
+    from reactivestreams_kinesis_spark.operators.sql_frontend import (
+        SnapshotWarehouse,
+    )
+
+    import uuid as _uuid
+
+    uid = _uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        f"__sqlev_cust_{uid}"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        f"__sqlev_nat_{uid}"
+    )
+    import os
+
+    root = scratch_dir("rsk_sqlev_root")
+    os.makedirs(root, exist_ok=True)
+    wh = SnapshotWarehouse(spark, {}, root=root)
+    wh.sql(
+        f"CREATE TABLE cust AS SELECT CAST(c_custkey AS INT) AS c_custkey, "
+        f"c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal "
+        f"FROM __sqlev_cust_{uid}"
+    )                                                                   # v0
+    wh.sql("ALTER TABLE cust ALTER COLUMN c_custkey TYPE BIGINT")       # v1
+    wh.sql(
+        f"INSERT INTO cust SELECT CAST(10000000000 + n_nationkey AS BIGINT), "
+        f"n_nationkey, CAST(n_nationkey AS DECIMAL(12,2)) "
+        f"FROM __sqlev_nat_{uid}"
+    )                                                                   # v2
+    wh.sql("DELETE FROM cust WHERE bal < 0.0")                          # v3
+    return wh.sql(
+        """
+        WITH agg AS (
+            SELECT c_nationkey,
+                   COUNT(*) AS n_rows,
+                   ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS sum_bal,
+                   MAX(c_custkey) AS hi_key
+            FROM cust GROUP BY c_nationkey
+        ),
+        del AS (
+            SELECT c_nationkey, COUNT(*) AS n_del
+            FROM table_changes('cust', 2, 3)
+            WHERE _change_type = 'delete'
+            GROUP BY c_nationkey
+        )
+        SELECT agg.c_nationkey, n_rows, sum_bal, hi_key,
+               COALESCE(n_del, CAST(0 AS BIGINT)) AS n_del
+        FROM agg LEFT JOIN del ON agg.c_nationkey = del.c_nationkey
+        """
     )
 
 
@@ -1665,8 +1859,8 @@ def rel_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
     )
     u = _uuid.uuid4().hex[:8]
-    src = os.path.join(tempfile.gettempdir(), f"rsk_clsrc_{u}")
-    dst = os.path.join(tempfile.gettempdir(), f"rsk_cldst_{u}")
+    src = scratch_dir("rsk_clsrc")
+    dst = scratch_dir("rsk_cldst")
     snapshot_commit(base.repartitionByRange(6, "c_custkey"), src)
     clone_snapshot(src, dst)
     update_where(
@@ -1742,8 +1936,8 @@ def rel_mv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
     )
     u = _uuid.uuid4().hex[:8]
-    t = os.path.join(tempfile.gettempdir(), f"rsk_mvad_{u}")
-    v = os.path.join(tempfile.gettempdir(), f"rsk_mvadv_{u}")
+    t = scratch_dir("rsk_mvad")
+    v = scratch_dir("rsk_mvadv")
     snapshot_commit(base.repartitionByRange(6, "c_custkey"), t)
     create_materialized_view(
         spark,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactivestreams_kinesis_spark.catalog import load_table
-from reactivestreams_kinesis_spark.queries.registry import register
+from reactivestreams_kinesis_spark.queries.registry import register, scratch_dir
 from reactivestreams_kinesis_spark.streaming.records import read_events_stream
 from reactivestreams_kinesis_spark.streaming.state import running_user_stats
 
@@ -806,9 +806,9 @@ def _run_cdc_apply(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
     run = _uuid.uuid4().hex[:8]
-    src = os.path.join(tempfile.gettempdir(), f"rsk_cdc_src_{run}")
-    dst = os.path.join(tempfile.gettempdir(), f"rsk_cdc_dst_{run}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"rsk_cdc_ckpt_{run}")
+    src = scratch_dir("rsk_cdc_src")
+    dst = scratch_dir("rsk_cdc_dst")
+    ckpt = scratch_dir("rsk_cdc_ckpt")
 
     # four TIME-ORDERED slices (global ntile over the change order):
     # bounded single-partition window over the fixture — slice BUILD is
@@ -949,7 +949,7 @@ def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    src = os.path.join(tempfile.gettempdir(), f"rsk_gf_{_uuid.uuid4().hex[:8]}")
+    src = scratch_dir("rsk_gf")
     purchases.repartition(3, "event_id").drop("event_id").write.parquet(src)
     stream = (
         spark.readStream.schema("user_id bigint, day int, cents bigint")
@@ -1031,9 +1031,9 @@ def stream_mv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
     )
     u = _uuid.uuid4().hex[:8]
-    t = os.path.join(tempfile.gettempdir(), f"rsk_smv_src_{u}")
-    v = os.path.join(tempfile.gettempdir(), f"rsk_smv_view_{u}")
-    ck = os.path.join(tempfile.gettempdir(), f"rsk_smv_ck_{u}")
+    t = scratch_dir("rsk_smv_src")
+    v = scratch_dir("rsk_smv_view")
+    ck = scratch_dir("rsk_smv_ck")
     snapshot_commit(base.repartitionByRange(6, "c_custkey"), t)            # v0
     create_materialized_view(
         spark,

@@ -903,8 +903,21 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         sv, ev = start["version"], end["version"]
+        if ev < sv:
+            # a strictly backwards batch can only come from an offset
+            # answer that regressed below the checkpoint (the poison the
+            # admission anchoring prevents — its safety rests on the
+            # measured engine behavior that a restart reconstructs
+            # partitions(committed, committed) before the first
+            # latestOffset; this tripwire turns a future engine change
+            # from silent version re-emission into a loud stop)
+            raise RuntimeError(
+                f"snapshot_table stream: planned batch runs backwards "
+                f"({sv} -> {ev}) — the offset log regressed below the "
+                "checkpoint; refusing to re-emit committed versions"
+            )
         self._advance_cursor(ev)
-        if ev <= sv:
+        if ev == sv:
             return []
         if self._cdf:
             return self._cdf_partitions(sv, ev)

@@ -203,6 +203,14 @@ def test_max_versions_cursor_progression_unit(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
         _SnapshotStreamReader(t, -1, None, max_versions=0)
 
+    # backwards-batch tripwire (round 12): a planned batch whose end
+    # precedes its start is the offset-regression poison — loud stop,
+    # never silent re-emission. The equal-offsets reconstruction call
+    # stays a legal no-op (asserted above via r2).
+    r3 = _SnapshotStreamReader(t, -1, None, max_versions=2)
+    with pytest.raises(RuntimeError, match="backwards"):
+        r3.partitions({"version": 6}, {"version": 4})
+
 
 def test_max_bytes_cursor_progression_unit(spark, sf_dir, tmp_path):
     """maxBytesPerTrigger (the Delta-shaped soft byte cap): versions
