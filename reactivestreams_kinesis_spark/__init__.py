@@ -74,6 +74,12 @@ def __getattr__(name):
         from reactivestreams_kinesis_spark.operators import ann_index
 
         return getattr(ann_index, name)
+    if name == "SnapshotWarehouse":
+        from reactivestreams_kinesis_spark.operators.sql_frontend import (
+            SnapshotWarehouse,
+        )
+
+        return SnapshotWarehouse
     if name == "all_queries":
         from reactivestreams_kinesis_spark.queries.registry import all_queries
 
@@ -138,6 +144,7 @@ _SNAPSHOT_OPS = (
     "clone_snapshot",
     "rename_column",
     "add_column",
+    "alter_column_type",
     "drop_column",
     "set_partition_spec",
     "set_ndv_columns",
@@ -153,7 +160,12 @@ _MATVIEW_OPS = (
     "materialized_view_status",
     "stream_refresh_materialized_view",
 )
-_ANN_INDEX_OPS = ("build_ivf_index", "probe_ivf_index", "append_to_ivf_index")
+_ANN_INDEX_OPS = (
+    "build_ivf_index",
+    "probe_ivf_index",
+    "append_to_ivf_index",
+    "tune_ivf",
+)
 _PIPELINE_OPS = (
     "pack_assignments",
     "decontaminate",
@@ -180,6 +192,7 @@ __all__ = [
     "dynamic_prune_join",
     "colocated_join",
     "register_colocated_source",
+    "SnapshotWarehouse",
     *_ANN_INDEX_OPS,
     *_PIPELINE_OPS,
     "__version__",

@@ -149,3 +149,143 @@ def probe_ivf_index(
         ).alias("cosine"),
     )
     return _topk_per_query(scored, k)
+
+
+def tune_ivf(
+    spark: SparkSession,
+    corpus: DataFrame,
+    *,
+    target_recall: float = 0.5,
+    k: int = 5,
+    n_queries: int = 100,
+    n_lists_grid: tuple = (20, 40, 80),
+    nprobe_grid: tuple = (1, 2, 4, 8),
+    key: str = "vec_id",
+    vec: str = "cv",
+) -> dict:
+    """Recall-targeted knob picking (round 12): measure recall@``k`` of
+    the IVF list/probe path against a brute-force truth set over a
+    (n_lists, nprobe) grid and return the CHEAPEST configuration meeting
+    ``target_recall`` — cheapest by scored-candidate fraction of the
+    corpus per query, the quantity that bills at 100 TB (probe cost is
+    ~nprobe/n_lists of the corpus; more lists cut per-probe cost but
+    spread true neighbors across more cells, so the trade must be
+    measured, not assumed).
+
+    Statistical power comes from ``n_queries`` held-out PSEUDO-QUERIES:
+    a deterministic md5-rank holdout of the corpus (the same
+    engine-portable hash-selection idiom as the Lloyd sample), scored
+    against brute-force cosine top-k over the REMAINING corpus — every
+    grid cell faces the identical n_queries×k truth pairs. Codebooks
+    seed from an id-stride matched to the requested list count and
+    refine with the production Lloyd path on the hash sample — the
+    exact build ``sim_ann_ivf*`` runs, so the picked knobs transfer.
+
+    Returns ``{"curve": [...], "picked": {...}|None, "met": bool, ...}``;
+    ``curve`` rows carry (n_lists, n_lists_effective, nprobe, recall,
+    scan_frac). Within one codebook recall is monotone in nprobe (top-p
+    probed cells are a superset of top-(p-1)'s), so a caller can also
+    read the curve as p cost/recall ladders.
+
+    Cost: one brute-force pass over n_queries×|corpus| (the truth),
+    plus per grid row a codebook build (sample-sized Lloyd) and a
+    probed scoring join — all bounded, no all-pairs stage. At 100 TB
+    run it on a hash-sampled sub-corpus; the fractions transfer."""
+    from reactivestreams_kinesis_spark.queries.llm_similarity import (
+        LLOYD_SAMPLE_SPARK,
+        _nearest_centroids,
+        _with_norm,
+        ann_ivf_topk,
+        cosine_topk,
+        lloyd_refine,
+    )
+
+    rows = corpus.select(F.col(key).alias("vec_id"), F.col(vec).alias("cv"))
+    # deterministic holdout: the n_queries smallest md5(vec_id) values —
+    # engine-portable, independent of how ids correlate with content
+    qids = [
+        r["vec_id"]
+        for r in rows.select("vec_id")
+        .withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(n_queries)
+        .collect()
+    ]
+    queries = (
+        rows.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), F.col("cv").alias("qv"))
+        .localCheckpoint(eager=True)
+    )
+    pool = rows.filter(~F.col("vec_id").isin(qids)).localCheckpoint(eager=True)
+    n_corpus = pool.count()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            queries, pool, k=k,
+            query_id="query_id", query_vec="qv",
+            corpus_id="vec_id", corpus_vec="cv",
+        ).collect()
+    }
+    sample = pool.filter(F.expr(LLOYD_SAMPLE_SPARK))
+    pooln = _with_norm(pool, "cv", "cn")
+    qn = _with_norm(queries, "qv", "qn")
+    curve: list[dict] = []
+    for n_lists in n_lists_grid:
+        stride = max(1, n_corpus // int(n_lists))
+        init = pool.filter(
+            F.col("vec_id") % stride == F.lit(5 % stride)
+        ).select(
+            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("centv")
+        )
+        cent = lloyd_refine(sample, init).localCheckpoint(eager=True)
+        n_eff = cent.count()
+        sizes = (
+            _nearest_centroids(
+                pooln, cent, vec="cv", key="vec_id", norm_col="cn", n=1
+            )
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .localCheckpoint(eager=True)
+        )
+        for nprobe in nprobe_grid:
+            probes = _nearest_centroids(
+                qn, cent, vec="qv", key="query_id", norm_col="qn", n=nprobe
+            ).select("query_id", "centroid_id")
+            scanned = (
+                probes.join(sizes, "centroid_id").agg(F.sum("sz")).collect()[0][0]
+                or 0
+            )
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ann_ivf_topk(
+                    queries, pool, cent, k=k, nprobe=nprobe
+                ).collect()
+            }
+            curve.append(
+                {
+                    "n_lists": int(n_lists),
+                    "n_lists_effective": int(n_eff),
+                    "nprobe": int(nprobe),
+                    "recall": round(len(truth & approx) / len(truth), 4),
+                    "scan_frac": round(scanned / (len(qids) * n_corpus), 4),
+                }
+            )
+    eligible = [c for c in curve if c["recall"] >= target_recall]
+    picked = (
+        min(eligible, key=lambda c: (c["scan_frac"], c["nprobe"]))
+        if eligible
+        else None
+    )
+    return {
+        "target_recall": target_recall,
+        "k": k,
+        "n_queries": len(qids),
+        "n_corpus": n_corpus,
+        "truth_pairs": len(truth),
+        "curve": curve,
+        "picked": picked,
+        "met": picked is not None,
+        # fallback guidance when the grid can't hit the target: the
+        # highest-recall row (callers widen the grid or raise nprobe)
+        "best": max(curve, key=lambda c: c["recall"]) if curve else None,
+    }

@@ -73,7 +73,11 @@ def merge_into(
     """Run the MERGE and return the committed version.
 
     - ``on``: the equality key — one column name shared by both sides,
-      or a ``(target_key, source_key)`` pair when the names differ.
+      a ``(target_key, source_key)`` pair when the names differ, or a
+      LIST of names/pairs for a composite key (the SQL
+      ``ON t.a = s.a AND t.b = s.b`` conjunction): matching, duplicate
+      detection, file targeting, and the insert anti-join all range
+      over the column tuple.
     - ``when_matched_update``: ``{target_col: expr}`` where expr is a
       Column or SQL string over ``t.*`` / ``s.*``; unlisted columns
       keep their target values.
@@ -88,7 +92,18 @@ def merge_into(
     """
     if not (when_matched_update or when_matched_delete or when_not_matched_insert):
         raise ValueError("merge_into needs at least one WHEN clause")
-    t_key, s_key = (on, on) if isinstance(on, str) else on
+    # normalize `on` to parallel (target, source) column lists
+    if isinstance(on, str):
+        pairs = [(on, on)]
+    elif on and isinstance(on[0], str) and len(on) == 2 and not isinstance(on, list):
+        pairs = [tuple(on)]  # a bare (t_key, s_key) tuple
+    else:
+        pairs = [(p, p) if isinstance(p, str) else tuple(p) for p in on]
+    if not pairs:
+        raise ValueError("merge_into needs at least one key column")
+    t_keys = [p[0] for p in pairs]
+    s_keys = [p[1] for p in pairs]
+    t_key, s_key = t_keys[0], s_keys[0]  # single-key fast-path names
     tip = latest_version(table_dir)
     if tip is None:
         raise FileNotFoundError(f"no snapshots in {table_dir!r}")
@@ -98,38 +113,50 @@ def merge_into(
             return done
     manifest = _read_manifest(table_dir, tip)
 
-    keyed = source.filter(F.col(s_key).isNotNull())
-    bounds = keyed.agg(
-        F.min(s_key).alias("lo"),
-        F.max(s_key).alias("hi"),
+    keyed = source
+    for k in s_keys:
+        keyed = keyed.filter(F.col(k).isNotNull())
+    stat_exprs = [
         F.count(F.lit(1)).alias("rows"),
-        F.countDistinct(s_key).alias("n"),
-    ).collect()[0]
+        F.countDistinct(*s_keys).alias("n"),
+    ]
+    for i, k in enumerate(s_keys):
+        stat_exprs.append(F.min(k).alias(f"lo{i}"))
+        stat_exprs.append(F.max(k).alias(f"hi{i}"))
+    bounds = keyed.agg(*stat_exprs).collect()[0]
     if bounds["rows"] > bounds["n"]:
         raise ValueError(
             f"merge_into: source carries {bounds['rows'] - bounds['n']} "
-            f"extra row(s) for duplicated {s_key!r} values — the SQL MERGE "
+            f"extra row(s) for duplicated {s_keys!r} values — the SQL MERGE "
             "multiple-match error; compact to one row per key first"
         )
 
     # candidate targeting: min/max range prune (clustered layouts) —
-    # files outside the source keys' range cannot own a match
+    # files outside any key column's range cannot own a match
     candidates = manifest["files"]
-    if bounds["lo"] is not None:
-        candidates = prune_files(
-            manifest, [(t_key, ">=", bounds["lo"]), (t_key, "<=", bounds["hi"])]
-        )
+    range_preds = [
+        p
+        for i, tk in enumerate(t_keys)
+        if bounds[f"lo{i}"] is not None
+        for p in ((tk, ">=", bounds[f"lo{i}"]), (tk, "<=", bounds[f"hi{i}"]))
+    ]
+    if range_preds:
+        candidates = prune_files(manifest, range_preds)
     touched: set = set()
     if candidates and bounds["rows"]:
         cand_df = _read_data_files(
             spark, table_dir, manifest, candidates, keep_file_col="__file"
         )
-        skeys = keyed.select(F.col(s_key).alias("__mkey")).distinct()
+        skeys = keyed.select(
+            *[F.col(sk).alias(f"__mkey{i}") for i, sk in enumerate(s_keys)]
+        ).distinct()
+        mcond = None
+        for i, tk in enumerate(t_keys):
+            c = cand_df[tk] == skeys[f"__mkey{i}"]
+            mcond = c if mcond is None else (mcond & c)
         touched = {
             r["__file"]
-            for r in cand_df.join(
-                skeys, cand_df[t_key] == skeys["__mkey"], "semi"
-            )
+            for r in cand_df.join(skeys, mcond, "semi")
             .select("__file")
             .distinct()
             .collect()
@@ -161,7 +188,13 @@ def merge_into(
         touched_list = [f for f in manifest["files"] if f in touched]
         t = _read_data_files(spark, table_dir, manifest, touched_list).alias("t")
         s = keyed.alias("s")
-        j = t.join(s, F.col(f"t.{t_key}") == F.col(f"s.{s_key}"), "left")
+        jcond = None
+        for tk, sk in pairs:
+            c = F.col(f"t.{tk}") == F.col(f"s.{sk}")
+            jcond = c if jcond is None else (jcond & c)
+        j = t.join(s, jcond, "left")
+        # keyed rows carry no NULL key columns, so a non-null joined key
+        # column means the join found a match (any key column works)
         matched = F.col(f"s.{s_key}").isNotNull()
         delete_fires = (
             matched & _cond(matched_delete_condition, True)
@@ -190,19 +223,26 @@ def merge_into(
         parts.append(rows)
 
     if when_not_matched_insert:
-        # not-matched = source keys absent from the touched files' keys
-        # (a matched key's file is by definition touched) + NULL-key rows
+        # not-matched = source key tuples absent from the touched files'
+        # keys (a matched tuple's file is by definition touched) +
+        # NULL-key rows (a NULL key matches nothing, SQL equality)
         existing = (
             _read_data_files(
                 spark, table_dir, manifest,
                 [f for f in manifest["files"] if f in touched],
-            ).select(F.col(t_key).alias("__ekey"))
+            ).select(
+                *[F.col(tk).alias(f"__ekey{i}") for i, tk in enumerate(t_keys)]
+            )
             if touched
             else None
         )
         nm = source.alias("s")
         if existing is not None:
-            nm = nm.join(existing, nm[s_key] == existing["__ekey"], "anti")
+            acond = None
+            for i, sk in enumerate(s_keys):
+                c = nm[sk] == existing[f"__ekey{i}"]
+                acond = c if acond is None else (acond & c)
+            nm = nm.join(existing, acond, "anti")
         nm = nm.filter(_cond(not_matched_condition, True))
         if isinstance(when_not_matched_insert, dict):
             ins_exprs = {
@@ -241,5 +281,5 @@ def merge_into(
         txn_id=txn_id,
         require_parent=tip,
         parent_manifest=manifest,
-        change={"kind": "rewrite", "key": t_key},
+        change={"kind": "rewrite", "key": t_key if len(t_keys) == 1 else t_keys},
     )

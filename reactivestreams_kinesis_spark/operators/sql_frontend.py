@@ -11,7 +11,8 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   reference may carry time travel: ``t VERSION AS OF <n>`` or
   ``t TIMESTAMP AS OF '<iso>'`` (resolved via ``read_snapshot`` /
   ``version_at_timestamp``, then handed to Spark's own planner).
-- ``MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k`` with any of
+- ``MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND a.k2 = b.k2
+  ...]`` (composite keys merge on the column tuple) with any of
   ``WHEN MATCHED [AND c] THEN DELETE``,
   ``WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ...``,
   ``WHEN NOT MATCHED [AND c] THEN INSERT *`` or
@@ -431,25 +432,34 @@ class SnapshotWarehouse:
             expr = _sub_blind(rf"\b{re.escape(salias)}\.", lambda m, _t: "s.", expr)
             return expr.strip()
 
-        on_m = re.fullmatch(
-            rf"\(?\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*\)?",
-            on_text.strip(),
-        )
-        if not on_m:
-            raise ValueError(
-                "unsupported MERGE ON condition — the operator's key is one "
-                "equality: ON t.<col> = s.<col>"
+        # the ON key: an AND-conjunction of alias-qualified equalities
+        # (one term = the single-key merge, several = a composite key)
+        on_clean = on_text.strip()
+        if on_clean.startswith("(") and on_clean.endswith(")"):
+            on_clean = on_clean[1:-1].strip()
+        pairs: list[tuple[str, str]] = []
+        for term in _split_blind(r"\s+AND\s+", on_clean, flags=re.I):
+            on_m = re.fullmatch(
+                rf"\(?\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*\)?",
+                term.strip(),
             )
-        q1, c1, q2, c2 = on_m.groups()
-        if q1 == talias and q2 == salias:
-            t_key, s_key = c1, c2
-        elif q1 == salias and q2 == talias:
-            t_key, s_key = c2, c1
-        else:
-            raise ValueError(
-                f"MERGE ON must compare the target alias {talias!r} with the "
-                f"source alias {salias!r}"
-            )
+            if not on_m:
+                raise ValueError(
+                    "unsupported MERGE ON condition — an AND-conjunction of "
+                    "alias-qualified equalities: ON t.<col> = s.<col> "
+                    "[AND t.<col2> = s.<col2> ...]"
+                )
+            q1, c1, q2, c2 = on_m.groups()
+            if q1 == talias and q2 == salias:
+                pairs.append((c1, c2))
+            elif q1 == salias and q2 == talias:
+                pairs.append((c2, c1))
+            else:
+                raise ValueError(
+                    f"MERGE ON must compare the target alias {talias!r} with "
+                    f"the source alias {salias!r}"
+                )
+        t_key, s_key = pairs[0]
 
         kw: dict = {}
         # clause boundaries anchor on WHEN [NOT] MATCHED only — an
@@ -530,7 +540,11 @@ class SnapshotWarehouse:
         if "when_not_matched_insert" not in kw:
             kw["when_not_matched_insert"] = False
         return merge_into(
-            self._spark, table_dir, source, (t_key, s_key), **kw
+            self._spark,
+            table_dir,
+            source,
+            (t_key, s_key) if len(pairs) == 1 else pairs,
+            **kw,
         )
 
     # -- DELETE / UPDATE -----------------------------------------------------
@@ -885,11 +899,15 @@ class SnapshotWarehouse:
         )
 
         m = re.fullmatch(
-            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})", stmt, re.I
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+            rf"(?:\s+STRATEGY\s+(MERGE|OVERWRITE))?",
+            stmt,
+            re.I,
         )
         if not m:
             raise ValueError(
-                "unsupported REFRESH shape — REFRESH MATERIALIZED VIEW <name>"
+                "unsupported REFRESH shape — REFRESH MATERIALIZED VIEW "
+                "<name> [STRATEGY MERGE|OVERWRITE]"
             )
         name = m.group(1)
         if name not in self._views:
@@ -897,7 +915,11 @@ class SnapshotWarehouse:
                 f"unknown materialized view {name!r} "
                 f"(registered: {sorted(self._views)})"
             )
-        return refresh_materialized_view(self._spark, self._views[name])
+        return refresh_materialized_view(
+            self._spark,
+            self._views[name],
+            strategy=(m.group(2) or "overwrite").lower(),
+        )
 
     # -- ALTER / RESTORE -----------------------------------------------------
 

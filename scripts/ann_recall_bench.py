@@ -31,7 +31,9 @@ import os
 import sys
 import time
 
-from reactivestreams_kinesis_spark.session import get_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reactivestreams_kinesis_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:

@@ -111,3 +111,51 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     got = probe_ivf_index(spark, inc, queries, k=5, nprobe=2)
     want = probe_ivf_index(spark, full, queries, k=5, nprobe=2)
     assert got.collect() == want.collect()
+
+
+def test_tune_ivf_picks_cheapest_meeting_target(spark, sf_dir):
+    """The recall-tuning surface (round 12): the curve is monotone in
+    nprobe within a codebook (top-p probed cells ⊇ top-(p-1)'s), the
+    pick is the cheapest (scan_frac) grid cell meeting the target, and
+    an unreachable target reports met=False with the best row instead
+    of a silent wrong pick."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.operators.ann_index import tune_ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    res = tune_ivf(
+        spark,
+        emb,
+        target_recall=0.3,
+        k=5,
+        n_queries=20,
+        n_lists_grid=(10, 20),
+        nprobe_grid=(1, 2, 4),
+    )
+    assert res["n_queries"] == 20 and res["truth_pairs"] == 100
+    by_lists: dict = {}
+    for c in res["curve"]:
+        by_lists.setdefault(c["n_lists"], []).append(c)
+    for cells in by_lists.values():
+        cells.sort(key=lambda c: c["nprobe"])
+        recalls = [c["recall"] for c in cells]
+        fracs = [c["scan_frac"] for c in cells]
+        assert recalls == sorted(recalls), "recall must be monotone in nprobe"
+        assert fracs == sorted(fracs), "probe cost must grow with nprobe"
+    if res["met"]:
+        eligible = [c for c in res["curve"] if c["recall"] >= 0.3]
+        assert res["picked"] == min(
+            eligible, key=lambda c: (c["scan_frac"], c["nprobe"])
+        )
+    # an unreachable target refuses to pick
+    res2 = tune_ivf(
+        spark, emb, target_recall=1.01, k=5, n_queries=10,
+        n_lists_grid=(10,), nprobe_grid=(1,),
+    )
+    assert res2["met"] is False and res2["picked"] is None
+    assert res2["best"] is not None

@@ -186,3 +186,84 @@ def test_merge_into_insert_only_pads_typed_nulls(spark, tmp_path):
     names = {f.name: f.dataType.simpleString()
              for f in StructType.fromJson(m["schema"]).fields}
     assert names == {"k": "int", "name": "string", "qty": "int"}
+
+
+def test_merge_into_composite_key(spark, tmp_path):
+    """Composite equality keys (round 12): matching, duplicate
+    detection, file targeting, and the insert anti-join all range over
+    the column TUPLE — a source row sharing only one key column with a
+    target row inserts instead of matching; duplicated tuples refuse
+    while duplicated single-column values across distinct tuples are
+    legal; all three clauses compose."""
+    t = _t(tmp_path)
+    base = [
+        (a, b, a * 10 + (1 if b == "y" else 0))
+        for a in range(3)
+        for b in ("x", "y")
+    ]
+    snapshot_commit(
+        spark.createDataFrame(base, "a int, b string, qty int").repartition(2), t
+    )
+    src = spark.createDataFrame(
+        [
+            (0, "x", 100),   # matches (0, x) -> update
+            (0, "y", -1),    # matches (0, y) -> delete (negative)
+            (0, "z", 7),     # a=0 exists but (0, z) doesn't -> insert
+            (9, "x", 8),     # b=x exists but (9, x) doesn't -> insert
+        ],
+        "a int, b string, delta int",
+    )
+    merge_into(
+        spark, t, src, [("a", "a"), ("b", "b")],
+        when_matched_delete=True,
+        matched_delete_condition="s.delta < 0",
+        when_matched_update={"qty": "t.qty + s.delta"},
+        when_not_matched_insert={"a": "s.a", "b": "s.b", "qty": "s.delta"},
+    )
+    got = {(r["a"], r["b"]): r["qty"] for r in read_snapshot(spark, t).collect()}
+    assert got[(0, "x")] == 100
+    assert (0, "y") not in got
+    assert got[(0, "z")] == 7 and got[(9, "x")] == 8
+    assert got[(1, "x")] == 10 and got[(2, "y")] == 21  # untouched tuples
+    # duplicate TUPLE refuses; same a across distinct b does not
+    with pytest.raises(ValueError, match="duplicated"):
+        merge_into(
+            spark, t,
+            spark.createDataFrame([(1, "x", 1), (1, "x", 2)], "a int, b string, delta int"),
+            [("a", "a"), ("b", "b")],
+            when_matched_update={"qty": "s.delta"},
+        )
+    merge_into(
+        spark, t,
+        spark.createDataFrame([(1, "x", 1), (1, "y", 2)], "a int, b string, delta int"),
+        [("a", "a"), ("b", "b")],
+        when_matched_update={"qty": "s.delta"},
+        when_not_matched_insert=False,
+    )
+    got = {(r["a"], r["b"]): r["qty"] for r in read_snapshot(spark, t).collect()}
+    assert got[(1, "x")] == 1 and got[(1, "y")] == 2
+
+
+def test_merge_into_composite_key_differing_names_and_nulls(spark, tmp_path):
+    """Composite keys with per-side names ([(t, s), ...]); NULL in ANY
+    source key column means the row matches nothing (SQL equality) and
+    flows to NOT MATCHED."""
+    t = _t(tmp_path)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], "a int, b string, qty int"
+        ),
+        t,
+    )
+    src = spark.createDataFrame(
+        [(1, "x", 99), (None, "y", 5)], "ka int, kb string, v int"
+    )
+    merge_into(
+        spark, t, src, [("a", "ka"), ("b", "kb")],
+        when_matched_update={"qty": "s.v"},
+        when_not_matched_insert={"a": "s.ka", "b": "s.kb", "qty": "s.v"},
+    )
+    got = {(r["a"], r["b"]): r["qty"] for r in read_snapshot(spark, t).collect()}
+    assert got[(1, "x")] == 99
+    assert got[(None, "y")] == 5  # NULL-key row inserted, never matched
+    assert got[(2, "y")] == 20

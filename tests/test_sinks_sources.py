@@ -320,6 +320,44 @@ def test_ann_recall_floors(spark, sf_dir):
         recall = len(brute & approx) / len(brute)
         assert recall >= floor, f"{name} recall@5 {recall:.2f} < {floor}"
 
+    # round-12 tuned configuration (tune_ivf / ANN_RECALL.json: nprobe=8
+    # on the learned codebook meets the ≥0.5@5 target at sf0.1 with 19%
+    # of the corpus scanned; the query default nprobe=2 sits at 0.23
+    # under the 100-pseudo-query harness): the tuned-nprobe arm clears
+    # the 0.5 floor on the fixture too — a probing regression that
+    # survives the chance-line floors above still fails here
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from reactivestreams_kinesis_spark.queries.llm_similarity import (
+        IVF_STRIDE,
+        LLOYD_SAMPLE_SPARK,
+        N_QUERIES,
+        ann_ivf_topk,
+        lloyd_refine,
+    )
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    init = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % IVF_STRIDE == 5)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv"))
+    cent = lloyd_refine(
+        corpus.filter(F.expr(LLOYD_SAMPLE_SPARK)), init
+    ).localCheckpoint(eager=True)
+    tuned = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(queries, corpus, cent, nprobe=8).collect()
+    }
+    recall8 = len(brute & tuned) / len(brute)
+    assert recall8 >= 0.5, f"tuned nprobe=8 recall@5 {recall8:.2f} < 0.5"
+
 
 def test_released_caches_drops_query_persists(spark, sf_dir):
     """A long-lived session (bench loop, notebook) must be able to run a

@@ -626,3 +626,100 @@ def test_sql_colocated_join_routing(spark, tmp_path):
     plan3 = df3._jdf.queryExecution().executedPlan().toString()
     assert "snapshot_colocated_join" in plan3 and "Exchange" not in plan3
     assert _rows(df3) == expected
+
+
+def test_sql_colocated_routing_parity_on_model_layouts(spark, sf_dir, tmp_path):
+    """The SQL router's answer equals the generic Spark plan on the same
+    bucket-layout grid the co-located model check pins ((8,4), (4,8),
+    (64,32) incl. the congruent-children coarsening regime) — routed
+    plans stay exchange-free, values identical either way."""
+    import os as _os
+
+    from reactivestreams_kinesis_spark.operators.snapshots import snapshot_commit
+
+    cust = (
+        spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    exp = _rows(
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    for i, (ln, rn) in enumerate(((8, 4), (4, 8), (64, 32))):
+        lt = str(tmp_path / f"l{i}")
+        rt = str(tmp_path / f"r{i}")
+        snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", ln)])
+        snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", rn)])
+        wh = SnapshotWarehouse(spark, {"cust": lt, "ords": rt})
+        df = wh.sql(
+            "SELECT c.c_nationkey, count(*) AS n, round(sum(o.o_totalprice), 2) AS s "
+            "FROM cust c JOIN ords o ON c.c_custkey = o.o_custkey "
+            "GROUP BY c.c_nationkey"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "snapshot_colocated_join" in plan, (ln, rn)
+        assert plan.count("Exchange") == 1, (ln, rn)  # only the groupBy's
+        assert _rows(df) == exp, (ln, rn)
+
+
+def test_sql_merge_composite_on_conjunction(spark, tmp_path):
+    """MERGE ... ON t.a = s.a AND t.b = s.b (round 12): the composite
+    tuple is the key — a source row sharing only one column inserts;
+    all three clauses compose; a non-equality term still refuses."""
+    t = _t(tmp_path)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 11), (2, "x", 20)],
+            "a int, b string, qty int",
+        ),
+        t,
+    )
+    wh = SnapshotWarehouse(spark, {"inv": t})
+    spark.createDataFrame(
+        [(1, "x", 5), (1, "y", -1), (2, "z", 7)], "a int, b string, d int"
+    ).createOrReplaceTempView("mrg_src")
+    wh.sql(
+        """
+        MERGE INTO inv AS t USING mrg_src AS s
+        ON t.a = s.a AND t.b = s.b
+        WHEN MATCHED AND s.d < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + s.d
+        WHEN NOT MATCHED THEN INSERT (a, b, qty) VALUES (s.a, s.b, s.d)
+        """
+    )
+    assert _rows(read_snapshot(spark, t)) == {
+        (1, "x", 15), (2, "x", 20), (2, "z", 7),
+    }
+    with pytest.raises(ValueError, match="MERGE ON"):
+        wh.sql(
+            "MERGE INTO inv t USING mrg_src s ON t.a = s.a AND t.qty > s.d "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_sql_refresh_mv_strategy_merge(spark, tmp_path):
+    """REFRESH MATERIALIZED VIEW ... STRATEGY MERGE drives the
+    delta-proportional refresh from SQL (composite keys included);
+    the read-out equals the recompute and the replay is a no-op."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t}, root=str(tmp_path / "wr"))
+    wh.sql(
+        "CREATE MATERIALIZED VIEW by_name AS "
+        "SELECT name, COUNT(*) AS n, SUM(qty) AS total "
+        "FROM accounts GROUP BY name"
+    )
+    wh.sql("INSERT INTO accounts VALUES (5, 'a', 7), (6, 'e', 60)")
+    wh.sql("DELETE FROM accounts WHERE k = 2")
+    v = wh.sql("REFRESH MATERIALIZED VIEW by_name STRATEGY MERGE")
+    assert _rows(wh.sql("SELECT name, n, total FROM by_name")) == {
+        ("a", 2, 17), ("c", 1, 30), ("d", 1, 40), ("e", 1, 60),
+    }
+    assert wh.sql("REFRESH MATERIALIZED VIEW by_name STRATEGY MERGE") == v
+    with pytest.raises(ValueError, match="REFRESH shape"):
+        wh.sql("REFRESH MATERIALIZED VIEW by_name STRATEGY UPSERT")
