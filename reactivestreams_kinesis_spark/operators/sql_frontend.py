@@ -350,24 +350,19 @@ class SnapshotWarehouse:
 
             ldir, rdir = self._tables[lname], self._tables[rname]
             lv, rv = latest_version(ldir), latest_version(rdir)
-            le = _spec_bucket_entry(_read_manifest(ldir, lv), lk)
-            re_ = _spec_bucket_entry(_read_manifest(rdir, rv), rk)
+            lman = _read_manifest(ldir, lv)
+            rman = _read_manifest(rdir, rv)
+            le = _spec_bucket_entry(lman, lk)
+            re_ = _spec_bucket_entry(rman, rk)
             ln, rn = int(le["n"]), int(re_["n"])
             if ln % rn != 0 and rn % ln != 0:
                 return None  # incommensurable bucket counts
-            joined = colocated_join(
-                self._spark, ldir, rdir, left_key=lk, right_key=rk,
-                left_version=lv, right_version=rv,
-            )
         except Exception:
             return None  # not co-locatable — the generic plan is correct
-        # the joined relation's columns are unqualified; a duplicate
-        # non-key name would make alias-stripped references ambiguous —
-        # fall back to the generic two-view plan
-        if len(set(joined.columns)) != len(joined.columns):
-            return None
-        view = f"__wh_coloc_{lname}_{rname}"
-        joined.createOrReplaceTempView(view)
+        # rewrite references onto the joined relation's unqualified
+        # namespace BEFORE planning, so the WHERE can be inspected for
+        # pushdown: strip the two aliases, map the coalesced-away right
+        # key onto the (left-named) output key
         strip = rf"\b(?:{re.escape(lal)}|{re.escape(ral)})\."
 
         def _strip(mm, text):
@@ -375,12 +370,61 @@ class SnapshotWarehouse:
 
         items = _sub_blind(strip, _strip, items, flags=0)
         tail = _sub_blind(strip, _strip, tail, flags=0) if tail else ""
-        # the right key column is coalesced away by the source; its
-        # (now-unqualified) references map onto the left-named output key
         if rk != lk:
             _to_lk = lambda mm, text: lk
             items = _sub_blind(rf"\b{re.escape(rk)}\b", _to_lk, items)
             tail = _sub_blind(rf"\b{re.escape(rk)}\b", _to_lk, tail) if tail else ""
+        # predicate pushdown: simple one-sided conjuncts of the WHERE
+        # become the source's pruning predicates (manifest-stats file
+        # prune + row-exact re-apply inside the source); the SQL
+        # residual keeps the FULL WHERE — double application of a
+        # deterministic predicate is harmless, a missed pushdown is
+        # just a scan tax. Anything the conjunction parser refuses
+        # (OR, functions, column-to-column) stays SQL-only.
+        lcols = {f["name"] for f in (lman.get("schema") or {}).get("fields", [])}
+        rcols = {f["name"] for f in (rman.get("schema") or {}).get("fields", [])}
+        left_where: list | None = []
+        right_where: list | None = []
+        wm = (
+            re.match(r"(?is)^WHERE\s+(.*?)(?:\s+(?:GROUP|ORDER|HAVING|LIMIT)\b.*)?$",
+                     _quote_blind(tail))
+            if tail
+            else None
+        )
+        if wm:
+            try:
+                preds = _parse_conjunction(tail[wm.start(1) : wm.end(1)])
+            except ValueError:
+                preds = []
+            for col, op, val in preds:
+                if col in lcols and col not in rcols:
+                    left_where.append((col, op, val))
+                elif col in rcols and col not in lcols:
+                    right_where.append((col, op, val))
+                elif col == lk and rk != lk:
+                    # a key predicate holds on both sides through the
+                    # join equality — push to both for symmetric pruning
+                    left_where.append((col, op, val))
+                    right_where.append((rk, op, val))
+                elif col == lk:
+                    left_where.append((col, op, val))
+                    right_where.append((col, op, val))
+        try:
+            joined = colocated_join(
+                self._spark, ldir, rdir, left_key=lk, right_key=rk,
+                left_version=lv, right_version=rv,
+                left_where=left_where or None,
+                right_where=right_where or None,
+            )
+        except Exception:
+            return None
+        # the joined relation's columns are unqualified; a duplicate
+        # non-key name would make alias-stripped references ambiguous —
+        # fall back to the generic two-view plan
+        if len(set(joined.columns)) != len(joined.columns):
+            return None
+        view = f"__wh_coloc_{lname}_{rname}"
+        joined.createOrReplaceTempView(view)
         sql = f"SELECT {items} FROM {view}"
         if tail:
             sql = f"{sql} {tail}"

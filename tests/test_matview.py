@@ -1194,3 +1194,29 @@ def test_join_mv_matches_recompute_over_random_history(
         )
     )
     assert _rows(read_materialized_view(spark, v)) == _rows(exp)
+
+
+def test_join_mv_composite_key_merge_strategy(spark, sf_dir, tmp_path):
+    """The round-12 composition: a star-schema JOIN view grouped by a
+    composite (dim attr, dim attr) tuple, refreshed under
+    strategy='merge' — the fact delta enriches through the pinned dim,
+    then the tuple-keyed equality-delete/merge path maintains the
+    state; read-out ≡ direct join recompute, replay no-op."""
+    aggs = {"n": ("count", None), "rev": ("sum", "price")}
+    fact, dim, v, orders, cust = _join_mv_setup(
+        spark, sf_dir, tmp_path, ["c_nationkey", "c_mktsegment"], aggs
+    )
+    snapshot_commit(
+        orders.limit(40).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(9000000).cast("bigint")
+        ),
+        fact,
+    )
+    delete_where(spark, fact, [("o_orderkey", "<=", 200)], strategy="merge_on_read")
+    refresh_materialized_view(spark, v, strategy="merge")
+    exp = _join_recompute(
+        spark, fact, dim, ["c_nationkey", "c_mktsegment"],
+        [F.count(F.lit(1)).alias("n"), F.sum("price").alias("rev")],
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(exp)
+    assert refresh_materialized_view(spark, v, strategy="merge") == latest_version(v)

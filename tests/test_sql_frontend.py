@@ -723,3 +723,53 @@ def test_sql_refresh_mv_strategy_merge(spark, tmp_path):
     assert wh.sql("REFRESH MATERIALIZED VIEW by_name STRATEGY MERGE") == v
     with pytest.raises(ValueError, match="REFRESH shape"):
         wh.sql("REFRESH MATERIALIZED VIEW by_name STRATEGY UPSERT")
+
+
+def test_sql_colocated_routing_pushes_side_predicates(spark, tmp_path):
+    """Simple one-sided WHERE conjuncts on a routed co-located join push
+    into the source as pruning predicates (file-level prune + row-exact
+    re-apply inside the source; the SQL residual re-applies them too —
+    double application is harmless, missing pushdown is a scan tax).
+    Values match the unpushed plan; routing and zero exchanges hold."""
+    from reactivestreams_kinesis_spark.operators.snapshots import snapshot_commit
+
+    lt = str(tmp_path / "lp")
+    rt = str(tmp_path / "rp")
+    facts = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(200)], "k int, cat int, v double"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(0, 200, 2)], "k int, tag string"
+    )
+    snapshot_commit(
+        facts.repartitionByRange(4, "k"), lt, partition_by=[("k", "bucket", 4)]
+    )
+    snapshot_commit(
+        dims.repartitionByRange(4, "k"), rt, partition_by=[("k", "bucket", 4)]
+    )
+    wh = SnapshotWarehouse(spark, {"facts": lt, "dims": rt})
+    df = wh.sql(
+        "SELECT f.k, f.v, d.tag FROM facts f JOIN dims d ON f.k = d.k "
+        "WHERE f.cat = 3 AND d.tag = 'd0' AND f.k >= 20"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_colocated_join" in plan and "Exchange" not in plan
+    exp = (
+        facts.filter("cat = 3 AND k >= 20")
+        .join(dims.filter("tag = 'd0'"), "k")
+        .select("k", "v", "tag")
+    )
+    assert _rows(df) == _rows(exp)
+    # a WHERE the conjunction parser refuses (OR) still routes, unpushed
+    df2 = wh.sql(
+        "SELECT f.k, f.v, d.tag FROM facts f JOIN dims d ON f.k = d.k "
+        "WHERE f.cat = 3 OR d.tag = 'd1'"
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_colocated_join" in plan2
+    exp2 = (
+        facts.join(dims, "k")
+        .filter("cat = 3 OR tag = 'd1'")
+        .select("k", "v", "tag")
+    )
+    assert _rows(df2) == _rows(exp2)
