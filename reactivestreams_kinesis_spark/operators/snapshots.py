@@ -2916,7 +2916,11 @@ def delete_tag(table_dir: str, name: str) -> None:
 
 
 def vacuum(
-    table_dir: str, *, keep_from_version: int, clean_orphans: bool = False
+    table_dir: str,
+    *,
+    keep_from_version: int,
+    clean_orphans: bool = False,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files unreferenced by every version >=
     ``keep_from_version`` and drop the older manifests — the explicit,
@@ -2935,7 +2939,12 @@ def vacuum(
     version is live; those only old manifests referenced are removed
     with them. TAGGED versions (``tag_snapshot``) are pinned: their
     manifests and files survive any retention window until the tag is
-    deleted."""
+    deleted.
+
+    ``dry_run`` computes and returns the would-delete file list without
+    removing anything (files or manifests) — the Delta ``VACUUM ...
+    DRY RUN`` shape: retention is destructive and irreversible, so the
+    operator exposes the look-before-you-leap form."""
     tip = latest_version(table_dir)
     if tip is None or keep_from_version > tip:
         raise ValueError(f"keep_from_version {keep_from_version} beyond tip {tip}")
@@ -2971,9 +2980,11 @@ def vacuum(
                 if not p.startswith(os.path.abspath(table_dir) + os.sep):
                     continue
                 if os.path.exists(p):
-                    os.remove(p)
+                    if not dry_run:
+                        os.remove(p)
                     deleted.append(p)
-        os.remove(mp)
+        if not dry_run:
+            os.remove(mp)
     if clean_orphans:
         for d in os.listdir(table_dir):
             if not (d.startswith("data-") or d.startswith(("dv-", "eqdv-"))):
@@ -2982,7 +2993,8 @@ def vacuum(
                 rel = os.path.join(d, f)
                 if f.endswith(".parquet") and rel not in live:
                     p = os.path.join(table_dir, rel)
-                    os.remove(p)
+                    if not dry_run:
+                        os.remove(p)
                     deleted.append(p)
     return deleted
 
@@ -3141,6 +3153,7 @@ def vacuum_by_retention(
     retention_seconds: float,
     now: float | None = None,
     clean_orphans: bool = False,
+    dry_run: bool = False,
 ) -> list[str]:
     """Time-based retention on top of ``vacuum``: keep every version
     whose manifest was PUBLISHED within the window (commit mtime — the
@@ -3167,7 +3180,10 @@ def vacuum_by_retention(
         else:
             break
     return vacuum(
-        table_dir, keep_from_version=keep_from, clean_orphans=clean_orphans
+        table_dir,
+        keep_from_version=keep_from,
+        clean_orphans=clean_orphans,
+        dry_run=dry_run,
     )
 
 

@@ -42,10 +42,14 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   decimal least-upper-bound; narrowing refuses).
 - ``ALTER TABLE t DROP COLUMN c`` → ``drop_column``.
 - ``RESTORE TABLE t TO VERSION AS OF n`` → ``restore_snapshot``.
-- ``DESCRIBE HISTORY t`` → ``describe_history``.
+- ``DESCRIBE HISTORY t`` → ``describe_history``; ``DESCRIBE DETAIL t``
+  → the metadata-only summary (version, file count, exact row count
+  when manifest stats allow, partition spec); ``SHOW TABLES`` lists
+  the registered tables and materialized views.
 - ``OPTIMIZE t`` → ``compact_snapshot`` (``ZORDER BY (cols)`` maps to
   its z-order clustering).
-- ``VACUUM t RETAIN <n> HOURS`` → ``vacuum_by_retention``.
+- ``VACUUM t RETAIN <n> HOURS [DRY RUN]`` → ``vacuum_by_retention``
+  (DRY RUN returns the would-delete list without removing anything).
 - ``CREATE TABLE name [PARTITIONED BY (col | day(col) |
   bucket(n, col), ...)] [CLUSTERED BY (k) INTO n BUCKETS] AS SELECT
   ...`` (needs a warehouse ``root``) → an initial ``snapshot_commit``
@@ -182,16 +186,65 @@ class SnapshotWarehouse:
             m = re.fullmatch(
                 rf"DESCRIBE\s+HISTORY\s+({_IDENT})", stmt, re.I | re.S
             )
-            if not m:
-                raise ValueError(
-                    "only DESCRIBE HISTORY <table> is supported"
+            if m:
+                return describe_history(self._spark, self._dir(m.group(1)))
+            m = re.fullmatch(
+                rf"DESCRIBE\s+DETAIL\s+({_IDENT})", stmt, re.I | re.S
+            )
+            if m:
+                return self._describe_detail(m.group(1))
+            raise ValueError(
+                "only DESCRIBE HISTORY <table> and DESCRIBE DETAIL <table> "
+                "are supported"
+            )
+        if head == "SHOW":
+            if re.fullmatch(r"SHOW\s+TABLES", stmt, re.I):
+                rows = [(n, "table") for n in sorted(self._tables)] + [
+                    (n, "materialized_view") for n in sorted(self._views)
+                ]
+                return self._spark.createDataFrame(
+                    rows, "name string, kind string"
                 )
-            return describe_history(self._spark, self._dir(m.group(1)))
+            raise ValueError("only SHOW TABLES is supported")
         raise ValueError(
             f"unsupported statement {head or '<empty>'!r} — supported: "
             "SELECT/WITH, MERGE INTO, INSERT INTO, DELETE FROM, UPDATE, "
-            "ALTER TABLE, RESTORE TABLE, DESCRIBE HISTORY, OPTIMIZE, "
-            "VACUUM, CREATE TABLE AS, CREATE/REFRESH MATERIALIZED VIEW"
+            "ALTER TABLE, RESTORE TABLE, DESCRIBE HISTORY/DETAIL, SHOW "
+            "TABLES, OPTIMIZE, VACUUM, CREATE TABLE AS, CREATE/REFRESH "
+            "MATERIALIZED VIEW"
+        )
+
+    def _describe_detail(self, name: str) -> DataFrame:
+        """DESCRIBE DETAIL: the metadata-only table summary — version,
+        file count, exact row count when the manifest stats allow it
+        (``table_stats_summary``'s honesty contract: None when any file
+        predates stats or equality deletes pend), and the declared
+        partition spec. Zero data I/O."""
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            _read_manifest,
+            _transform_name,
+            table_stats_summary,
+        )
+
+        d = self._dir(name)
+        tip = latest_version(d)
+        man = _read_manifest(d, tip)
+        stats = table_stats_summary(d)
+        spec = ", ".join(
+            _transform_name(e) for e in (man.get("partition_spec") or [])
+        )
+        return self._spark.createDataFrame(
+            [
+                (
+                    name,
+                    int(tip),
+                    len(man["files"]),
+                    stats["rows"],
+                    spec or None,
+                )
+            ],
+            "name string, version long, num_files long, num_rows long, "
+            "partition_spec string",
         )
 
     # -- SELECT with time travel --------------------------------------------
@@ -245,6 +298,15 @@ class SnapshotWarehouse:
             flags=re.I,
         )
 
+        # co-located fast path FIRST (it understands VERSION AS OF
+        # natively — the source takes per-side versions): a two-table
+        # equi-join whose sides are bucket-partitioned compatibly on
+        # the join keys plans through the zero-exchange source;
+        # anything else falls through to the substitutions below
+        routed = self._try_colocated_select(out)
+        if routed is not None:
+            return routed
+
         # VERSION AS OF n → a pinned temp view per (table, version);
         # matched over the quote-blinded text so a literal containing
         # the phrase is never rewritten (the module's refusal contract)
@@ -278,12 +340,6 @@ class SnapshotWarehouse:
             out,
             flags=re.I,
         )
-        # co-located fast path: a two-table equi-join whose sides are
-        # bucket-partitioned compatibly on the join keys plans through
-        # the zero-exchange source; anything else falls through
-        routed = self._try_colocated_select(out)
-        if routed is not None:
-            return routed
         # bare table names resolve at the current tip; materialized view
         # names read through read_materialized_view (aggregate
         # semantics, never the raw __mv_* state). Detection is
@@ -314,18 +370,22 @@ class SnapshotWarehouse:
         on the key; the routed plan reads N bucket pairs with zero
         exchanges (sources/colocated.py)."""
         m = re.fullmatch(
-            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?"
-            rf"\s+JOIN\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+ON\s+"
-            rf"({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})"
+            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+AS)?(?:\s+({_IDENT}))?"
+            rf"\s+JOIN\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+AS)?(?:\s+({_IDENT}))?"
+            rf"\s+ON\s+({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})"
             rf"(?:\s+((?:WHERE|GROUP|ORDER|HAVING|LIMIT)\b.*))?",
             _quote_blind(stmt),
             re.I | re.S,
         )
         if not m:
             return None
-        items, lname, lal, rname, ral, q1, c1, q2, c2 = m.groups()[:9]
-        tail_span = m.span(10)
-        tail = stmt[tail_span[0] : tail_span[1]] if m.group(10) else ""
+        (
+            items, lname, lver, lal, rname, rver, ral, q1, c1, q2, c2,
+        ) = m.groups()[:11]
+        tail_span = m.span(12)
+        tail = stmt[tail_span[0] : tail_span[1]] if m.group(12) else ""
         items = stmt[m.start(1) : m.end(1)]
         if lal and lal.upper() == "JOIN":
             return None
@@ -349,7 +409,8 @@ class SnapshotWarehouse:
             )
 
             ldir, rdir = self._tables[lname], self._tables[rname]
-            lv, rv = latest_version(ldir), latest_version(rdir)
+            lv = latest_version(ldir) if lver is None else int(lver)
+            rv = latest_version(rdir) if rver is None else int(rver)
             lman = _read_manifest(ldir, lv)
             rman = _read_manifest(rdir, rv)
             le = _spec_bucket_entry(lman, lk)
@@ -1065,7 +1126,8 @@ class SnapshotWarehouse:
         )
 
         m = re.fullmatch(
-            rf"VACUUM\s+({_IDENT})\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?",
+            rf"VACUUM\s+({_IDENT})\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?"
+            rf"(?:\s+(DRY\s+RUN))?",
             stmt,
             re.I,
         )
@@ -1075,11 +1137,12 @@ class SnapshotWarehouse:
             # an operation that deletes history)
             raise ValueError(
                 "unsupported VACUUM shape — expected VACUUM <table> RETAIN "
-                "<n> HOURS (the retention must be explicit)"
+                "<n> HOURS [DRY RUN] (the retention must be explicit)"
             )
         return vacuum_by_retention(
             self._dir(m.group(1)),
             retention_seconds=float(m.group(2)) * 3600.0,
+            dry_run=m.group(3) is not None,
         )
 
 

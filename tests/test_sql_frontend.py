@@ -773,3 +773,68 @@ def test_sql_colocated_routing_pushes_side_predicates(spark, tmp_path):
         .select("k", "v", "tag")
     )
     assert _rows(df2) == _rows(exp2)
+
+
+def test_sql_show_tables_describe_detail_vacuum_dry_run(spark, tmp_path):
+    """The introspection statements: SHOW TABLES lists tables + MVs,
+    DESCRIBE DETAIL answers version/files/rows/spec metadata-only, and
+    VACUUM ... DRY RUN names the would-delete files without removing
+    anything (the destructive form then removes exactly that list)."""
+    import os as _os
+
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t}, root=str(tmp_path / "wr"))
+    wh.sql(
+        "CREATE MATERIALIZED VIEW acct_mv AS "
+        "SELECT name, COUNT(*) AS n FROM accounts GROUP BY name"
+    )
+    assert _rows(wh.sql("SHOW TABLES")) == {
+        ("accounts", "table"), ("acct_mv", "materialized_view"),
+    }
+    with pytest.raises(ValueError, match="SHOW TABLES"):
+        wh.sql("SHOW COLUMNS IN accounts")
+
+    det = wh.sql("DESCRIBE DETAIL accounts").collect()[0]
+    assert det["name"] == "accounts" and det["version"] == 0
+    assert det["num_rows"] == 4 and det["num_files"] >= 1
+
+    # create history, then dry-run vs destructive vacuum
+    wh.sql("INSERT OVERWRITE accounts VALUES (9, 'z', 90)")
+    would = wh.sql("VACUUM accounts RETAIN 0 HOURS DRY RUN")
+    assert would, "the overwritten v0 files must be reclaimable"
+    assert all(_os.path.exists(p) for p in would), "DRY RUN must not delete"
+    assert read_snapshot(spark, t, 0).count() == 4  # history intact
+    gone = wh.sql("VACUUM accounts RETAIN 0 HOURS")
+    assert sorted(gone) == sorted(would), "destructive run = the dry list"
+    assert not any(_os.path.exists(p) for p in gone)
+
+
+def test_sql_colocated_routing_version_pinned(spark, tmp_path):
+    """FROM a VERSION AS OF n JOIN b ... routes onto the co-located
+    source with the side pinned at that version (the source reads
+    per-side versions natively — no temp-view detour, still zero
+    exchanges); values match the time-travel read."""
+    from reactivestreams_kinesis_spark.operators.snapshots import snapshot_commit
+
+    lt = str(tmp_path / "lv")
+    rt = str(tmp_path / "rv")
+    facts = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k int, v double"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "k int, tag string"
+    )
+    snapshot_commit(facts, lt, partition_by=[("k", "bucket", 4)])       # v0
+    snapshot_commit(dims, rt, partition_by=[("k", "bucket", 4)])        # v0
+    wh = SnapshotWarehouse(spark, {"facts": lt, "dims": rt})
+    wh.sql("DELETE FROM facts WHERE k >= 20")                           # v1
+    df = wh.sql(
+        "SELECT f.k, f.v, d.tag FROM facts VERSION AS OF 0 f "
+        "JOIN dims d ON f.k = d.k"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_colocated_join" in plan and "Exchange" not in plan
+    assert df.count() == 40, "the v0 pin must see the pre-delete rows"
+    tip = wh.sql("SELECT f.k FROM facts f JOIN dims d ON f.k = d.k")
+    assert tip.count() == 20
