@@ -29,7 +29,8 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   with the table's declared schema. ``INSERT OVERWRITE t ...``
   replaces the whole table (one overwrite commit);
   ``INSERT INTO t REPLACE WHERE <conjunction> SELECT ...`` replaces
-  exactly the predicate's rows (delete + append, phase txn ids) and
+  exactly the predicate's rows (delete + append — two commits; a
+  retry after a crash between them completes the replacement) and
   REFUSES batches whose rows fall outside the predicate — Delta's
   replaceWhere constraint check.
 - ``SELECT ... FROM table_changes('t', v1[, v2])`` → the change data
@@ -770,13 +771,18 @@ class SnapshotWarehouse:
             ]
         )
         if replace_where is not None:
-            # Delta's REPLACE WHERE: atomically-in-effect replace the
-            # predicate's rows with the batch. Two phase commits with
-            # derived txn ids (delete then append) — the same
-            # exactly-once-under-replay shape as the MoR merge. The
-            # inserted rows MUST satisfy the predicate (Delta's
-            # constraint check): silently landing rows outside the
-            # replaced region would corrupt the "replace" contract.
+            # Delta's REPLACE WHERE: replace the predicate's rows with
+            # the batch as delete + append — TWO commits, so a reader
+            # between them sees the deleted-not-yet-replaced window and
+            # a crash between them leaves the delete committed (the
+            # retried statement's delete then matches nothing and the
+            # append completes the replacement — net state correct,
+            # not exactly-once: a bare SQL statement carries no replay
+            # identity to derive txn ids from; callers needing that use
+            # the Python operators with explicit txn_id). The inserted
+            # rows MUST satisfy the predicate (Delta's constraint
+            # check): silently landing rows outside the replaced
+            # region would corrupt the "replace" contract.
             preds = _parse_conjunction(replace_where)
             cond = _preds_to_column(preds)
             n_bad = rows.filter(~F.coalesce(cond, F.lit(False))).limit(1).count()

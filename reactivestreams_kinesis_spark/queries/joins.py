@@ -587,6 +587,62 @@ def join_colocated_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_colocated_sql",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS rev
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice < 200000.0 AND c.c_nationkey >= 5
+    GROUP BY c.c_nationkey
+    """,
+    tags=("J1", "S5"),
+)
+def join_colocated_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-ROUTED co-located join (round 12): the literal SELECT a
+    user types over two bucket-partitioned warehouse tables routes onto
+    the zero-exchange source automatically (`sql_frontend.
+    _try_colocated_select`), with the simple one-sided WHERE conjuncts
+    PUSHED into the source as pruning predicates (manifest-stats file
+    prune + row-exact re-apply) and the aggregate running over the
+    routed relation. Mirror twin of `join_colocated_bucket` (the
+    Python-API form, driver slot) — this row proves the SQL planner
+    hook end-to-end under the value oracle; plan shape (BatchScan +
+    zero exchanges below the groupBy) is pinned in
+    tests/test_sql_frontend.py.
+
+    At 100 TB this is the statement users actually issue: the layout
+    levers pay off without anyone calling colocated_join by hand."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        snapshot_commit,
+    )
+    from reactivestreams_kinesis_spark.operators.sql_frontend import (
+        SnapshotWarehouse,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    lt = scratch_dir("rsk_colocsql_l")
+    rt = scratch_dir("rsk_colocsql_r")
+    snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 16)])
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 16)])
+    wh = SnapshotWarehouse(spark, {"cust": lt, "ords": rt})
+    return wh.sql(
+        "SELECT c.c_nationkey, COUNT(*) AS n, "
+        "ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS rev "
+        "FROM cust c JOIN ords o ON c.c_custkey = o.o_custkey "
+        "WHERE o.o_totalprice < 200000.0 AND c.c_nationkey >= 5 "
+        "GROUP BY c.c_nationkey"
+    )
+
+
+@register(
     "join_dynamic_prune",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_acctbal
