@@ -14,6 +14,12 @@ measures:
 - ``refresh_minmax_sec``: refresh of a view that also carries min/max —
   pays the dirty-group recompute (a pruned source scan for retracting
   groups)
+- ``refresh_merge_composite_sec`` (round 12): refresh of a
+  COMPOSITE-key (nation, segment) count/sum view under
+  ``strategy='merge'`` — the tuple-keyed equality-delete/merge path,
+  measuring that the round-12 composite support keeps the
+  delta-proportional shape (cost follows the touched tuples, not the
+  view or the table)
 - ``recompute_sec``: the naive alternative — full aggregate over the
   source at the same version, committed the same way
 
@@ -84,6 +90,7 @@ def main() -> int:
                 F.col("c_custkey") + F.col("__rep") * F.lit(100_000_000),
             )
             .drop("__rep")
+            .withColumn("seg", (F.col("c_custkey") % 4).cast("int"))
         )
         t = os.path.join(base, f"x{scale}_src")
         va = os.path.join(base, f"x{scale}_view_arith")
@@ -103,6 +110,10 @@ def main() -> int:
         create_materialized_view(
             spark, vm, t, group_by=["c_nationkey"], aggs=minmax_aggs
         )
+        vc = os.path.join(base, f"x{scale}_view_comp")
+        create_materialized_view(
+            spark, vc, t, group_by=["c_nationkey", "seg"], aggs=arith_aggs
+        )
         n_rows = read_snapshot(spark, t).count()
 
         # the FIXED delta: same row count at every tier
@@ -112,7 +123,7 @@ def main() -> int:
             ),
             F.col("n_nationkey").alias("c_nationkey"),
             F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
-        )
+        ).withColumn("seg", (F.col("c_custkey") % 4).cast("int"))
         snapshot_commit(delta_ins, t)
         # the retraction touches ONE group (nation 3) — the realistic
         # CDC shape: a delta dirties few groups, so the min/max
@@ -131,6 +142,9 @@ def main() -> int:
         start = time.perf_counter()
         refresh_materialized_view(spark, vm)
         refresh_minmax_sec = time.perf_counter() - start
+        start = time.perf_counter()
+        refresh_materialized_view(spark, vc, strategy="merge")
+        refresh_merge_composite_sec = time.perf_counter() - start
 
         def recompute():
             return read_snapshot(spark, t).groupBy("c_nationkey").agg(
@@ -148,11 +162,23 @@ def main() -> int:
         got = {tuple(r) for r in read_materialized_view(spark, vm).collect()}
         exp = {tuple(r) for r in read_snapshot(spark, rt).collect()}
         assert got == exp, f"parity broke at x{scale}"
+        got_c = {
+            tuple(r) for r in read_materialized_view(spark, vc).collect()
+        }
+        exp_c = {
+            tuple(r)
+            for r in read_snapshot(spark, t)
+            .groupBy("c_nationkey", "seg")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("bal").alias("total"))
+            .collect()
+        }
+        assert got_c == exp_c, f"composite-merge parity broke at x{scale}"
 
         tier = {
             "source_rows": n_rows,
             "refresh_arith_sec": round(refresh_arith_sec, 3),
             "refresh_minmax_sec": round(refresh_minmax_sec, 3),
+            "refresh_merge_composite_sec": round(refresh_merge_composite_sec, 3),
             "recompute_sec": round(recompute_sec, 3),
         }
         result["tiers"][f"x{scale}"] = tier
