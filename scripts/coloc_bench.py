@@ -226,6 +226,40 @@ def main() -> int:
     }
     print(f"mismatch: {result['mismatch']}", file=sys.stderr)
 
+    # PUSHDOWN tier (round 12): the SQL-routed form of the x16 join
+    # with a selective one-sided WHERE — the front-end pushes the
+    # conjunct into the source (row-exact Arrow filter BEFORE the
+    # per-bucket hash join; file prune when stats allow), vs the same
+    # predicate applied after a generic shuffle join. Parity-checked.
+    from reactivestreams_kinesis_spark.operators.sql_frontend import (
+        SnapshotWarehouse,
+    )
+
+    wh = SnapshotWarehouse(spark, {"cust": lt, "ords": rt})
+    routed = wh.sql(
+        "SELECT c.c_custkey, c.c_acctbal, o.o_totalprice "
+        "FROM cust c JOIN ords o ON c.c_custkey = o.o_custkey "
+        "WHERE c.c_acctbal >= 9000.0"
+    )
+    plan_p = routed._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_colocated_join" in plan_p, "pushdown tier must route"
+    gen_p = (
+        read_snapshot(spark, lt)
+        .join(read_snapshot(spark, rt), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("c_acctbal") >= 9000.0)
+        .select("c_custkey", "c_acctbal", "o_totalprice")
+    )
+    n_p, h_p = checksum(routed)
+    n_gp, h_gp = checksum(gen_p)
+    assert (n_p, h_p) == (n_gp, h_gp), "pushdown-tier parity broke"
+    result["pushdown"] = {
+        "join_rows": n_p,
+        "routed_exchanges": plan_p.count("Exchange"),
+        "routed_sec": round(timed(routed), 3),
+        "generic_sec": round(timed(gen_p), 3),
+    }
+    print(f"pushdown: {result['pushdown']}", file=sys.stderr)
+
     shutil.rmtree(base, ignore_errors=True)
     doc = json.dumps(result)
     print(doc)
