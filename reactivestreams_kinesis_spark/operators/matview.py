@@ -8,15 +8,29 @@ view maintenance" shape, built on the engine's own snapshot substrate so
 the view itself gets time travel, constraints, and idempotent commits
 for free.
 
-Supported aggregate spec: ``{output_name: (fn, col)}`` with fn in
-``sum | count | min | max | avg | approx_distinct`` (``col=None`` with
-``count`` is COUNT(*)), grouped by any key tuple, over an optional
-row-local WHERE. ``approx_distinct`` stores a datasketches HLL sketch
-per group (Spark's hll_sketch_agg/hll_union_agg): insert-only deltas
-UNION into the stored sketch — the "distinct users per day" standing
-metric costs sketch-merge arithmetic, never a source scan — while a
-retraction marks the group dirty like min/max (sketches don't
-subtract) and its sketch recomputes from the pruned source scan.
+Supported aggregate spec: ``{output_name: (fn, col[, params])}`` with
+fn in ``sum | count | min | max | avg | approx_distinct |
+hist_quantile`` (``col=None`` with ``count`` is COUNT(*)), grouped by
+any key tuple, over an optional row-local WHERE. ``approx_distinct``
+stores a datasketches HLL sketch per group (Spark's hll_sketch_agg/
+hll_union_agg): insert-only deltas UNION into the stored sketch — the
+"distinct users per day" standing metric costs sketch-merge
+arithmetic, never a source scan — while a retraction marks the group
+dirty like min/max (sketches don't subtract) and its sketch recomputes
+from the pruned source scan.
+
+``hist_quantile`` (params ``{'q', 'lo', 'hi'[, 'bins']}``) keeps
+INCREMENTAL PERCENTILES: a fixed-bin histogram of the declared value
+domain per group (out-of-range values clamp into the edge bins — the
+sketch's one documented approximation; bin width = (hi-lo)/bins).
+Unlike min/max/HLL the bin counts are FULLY ABELIAN — inserts add,
+retractions subtract — so a p99-latency standing view folds arbitrary
+DML with sketch arithmetic only: no dirty marking, no source rescans,
+ever. Read-time inverts the counts at q (first bin whose cumulative
+count reaches ceil(q·total), answered at the bin midpoint) with two
+O(bins) codegen folds — a deterministic rule a SQL oracle replicates
+exactly, which is what makes the sketch oracle-checkable where
+t-digest-style summaries are not.
 
 Maintenance algebra (per group):
 - ``count``/``sum``/``avg`` are ABELIAN — each feed row contributes
@@ -86,10 +100,18 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
 
 _MV_META = "_mv.json"
 _TXN_PREFIX = "mv-refresh-"
-_SUPPORTED = ("sum", "count", "min", "max", "avg", "approx_distinct")
+_SUPPORTED = (
+    "sum", "count", "min", "max", "avg", "approx_distinct", "hist_quantile"
+)
 # aggregates with no retraction inverse: a group that saw a retraction
-# recomputes these from the source (min/max extremes, HLL sketches)
+# recomputes these from the source (min/max extremes, HLL sketches).
+# hist_quantile is deliberately NOT here: bin counts subtract exactly,
+# so percentile state folds retractions with no source access at all.
 _NON_ABELIAN = ("min", "max", "approx_distinct")
+# histogram sketch bounds: each bin is one sum-aggregate expression in
+# the partial, so the cap keeps the groupBy's codegen width sane
+_HIST_MAX_BINS = 512
+_HIST_DEFAULT_BINS = 64
 # above this many dirty groups the min/max recompute switches from a
 # collected IN-predicate scan (manifest-prunable) to a semi-join
 _DIRTY_PRUNE_CAP = 256
@@ -155,9 +177,18 @@ def _source_rows(
 
 
 def _norm_aggs(aggs: dict) -> dict:
+    """Normalize ``{name: (fn, col[, params])}`` to 3-tuples
+    ``(fn, col, params)`` (params is None for the classic aggregates;
+    a validated dict for ``hist_quantile``)."""
     out = {}
     for name, spec in aggs.items():
-        fn, col = spec
+        spec = tuple(spec)
+        if len(spec) == 2:
+            fn, col, prm = spec[0], spec[1], None
+        elif len(spec) == 3:
+            fn, col, prm = spec
+        else:
+            raise ValueError(f"{name!r}: aggregate spec must be (fn, col[, params])")
         fn = fn.lower()
         if fn not in _SUPPORTED:
             raise ValueError(
@@ -168,8 +199,70 @@ def _norm_aggs(aggs: dict) -> dict:
             raise ValueError(f"{name!r}: only count supports col=None (COUNT(*))")
         if col in ("*",):
             col = None
-        out[name] = (fn, col)
+        if fn == "hist_quantile":
+            prm = _norm_hist_params(name, prm)
+        elif prm is not None:
+            raise ValueError(f"{name!r}: only hist_quantile takes params")
+        out[name] = (fn, col, prm)
     return out
+
+
+def _norm_hist_params(name: str, prm) -> dict:
+    """Validate the histogram-quantile spec: quantile q in (0, 1), a
+    declared value domain [lo, hi) (out-of-range values clamp into the
+    edge bins — the sketch's documented approximation), and the bin
+    count (each bin is one aggregate expression, hence the cap)."""
+    if not isinstance(prm, dict):
+        raise ValueError(
+            f"{name!r}: hist_quantile needs params "
+            "{'q': quantile, 'lo': domain_lo, 'hi': domain_hi[, 'bins': n]}"
+        )
+    unknown = sorted(set(prm) - {"q", "lo", "hi", "bins"})
+    if unknown:
+        raise ValueError(f"{name!r}: unknown hist_quantile params {unknown}")
+    try:
+        q = float(prm["q"])
+        lo = float(prm["lo"])
+        hi = float(prm["hi"])
+    except (KeyError, TypeError, ValueError):
+        raise ValueError(
+            f"{name!r}: hist_quantile params need numeric q, lo, hi"
+        ) from None
+    bins = int(prm.get("bins", _HIST_DEFAULT_BINS))
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"{name!r}: q must be in (0, 1), got {q}")
+    if not (lo < hi):
+        raise ValueError(f"{name!r}: need lo < hi, got [{lo}, {hi})")
+    if not (2 <= bins <= _HIST_MAX_BINS):
+        raise ValueError(
+            f"{name!r}: bins must be in [2, {_HIST_MAX_BINS}], got {bins}"
+        )
+    return {"q": q, "lo": lo, "hi": hi, "bins": bins}
+
+
+def _hist_bucket(c, prm: dict):
+    """The bin index expression both the partial and the oracle share:
+    floor((v - lo) / width) clamped to [0, bins-1]; NULL stays NULL so
+    the signed per-bin sums skip it (SQL aggregate semantics) — guarded
+    explicitly, because Spark's least/greatest IGNORE null operands and
+    would otherwise clamp a NULL value into bin 0."""
+    width = (prm["hi"] - prm["lo"]) / prm["bins"]
+    raw = F.floor((c - F.lit(prm["lo"])) / F.lit(width)).cast("int")
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(prm["bins"] - 1))
+    return F.when(c.isNotNull(), clamped)
+
+
+def _hist_state_col(col: str, prm: dict) -> str:
+    """The histogram state column is keyed by SKETCH IDENTITY
+    (col, lo, hi, bins) — not by output name — so a p50/p90/p99 view
+    over one domain stores and maintains ONE bin-count array, and each
+    quantile output is just a different read-time inversion of it."""
+    import hashlib
+
+    sig = hashlib.md5(
+        f"{col}|{prm['lo']}|{prm['hi']}|{prm['bins']}".encode()
+    ).hexdigest()[:10]
+    return f"__mv_hist__{sig}"
 
 
 def _state_partials(rows: DataFrame, group_by: list[str], aggs: dict, *, sgn):
@@ -180,7 +273,8 @@ def _state_partials(rows: DataFrame, group_by: list[str], aggs: dict, *, sgn):
     per-count non-null count, per-min/max insert-side extreme, and
     ``__mv_dirty`` (any retraction seen)."""
     exprs = [F.sum(sgn).cast("long").alias("__mv_n")]
-    for name, (fn, col) in aggs.items():
+    seen_hists: set = set()
+    for name, (fn, col, prm) in aggs.items():
         c = F.col(col) if col is not None else None
         if fn == "count" and col is None:
             continue  # COUNT(*) reads __mv_n
@@ -210,6 +304,25 @@ def _state_partials(rows: DataFrame, group_by: list[str], aggs: dict, *, sgn):
             exprs.append(
                 F.hll_sketch_agg(F.when(sgn > 0, c)).alias(f"__mv_hll__{name}")
             )
+        elif fn == "hist_quantile":
+            # signed per-bin counts: retractions subtract exactly, so
+            # the sketch is fully abelian — never dirty, never rescans.
+            # Aggs sharing a sketch identity share ONE state column.
+            h = _hist_state_col(col, prm)
+            if h in seen_hists:
+                continue
+            seen_hists.add(h)
+            b = _hist_bucket(c, prm)
+            exprs.append(
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.sum(F.when(b == i, sgn)), F.lit(0)
+                        ).cast("long")
+                        for i in range(prm["bins"])
+                    ]
+                ).alias(h)
+            )
         else:  # min / max
             agg = F.min if fn == "min" else F.max
             # insert-side extreme only: retractions can't fold into an
@@ -229,7 +342,8 @@ def _merge_states(
     merge would silently drop."""
     both = old.withColumn("__mv_dirty", F.lit(0)).unionByName(delta)
     exprs = [F.sum("__mv_n").cast("long").alias("__mv_n")]
-    for name, (fn, col) in aggs.items():
+    seen_hists: set = set()
+    for name, (fn, col, prm) in aggs.items():
         if fn == "count" and col is None:
             continue
         if fn == "count":
@@ -244,6 +358,21 @@ def _merge_states(
             exprs.append(
                 F.hll_union_agg(f"__mv_hll__{name}").alias(f"__mv_hll__{name}")
             )
+        elif fn == "hist_quantile":
+            # elementwise sum of the bin-count arrays (old ⊎ delta);
+            # shared-sketch aggs fold their one state column once
+            h = _hist_state_col(col, prm)
+            if h in seen_hists:
+                continue
+            seen_hists.add(h)
+            exprs.append(
+                F.array(
+                    *[
+                        F.sum(F.element_at(F.col(h), i + 1)).cast("long")
+                        for i in range(prm["bins"])
+                    ]
+                ).alias(h)
+            )
         else:
             agg = F.min if fn == "min" else F.max
             exprs.append(agg(name).alias(name))
@@ -253,7 +382,7 @@ def _merge_states(
 
 def _state_columns(group_by: list[str], aggs: dict) -> list[str]:
     cols = list(group_by) + ["__mv_n"]
-    for name, (fn, col) in aggs.items():
+    for name, (fn, col, prm) in aggs.items():
         if fn == "count" and col is None:
             continue
         if fn == "avg":
@@ -262,6 +391,10 @@ def _state_columns(group_by: list[str], aggs: dict) -> list[str]:
             cols += [name, f"__mv_nn__{name}"]
         elif fn == "approx_distinct":
             cols.append(f"__mv_hll__{name}")
+        elif fn == "hist_quantile":
+            h = _hist_state_col(col, prm)
+            if h not in cols:
+                cols.append(h)
         else:
             cols.append(name)
     return cols
@@ -278,12 +411,36 @@ def _cast_to_view_schema(df: DataFrame, view_dir: str) -> DataFrame:
     loudly under ANSI instead of silently widening)."""
     from pyspark.sql.types import StructType
 
+    def _erase_null(dt):
+        # structural type equality ignoring nullability flags: Spark
+        # refuses to cast between arrays whose element-nullability
+        # differs (ARRAY<BIGINT> → ARRAY<BIGINT> with containsNull
+        # flipped), and a histogram column's re-aggregated sums flip
+        # exactly that flag — same storage type, no cast needed
+        import pyspark.sql.types as T
+
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_erase_null(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _erase_null(dt.keyType), _erase_null(dt.valueType), True
+            )
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, _erase_null(f.dataType), True) for f in dt]
+            )
+        return dt
+
     tip = latest_version(view_dir)
     m = _read_manifest(view_dir, tip)
     declared = {f.name: f.dataType for f in StructType.fromJson(m["schema"]).fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
     return df.select(
         *[
-            F.col(c).cast(declared[c]).alias(c) if c in declared else F.col(c)
+            F.col(c).cast(declared[c]).alias(c)
+            if c in declared
+            and _erase_null(actual[c]) != _erase_null(declared[c])
+            else F.col(c)
             for c in df.columns
         ]
     )
@@ -321,7 +478,10 @@ def create_materialized_view(
     meta = {
         "source_dir": os.path.abspath(source_dir),
         "group_by": list(group_by),
-        "aggs": {n: [fn, col] for n, (fn, col) in aggs.items()},
+        "aggs": {
+            n: ([fn, col] if prm is None else [fn, col, prm])
+            for n, (fn, col, prm) in aggs.items()
+        },
         "where": where,
     }
     meta_path = os.path.join(view_dir, _MV_META)
@@ -437,7 +597,10 @@ def create_materialized_view_over_join(
     meta = {
         "source_dir": os.path.abspath(fact_dir),
         "group_by": list(group_by),
-        "aggs": {n: [fn, col] for n, (fn, col) in aggs.items()},
+        "aggs": {
+            n: ([fn, col] if prm is None else [fn, col, prm])
+            for n, (fn, col, prm) in aggs.items()
+        },
         "where": where,
         "join": {
             "dim_dir": os.path.abspath(dim_dir),
@@ -708,7 +871,19 @@ def _merge_refresh(
         for k in keys:
             c = F.col(k).isNull()
             null_cond = c if null_cond is None else (null_cond | c)
-        if changed.filter(null_cond).limit(1).count():
+        # ONE probe pass decides every branch below — null-key refusal,
+        # dead-delete, live-upsert, dirty-patch — where separate
+        # limit/count probes would each rescan the (aggregate-sized,
+        # but at 100 TB still billion-group) changed state
+        pr = changed.agg(
+            F.max(null_cond).alias("has_null"),
+            F.count(F.when(F.col("__mv_n") == 0, 1)).alias("n_dead"),
+            F.count(F.when(F.col("__mv_n") != 0, 1)).alias("n_live"),
+            F.count(
+                F.when((F.col("__mv_n") != 0) & (F.col("__mv_dirty") == 1), 1)
+            ).alias("n_dirty_live"),
+        ).collect()[0]
+        if pr["has_null"]:
             # equality delete / merge match by equality, which NULL never
             # satisfies — a NULL group key cannot be maintained this way
             raise ValueError(
@@ -718,27 +893,38 @@ def _merge_refresh(
         # dead keys STAY a DataFrame: delete_by_key takes the key set
         # distributed (it writes the distinct keys as parquet itself),
         # so a wide retraction on a billion-group view never routes its
-        # keys through the driver — only the 0/1 existence probe runs.
-        # Composite keys pass whole: the equality-delete entry and the
-        # merge primitive both key on the column TUPLE.
-        dead = changed.filter(F.col("__mv_n") == 0).select(*keys)
+        # keys through the driver — only the bounded probe row above
+        # runs. Composite keys pass whole: the equality-delete entry and
+        # the merge primitive both key on the column TUPLE.
         live = changed.filter(F.col("__mv_n") != 0)
-        if nonabelian:
+        patched = bool(nonabelian and pr["n_dirty_live"])
+        if patched:
             live = _patch_dirty_extremes(
                 spark, live, meta, ev, group_by, nonabelian, where
             )
         live = _cast_to_view_schema(
             live.select(*_state_columns(group_by, aggs)), view_dir
         )
-        if dead.limit(1).count():
-            delete_by_key(spark, view_dir, dead, keys, txn_id=f"mv-stage-{ev}")
-        n_live = live.count()
-        if n_live:
-            return merge_upsert(spark, view_dir, live, keys, txn_id=txn)
-        # nothing to upsert (pure-death refresh): publish the watermark
-        # over the post-delete state so the consumption point advances
-        state = read_snapshot(spark, view_dir)
-        return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+        if patched:
+            # the patch join re-reads the SOURCE (dirty-group recompute);
+            # merge_upsert runs several actions over `live` (key-range
+            # prune, target-file probe, the rewrite itself) — without a
+            # persist each one would re-execute that source scan
+            live = live.persist()
+        try:
+            if pr["n_dead"]:
+                dead = changed.filter(F.col("__mv_n") == 0).select(*keys)
+                delete_by_key(spark, view_dir, dead, keys, txn_id=f"mv-stage-{ev}")
+            if pr["n_live"]:
+                return merge_upsert(spark, view_dir, live, keys, txn_id=txn)
+            # nothing to upsert (pure-death refresh): publish the
+            # watermark over the post-delete state so the consumption
+            # point advances
+            state = read_snapshot(spark, view_dir)
+            return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+        finally:
+            if patched:
+                live.unpersist()
     finally:
         changed.unpersist()
 
@@ -819,7 +1005,7 @@ def _patch_dirty_extremes(
             )
 
         rec = src.groupBy(*group_by).agg(
-            *[rec_expr(n, fn, col) for n, (fn, col) in nonabelian.items()]
+            *[rec_expr(n, fn, col) for n, (fn, col, _p) in nonabelian.items()]
         )
         cond = None
         for k in group_by:
@@ -828,7 +1014,7 @@ def _patch_dirty_extremes(
         out = merged.join(rec, cond, "left")
         # state column ← which recompute alias patches it
         patch = {}
-        for n, (fn, col) in nonabelian.items():
+        for n, (fn, col, _p) in nonabelian.items():
             state_col = f"__mv_hll__{n}" if fn == "approx_distinct" else n
             patch[state_col] = f"__mv_rec__{n}"
         sel = []
@@ -870,7 +1056,7 @@ def read_materialized_view(
         version = materialized_view_status(view_dir)["watermark_view_version"]
     state = read_snapshot(spark, view_dir, version)
     sel = [F.col(c) for c in meta["group_by"]]
-    for name, (fn, col) in aggs.items():
+    for name, (fn, col, prm) in aggs.items():
         if fn == "count" and col is None:
             sel.append(F.col("__mv_n").alias(name))
         elif fn == "count":
@@ -891,9 +1077,49 @@ def read_materialized_view(
             sel.append(
                 F.hll_sketch_estimate(F.col(f"__mv_hll__{name}")).alias(name)
             )
+        elif fn == "hist_quantile":
+            sel.append(_hist_quantile_value(col, prm).alias(name))
         else:
             sel.append(F.col(name))
     return state.select(*sel)
+
+
+def _hist_quantile_value(col: str, prm: dict):
+    """Invert the stored bin counts at quantile q — two O(bins) folds,
+    pure codegen expressions over the aggregate-sized state (no UDF, no
+    extra pass over any source data). The answer is the MIDPOINT of the
+    first bin whose cumulative count reaches ceil(q * total) — the
+    deterministic rule the DuckDB oracle replicates term-for-term; NULL
+    when the group has no non-null contributors left."""
+    h = F.col(_hist_state_col(col, prm))
+    bins, lo, hi, q = prm["bins"], prm["lo"], prm["hi"], prm["q"]
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(h, zero, lambda a, x: a + x)
+    rank = F.greatest(
+        F.ceil(F.lit(q) * total).cast("long"), F.lit(1).cast("long")
+    )
+    pairs = F.zip_with(
+        h,
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    acc0 = F.struct(zero.alias("cum"), F.lit(-1).alias("idx"))
+    folded = F.aggregate(
+        pairs,
+        acc0,
+        lambda a, p: F.struct(
+            (a["cum"] + p["c"]).alias("cum"),
+            F.when(
+                (a["idx"] < 0) & (a["cum"] + p["c"] >= rank), p["i"]
+            ).otherwise(a["idx"]).alias("idx"),
+        ),
+    )
+    width = F.lit(hi) - F.lit(lo)
+    return F.when(
+        total > 0,
+        F.lit(lo)
+        + (folded["idx"].cast("double") + F.lit(0.5)) * (width / F.lit(bins)),
+    )
 
 
 def stream_refresh_materialized_view(

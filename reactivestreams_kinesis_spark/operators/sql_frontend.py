@@ -42,6 +42,20 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   (metadata-only widening along byte→short→int→long, float→double,
   decimal least-upper-bound; narrowing refuses).
 - ``ALTER TABLE t DROP COLUMN c`` → ``drop_column``.
+- ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
+  ``DROP CONSTRAINT name`` → ``add_constraint`` / ``drop_constraint``
+  (Delta's CHECK-constraint DDL; enforced on every subsequent commit).
+- ``ALTER TABLE t CREATE TAG name [AS OF VERSION n]`` / ``DROP TAG
+  name`` → ``tag_snapshot`` / ``delete_tag`` (Iceberg's named refs);
+  a SELECT may read ``t VERSION AS OF '<tag>'`` (quoted = tag name).
+- ``ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b`` →
+  ``set_ndv_columns`` (per-file HLL NDV stats into the manifests);
+  ``CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (a, b)`` →
+  ``set_bloom_columns`` (Delta's bloom-index DDL — point-lookup file
+  skipping). Both metadata/stats-only, no table rewrite.
+- ``TRUNCATE TABLE t`` → one overwrite commit of zero rows under the
+  declared schema (history and time travel to it survive — Delta's
+  TRUNCATE semantics; RESTORE undoes it).
 - ``RESTORE TABLE t TO VERSION AS OF n`` → ``restore_snapshot``.
 - ``DESCRIBE HISTORY t`` → ``describe_history``; ``DESCRIBE DETAIL t``
   → the metadata-only summary (version, file count, exact row count
@@ -69,8 +83,10 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
 - ``CREATE MATERIALIZED VIEW name AS SELECT <keys and aggregates>
   FROM <table> [WHERE <expr>] GROUP BY <keys>`` →
   ``create_materialized_view`` (aggregate vocabulary: COUNT(*) /
-  COUNT / SUM / MIN / MAX / AVG / APPROX_COUNT_DISTINCT, each aliased;
-  the WHERE is the view's standing row filter). A two-table FROM —
+  COUNT / SUM / MIN / MAX / AVG / APPROX_COUNT_DISTINCT /
+  HIST_QUANTILE(col, q, lo, hi[, bins]) — the incremental-percentile
+  histogram sketch — each aliased; the WHERE is the view's standing
+  row filter). A two-table FROM —
   ``FROM fact f JOIN dim d ON f.k = d.k`` — maps onto
   ``create_materialized_view_over_join`` (the star-schema view: fact
   feed maintains, dim frozen at its current version). ``REFRESH
@@ -183,6 +199,22 @@ class SnapshotWarehouse:
             return self._optimize(stmt)
         if head == "VACUUM":
             return self._vacuum(stmt)
+        if head == "ANALYZE":
+            return self._analyze(stmt)
+        if head == "TRUNCATE":
+            m = re.fullmatch(rf"TRUNCATE\s+TABLE\s+({_IDENT})", stmt, re.I)
+            if not m:
+                raise ValueError("only TRUNCATE TABLE <table> is supported")
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                snapshot_commit,
+            )
+
+            d = self._dir(m.group(1))
+            # one overwrite commit of zero rows under the declared
+            # schema: history (and time travel to it) survives, exactly
+            # Delta's TRUNCATE
+            empty = read_snapshot(self._spark, d).limit(0)
+            return snapshot_commit(empty, d, mode="overwrite")
         if head == "DESCRIBE":
             m = re.fullmatch(
                 rf"DESCRIBE\s+HISTORY\s+({_IDENT})", stmt, re.I | re.S
@@ -211,7 +243,8 @@ class SnapshotWarehouse:
             f"unsupported statement {head or '<empty>'!r} — supported: "
             "SELECT/WITH, MERGE INTO, INSERT INTO, DELETE FROM, UPDATE, "
             "ALTER TABLE, RESTORE TABLE, DESCRIBE HISTORY/DETAIL, SHOW "
-            "TABLES, OPTIMIZE, VACUUM, CREATE TABLE AS, CREATE/REFRESH "
+            "TABLES, OPTIMIZE, VACUUM, ANALYZE TABLE, TRUNCATE TABLE, "
+            "CREATE TABLE AS, CREATE BLOOMFILTER INDEX, CREATE/REFRESH "
             "MATERIALIZED VIEW"
         )
 
@@ -319,6 +352,28 @@ class SnapshotWarehouse:
 
         out = _sub_blind(
             rf"\b({names})\s+VERSION\s+AS\s+OF\s+(\d+)", _vsub, out, flags=re.I
+        )
+
+        # VERSION AS OF '<tag>' (quoted = a named tag, Iceberg's ref
+        # read) → resolve through the tag registry, then pin like any
+        # numeric version; the tag NAME is a literal — sliced from the
+        # original text, matched over the blinded text
+        def _tagsub(m, text):
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                resolve_tag,
+            )
+
+            name, tag = m.group(1), text[m.start(2) : m.end(2)]
+            ver = resolve_tag(self._dir(name), tag)
+            view = f"__wh_{name}_v{ver}"
+            read_snapshot(self._spark, self._dir(name), ver).createOrReplaceTempView(view)
+            return f" {view} "
+
+        out = _sub_blind(
+            rf"\b({names})\s+VERSION\s+AS\s+OF\s+'(\x00+)'",
+            _tagsub,
+            out,
+            flags=re.I,
         )
 
         # TIMESTAMP AS OF '<iso>' → resolve to a version first (the
@@ -817,6 +872,21 @@ class SnapshotWarehouse:
         )
 
         m = re.fullmatch(
+            rf"CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+({_IDENT})\s+"
+            rf"FOR\s+COLUMNS\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)",
+            stmt,
+            re.I,
+        )
+        if m:
+            # Delta's bloom-filter index DDL: per-file bloom sketches
+            # recorded in the manifests for point-lookup file skipping
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                set_bloom_columns,
+            )
+
+            cols = [c.strip() for c in m.group(2).split(",")]
+            return set_bloom_columns(self._spark, self._dir(m.group(1)), cols)
+        m = re.fullmatch(
             rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
             rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?",
             stmt,
@@ -909,6 +979,23 @@ class SnapshotWarehouse:
             bare = re.fullmatch(_IDENT, item)
             if bare:
                 keys_seen.append(item)
+                continue
+            num = r"[-+]?\d+(?:\.\d+)?"
+            hm = re.fullmatch(
+                rf"HIST_QUANTILE\s*\(\s*({_IDENT})\s*,\s*({num})\s*,"
+                rf"\s*({num})\s*,\s*({num})\s*(?:,\s*(\d+)\s*)?\)"
+                rf"\s+AS\s+({_IDENT})",
+                item,
+                re.I | re.S,
+            )
+            if hm:
+                # incremental percentile sketch: HIST_QUANTILE(col, q,
+                # lo, hi[, bins]) — params validated by the operator
+                col, q, lo, hi, bins, alias = hm.groups()
+                prm = {"q": float(q), "lo": float(lo), "hi": float(hi)}
+                if bins is not None:
+                    prm["bins"] = int(bins)
+                aggs[alias] = ("hist_quantile", col, prm)
                 continue
             fm = re.fullmatch(
                 rf"({_IDENT})\s*\(\s*(\*|{_IDENT})\s*\)\s+AS\s+({_IDENT})",
@@ -1083,10 +1170,93 @@ class SnapshotWarehouse:
         )
         if m:
             return drop_column(self._dir(m.group(1)), m.group(2))
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})"
+            rf"\s+CHECK\s*\((.+)\)",
+            stmt,
+            re.I | re.S,
+        )
+        if m:
+            # Delta's CHECK-constraint DDL: enforced on every subsequent
+            # commit by the snapshot layer (existing rows validate now)
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                add_constraint,
+            )
+
+            return add_constraint(
+                self._spark, self._dir(m.group(1)), m.group(2), m.group(3).strip()
+            )
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+            stmt,
+            re.I,
+        )
+        if m:
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                drop_constraint,
+            )
+
+            return drop_constraint(self._dir(m.group(1)), m.group(2))
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+CREATE\s+TAG\s+({_IDENT})"
+            rf"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+            stmt,
+            re.I,
+        )
+        if m:
+            # Iceberg's named-ref DDL: pin a human name to a version;
+            # SELECT ... <t> VERSION AS OF '<tag>' reads through it
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                tag_snapshot,
+            )
+
+            name, tag, ver = m.groups()
+            return tag_snapshot(
+                self._dir(name), tag, None if ver is None else int(ver)
+            )
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+TAG\s+({_IDENT})",
+            stmt,
+            re.I,
+        )
+        if m:
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                delete_tag,
+            )
+
+            delete_tag(self._dir(m.group(1)), m.group(2))
+            return 0
         raise ValueError(
             "unsupported ALTER TABLE shape — supported: RENAME COLUMN a TO b, "
-            "ADD COLUMN c <type>, ALTER COLUMN c TYPE <type>, DROP COLUMN c"
+            "ADD COLUMN c <type>, ALTER COLUMN c TYPE <type>, DROP COLUMN c, "
+            "ADD CONSTRAINT n CHECK (expr), DROP CONSTRAINT n, "
+            "CREATE TAG t [AS OF VERSION n], DROP TAG t"
         )
+
+    def _analyze(self, stmt: str) -> int:
+        """ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b — the
+        SQL lever onto the per-file NDV (HLL) statistics collection
+        (``set_ndv_columns``), whose sketches the stats-pruned scan and
+        ``approx_distinct_count`` consume. Metadata-and-stats-only: one
+        bounded pass per listed column over each data file, recorded in
+        the manifests — no table rewrite."""
+        m = re.fullmatch(
+            rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS\s+"
+            rf"FOR\s+COLUMNS\s+({_IDENT}(?:\s*,\s*{_IDENT})*)",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported ANALYZE shape — ANALYZE TABLE <t> COMPUTE "
+                "STATISTICS FOR COLUMNS a[, b ...]"
+            )
+        from reactivestreams_kinesis_spark.operators.snapshots import (
+            set_ndv_columns,
+        )
+
+        cols = [c.strip() for c in m.group(2).split(",")]
+        return set_ndv_columns(self._spark, self._dir(m.group(1)), cols)
 
     def _restore(self, stmt: str) -> int:
         m = re.fullmatch(

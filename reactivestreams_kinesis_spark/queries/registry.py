@@ -120,7 +120,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ceded its slot to agg_rollup_merge, the incremental-rollup
     # flagship that had never had a driver row
     "agg_distinct_counts",          # A1 A2
-    "agg_percentiles",              # A4 exact + approx bound
+    # round-12 rotation (2nd session): agg_percentiles ceded its slot
+    # (A4 stays driver-covered by rel_mv_hist_quantile below — the
+    # incremental-percentile sketch inverted at two quantiles — and the
+    # exact/approx percentile forms stay bit-exact in the local mirror)
+    # to the session's flagship, which had no driver row
+    "rel_mv_hist_quantile",         # A4 S5 A1 — incremental percentiles
     "agg_rollup_merge",             # A1 A6 — day partials merged to week
     "agg_approx_count_distinct",    # A3
     "agg_grouping_sets",            # A5

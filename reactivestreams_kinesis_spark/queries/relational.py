@@ -1400,6 +1400,112 @@ def rel_mv_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_mv_hist_quantile",
+    oracle="""
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+        UNION ALL
+        SELECT CAST(3000000 + n_nationkey AS BIGINT),
+               n_nationkey,
+               CAST(n_nationkey * 100 AS DOUBLE)
+        FROM nation
+    ),
+    live1 AS (SELECT * FROM all_rows WHERE NOT (bal < 0.0)),
+    live AS (SELECT * FROM live1 WHERE c_nationkey NOT IN (3, 7)),
+    b AS (
+        SELECT c_nationkey,
+               LEAST(GREATEST(CAST(FLOOR((bal - (-1000.0)) / 200.0) AS INT),
+                              0), 54) AS b
+        FROM live WHERE bal IS NOT NULL
+    ),
+    c AS (SELECT c_nationkey, b, COUNT(*) AS c FROM b GROUP BY c_nationkey, b),
+    r AS (
+        SELECT c_nationkey, b, c,
+               SUM(c) OVER (PARTITION BY c_nationkey ORDER BY b) AS cum,
+               SUM(c) OVER (PARTITION BY c_nationkey) AS total
+        FROM c
+    )
+    SELECT c_nationkey,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           -1000.0 + (MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.5 * total)
+                              AS BIGINT), 1) THEN b END) + 0.5) * 200.0
+               AS p50_bal,
+           -1000.0 + (MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.9 * total)
+                              AS BIGINT), 1) THEN b END) + 0.5) * 200.0
+               AS p90_bal
+    FROM r GROUP BY c_nationkey
+    """,
+    tags=("S5", "A1", "A4"),
+)
+def rel_mv_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PERCENTILES — the ``hist_quantile`` materialized-view
+    aggregate (operators/matview.py): a per-group fixed-bin histogram of
+    the declared value domain whose bin counts are FULLY ABELIAN —
+    inserts add, retractions subtract — so unlike min/max/HLL a
+    percentile view folds arbitrary DML with sketch arithmetic only:
+    no dirty-group marking, no source rescan, ever. DML history: append
+    (v1), merge-on-read delete (v2 — retractions subtract from bins,
+    including the clamped below-domain bin), equality delete (v3 — whole
+    groups die), refreshed under ``strategy='merge'`` (the
+    delta-proportional path). The read inverts each group's counts at
+    q=0.5 and q=0.9 with two O(bins) codegen folds; the DuckDB oracle
+    replicates the binning rule (floor((v-lo)/width) clamped to the edge
+    bins) and the inversion rule (midpoint of the first bin whose
+    cumulative count reaches ceil(q·total)) term-for-term, so the hash
+    breaks if a bin count drifts by one anywhere in the fold.
+
+    At 100 TB: a p99-latency standing view over billions of groups pays
+    refresh cost = feed rows × O(bins) codegen sums + the
+    aggregate-sized view — never a source scan (the property min/max
+    views give up under retraction). Domain here: [-1000, 10000) in 55
+    bins of width 200 over TPC-H acctbal."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        snapshot_commit,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    ins = load_table(spark, sf_dir, "nation").select(
+        (F.lit(3000000) + F.col("n_nationkey")).cast("bigint").alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        (F.col("n_nationkey") * 100).cast("double").alias("bal"),
+    )
+    t = scratch_dir("rsk_mvhq_src")
+    v = scratch_dir("rsk_mvhq_view")
+    hist = {"lo": -1000.0, "hi": 10000.0, "bins": 55}  # width = 200.0 exact
+    snapshot_commit(base.repartitionByRange(8, "c_custkey"), t)            # v0
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["c_nationkey"],
+        aggs={
+            "n_rows": ("count", None),
+            "p50_bal": ("hist_quantile", "bal", {"q": 0.5, **hist}),
+            "p90_bal": ("hist_quantile", "bal", {"q": 0.9, **hist}),
+        },
+    )
+    snapshot_commit(ins, t)                                                # v1
+    delete_where(spark, t, [("bal", "<", 0.0)], strategy="merge_on_read")  # v2
+    keys = spark.createDataFrame([(3,), (7,)], "c_nationkey int")
+    delete_by_key(spark, t, keys, "c_nationkey")                           # v3
+    refresh_materialized_view(spark, v, strategy="merge")
+    mv = read_materialized_view(spark, v)
+    return mv.select("c_nationkey", "n_rows", "p50_bal", "p90_bal")
+
+
+@register(
     "rel_mv_join",
     oracle="""
     WITH fact0 AS (

@@ -20,6 +20,11 @@ measures:
   measuring that the round-12 composite support keeps the
   delta-proportional shape (cost follows the touched tuples, not the
   view or the table)
+- ``refresh_hist_sec`` (round 12, second session): refresh of a
+  percentile view (``hist_quantile`` p95) under ``strategy='merge'`` —
+  bin counts are fully abelian, so the retracting delta costs sketch
+  arithmetic only; the pin is that this line tracks the ARITH view's
+  flat shape, not the minmax view's dirty-scan shape
 - ``recompute_sec``: the naive alternative — full aggregate over the
   source at the same version, committed the same way
 
@@ -91,6 +96,7 @@ def main() -> int:
             )
             .drop("__rep")
             .withColumn("seg", (F.col("c_custkey") % 4).cast("int"))
+            .withColumn("bal_d", F.col("bal").cast("double"))
         )
         t = os.path.join(base, f"x{scale}_src")
         va = os.path.join(base, f"x{scale}_view_arith")
@@ -114,6 +120,26 @@ def main() -> int:
         create_materialized_view(
             spark, vc, t, group_by=["c_nationkey", "seg"], aggs=arith_aggs
         )
+        # round-12 arm: a percentile view (hist_quantile) — fully
+        # abelian bin counts, so the retracting delta below costs
+        # sketch arithmetic only (no dirty source scan, the cost
+        # minmax pays); the ladder pins that its refresh tracks the
+        # arith view's flat line, not the minmax view's
+        vh = os.path.join(base, f"x{scale}_view_hist")
+        create_materialized_view(
+            spark,
+            vh,
+            t,
+            group_by=["c_nationkey"],
+            aggs={
+                "n": ("count", None),
+                "p95": (
+                    "hist_quantile",
+                    "bal_d",
+                    {"q": 0.95, "lo": -1000.0, "hi": 10000.0, "bins": 55},
+                ),
+            },
+        )
         n_rows = read_snapshot(spark, t).count()
 
         # the FIXED delta: same row count at every tier
@@ -123,7 +149,9 @@ def main() -> int:
             ),
             F.col("n_nationkey").alias("c_nationkey"),
             F.col("n_nationkey").cast("decimal(12,2)").alias("bal"),
-        ).withColumn("seg", (F.col("c_custkey") % 4).cast("int"))
+        ).withColumn("seg", (F.col("c_custkey") % 4).cast("int")).withColumn(
+            "bal_d", F.col("bal").cast("double")
+        )
         snapshot_commit(delta_ins, t)
         # the retraction touches ONE group (nation 3) — the realistic
         # CDC shape: a delta dirties few groups, so the min/max
@@ -134,7 +162,12 @@ def main() -> int:
             [("c_custkey", "=", 900_000_003)],
             strategy="merge_on_read",
         )
-        snapshot_commit(delta_ins.withColumn("bal", F.col("bal") + 1), t)
+        snapshot_commit(
+            delta_ins.withColumn("bal", F.col("bal") + 1).withColumn(
+                "bal_d", F.col("bal").cast("double")
+            ),
+            t,
+        )
 
         start = time.perf_counter()
         refresh_materialized_view(spark, va)
@@ -145,6 +178,9 @@ def main() -> int:
         start = time.perf_counter()
         refresh_materialized_view(spark, vc, strategy="merge")
         refresh_merge_composite_sec = time.perf_counter() - start
+        start = time.perf_counter()
+        refresh_materialized_view(spark, vh, strategy="merge")
+        refresh_hist_sec = time.perf_counter() - start
 
         def recompute():
             return read_snapshot(spark, t).groupBy("c_nationkey").agg(
@@ -173,12 +209,50 @@ def main() -> int:
             .collect()
         }
         assert got_c == exp_c, f"composite-merge parity broke at x{scale}"
+        # hist parity: the stored sketch inverted at q ≡ the binning
+        # rule evaluated directly over the tip
+        read_snapshot(spark, t).createOrReplaceTempView("mvb_src")
+        exp_h = {
+            tuple(r)
+            for r in spark.sql(
+                """
+                WITH b AS (
+                    SELECT c_nationkey,
+                           LEAST(GREATEST(CAST(FLOOR((bal_d - (-1000.0))
+                               / 200.0) AS INT), 0), 54) AS b
+                    FROM mvb_src WHERE bal_d IS NOT NULL
+                ),
+                c AS (SELECT c_nationkey, b, COUNT(*) c
+                      FROM b GROUP BY c_nationkey, b),
+                r AS (SELECT c_nationkey, b,
+                             SUM(c) OVER (PARTITION BY c_nationkey
+                                          ORDER BY b) cum,
+                             SUM(c) OVER (PARTITION BY c_nationkey) total
+                      FROM c),
+                nn AS (SELECT c_nationkey, COUNT(*) AS n
+                       FROM mvb_src GROUP BY c_nationkey)
+                SELECT nn.c_nationkey, nn.n,
+                       CAST(-1000.0 AS DOUBLE)
+                         + (MIN(CASE WHEN cum >= GREATEST(CAST(
+                               CEIL(0.95 * total) AS BIGINT), 1)
+                               THEN b END) + 0.5) * CAST(200.0 AS DOUBLE)
+                           AS p95
+                FROM nn JOIN r ON nn.c_nationkey = r.c_nationkey
+                GROUP BY nn.c_nationkey, nn.n
+                """
+            ).collect()
+        }
+        got_h = {
+            tuple(r) for r in read_materialized_view(spark, vh).collect()
+        }
+        assert got_h == exp_h, f"hist parity broke at x{scale}"
 
         tier = {
             "source_rows": n_rows,
             "refresh_arith_sec": round(refresh_arith_sec, 3),
             "refresh_minmax_sec": round(refresh_minmax_sec, 3),
             "refresh_merge_composite_sec": round(refresh_merge_composite_sec, 3),
+            "refresh_hist_sec": round(refresh_hist_sec, 3),
             "recompute_sec": round(recompute_sec, 3),
         }
         result["tiers"][f"x{scale}"] = tier

@@ -1220,3 +1220,193 @@ def test_join_mv_composite_key_merge_strategy(spark, sf_dir, tmp_path):
     )
     assert _rows(read_materialized_view(spark, v)) == _rows(exp)
     assert refresh_materialized_view(spark, v, strategy="merge") == latest_version(v)
+
+
+# ---- hist_quantile: incremental percentiles ------------------------------
+
+_HQ = {"q": 0.5, "lo": 0.0, "hi": 20.0, "bins": 10}  # width = 2.0 exact
+
+
+def _hq_recompute(df, q=0.5, lo=0.0, hi=20.0, bins=10):
+    """The hist_quantile read rule evaluated directly over the source:
+    bin by floor((v-lo)/width) clamped to the edge bins, answer the
+    midpoint of the first bin whose cumulative count reaches
+    ceil(q*total) — term-for-term the sketch's documented semantics."""
+    width = (hi - lo) / bins
+    df.createOrReplaceTempView("hq_src")
+    return df.sparkSession.sql(f"""
+        WITH b AS (
+            SELECT g, LEAST(GREATEST(CAST(FLOOR((x - {lo}) / {width}) AS INT),
+                                     0), {bins - 1}) AS b
+            FROM hq_src WHERE x IS NOT NULL
+        ),
+        c AS (SELECT g, b, COUNT(*) AS c FROM b GROUP BY g, b),
+        r AS (SELECT g, b, c,
+                     SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+                     SUM(c) OVER (PARTITION BY g) AS total FROM c),
+        nn AS (SELECT g, COUNT(*) AS n FROM hq_src GROUP BY g)
+        SELECT nn.g, nn.n,
+               CAST({lo} AS DOUBLE)
+                 + (MIN(CASE WHEN cum >= GREATEST(CAST(CEIL({q} * total)
+                        AS BIGINT), 1) THEN b END) + 0.5)
+                   * CAST({width} AS DOUBLE) AS p
+        FROM nn LEFT JOIN r ON nn.g = r.g
+        GROUP BY nn.g, nn.n
+    """)
+
+
+def _hq_commit(spark, t, rows):
+    snapshot_commit(
+        spark.createDataFrame(rows, "g int, x double"), t
+    )
+
+
+def test_mv_hist_quantile_matches_recompute_over_mixed_dml(
+    spark, tmp_path
+):
+    """Inserts, below/above-domain values (edge-bin clamping), NULLs,
+    MoR position deletes, CoW updates, and equality deletes — then a
+    merge-strategy refresh ≡ the binning rule evaluated directly at the
+    tip, and a second overwrite refresh over more DML agrees too."""
+    t, v = _dirs(tmp_path)
+    _hq_commit(
+        spark,
+        t,
+        [(g, float(x)) for g in range(3) for x in range(-3, 25, 2)]
+        + [(0, None), (1, None)],
+    )
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["g"],
+        aggs={"n": ("count", None), "p": ("hist_quantile", "x", _HQ)},
+    )
+    _hq_commit(spark, t, [(g, float(x)) for g in range(4) for x in (1, 7, 30)])
+    delete_where(spark, t, [("x", "<", 0.0)], strategy="merge_on_read")
+    update_where(spark, t, [("x", ">", 25.0)], {"x": F.lit(19.0)})
+    delete_by_key(
+        spark, t, spark.createDataFrame([(2,)], "g int"), "g"
+    )
+    refresh_materialized_view(spark, v, strategy="merge")
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _hq_recompute(read_snapshot(spark, t))
+    )
+    # second round through the overwrite strategy
+    _hq_commit(spark, t, [(2, 5.0), (2, 5.5), (0, 11.0)])
+    delete_where(spark, t, [("x", "=", 7.0)], strategy="copy_on_write")
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _hq_recompute(read_snapshot(spark, t))
+    )
+
+
+def test_mv_hist_quantile_retractions_never_touch_the_source(
+    spark, tmp_path, monkeypatch
+):
+    """The abelian property, proven structurally: bin counts subtract
+    exactly, so a retraction-bearing refresh of a hist-only view must
+    complete WITHOUT reading the source relation at all (min/max/HLL
+    views pay a dirty-group source scan here). _source_rows is the one
+    gate every source read goes through — poison it and refresh."""
+    import reactivestreams_kinesis_spark.operators.matview as mv
+
+    t, v = _dirs(tmp_path)
+    _hq_commit(spark, t, [(g, float(x)) for g in range(3) for x in range(12)])
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["g"],
+        aggs={"n": ("count", None), "p": ("hist_quantile", "x", _HQ)},
+    )
+    _hq_commit(spark, t, [(0, 3.0), (1, 18.0)])
+    delete_where(spark, t, [("x", "<", 4.0)], strategy="merge_on_read")
+    delete_by_key(spark, t, spark.createDataFrame([(2,)], "g int"), "g")
+
+    def _no_source(*a, **k):
+        raise AssertionError(
+            "hist_quantile refresh read the source — the abelian "
+            "contract is broken"
+        )
+
+    monkeypatch.setattr(mv, "_source_rows", _no_source)
+    refresh_materialized_view(spark, v, strategy="merge")
+    monkeypatch.undo()
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _hq_recompute(read_snapshot(spark, t))
+    )
+
+
+def test_mv_hist_quantile_spec_validation(spark, tmp_path):
+    t, _ = _dirs(tmp_path)
+    _hq_commit(spark, t, [(0, 1.0)])
+
+    def mk(prm, suffix):
+        return create_materialized_view(
+            spark,
+            str(tmp_path / f"v_{suffix}"),
+            t,
+            group_by=["g"],
+            aggs={"p": ("hist_quantile", "x", prm)},
+        )
+
+    with pytest.raises(ValueError, match="needs params"):
+        mk(None, "a")
+    with pytest.raises(ValueError, match="unknown hist_quantile params"):
+        mk({**_HQ, "width": 1}, "b")
+    with pytest.raises(ValueError, match="q must be in"):
+        mk({**_HQ, "q": 1.0}, "c")
+    with pytest.raises(ValueError, match="lo < hi"):
+        mk({**_HQ, "lo": 20.0, "hi": 0.0}, "d")
+    with pytest.raises(ValueError, match="bins must be in"):
+        mk({**_HQ, "bins": 1}, "e")
+    with pytest.raises(ValueError, match="bins must be in"):
+        mk({**_HQ, "bins": 100000}, "f")
+    with pytest.raises(ValueError, match="only hist_quantile takes params"):
+        create_materialized_view(
+            spark,
+            str(tmp_path / "v_g"),
+            t,
+            group_by=["g"],
+            aggs={"s": ("sum", "x", {"q": 0.5})},
+        )
+
+
+def test_mv_hist_quantile_shared_sketch_state(spark, tmp_path):
+    """p50/p90/p99 over ONE (col, lo, hi, bins) domain store ONE bin
+    array (state keyed by sketch identity, not output name); a second
+    domain gets its own. All outputs still read correctly."""
+    t, v = _dirs(tmp_path)
+    _hq_commit(spark, t, [(g, float(x)) for g in (0, 1) for x in range(20)])
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["g"],
+        aggs={
+            "p50": ("hist_quantile", "x", {**_HQ, "q": 0.5}),
+            "p90": ("hist_quantile", "x", {**_HQ, "q": 0.9}),
+            "p10_fine": (
+                "hist_quantile",
+                "x",
+                {"q": 0.1, "lo": 0.0, "hi": 20.0, "bins": 20},
+            ),
+        },
+    )
+    state_cols = [
+        c for c in read_snapshot(spark, v).columns if c.startswith("__mv_hist__")
+    ]
+    assert len(state_cols) == 2, state_cols  # shared + the fine domain
+    _hq_commit(spark, t, [(0, 19.0), (1, 0.5)])
+    delete_where(spark, t, [("x", "<", 2.0)], strategy="merge_on_read")
+    refresh_materialized_view(spark, v, strategy="merge")
+    rows = {tuple(r) for r in read_materialized_view(spark, v).collect()}
+    # survivors g=0: 2..19 + 19.0 → 19 values; g=1: 2..19 → 18 values
+    # p50 g0: rank ceil(9.5)=10 → val 11 → bin 5 → 11.0
+    # p50 g1: rank 9 → val 10 → bin 5 → 11.0
+    # p90 g0: rank ceil(17.1)=18 → val 19 (sorted idx 18: [2..19,19]) → bin 9 → 19.0
+    # p90 g1: rank ceil(16.2)=17 → val 18 → bin 9 → 19.0
+    # p10_fine g0: rank ceil(1.9)=2 → val 3 → fine bin 3 → 3.5
+    # p10_fine g1: rank ceil(1.8)=2 → val 3 → 3.5
+    assert rows == {(0, 11.0, 19.0, 3.5), (1, 11.0, 19.0, 3.5)}

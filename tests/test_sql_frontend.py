@@ -155,7 +155,9 @@ def test_sql_refusals(spark, tmp_path):
         wh.sql("MERGE INTO accounts t USING accounts s ON t.k = s.k + 1 "
                "WHEN MATCHED THEN DELETE")
     with pytest.raises(ValueError, match="unsupported statement"):
-        wh.sql("TRUNCATE TABLE accounts")
+        # TRUNCATE graduated to a supported statement in round 12's
+        # second session; GRANT keeps this refusal pin honest
+        wh.sql("GRANT SELECT ON accounts TO analyst")
     with pytest.raises(ValueError, match="ALTER TABLE shape"):
         wh.sql("ALTER TABLE accounts SET TBLPROPERTIES ('a'='b')")
     with pytest.raises(ValueError, match="unparsed MERGE clause"):
@@ -838,3 +840,101 @@ def test_sql_colocated_routing_version_pinned(spark, tmp_path):
     assert df.count() == 40, "the v0 pin must see the pre-delete rows"
     tip = wh.sql("SELECT f.k FROM facts f JOIN dims d ON f.k = d.k")
     assert tip.count() == 20
+
+
+def test_sql_constraints_tags_and_stats_ddl(spark, tmp_path):
+    """Round-12 SQL-reachability: CHECK constraints, named tags (+ tag
+    time travel in SELECT), ANALYZE NDV stats, and the bloom-filter
+    index DDL all dispatch onto their existing operators."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        SnapshotConflictError,
+        list_tags,
+    )
+
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+
+    # CHECK constraint: enforced on the next commit
+    wh.sql("ALTER TABLE accounts ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    with pytest.raises(Exception, match="qty_pos"):
+        wh.sql("INSERT INTO accounts VALUES (9, 'bad', -5)")
+    wh.sql("ALTER TABLE accounts DROP CONSTRAINT qty_pos")
+    wh.sql("INSERT INTO accounts VALUES (9, 'ok', -5)")
+    assert (9, "ok", -5) in _rows(wh.sql("SELECT * FROM accounts"))
+
+    # tags: pin a name, read through it, drop it
+    v_before = latest_version(t)
+    wh.sql(f"ALTER TABLE accounts CREATE TAG audited AS OF VERSION {v_before - 1}")
+    assert list_tags(t) == {"audited": v_before - 1}
+    tagged = _rows(wh.sql("SELECT * FROM accounts VERSION AS OF 'audited'"))
+    assert (9, "ok", -5) not in tagged and (1, "a", 10) in tagged
+    # a literal containing the phrase is data, not a ref (quote-blind)
+    lit = wh.sql("SELECT 'accounts VERSION AS OF ''audited''' AS s").collect()
+    assert lit[0]["s"] == "accounts VERSION AS OF 'audited'"
+    wh.sql("ALTER TABLE accounts DROP TAG audited")
+    assert list_tags(t) == {}
+
+    # stats DDL: both are metadata-only commits over the same files
+    files_before = latest_version(t)
+    wh.sql("ANALYZE TABLE accounts COMPUTE STATISTICS FOR COLUMNS k, qty")
+    wh.sql("CREATE BLOOMFILTER INDEX ON TABLE accounts FOR COLUMNS (name)")
+    assert latest_version(t) == files_before + 2
+    assert _rows(read_snapshot(spark, t)) == _rows(wh.sql("SELECT * FROM accounts"))
+
+    # refusals stay pointed
+    with pytest.raises(ValueError, match="unsupported ANALYZE"):
+        wh.sql("ANALYZE TABLE accounts COMPUTE STATISTICS")
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        wh.sql("ALTER TABLE accounts CREATE TAG 'quoted'")
+
+
+def test_sql_mv_hist_quantile_aggregate(spark, tmp_path):
+    """HIST_QUANTILE in CREATE MATERIALIZED VIEW: the SQL-declared
+    percentile view refreshes through retraction-bearing DML and reads
+    the same answer as the binning rule evaluated directly."""
+    t = _t(tmp_path)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(g, float(x)) for g in (1, 2) for x in range(20)],
+            "g int, x double",
+        ),
+        t,
+    )
+    root = str(tmp_path / "wh_root")
+    wh = SnapshotWarehouse(spark, {"m": t}, root=root)
+    wh.sql(
+        "CREATE MATERIALIZED VIEW mq AS SELECT g, COUNT(*) AS n, "
+        "HIST_QUANTILE(x, 0.5, 0.0, 20.0, 10) AS p50 "
+        "FROM m GROUP BY g"
+    )
+    wh.sql("DELETE FROM m WHERE x < 8.0")
+    wh.sql("REFRESH MATERIALIZED VIEW mq")
+    got = _rows(wh.sql("SELECT * FROM mq"))
+    # survivors per group: 8..19 (12 values); rank ceil(0.5*12)=6 →
+    # value 13 → bin floor(13/2)=6 → midpoint 13.0
+    assert got == {(1, 12, 13.0), (2, 12, 13.0)}
+    with pytest.raises(ValueError, match="q must be in"):
+        wh.sql(
+            "CREATE MATERIALIZED VIEW mq2 AS SELECT g, "
+            "HIST_QUANTILE(x, 1.5, 0.0, 20.0) AS p FROM m GROUP BY g"
+        )
+
+
+def test_sql_truncate_table(spark, tmp_path):
+    """TRUNCATE: zero rows at the new tip, schema intact, history
+    readable, RESTORE undoes."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    wh = SnapshotWarehouse(spark, {"accounts": t})
+    v_before = latest_version(t)
+    wh.sql("TRUNCATE TABLE accounts")
+    assert wh.sql("SELECT * FROM accounts").count() == 0
+    assert read_snapshot(spark, t).columns == ["k", "name", "qty"]
+    assert (
+        wh.sql(f"SELECT * FROM accounts VERSION AS OF {v_before}").count() == 4
+    )
+    wh.sql(f"RESTORE TABLE accounts TO VERSION AS OF {v_before}")
+    assert wh.sql("SELECT * FROM accounts").count() == 4
+    with pytest.raises(ValueError, match="TRUNCATE TABLE"):
+        wh.sql("TRUNCATE TABLE accounts WHERE k = 1")
