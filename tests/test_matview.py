@@ -1410,3 +1410,118 @@ def test_mv_hist_quantile_shared_sketch_state(spark, tmp_path):
     # p10_fine g0: rank ceil(1.9)=2 → val 3 → fine bin 3 → 3.5
     # p10_fine g1: rank ceil(1.8)=2 → val 3 → 3.5
     assert rows == {(0, 11.0, 19.0, 3.5), (1, 11.0, 19.0, 3.5)}
+
+
+_HQ_OP = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.one_of(
+                    st.none(),
+                    st.floats(
+                        min_value=-10.0,
+                        max_value=30.0,
+                        allow_nan=False,
+                        allow_infinity=False,
+                        width=32,
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    st.tuples(st.just("pos_del"), st.floats(min_value=-5.0, max_value=25.0,
+                                            allow_nan=False, width=32)),
+    st.tuples(st.just("eq_del"), st.integers(0, 3)),
+    st.tuples(st.just("refresh"), st.sampled_from(["overwrite", "merge"])),
+)
+
+
+@given(
+    init=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-10.0, max_value=30.0, allow_nan=False,
+                          allow_infinity=False, width=32),
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    ops=st.lists(_HQ_OP, min_size=1, max_size=4),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_mv_hist_quantile_matches_recompute_over_random_history(
+    spark, tmp_path, init, ops
+):
+    """Randomized DML histories (inserts incl. NULLs and out-of-domain
+    values, position deletes, whole-group equality deletes, interleaved
+    overwrite/merge refreshes): the sketch inverted at q must equal the
+    binning rule evaluated directly at every refresh point."""
+    t, v = _dirs(tmp_path)  # _dirs uuids per call: unique per example
+    _hq_commit(spark, t, [(g, x) for g, x in init])
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["g"],
+        aggs={"n": ("count", None), "p": ("hist_quantile", "x", _HQ)},
+    )
+    for op, arg in ops:
+        if op == "append":
+            _hq_commit(spark, t, [(g, x) for g, x in arg])
+        elif op == "pos_del":
+            delete_where(spark, t, [("x", "<", arg)], strategy="merge_on_read")
+        elif op == "eq_del":
+            delete_by_key(
+                spark, t, spark.createDataFrame([(arg,)], "g int"), "g"
+            )
+        else:
+            refresh_materialized_view(spark, v, strategy=arg)
+            assert _rows(read_materialized_view(spark, v)) == _rows(
+                _hq_recompute(read_snapshot(spark, t))
+            )
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _hq_recompute(read_snapshot(spark, t))
+    )
+
+
+def test_mv_hist_quantile_stream_maintained(spark, tmp_path):
+    """The percentile view under STANDING maintenance: a stream-driven
+    drain (AvailableNow, merge strategy) folds a retraction-bearing
+    backlog into the sketch and answers the binning rule exactly —
+    the stream offsets and the abelian sketch arithmetic compose."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        stream_refresh_materialized_view,
+    )
+
+    t, v = _dirs(tmp_path)
+    ck = str(tmp_path / "hq_ckpt")
+    _hq_commit(spark, t, [(g, float(x)) for g in (0, 1, 2) for x in range(16)])
+    create_materialized_view(
+        spark,
+        v,
+        t,
+        group_by=["g"],
+        aggs={"n": ("count", None), "p": ("hist_quantile", "x", _HQ)},
+    )
+    _hq_commit(spark, t, [(0, 25.0), (1, -3.0), (2, 7.5)])
+    delete_where(spark, t, [("x", "<", 3.0)], strategy="merge_on_read")
+    delete_by_key(spark, t, spark.createDataFrame([(2,)], "g int"), "g")
+
+    q = stream_refresh_materialized_view(spark, v, ck, strategy="merge")
+    q.awaitTermination(120)
+    assert materialized_view_status(v)["source_version"] == latest_version(t)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _hq_recompute(read_snapshot(spark, t))
+    )
