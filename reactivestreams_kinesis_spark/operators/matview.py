@@ -50,11 +50,21 @@ Maintenance algebra (per group):
 
 Join views (round 11): ``create_materialized_view_over_join`` builds
 the denormalized star-schema view — an aggregate over ``fact INNER
-JOIN dim`` maintained from the fact side's feed alone, with the
-dimension FROZEN at a pinned version (SCD trade, refuse-or-rebuild on
-dim change). All refresh paths below read the source relation through
-``_source_rows``, so plain and join views share one maintenance
-algebra.
+JOIN dim`` maintained from the fact side's feed with the dimension
+pinned at a version. When the dimension itself changes rows, the
+refresh (round 12) can fold the dim's OWN change feed incrementally
+(``on_dim_change='incremental'``) via the two-term delta algebra
+
+    V_new = V_old ⊕ γ(ΔF ⋈ D_pin) ⊕ γ(F_ev ⋈ ΔD)
+
+— the fact delta enriches against the OLD pin, the dim delta joins the
+full fact at the target version (so ΔF⋈ΔD lands exactly once), and the
+new pin travels txn-encoded WITH the commit (``mv-refresh-{ev}@dim{dv}``)
+so pin advancement is atomic with the state that folded it. The
+alternatives stay: ``'refuse'`` (default) and ``'rebuild'`` (re-pin via
+full recompute). All refresh paths below read the source relation
+through ``_source_rows``, so plain and join views share one
+maintenance algebra.
 
 Cost model at 100 TB: a refresh reads the FEED (delta-proportional —
 appended files for inserts, bounded delete-set semi-joins for
@@ -144,6 +154,68 @@ def _enrich_with_dim(spark: SparkSession, jn: dict, rows: DataFrame) -> DataFram
         dim, rows[jn["fact_key"]] == dim["__mv_dimkey"], "inner"
     ).drop("__mv_dimkey")
     return out
+
+
+def _dim_delta_partials(
+    spark: SparkSession, meta: dict, jn: dict, dim_fold, ev: int,
+    group_by: list[str], aggs: dict, where, sgn,
+) -> DataFrame:
+    """The second delta term of join-view maintenance under
+    ``on_dim_change='incremental'``: γ(F_ev ⋈ ΔD) — every dim change
+    row (insert / delete / update pre+postimage, from the dim's OWN
+    change feed over the fold range) joined to the full fact at the
+    refresh version, signed by the DIM row's ``_change_type``. An
+    updated dim attribute thus retracts each matching fact row's old
+    enriched contribution and inserts the new one; a deleted dim row
+    retracts its fact rows out of the (inner-join) view; a new dim row
+    brings previously-unmatched fact rows in.
+
+    Scale: the join itself restricts the fact to rows whose key appears
+    in ΔD, and when the changed-key set is small (≤ _DIRTY_PRUNE_CAP,
+    the overwhelmingly common SCD-1 shape — a handful of dim rows moved
+    under a billion-row fact) the fact SCAN is restricted too: the keys
+    collect into an IN-predicate ``scan_snapshot`` so manifest
+    stats / partition tuples / bloom indexes prune fact files before
+    any read. Past the cap the keys stay distributed and the join does
+    the restriction (AQE broadcasts the dim delta when it is small).
+    Min/max/HLL groups touched by a dim retraction mark dirty exactly
+    like fact retractions and recompute through the shared
+    ``_patch_dirty_extremes`` path — at the NEW pin."""
+    dv_from, dv_to = dim_fold
+    dfeed = snapshot_change_feed(
+        spark, jn["dim_dir"], from_version=dv_from, to_version=dv_to
+    )
+    dsel = [dfeed[jn["dim_key"]].alias("__mv_dimkey")] + [
+        dfeed[c] for c in jn["dim_columns"]
+    ] + [dfeed["_change_type"]]
+    dfeed = dfeed.select(*dsel)
+    # bounded probe (same discipline as the dirty-extremes recompute):
+    # at most cap+1 key rows reach the driver — enough to decide
+    # in-list-prunable vs stay-distributed, never the full key set
+    probe = (
+        dfeed.select("__mv_dimkey").distinct()
+        .limit(_DIRTY_PRUNE_CAP + 1).collect()
+    )
+    fk = jn["fact_key"]
+    if (
+        probe
+        and len(probe) <= _DIRTY_PRUNE_CAP
+        and all(r[0] is not None for r in probe)
+    ):
+        fact = scan_snapshot(
+            spark,
+            meta["source_dir"],
+            [(fk, "in", tuple(r[0] for r in probe))],
+            version=ev,
+        )
+    else:
+        fact = read_snapshot(spark, meta["source_dir"], ev)
+    rows = fact.join(
+        dfeed, fact[fk] == dfeed["__mv_dimkey"], "inner"
+    ).drop("__mv_dimkey")
+    if where:
+        rows = rows.filter(F.expr(where))
+    return _state_partials(rows, group_by, aggs, sgn=sgn)
 
 
 def _fact_columns(meta: dict) -> list[str]:
@@ -533,16 +605,18 @@ def create_materialized_view_over_join(
     range over the joined row (so "revenue by region name" — a dim
     attribute — is one spec).
 
-    What makes fact-only maintenance sound: the dimension is FROZEN at
-    ``dim_version`` (default its tip at create), pinned in the spec and
-    read AS OF that version on every refresh — inserts and retractions
-    both enrich against the same dim state, so the delta algebra is
-    exactly the single-table one over the enriched relation.
-    **Dimension changes are NOT folded in** (the classic SCD trade):
-    a refresh that finds real dim row changes since the pin REFUSES by
-    default; pass ``on_dim_change='rebuild'`` to re-pin at the dim tip
-    via a full recompute (paid like any rebuild). Quiet dim history
-    (compaction/rename-only) never blocks.
+    What makes fact-only maintenance sound: the dimension is pinned at
+    ``dim_version`` (default its tip at create) and read AS OF the pin
+    on every refresh — inserts and retractions both enrich against the
+    same dim state, so the delta algebra is exactly the single-table
+    one over the enriched relation. When the dimension ITSELF changes
+    rows, a refresh with ``on_dim_change='incremental'`` folds the
+    dim's own change feed as a second delta term (γ(F_ev ⋈ ΔD), see
+    ``_dim_delta_partials``) and advances the pin atomically inside
+    the refresh commit's txn id; the default REFUSES (the classic SCD
+    trade made explicit) and ``'rebuild'`` re-pins via a full
+    recompute. Quiet dim history (compaction/rename-only) never
+    blocks.
 
     ``join_on`` is a shared column name or ``(fact_key, dim_key)``;
     ``dim_columns`` projects which dim attributes join in (default: all
@@ -639,18 +713,33 @@ def materialized_view_status(view_dir: str) -> dict:
     tip = latest_version(view_dir)
     consumed = None
     watermark_view = None
+    dim_pin = None
     if tip is not None:
         for v in range(tip, -1, -1):
             txn = _read_manifest(view_dir, v).get("txn") or ""
             if txn.startswith(_TXN_PREFIX):
-                consumed = int(txn[len(_TXN_PREFIX):])
+                # join views encode the dim pin IN the refresh txn
+                # ("mv-refresh-{ev}@dim{dv}") so advancing the pin is
+                # atomic with the state commit it describes — a crash
+                # can never publish a state whose recorded pin
+                # disagrees with the dim version it folded
+                tail = txn[len(_TXN_PREFIX):]
+                fact_part, sep, dim_part = tail.partition("@dim")
+                consumed = int(fact_part)
+                if sep:
+                    dim_pin = int(dim_part)
                 watermark_view = v
                 break
+    jn = meta.get("join")
+    if dim_pin is None and jn is not None:
+        # pre-@dim commits (and the create-time build): the meta pin
+        dim_pin = int(jn["dim_version"])
     return {
         **meta,
         "view_version": tip,
         "source_version": consumed,
         "watermark_view_version": watermark_view,
+        "dim_version_effective": dim_pin,
     }
 
 
@@ -696,14 +785,26 @@ def refresh_materialized_view(
     incrementally (a manifest in the range was vacuumed): ``"rebuild"``
     recomputes the view from a full source scan at ``to_version`` — the
     same answer, paid at full price — while ``"error"`` re-raises so an
-    operator can decide."""
+    operator can decide.
+
+    ``on_dim_change`` (join views) controls how real dimension row
+    changes since the pin fold in: ``"refuse"`` (default) raises,
+    ``"rebuild"`` re-pins at the dim tip via a full recompute, and
+    ``"incremental"`` folds the dim's own change feed as a second
+    delta term — γ(F_ev ⋈ ΔD) — joined to the fact at the target
+    version, with the new pin txn-encoded in the refresh commit
+    (``mv-refresh-{ev}@dim{dv}``) so pin advancement can never detach
+    from the state that folded it. A dim-only refresh (fact unmoved)
+    is supported; a vacuumed dim feed range degrades 'incremental' to
+    the rebuild path."""
     if on_gap not in ("rebuild", "error"):
         raise ValueError(f"on_gap must be 'rebuild' or 'error', got {on_gap!r}")
     if strategy not in ("overwrite", "merge"):
         raise ValueError(f"strategy must be 'overwrite' or 'merge', got {strategy!r}")
-    if on_dim_change not in ("refuse", "rebuild"):
+    if on_dim_change not in ("refuse", "rebuild", "incremental"):
         raise ValueError(
-            f"on_dim_change must be 'refuse' or 'rebuild', got {on_dim_change!r}"
+            "on_dim_change must be 'refuse', 'rebuild', or 'incremental', "
+            f"got {on_dim_change!r}"
         )
     meta = _load_meta(view_dir)
     source_dir = meta["source_dir"]
@@ -719,52 +820,83 @@ def refresh_materialized_view(
     ev = latest_version(source_dir) if to_version is None else to_version
     if ev is None or ev < sv:
         raise ValueError(f"source target version {ev} behind watermark {sv}")
-    if ev == sv:
-        return status["view_version"]
-    txn = f"{_TXN_PREFIX}{ev}"
-    done = find_txn(view_dir, txn)
-    if done is not None:
-        return done
 
     jn = meta.get("join")
+    dim_fold = None  # (from_pin, to_pin) when this refresh folds a dim delta
     if jn is not None:
+        # the EFFECTIVE pin is the one the watermark commit folded
+        # (txn-encoded), not necessarily the create-time meta pin
+        pin = int(status["dim_version_effective"])
+        jn = {**jn, "dim_version": pin}
+        meta = {**meta, "join": jn}
         dtip = latest_version(jn["dim_dir"])
-        if dtip != jn["dim_version"]:
+        if dtip != pin:
             # the dimension moved past the pin: quiet history (reorg/
             # rename-only) is provably row-identical and never blocks;
-            # REAL dim row changes cannot fold through a fact-only
-            # delta, so refuse (default) or re-pin via a full rebuild
+            # REAL dim row changes fold through the dim's OWN change
+            # feed under 'incremental' (the second delta term), re-pin
+            # via full recompute under 'rebuild', refuse by default
             dim_quiet = False
+            dim_underivable = False
             try:
                 snapshot_change_feed(
                     spark,
                     jn["dim_dir"],
-                    from_version=jn["dim_version"],
+                    from_version=pin,
                     to_version=dtip,
                 )
             except QuietRangeError:
                 dim_quiet = True
             except Exception:
-                pass  # vacuumed/underivable: treat as changed
+                dim_underivable = True  # vacuumed/underivable
             if not dim_quiet:
                 if on_dim_change == "refuse":
                     raise ValueError(
                         f"dimension {jn['dim_dir']!r} changed rows since its "
-                        f"pin (v{jn['dim_version']} -> v{dtip}) — a fact-only "
+                        f"pin (v{pin} -> v{dtip}) — a fact-only "
                         "delta cannot fold dim changes; pass "
-                        "on_dim_change='rebuild' to re-pin at the dim tip "
+                        "on_dim_change='incremental' to fold the dim's own "
+                        "change feed, or 'rebuild' to re-pin at the dim tip "
                         "via a full recompute"
                     )
-                # re-pin: rewrite the spec's dim version, then rebuild —
-                # the rebuild commit's txn carries the fact watermark, so
-                # a crash between the two steps replays safely (the new
-                # pin + missing txn just rebuilds again)
-                meta["join"] = {**jn, "dim_version": int(dtip)}
-                with open(os.path.join(view_dir, _MV_META), "w") as f:
-                    json.dump(meta, f)
-                return _full_rebuild(spark, view_dir, meta, aggs, ev, txn)
+                if on_dim_change == "rebuild" or dim_underivable:
+                    # re-pin: rewrite the spec's dim version, then rebuild
+                    # — the rebuild commit's txn carries the fact
+                    # watermark AND the new pin, so a crash between the
+                    # two steps replays safely (the new pin + missing txn
+                    # just rebuilds again). 'incremental' falls back here
+                    # only when the dim feed range cannot be derived
+                    # (vacuumed dim history — same policy as on_gap).
+                    meta["join"] = {**jn, "dim_version": int(dtip)}
+                    with open(os.path.join(view_dir, _MV_META), "w") as f:
+                        json.dump(meta, f)
+                    txn = f"{_TXN_PREFIX}{ev}@dim{int(dtip)}"
+                    done = find_txn(view_dir, txn)
+                    if done is not None:
+                        return done
+                    return _full_rebuild(spark, view_dir, meta, aggs, ev, txn)
+                dim_fold = (pin, int(dtip))
+
+    if ev == sv and dim_fold is None:
+        return status["view_version"]
+    # join views always txn-encode the pin this refresh enriched against,
+    # so the NEXT refresh resolves its delta base from the commit chain
+    new_pin = dim_fold[1] if dim_fold else (jn["dim_version"] if jn else None)
+    txn = (
+        f"{_TXN_PREFIX}{ev}" if jn is None
+        else f"{_TXN_PREFIX}{ev}@dim{new_pin}"
+    )
+    done = find_txn(view_dir, txn)
+    if done is not None:
+        return done
 
     from reactivestreams_kinesis_spark.operators.snapshots import _manifest_path
+
+    # a pending dim fold means every full-recompute fallback below must
+    # read the dimension at its TARGET pin, not the stale one
+    meta_target = meta
+    if dim_fold is not None:
+        meta_target = {**meta, "join": {**jn, "dim_version": dim_fold[1]}}
 
     vacuumed = any(
         not os.path.exists(_manifest_path(source_dir, v))
@@ -781,40 +913,62 @@ def refresh_materialized_view(
                 "incremental refresh impossible; pass on_gap='rebuild' "
                 "for a full recompute at the target version"
             )
-        return _full_rebuild(spark, view_dir, meta, aggs, ev, txn)
-    try:
-        feed = snapshot_change_feed(
-            spark, source_dir, from_version=sv, to_version=ev
-        )
-    except QuietRangeError:
-        # a quiet range (reorg/rename-only commits): the row set is
-        # provably unchanged — advance the watermark over the WATERMARK
-        # state (not the tip, which a crashed merge refresh may have
-        # left mid-phase). Any other feed error propagates: quietly
-        # skipping real changes would permanently publish a stale view.
-        state = read_snapshot(spark, view_dir, wv)
-        return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+        return _full_rebuild(spark, view_dir, meta_target, aggs, ev, txn)
 
     sgn = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    rows = feed
-    if jn is not None:
-        # enrich the fact delta through the frozen dimension BEFORE the
-        # filter/partials: the spec's WHERE, keys, and aggregates all
-        # range over the joined row (retraction preimages enrich
-        # against the same pinned dim state — that's what makes the
-        # delta algebra sound)
-        rows = _enrich_with_dim(spark, jn, rows)
-    if where:
-        rows = rows.filter(F.expr(where))
-    delta = _state_partials(rows, group_by, aggs, sgn=sgn)
+    # V_new = V_old + γ(ΔF ⋈ D_pin) + γ(F_ev ⋈ ΔD): the fact delta
+    # enriches against the OLD pin (so every fact retraction's preimage
+    # sees the dim state it originally folded with), the dim delta joins
+    # the FULL fact at the target version (so ΔF⋈ΔD lands exactly once,
+    # in the second term). Each term is one partials DataFrame; the
+    # union re-aggregates in _merge_states.
+    delta_terms = []
+    if ev > sv:
+        try:
+            feed = snapshot_change_feed(
+                spark, source_dir, from_version=sv, to_version=ev
+            )
+        except QuietRangeError:
+            # a quiet range (reorg/rename-only commits): the row set is
+            # provably unchanged — no fact term. Any other feed error
+            # propagates: quietly skipping real changes would
+            # permanently publish a stale view.
+            feed = None
+        if feed is not None:
+            rows = feed
+            if jn is not None:
+                # enrich the fact delta through the frozen dimension
+                # BEFORE the filter/partials: the spec's WHERE, keys,
+                # and aggregates all range over the joined row
+                # (retraction preimages enrich against the same pinned
+                # dim state — that's what makes the delta algebra sound)
+                rows = _enrich_with_dim(spark, jn, rows)
+            if where:
+                rows = rows.filter(F.expr(where))
+            delta_terms.append(_state_partials(rows, group_by, aggs, sgn=sgn))
+    if dim_fold is not None:
+        delta_terms.append(
+            _dim_delta_partials(
+                spark, meta, jn, dim_fold, ev, group_by, aggs, where, sgn
+            )
+        )
+    if not delta_terms:
+        # nothing changed rows on either side: advance the watermark
+        # over the WATERMARK state (not the tip, which a crashed merge
+        # refresh may have left mid-phase)
+        state = read_snapshot(spark, view_dir, wv)
+        return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+    delta = delta_terms[0]
+    for extra in delta_terms[1:]:
+        delta = delta.unionByName(extra)
     nonabelian = {n: s for n, s in aggs.items() if s[0] in _NON_ABELIAN}
 
     if strategy == "merge":
         return _merge_refresh(
-            spark, view_dir, meta, group_by, aggs, nonabelian, where,
-            delta, sv, ev, txn,
+            spark, view_dir, meta_target, group_by, aggs, nonabelian, where,
+            delta, wv, ev, txn,
         )
 
     # fold the delta over the WATERMARK state, not the tip: the delta is
@@ -830,7 +984,7 @@ def refresh_materialized_view(
 
     if nonabelian:
         merged = _patch_dirty_extremes(
-            spark, merged, meta, ev, group_by, nonabelian, where
+            spark, merged, meta_target, ev, group_by, nonabelian, where
         )
     state = _cast_to_view_schema(
         merged.select(*_state_columns(group_by, aggs)), view_dir
@@ -839,24 +993,23 @@ def refresh_materialized_view(
 
 
 def _merge_refresh(
-    spark, view_dir, meta, group_by, aggs, nonabelian, where, delta, sv, ev, txn
+    spark, view_dir, meta, group_by, aggs, nonabelian, where, delta, wv, ev, txn
 ) -> int:
     """Delta-proportional refresh: recompute ONLY the groups the feed
     touched (old watermark state restricted by a null-safe semi-join to
     the delta's keys), equality-delete the dead ones, merge the live
-    ones. Reads the old state AS OF the watermark commit — not the tip —
-    so a replay after a crash between the two phase commits recomputes
-    from the same base and the phase txn ids make each commit at most
-    once."""
+    ones. Reads the old state AS OF the watermark commit ``wv`` — not
+    the tip — so a replay after a crash between the two phase commits
+    recomputes from the same base and the phase txn ids make each
+    commit at most once."""
     from reactivestreams_kinesis_spark.operators.snapshots import (
         delete_by_key,
         merge_upsert,
     )
 
     keys = list(group_by)
-    wv = find_txn(view_dir, f"{_TXN_PREFIX}{sv}")
     if wv is None:
-        raise RuntimeError(f"watermark commit for source v{sv} missing in {view_dir!r}")
+        raise RuntimeError(f"watermark commit missing in {view_dir!r}")
     old = read_snapshot(spark, view_dir, wv)
     dkeys = delta.select(*keys)
     semi_cond = None
@@ -914,7 +1067,12 @@ def _merge_refresh(
         try:
             if pr["n_dead"]:
                 dead = changed.filter(F.col("__mv_n") == 0).select(*keys)
-                delete_by_key(spark, view_dir, dead, keys, txn_id=f"mv-stage-{ev}")
+                # stage id derives from the main txn tail ("{ev}" or
+                # "{ev}@dim{dv}"): a dim-only refresh shares ev with its
+                # predecessor, and the pin suffix keeps the two stage
+                # commits distinct under replay
+                stage = f"mv-stage-{txn[len(_TXN_PREFIX):]}"
+                delete_by_key(spark, view_dir, dead, keys, txn_id=stage)
             if pr["n_live"]:
                 return merge_upsert(spark, view_dir, live, keys, txn_id=txn)
             # nothing to upsert (pure-death refresh): publish the
@@ -1128,6 +1286,7 @@ def stream_refresh_materialized_view(
     checkpoint_dir: str,
     *,
     strategy: str = "overwrite",
+    on_dim_change: str = "refuse",
     max_versions_per_trigger: int | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
@@ -1177,8 +1336,13 @@ def stream_refresh_materialized_view(
         # the checkpoint replays the epoch
         hi = batch_df.agg(F.max("_commit_version").alias("v")).collect()[0]["v"]
         if hi is not None:
+            # on_dim_change='incremental' lets a standing join-view
+            # query also fold dim changes observed between epochs (the
+            # trigger is still the FACT feed; a dim-only change folds
+            # on the next fact epoch)
             refresh_materialized_view(
-                spark, view_dir, to_version=int(hi), strategy=strategy
+                spark, view_dir, to_version=int(hi), strategy=strategy,
+                on_dim_change=on_dim_change,
             )
 
     writer = reader.load().writeStream.foreachBatch(apply).option(

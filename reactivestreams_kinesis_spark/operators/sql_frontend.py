@@ -89,10 +89,14 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   row filter). A two-table FROM —
   ``FROM fact f JOIN dim d ON f.k = d.k`` — maps onto
   ``create_materialized_view_over_join`` (the star-schema view: fact
-  feed maintains, dim frozen at its current version). ``REFRESH
-  MATERIALIZED VIEW name`` folds the source's change feed; SELECTs
-  over the view's name read ``read_materialized_view`` (aggregate
-  semantics, not raw state).
+  feed maintains, dim pinned at its current version). ``REFRESH
+  MATERIALIZED VIEW name [STRATEGY MERGE|OVERWRITE] [ON DIM CHANGE
+  INCREMENTAL|REBUILD|REFUSE]`` folds the source's change feed —
+  ``ON DIM CHANGE INCREMENTAL`` additionally folds the dimension's
+  own change feed through the two-term delta algebra
+  (``matview.py:_dim_delta_partials``); SELECTs over the view's name
+  read ``read_materialized_view`` (aggregate semantics, not raw
+  state).
 
 Unsupported syntax refuses with a pointed error (never a silent
 misread): multi-table FROM in DELETE, OR-predicates in DELETE WHERE,
@@ -1098,14 +1102,16 @@ class SnapshotWarehouse:
 
         m = re.fullmatch(
             rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
-            rf"(?:\s+STRATEGY\s+(MERGE|OVERWRITE))?",
+            rf"(?:\s+STRATEGY\s+(MERGE|OVERWRITE))?"
+            rf"(?:\s+ON\s+DIM\s+CHANGE\s+(INCREMENTAL|REBUILD|REFUSE))?",
             stmt,
             re.I,
         )
         if not m:
             raise ValueError(
                 "unsupported REFRESH shape — REFRESH MATERIALIZED VIEW "
-                "<name> [STRATEGY MERGE|OVERWRITE]"
+                "<name> [STRATEGY MERGE|OVERWRITE] "
+                "[ON DIM CHANGE INCREMENTAL|REBUILD|REFUSE]"
             )
         name = m.group(1)
         if name not in self._views:
@@ -1117,6 +1123,7 @@ class SnapshotWarehouse:
             self._spark,
             self._views[name],
             strategy=(m.group(2) or "overwrite").lower(),
+            on_dim_change=(m.group(3) or "refuse").lower(),
         )
 
     # -- ALTER / RESTORE -----------------------------------------------------

@@ -145,10 +145,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-12 rotation: fn_array_vector ceded its slot (array/higher-
     # order exprs stay driver-exercised inside sim_cosine_topk's
     # aggregate/zip_with dot product and the local mirror keeps the
-    # family bit-exact) to rel_mv_join — the star-schema join MV
-    # (fact-delta ⋈ version-pinned dim), round 11's flagship that only
-    # had a mirror row
-    "rel_mv_join",                  # S5 J1 A1 — incremental join MV
+    # family bit-exact) to the star-schema join MV. Round-12 3rd
+    # session: rel_mv_join ceded in turn to its strictly-stronger
+    # superset rel_mv_join_dim_delta — same fact-DML surface PLUS dim
+    # SCD-1 update / delete / insert folded through the two-term
+    # incremental delta (on_dim_change='incremental'); the fact-only
+    # form stays bit-exact in the local mirror
+    "rel_mv_join_dim_delta",        # S5 J1 A1 — join MV + dim-delta fold
     "fn_json",                      # json + map + P1
     # round-11 rotation: fn_conditional_null ceded its slot (the
     # conditional/null family stays driver-exercised inside q13's CASE,

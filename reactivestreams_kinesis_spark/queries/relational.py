@@ -1619,6 +1619,141 @@ def rel_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_mv_join_dim_delta",
+    oracle="""
+    WITH fact0 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+    ),
+    factf AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey <= 100
+                    THEN CAST(price + 5 AS DECIMAL(12,2))
+                    ELSE price END AS price
+        FROM fact0
+        UNION ALL
+        SELECT * FROM (VALUES
+            (CAST(9000001 AS BIGINT), CAST(9000001 AS BIGINT),
+             CAST(123.45 AS DECIMAL(12,2))),
+            (CAST(9000002 AS BIGINT), CAST(42 AS BIGINT),
+             CAST(1.55 AS DECIMAL(12,2)))
+        ) AS ins(o_orderkey, o_custkey, price)
+    ),
+    dim1 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey <= 150 THEN 77
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer
+    ),
+    dimf AS (
+        SELECT * FROM dim1 WHERE NOT (c_custkey > 1400)
+        UNION ALL
+        SELECT CAST(9000001 AS BIGINT), 99
+    )
+    SELECT d.c_nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(f.price) AS DOUBLE), 2) AS rev,
+           ROUND(CAST(MAX(f.price) AS DOUBLE), 2) AS hi
+    FROM factf f JOIN dimf d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_nationkey
+    """,
+    tags=("S5", "J1", "A1"),
+)
+def rel_mv_join_dim_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN MV maintained through DIMENSION changes
+    (`operators/matview.py:refresh_materialized_view` with
+    ``on_dim_change='incremental'`` — round 12's two-term delta
+    algebra V_new = V_old ⊕ γ(ΔF⋈D_pin) ⊕ γ(F_ev⋈ΔD)): the history
+    runs an SCD-1 dim UPDATE (customers ≤150 migrate to nation 77), a
+    dim DELETE (custkeys >1400 leave the inner-join view), a dim
+    INSERT whose key two appended fact rows then reference (the ΔF⋈ΔD
+    corner — must land exactly once, through the dim term only), and a
+    fact copy-on-write price update — then ONE merge-strategy refresh
+    folds both feeds: fact delta enriched against the OLD pin, dim
+    delta joined to the full fact at the target version, MAX through
+    the dirty recompute at the NEW pin, the advanced pin txn-encoded
+    with the commit. The oracle restates the end state as the direct
+    join-aggregate; the hash breaks if either delta term double-counts,
+    enriches against the wrong dim state, or the pin detaches from the
+    folded state.
+
+    At 100 TB: refresh cost = fact delta ⋈ pinned dim + changed-dim-key
+    slice of the fact (IN-predicate scan when the key set is bounded —
+    manifest/bloom-prunable) + the aggregate-sized view; the dimension
+    history never forces a view rebuild."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view_over_join,
+        read_materialized_view,
+        refresh_materialized_view,
+    )
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        snapshot_commit,
+        update_where,
+    )
+
+    fact_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    dim_df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    fact = scratch_dir("rsk_mvjd_fact")
+    dim = scratch_dir("rsk_mvjd_dim")
+    view = scratch_dir("rsk_mvjd_view")
+    snapshot_commit(fact_df.repartitionByRange(8, "o_orderkey"), fact)     # v0
+    snapshot_commit(dim_df, dim)                                           # dim v0
+    create_materialized_view_over_join(
+        spark,
+        view,
+        fact,
+        dim,
+        join_on=("o_custkey", "c_custkey"),
+        group_by=["c_nationkey"],
+        aggs={
+            "n_orders": ("count", None),
+            "rev": ("sum", "price"),
+            "hi": ("max", "price"),
+        },
+    )
+    update_where(
+        spark, dim, [("c_custkey", "<=", 150)], {"c_nationkey": F.lit(77)}
+    )                                                                      # dim v1
+    delete_where(spark, dim, [("c_custkey", ">", 1400)])                   # dim v2
+    snapshot_commit(
+        spark.createDataFrame(
+            [(9000001, 99)], "c_custkey bigint, c_nationkey int"
+        ),
+        dim,
+    )                                                                      # dim v3
+    update_where(
+        spark,
+        fact,
+        [("o_orderkey", "<=", 100)],
+        {"price": (F.col("price") + F.lit(5)).cast("decimal(12,2)")},
+    )                                                                      # v1
+    snapshot_commit(
+        spark.createDataFrame(
+            [(9000001, 9000001, "123.45"), (9000002, 42, "1.55")],
+            "o_orderkey bigint, o_custkey bigint, price string",
+        ).withColumn("price", F.col("price").cast("decimal(12,2)")),
+        fact,
+    )                                                                      # v2
+    refresh_materialized_view(
+        spark, view, strategy="merge", on_dim_change="incremental"
+    )
+    return read_materialized_view(spark, view).select(
+        "c_nationkey",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(F.col("hi").cast("double"), 2).alias("hi"),
+    )
+
+
+@register(
     "rel_merge_into",
     oracle="""
     WITH src AS (

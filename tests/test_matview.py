@@ -1222,6 +1222,346 @@ def test_join_mv_composite_key_merge_strategy(spark, sf_dir, tmp_path):
     assert refresh_materialized_view(spark, v, strategy="merge") == latest_version(v)
 
 
+# ---- join views: dim-delta incremental maintenance (round 12) -------------
+
+
+def test_join_mv_dim_delta_incremental_matches_direct_join(
+    spark, sf_dir, tmp_path
+):
+    """on_dim_change='incremental' folds the dimension's OWN change
+    feed: an SCD-1 attribute update (customers migrate segment), a dim
+    DELETE (their fact rows leave the inner-join view), a dim INSERT
+    whose key new fact rows then reference (the ΔF⋈ΔD corner — must
+    land exactly once, through the dim term only), plus a concurrent
+    fact append — all in ONE refresh, under both strategies. The meta
+    file is NOT rewritten: the advanced pin travels txn-encoded with
+    the commit."""
+    from reactivestreams_kinesis_spark.operators.matview import _load_meta
+
+    aggs = {"n": ("count", None), "rev": ("sum", "price"), "hi": ("max", "price")}
+    exprs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").alias("rev"),
+        F.max("price").alias("hi"),
+    ]
+    for strategy in ("overwrite", "merge"):
+        fact, dim, v, orders, cust = _join_mv_setup(
+            spark, sf_dir, tmp_path, ["c_mktsegment"], aggs
+        )
+        meta_before = _load_meta(v)
+        # SCD-1 update: segment migration for a slice of customers
+        update_where(
+            spark, dim, [("c_custkey", "<=", 150)],
+            {"c_mktsegment": F.lit("MIGRATED")},
+        )
+        # dim delete: these customers' orders drop out of the view
+        delete_where(spark, dim, [("c_custkey", ">", 1400)])
+        # dim insert: a brand-new customer...
+        snapshot_commit(
+            spark.createDataFrame(
+                [(99999001, 99, "NEWSEG")],
+                "c_custkey bigint, c_nationkey int, c_mktsegment string",
+            ),
+            dim,
+        )
+        # ...and fact rows referencing both the new and existing keys
+        snapshot_commit(
+            spark.createDataFrame(
+                [(9000001, 99999001, Decimal("123.45")),
+                 (9000002, 99999001, Decimal("1.55"))],
+                "o_orderkey bigint, o_custkey bigint, price decimal(12,2)",
+            ),
+            fact,
+        )
+        tip = refresh_materialized_view(
+            spark, v, strategy=strategy, on_dim_change="incremental"
+        )
+        assert _rows(read_materialized_view(spark, v)) == _rows(
+            _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+        ), strategy
+        # replay is a manifest no-op; the pin advanced in the txn, not
+        # the (immutable) meta file
+        assert refresh_materialized_view(
+            spark, v, strategy=strategy, on_dim_change="incremental"
+        ) == tip
+        st = materialized_view_status(v)
+        assert st["dim_version_effective"] == latest_version(dim)
+        assert _load_meta(v)["join"]["dim_version"] == (
+            meta_before["join"]["dim_version"]
+        )
+
+
+def test_join_mv_dim_only_refresh_and_pin_persistence(spark, sf_dir, tmp_path):
+    """A dim change with the FACT unmoved still refreshes (the ev==sv
+    early-return must not swallow it), and the txn-encoded pin is the
+    delta base of the NEXT refresh: a later fact-only refresh enriches
+    against the advanced pin, not the stale create-time one."""
+    aggs = {"n": ("count", None), "rev": ("sum", "price")}
+    exprs = [F.count(F.lit(1)).alias("n"), F.sum("price").alias("rev")]
+    fact, dim, v, orders, cust = _join_mv_setup(
+        spark, sf_dir, tmp_path, ["c_mktsegment"], aggs
+    )
+    update_where(
+        spark, dim, [("c_custkey", "<=", 99)],
+        {"c_mktsegment": F.lit("MOVED")},
+    )
+    v1 = refresh_materialized_view(
+        spark, v, strategy="merge", on_dim_change="incremental"
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+    )
+    # dim unchanged since: replay no-op even though ev == sv still holds
+    assert refresh_materialized_view(
+        spark, v, on_dim_change="incremental"
+    ) == v1
+    # fact-only follow-up: MOVED customers' new orders must enrich
+    # against the ADVANCED pin (default refuse proves the pin is
+    # considered current — it would raise if the effective pin were
+    # still the create-time one)
+    snapshot_commit(
+        orders.limit(30).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(9000000).cast("bigint")
+        ),
+        fact,
+    )
+    refresh_materialized_view(spark, v)
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+    )
+
+
+def test_join_mv_dim_delta_prunes_fact_scan(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Scale pin: a small changed-dim-key set restricts the FACT SCAN
+    through the IN-predicate scan_snapshot path (manifest-prunable) —
+    the full-table read_snapshot branch never runs for the fact; past
+    the cap the keys stay distributed (full read + join restriction)
+    and the answer is identical."""
+    import reactivestreams_kinesis_spark.operators.matview as mv
+
+    aggs = {"n": ("count", None), "rev": ("sum", "price")}
+    exprs = [F.count(F.lit(1)).alias("n"), F.sum("price").alias("rev")]
+    fact, dim, v, orders, cust = _join_mv_setup(
+        spark, sf_dir, tmp_path, ["c_nationkey"], aggs
+    )
+    update_where(
+        spark, dim, [("c_custkey", "<=", 3)], {"c_nationkey": F.lit(77)}
+    )
+    fact_full_reads = []
+    real_read = mv.read_snapshot
+    real_scan = mv.scan_snapshot
+    scan_calls = []
+
+    def spy_read(s, table_dir, version=None):
+        if os.path.abspath(table_dir) == os.path.abspath(fact):
+            fact_full_reads.append(version)
+        return real_read(s, table_dir, version)
+
+    def spy_scan(s, table_dir, predicates, version=None):
+        scan_calls.append((os.path.abspath(table_dir), predicates))
+        return real_scan(s, table_dir, predicates, version=version)
+
+    monkeypatch.setattr(mv, "read_snapshot", spy_read)
+    monkeypatch.setattr(mv, "scan_snapshot", spy_scan)
+    refresh_materialized_view(spark, v, on_dim_change="incremental")
+    assert not fact_full_reads, "small dim delta must not full-scan the fact"
+    assert any(
+        p and p[0][0] == "o_custkey" and p[0][1] == "in"
+        for _d, p in scan_calls
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_nationkey"], exprs)
+    )
+    # over-cap: keys stay distributed, fact reads once, same answer
+    monkeypatch.setattr(mv, "_DIRTY_PRUNE_CAP", 1)
+    update_where(
+        spark, dim, [("c_custkey", "<=", 40)], {"c_nationkey": F.lit(78)}
+    )
+    fact_full_reads.clear()
+    refresh_materialized_view(spark, v, on_dim_change="incremental")
+    assert fact_full_reads, "over-cap dim delta takes the distributed branch"
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_nationkey"], exprs)
+    )
+
+
+def test_join_mv_dim_delta_merge_crash_between_phases_replays(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A merge-strategy refresh carrying a dim fold that crashes between
+    its equality-delete and upsert phases replays to the correct state:
+    the stage txn (pin-suffixed) makes the delete at-most-once, the
+    recompute re-reads the WATERMARK base, and the pin only advances
+    with the final commit."""
+    import reactivestreams_kinesis_spark.operators.snapshots as sn
+
+    aggs = {"n": ("count", None), "rev": ("sum", "price")}
+    exprs = [F.count(F.lit(1)).alias("n"), F.sum("price").alias("rev")]
+    fact, dim, v, orders, cust = _join_mv_setup(
+        spark, sf_dir, tmp_path, ["c_mktsegment"], aggs
+    )
+    # partial dim delete: the DOOMED group survives but is DIRTY (its
+    # max retracted members) — the refresh must take the upsert phase,
+    # which is where the crash injects
+    update_where(
+        spark, dim, [("c_custkey", "<=", 120)],
+        {"c_mktsegment": F.lit("DOOMED")},
+    )
+    refresh_materialized_view(spark, v, on_dim_change="incremental")
+    pin_before = materialized_view_status(v)["dim_version_effective"]
+    delete_where(
+        spark, dim,
+        [("c_mktsegment", "=", "DOOMED"), ("c_custkey", "<=", 60)],
+    )
+    real_upsert = sn.merge_upsert
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before upsert")
+
+    # _merge_refresh imports merge_upsert from snapshots at call time —
+    # patch it there
+    monkeypatch.setattr(sn, "merge_upsert", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        refresh_materialized_view(
+            spark, v, strategy="merge", on_dim_change="incremental"
+        )
+    assert calls["n"] == 1
+    # pin did NOT advance: no refresh commit landed, only the stage
+    assert materialized_view_status(v)["dim_version_effective"] == pin_before
+    monkeypatch.setattr(sn, "merge_upsert", real_upsert)
+    refresh_materialized_view(
+        spark, v, strategy="merge", on_dim_change="incremental"
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(
+        _join_recompute(spark, fact, dim, ["c_mktsegment"], exprs)
+    )
+    assert materialized_view_status(v)["dim_version_effective"] == \
+        latest_version(dim)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    init=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 30)), min_size=1, max_size=8
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(st.integers(0, 6), st.integers(0, 30)),
+                    min_size=1,
+                    max_size=5,
+                ),
+            ),
+            st.tuples(st.just("pos_del"), st.integers(0, 30)),
+            st.tuples(
+                st.just("dim_update"),
+                st.tuples(st.integers(0, 4), st.sampled_from(["red", "blue", "green", "gold"])),
+            ),
+            st.tuples(st.just("dim_del"), st.integers(0, 4)),
+            st.tuples(st.just("dim_ins"), st.integers(5, 6)),
+            st.tuples(st.just("refresh"), st.sampled_from(["overwrite", "merge"])),
+        ),
+        min_size=1,
+        max_size=7,
+    ),
+)
+def test_join_mv_dim_delta_matches_recompute_over_random_history(
+    spark, tmp_path_factory, init, ops
+):
+    """The dim-delta twin of the join-MV model check: over any
+    interleaving of fact DML and DIM DML (SCD-1 attribute updates, dim
+    deletes, dim inserts that late fact rows may reference) with
+    refreshes under both strategies and on_dim_change='incremental',
+    the view ≡ the direct fact⋈dim aggregate at the tips. Exercises
+    repeated pin advancement across refreshes — each refresh's delta
+    base is the previous commit's txn-encoded pin."""
+    from reactivestreams_kinesis_spark.operators.matview import (
+        create_materialized_view_over_join,
+    )
+
+    base = tmp_path_factory.mktemp("jmvdimprop")
+    t = str(base / f"t_{_uuid.uuid4().hex[:6]}")
+    d = str(base / f"d_{_uuid.uuid4().hex[:6]}")
+    v = str(base / f"v_{_uuid.uuid4().hex[:6]}")
+    uid = 0
+    dim_rows = {k: g for k, g in
+                [(0, "red"), (1, "red"), (2, "blue"), (3, "blue"), (4, "green")]}
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id bigint, ck int, x int")
+
+    def mkd(items):
+        return spark.createDataFrame(items, "ck2 int, g string")
+
+    snapshot_commit(mkd(list(dim_rows.items())), d)
+    first = [(uid + i, k, x) for i, (k, x) in enumerate(init)]
+    uid += len(init)
+    snapshot_commit(mk(first).repartition(2), t)
+    create_materialized_view_over_join(
+        spark, v, t, d,
+        join_on=("ck", "ck2"),
+        group_by=["g"],
+        aggs={
+            "n": ("count", None),
+            "s": ("sum", "x"),
+            "hi": ("max", "x"),
+        },
+    )
+
+    for kind, arg in ops:
+        if kind == "append":
+            rows = [(uid + i, k, x) for i, (k, x) in enumerate(arg)]
+            uid += len(arg)
+            snapshot_commit(mk(rows), t)
+        elif kind == "pos_del":
+            delete_where(spark, t, [("x", "<", arg)], strategy="merge_on_read")
+        elif kind == "dim_update":
+            key, g = arg
+            if key in dim_rows and dim_rows[key] != g:
+                update_where(spark, d, [("ck2", "=", key)], {"g": F.lit(g)})
+                dim_rows[key] = g
+        elif kind == "dim_del":
+            if arg in dim_rows:
+                delete_where(spark, d, [("ck2", "=", arg)])
+                del dim_rows[arg]
+        elif kind == "dim_ins":
+            if arg not in dim_rows:
+                snapshot_commit(mkd([(arg, "new")]), d)
+                dim_rows[arg] = "new"
+        elif kind == "refresh":
+            refresh_materialized_view(
+                spark, v, strategy=arg, on_dim_change="incremental"
+            )
+
+    refresh_materialized_view(spark, v, on_dim_change="incremental")
+    try:
+        src = read_snapshot(spark, t)
+    except ValueError:
+        assert read_materialized_view(spark, v).count() == 0
+        return
+    dd = read_snapshot(spark, d)
+    exp = (
+        src.join(dd, src.ck == dd.ck2)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.max("x").alias("hi"),
+        )
+    )
+    assert _rows(read_materialized_view(spark, v)) == _rows(exp)
+
+
 # ---- hist_quantile: incremental percentiles ------------------------------
 
 _HQ = {"q": 0.5, "lo": 0.0, "hi": 20.0, "bins": 10}  # width = 2.0 exact

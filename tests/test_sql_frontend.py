@@ -394,6 +394,43 @@ def test_sql_shallow_clone_and_join_mv(spark, tmp_path):
                 "FROM fact f JOIN dims d ON f.k = f.ck GROUP BY tier")
 
 
+def test_sql_refresh_mv_on_dim_change_incremental(spark, tmp_path):
+    """REFRESH MATERIALIZED VIEW ... ON DIM CHANGE INCREMENTAL is the
+    SQL form of the round-12 dim-delta fold: a dim UPDATE moves a key
+    across groups, the default refresh refuses, the incremental one
+    folds the dim's own feed — and the view answers the direct join."""
+    t = _t(tmp_path)
+    _mk(spark, t)
+    dims = _t(tmp_path)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "gold"), (3, "silver"), (4, "bronze")],
+            "ck int, tier string",
+        ),
+        dims,
+    )
+    wh = SnapshotWarehouse(
+        spark, {"fact": t, "dims": dims}, root=str(tmp_path / "rdim")
+    )
+    wh.sql(
+        "CREATE MATERIALIZED VIEW rev_by_tier AS "
+        "SELECT tier, COUNT(*) AS n, SUM(qty) AS total "
+        "FROM fact f JOIN dims d ON f.k = d.ck GROUP BY tier"
+    )
+    wh.sql("UPDATE dims SET tier = 'gold' WHERE ck = 3")
+    with pytest.raises(ValueError, match="dim"):
+        wh.sql("REFRESH MATERIALIZED VIEW rev_by_tier")
+    wh.sql(
+        "REFRESH MATERIALIZED VIEW rev_by_tier "
+        "STRATEGY MERGE ON DIM CHANGE INCREMENTAL"
+    )
+    assert _rows(wh.sql("SELECT tier, n, total FROM rev_by_tier")) == {
+        ("gold", 3, 60), ("bronze", 1, 40),
+    }
+    with pytest.raises(ValueError, match="REFRESH"):
+        wh.sql("REFRESH MATERIALIZED VIEW rev_by_tier ON DIM CHANGE SIDEWAYS")
+
+
 # -- round 12: dialect completion + quote-aware refusal safety ---------------
 
 
