@@ -77,6 +77,14 @@ Supported dialect (the shared Delta/Iceberg statement shapes):
   co-located bucket join (``sources/colocated.py``) automatically;
   ineligible joins fall through to Spark's generic plan (this path
   upgrades, never refuses).
+- A ``SELECT <keys and aggregates> FROM t ... GROUP BY <keys>`` whose
+  group keys include the table's bucket column routes onto the
+  ZERO-EXCHANGE bucket-local aggregation
+  (``sources/colocated.py:colocated_groupby``) — the aggregation
+  happens inside the scan, no partial/final HashAggregate exchange;
+  requires a fully-pushable WHERE conjunction (the source applies it
+  in-scan) and plain-column count/sum/min/max/avg items; everything
+  else falls through to the generic plan (upgrade, never refuse).
 - ``CREATE TABLE name SHALLOW CLONE source [VERSION AS OF n]`` →
   ``clone_snapshot`` (one metadata write, zero data copied; the clone
   evolves independently).
@@ -344,6 +352,9 @@ class SnapshotWarehouse:
         routed = self._try_colocated_select(out)
         if routed is not None:
             return routed
+        routed = self._try_bucketed_agg_select(out)
+        if routed is not None:
+            return routed
 
         # VERSION AS OF n → a pinned temp view per (table, version);
         # matched over the quote-blinded text so a literal containing
@@ -553,6 +564,120 @@ class SnapshotWarehouse:
             return self._spark.sql(sql)
         except Exception:
             return None  # any resolution miss → generic plan
+
+    def _try_bucketed_agg_select(self, stmt: str) -> DataFrame | None:
+        """Route ``SELECT <keys and aggregates> FROM t [VERSION AS OF n]
+        [WHERE <conjunction>] GROUP BY <keys> [ORDER BY ...] [LIMIT n]``
+        onto the zero-exchange bucket-local aggregation
+        (``sources/colocated.py:colocated_groupby``) when ``t`` is a
+        registered table bucket-partitioned on one of the group keys,
+        every select item is a group key or a count/sum/min/max/avg over
+        a plain column (aliased), and the WHERE — if any — is a simple
+        conjunction the source can apply IN-SCAN (the aggregation
+        happens inside the source, so a residual WHERE could not
+        re-apply afterwards; an unparsable WHERE falls back). Returns
+        None for every other shape — this path upgrades, never
+        refuses."""
+        m = re.fullmatch(
+            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            rf"(?:\s+WHERE\s+(.*?))?"
+            rf"\s+GROUP\s+BY\s+([A-Za-z0-9_,\s]+?)"
+            rf"(\s+ORDER\s+BY\s+[A-Za-z0-9_,\s()]+?)?"
+            rf"(\s+LIMIT\s+\d+)?",
+            _quote_blind(stmt),
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        name = m.group(2)
+        if name not in self._tables:
+            return None
+        items_txt = stmt[m.start(1) : m.end(1)]
+        where_txt = stmt[m.start(4) : m.end(4)] if m.group(4) else None
+        keys = [k.strip() for k in m.group(5).split(",") if k.strip()]
+        order_txt = stmt[m.start(6) : m.end(6)] if m.group(6) else ""
+        limit_txt = m.group(7) or ""
+        if not keys or any(not re.fullmatch(_IDENT, k) for k in keys):
+            return None
+        aggs: dict = {}
+        out_items: list[str] = []
+        for item in _split_top_level(items_txt):
+            km = re.fullmatch(
+                rf"({_IDENT})(?:\s+AS\s+({_IDENT}))?", item, re.I
+            )
+            if km and km.group(1) in keys:
+                out_items.append(
+                    f"{km.group(1)} AS {km.group(2)}" if km.group(2) else km.group(1)
+                )
+                continue
+            am = re.fullmatch(
+                rf"(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|{_IDENT})\s*\)"
+                rf"\s+AS\s+({_IDENT})",
+                item,
+                re.I,
+            )
+            if not am:
+                return None  # expression/unaliased/unsupported → generic
+            fn, col, alias = am.group(1).lower(), am.group(2), am.group(3)
+            if col == "*":
+                if fn != "count":
+                    return None
+                col = None
+            if alias in aggs or alias in keys:
+                return None
+            aggs[alias] = (fn, col)
+            out_items.append(alias)
+        if not aggs:
+            return None  # a pure key projection is not an aggregation
+        preds = None
+        if where_txt:
+            try:
+                preds = _parse_conjunction(where_txt)
+            except ValueError:
+                return None  # must apply IN-scan or not at all
+        avg_cols = [c for (fn, c) in aggs.values() if fn == "avg"]
+        if avg_cols:
+            # the routed AVG divides exact sum/count into a DOUBLE;
+            # Spark's generic AVG over a DECIMAL column returns decimal
+            # — a result-type change, so decimal AVG stays generic
+            from reactivestreams_kinesis_spark.operators.snapshots import (
+                _read_manifest,
+            )
+
+            try:
+                tv = latest_version(self._tables[name]) \
+                    if m.group(3) is None else int(m.group(3))
+                fields = (_read_manifest(self._tables[name], tv).get("schema")
+                          or {}).get("fields", [])
+                types = {f["name"]: str(f.get("type", "")) for f in fields}
+            except Exception:
+                return None
+            if any("decimal" in types.get(c, "") for c in avg_cols):
+                return None
+        from reactivestreams_kinesis_spark.sources.colocated import (
+            colocated_groupby,
+        )
+
+        try:
+            rel = colocated_groupby(
+                self._spark,
+                self._tables[name],
+                group_by=keys,
+                aggs=aggs,
+                where=preds,
+                version=None if m.group(3) is None else int(m.group(3)),
+            )
+            rel.schema  # force plan-time eligibility checks NOW
+        except Exception:
+            return None  # no bucket spec on a group key, etc. → generic
+        view = f"__wh_bagg_{name}"
+        rel.createOrReplaceTempView(view)
+        sql = f"SELECT {', '.join(out_items)} FROM {view}{order_txt}{limit_txt}"
+        try:
+            return self._spark.sql(sql)
+        except Exception:
+            return None
 
     # -- MERGE INTO ----------------------------------------------------------
 

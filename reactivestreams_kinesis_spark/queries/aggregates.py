@@ -519,3 +519,86 @@ def agg_quantile_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.99).alias("p99"),
         F.max("k").cast("bigint").alias("sample_k"),
     )
+
+
+@register(
+    "agg_colocated_groupby",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n,
+           COUNT(o_orderdate) AS n_dates,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS spend,
+           ROUND(CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS lo,
+           ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS hi,
+           AVG(o_orderkey) AS avg_key
+    FROM orders
+    WHERE NOT (o_totalprice > 400000.0)
+    GROUP BY o_custkey
+    """,
+    tags=("A1", "A6", "S5"),
+)
+def agg_colocated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-EXCHANGE GROUP BY over a bucket-partitioned table
+    (`sources/colocated.py:colocated_groupby` — the aggregation sibling
+    of the co-located join): orders commits bucketed 16 ways on
+    o_custkey, takes a merge-on-read delete (pending DVs the per-bucket
+    reads must apply), then the per-customer rollup aggregates INSIDE
+    each bucket's scan task with Arrow's group_by kernel — the physical
+    plan is a bare BatchScan, no partial/final HashAggregate pair, no
+    Exchange (plan-pinned in tests/test_colocated_agg.py). The oracle
+    is the plain SQL GROUP BY: bucket-locality is an execution
+    strategy, never a semantics change.
+
+    At 100 TB: a per-user/per-document rollup has ~as many groups as
+    rows, so the generic plan's exchange moves nearly the whole table;
+    with the bucket key among the group keys every group lives wholly
+    in one bucket and that exchange is deleted. AVG rides as exact
+    sum+count partials divided at the end; the double rounding is
+    display-only."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        snapshot_commit,
+    )
+    from reactivestreams_kinesis_spark.queries.registry import scratch_dir
+    from reactivestreams_kinesis_spark.sources.colocated import colocated_groupby
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_d"),
+    )
+    t = scratch_dir("rsk_bagg")
+    snapshot_commit(orders, t, partition_by=[("o_custkey", "bucket", 16)])
+    delete_where(
+        spark, t, [("o_totalprice", ">", 400000.0)], strategy="merge_on_read"
+    )
+    out = colocated_groupby(
+        spark,
+        t,
+        group_by=["o_custkey"],
+        aggs={
+            "n": ("count", None),
+            "n_dates": ("count", "o_orderdate"),
+            "spend_d": ("sum", "price_d"),
+            "lo_d": ("min", "price_d"),
+            "hi_d": ("max", "price_d"),
+            # AVG over an exactly-float64-summable integer column: the
+            # engine's sum+count/divide and the oracle's AVG agree
+            # bit-for-bit (money avg would hit double-rounding ties)
+            "avg_key": ("avg", "o_orderkey"),
+        },
+    )
+    return out.select(
+        "o_custkey",
+        "n",
+        "n_dates",
+        F.round(F.col("spend_d").cast("double"), 2).alias("spend"),
+        F.round(F.col("lo_d").cast("double"), 2).alias("lo"),
+        F.round(F.col("hi_d").cast("double"), 2).alias("hi"),
+        "avg_key",
+    )

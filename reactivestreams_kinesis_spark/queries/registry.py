@@ -134,7 +134,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # the local mirror keeps it bit-exact) to rel_cdf_feed, the
     # retraction-feed flagship that had never had a driver row
     "fn_string",
-    "fn_datetime",
+    # round-12 rotation (3rd session): fn_datetime ceded its slot
+    # (datetime exprs stay driver-exercised inside q01's date filter,
+    # fn_string's date_format, and the stream windows; the family stays
+    # bit-exact in the local mirror) to agg_colocated_groupby — the
+    # zero-exchange bucket-local GROUP BY, this session's second
+    # operator first (sources/colocated.py:colocated_groupby)
+    "agg_colocated_groupby",        # A1 A6 S5 — in-scan bucketed agg
     # round-12 rotation: rel_cdf_feed ceded its slot (the retraction
     # feed stays driver-covered by rel_cdf_cow, which exercises strictly
     # more change kinds, and by rel_sql_evolution's table_changes read)

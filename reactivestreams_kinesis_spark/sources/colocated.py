@@ -40,6 +40,24 @@ N-ways (one count divides the other — the Iceberg SPJ compatibility
 rule), the join plans at the COARSER count: ``crc32(k) % kN ≡ b``
 implies ``crc32(k) % N ≡ b % N``, so each coarse task reads the finer
 side's k child buckets. Incommensurable counts are refused.
+
+Bucket-local aggregation (round 12): ``colocated_groupby`` — the
+aggregation sibling of the co-located join. When the GROUP BY keys
+include the table's bucket column, every row of a group lives in one
+bucket, so each bucket task's aggregate IS the final answer: no
+exchange of partial-aggregate rows at all. The generic plan's partial →
+exchange → final shape is cheap when groups are few, but a
+high-cardinality group-by (billions of groups at 100 TB — per-user,
+per-document rollups) shuffles one row per group per upstream
+partition; bucket-local finalization deletes that network stage
+entirely. This is exactly what Spark grants natively-bucketed tables
+via ``outputPartitioning`` — which the Python Data Source API cannot
+declare — re-created by doing the (vectorized, Arrow-kernel) aggregation
+inside the scan. Two-phase within each task: per-batch Arrow
+``group_by`` partials, one merge per bucket — memory is bounded by
+groups-per-bucket, never rows. NULL group keys form SQL's null group
+(straddler files route them to exactly one owner partition); AVG is
+kept as exact sum+count partials and divided at the end.
 """
 
 from __future__ import annotations
@@ -675,4 +693,360 @@ def colocated_join(
         r = r.option("rightVersion", str(right_version))
     if left_split is not None:
         r = r.option("leftSplit", str(left_split))
+    return r.load()
+
+
+# ---- bucket-local aggregation (round 12) -----------------------------------
+
+_AGG_FNS = ("count", "sum", "min", "max", "avg")
+
+
+def _agg_out_type(fn: str, dt):
+    """Declared Spark output type per aggregate — Spark's own widening
+    rules where they matter at refresh scale: integral SUM widens to
+    bigint (overflow headroom), decimal SUM gains 10 digits of
+    precision (capped at 38), AVG divides exactly-kept sum/count into a
+    double (DuckDB's avg shape, documented)."""
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        LongType,
+    )
+
+    if fn == "count":
+        return LongType()
+    if fn == "avg":
+        return DoubleType()
+    if fn == "sum":
+        if isinstance(dt, DecimalType):
+            return DecimalType(min(38, dt.precision + 10), dt.scale)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return DoubleType()
+        return LongType()
+    return dt  # min / max
+
+
+class BucketedAggDataSource(DataSource):
+    """``spark.read.format("snapshot_bucketed_agg")`` options: ``path``
+    (table dir), ``groupBy`` (comma-separated; must include the table's
+    bucket column), ``aggs`` (JSON ``[[name, fn, col|null], ...]`` with
+    fn in count|sum|min|max|avg; col null = COUNT(*)), optional
+    ``version`` time travel and ``where`` (JSON scan-predicate triples,
+    file-pruned at plan time and re-applied row-exactly in-task)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_bucketed_agg"
+
+    def _opt(self, name: str, required: bool = False):
+        v = self.options.get(name)
+        if required and not v:
+            raise ValueError(
+                f"snapshot_bucketed_agg requires .option({name!r}, ...)"
+            )
+        return v
+
+    def _spec(self):
+        import json
+
+        table_dir = _strip_file_scheme(self._opt("path", required=True))
+        group_by = [c.strip() for c in self._opt("groupBy", required=True).split(",")]
+        aggs = []
+        for item in json.loads(self._opt("aggs", required=True)):
+            name, fn, col = item
+            fn = fn.lower()
+            if fn not in _AGG_FNS:
+                raise ValueError(
+                    f"unsupported aggregate {fn!r} for {name!r} "
+                    f"(supported: {list(_AGG_FNS)})"
+                )
+            if col is None and fn != "count":
+                raise ValueError(f"{name!r}: only count supports col=None")
+            aggs.append((name, fn, col))
+        if not aggs:
+            raise ValueError("snapshot_bucketed_agg needs at least one aggregate")
+        dup = sorted(
+            {n for n, _f, _c in aggs
+             if [x[0] for x in aggs].count(n) > 1 or n in group_by}
+        )
+        if dup:
+            raise ValueError(f"aggregate output names collide: {dup}")
+        version = self._opt("version")
+        version = latest_version(table_dir) if version is None else int(version)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir!r}")
+        preds = None
+        w = self._opt("where")
+        if w:
+            preds = [
+                (c, op, tuple(v) if isinstance(v, list) else v)
+                for c, op, v in json.loads(w)
+            ]
+        # the bucket column: any group key carrying a bucket transform.
+        # With the bucket key among the GROUP BY keys, a group's rows
+        # share it — hence share a bucket — hence finalize locally.
+        manifest = _read_manifest(table_dir, version)
+        bucket_key = None
+        for g in group_by:
+            try:
+                _spec_bucket_entry(manifest, g)
+                bucket_key = g
+                break
+            except ValueError:
+                continue
+        if bucket_key is None:
+            raise ValueError(
+                f"no GROUP BY column of {group_by} carries a bucket "
+                "partition spec — bucket-local aggregation needs the "
+                "bucket key among the group keys; use a regular groupBy "
+                "otherwise"
+            )
+        need = list(group_by)
+        for _n, _f, c in aggs:
+            if c is not None and c not in need:
+                need.append(c)
+        for (c, _op, _v) in preds or []:
+            if c not in need:
+                need.append(c)
+        return table_dir, version, bucket_key, group_by, aggs, need, preds
+
+    def schema(self) -> StructType:
+        table_dir, version, bucket_key, group_by, aggs, need, preds = self._spec()
+        side, _n, _bb, _st = _side_plan(table_dir, version, bucket_key, need, preds)
+        by_name = {f.name: f for f in side.schema.fields}
+        missing = [g for g in group_by if g not in by_name]
+        if missing:
+            raise ValueError(f"group keys not in {table_dir!r}: {missing}")
+        fields = [
+            StructField(g, by_name[g].dataType, nullable=True) for g in group_by
+        ]
+        for name, fn, col in aggs:
+            dt = by_name[col].dataType if col is not None else None
+            fields.append(
+                StructField(name, _agg_out_type(fn, dt), nullable=True)
+            )
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BucketedAggReader(self._spec(), schema)
+
+
+@dataclass
+class _AggPartition(InputPartition):
+    bucket: int | None  # None = sentinel empty partition
+    n: int
+    side: _SideFiles | None = None
+    group_by: list = field(default_factory=list)
+    aggs: list = field(default_factory=list)
+    owns_nulls: bool = False
+
+
+class _BucketedAggReader(DataSourceReader):
+    def __init__(self, spec, schema: StructType):
+        (self._dir, self._version, self._key, self._group_by,
+         self._aggs, self._need, self._preds) = spec
+        self._schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        side, n, by_bucket, straddlers = _side_plan(
+            self._dir, self._version, self._key, self._need, self._preds
+        )
+        cand = set(by_bucket) | (set(range(n)) if straddlers else set())
+        parts: list[InputPartition] = []
+        strad_files = [(fp, False) for fp in straddlers]
+        owner_assigned = False
+        for b in sorted(cand):
+            sf = _SideFiles(
+                side.table_dir, side.phys, side.schema, side.key,
+                predicates=side.predicates,
+            )
+            sf.files = list(by_bucket.get(b, [])) + strad_files
+            if not sf.files:
+                continue
+            # exactly one partition owns straddlers' NULL-key rows: a
+            # NULL bucket key belongs to no bucket but SQL GROUP BY
+            # must surface it as the null group, exactly once
+            owns = not owner_assigned
+            owner_assigned = True
+            parts.append(
+                _AggPartition(
+                    b, n, sf, list(self._group_by), list(self._aggs), owns
+                )
+            )
+        if not parts:
+            return [_AggPartition(None, 0)]
+        return parts
+
+    def read(self, partition: _AggPartition) -> Iterator:
+        if partition.bucket is None:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        side = partition.side
+        keys = partition.group_by
+        rdr = _SnapshotBatchReader(
+            side.table_dir, {"files": [], "phys": side.phys}, side.schema
+        )
+        # partial spec: one Arrow aggregate per DISTINCT (fn-ish, col)
+        # — shared across output names (p50/p90-style reuse), AVG
+        # decomposed into exact sum + valid-count
+        partial: dict[str, tuple] = {}  # partial col name -> (col, arrow_fn)
+        for _name, fn, col in partition.aggs:
+            if fn == "count" and col is None:
+                partial["__cnt_all"] = (None, "count_all")
+            elif fn == "count":
+                partial[f"__cnt__{col}"] = (col, "count")
+            elif fn in ("sum", "avg"):
+                partial[f"__sum__{col}"] = (col, "sum")
+                if fn == "avg":
+                    partial[f"__cnt__{col}"] = (col, "count")
+            else:
+                partial[f"__{fn}__{col}"] = (col, fn)
+
+        def partial_agg(tbl: pa.Table) -> pa.Table:
+            specs, names = [], []
+            for pname, (col, afn) in partial.items():
+                specs.append(([] if col is None else col, afn))
+                names.append(pname)
+            out = tbl.group_by(keys, use_threads=False).aggregate(specs)
+            # arrow puts the keys first, then results named
+            # "{col}_{fn}" / "count_all" in spec order — rename
+            # positionally to the stable partial names
+            return out.rename_columns(
+                list(out.column_names[: len(out.column_names) - len(names)])
+                + names
+            )
+
+        partials = []
+        for fp, tight in side.files:
+            for b in rdr.read(fp):
+                if not tight:
+                    b = b.filter(
+                        _bucket_mask(
+                            b.column(side.key), partition.n, partition.bucket,
+                            keep_nulls=partition.owns_nulls,
+                        )
+                    )
+                if b.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([b])
+                if side.predicates:
+                    from reactivestreams_kinesis_spark.sources.snapshot_source import (
+                        _arrow_expr,
+                    )
+
+                    triples = [
+                        (_ARROW_OPS[op], c, v) for (c, op, v) in side.predicates
+                    ]
+                    tbl = tbl.filter(_arrow_expr(triples))
+                if tbl.num_rows:
+                    partials.append(partial_agg(tbl))
+        if not partials:
+            return
+        merged = pa.concat_tables(partials)
+        # merge stage: sums and counts add, extremes fold — then rename
+        # positionally back to the partial names
+        mspecs, mnames = [], []
+        for pname, (col, afn) in partial.items():
+            if afn in ("count", "count_all", "sum"):
+                mspecs.append((pname, "sum"))
+            else:
+                mspecs.append((pname, afn))
+            mnames.append(pname)
+        final = merged.group_by(keys, use_threads=False).aggregate(mspecs)
+        final = final.rename_columns(
+            [c for c in final.column_names[: len(final.column_names) - len(mnames)]]
+            + mnames
+        )
+
+        out_schema = to_arrow_schema(self._schema)
+        cols = []
+        for f in out_schema:
+            if f.name in set(keys):
+                cols.append(final.column(f.name).cast(f.type))
+                continue
+            name = f.name
+            fn, col = next(
+                (a_fn, a_col) for a_name, a_fn, a_col in partition.aggs
+                if a_name == name
+            )
+            if fn == "count" and col is None:
+                arr = final.column("__cnt_all")
+            elif fn == "count":
+                arr = final.column(f"__cnt__{col}")
+            elif fn == "sum":
+                # SQL SUM over zero valid rows is NULL; Arrow's grouped
+                # sum already yields null at min_count default — keep it
+                arr = final.column(f"__sum__{col}")
+            elif fn == "avg":
+                s = final.column(f"__sum__{col}")
+                c = final.column(f"__cnt__{col}")
+                arr = pc.if_else(
+                    pc.equal(c, pa.scalar(0, c.type)),
+                    pa.scalar(None, pa.float64()),
+                    pc.divide(
+                        pc.cast(s, pa.float64()), pc.cast(c, pa.float64())
+                    ),
+                )
+            else:
+                arr = final.column(f"__{fn}__{col}")
+            cols.append(pc.cast(arr, f.type) if arr.type != f.type else arr)
+        yield from pa.Table.from_arrays(
+            [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in cols],
+            schema=out_schema,
+        ).to_batches()
+
+
+def register_bucketed_agg_source(spark: SparkSession) -> None:
+    """Idempotent registration (same pattern as register_snapshot_source)."""
+    spark.dataSource.register(BucketedAggDataSource)
+
+
+def colocated_groupby(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    group_by: list[str],
+    aggs: dict,
+    where: list | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Zero-exchange GROUP BY over a bucket-partitioned snapshot table:
+    ``group_by`` must include the bucket column (that inclusion is what
+    makes per-bucket finalization exact — every group lives wholly in
+    one bucket); ``aggs`` is ``{out_name: (fn, col)}`` with fn in
+    count|sum|min|max|avg (col=None with count is COUNT(*)); ``where``
+    takes scan-predicate triples (file-pruned, then row-exact).
+
+    The physical plan is a bare BatchScan — the aggregation happens
+    inside the scan via Arrow's vectorized group_by kernel, two-phase
+    per task (per-batch partials → one merge), so task memory follows
+    groups-per-bucket, not rows. The generic alternative shuffles one
+    partial row per (group, upstream partition); at billion-group
+    cardinalities that exchange IS the query cost — this plan deletes
+    it."""
+    import json
+
+    register_bucketed_agg_source(spark)
+    r = (
+        spark.read.format("snapshot_bucketed_agg")
+        .option("path", table_dir)
+        .option("groupBy", ",".join(group_by))
+        .option(
+            "aggs",
+            json.dumps([[n, fn, col] for n, (fn, col) in aggs.items()]),
+        )
+    )
+    if where:
+        r = r.option(
+            "where",
+            json.dumps(
+                [[c, op, list(v) if isinstance(v, tuple) else v] for c, op, v in where]
+            ),
+        )
+    if version is not None:
+        r = r.option("version", str(version))
     return r.load()

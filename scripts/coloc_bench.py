@@ -260,6 +260,52 @@ def main() -> int:
     }
     print(f"pushdown: {result['pushdown']}", file=sys.stderr)
 
+    # AGG tier (round 12, 3rd session): bucket-local GROUP BY
+    # (colocated_groupby — the aggregation finalizes inside each
+    # bucket's scan task) vs the generic partial→exchange→final plan,
+    # on the x16 orders table grouped by the bucket key (group count ~
+    # distinct customers × 16 — the high-cardinality regime where the
+    # exchange volume tracks group count). SUM runs over the integer
+    # orderkey so both plans' checksums are float-order-free.
+    from reactivestreams_kinesis_spark.sources.colocated import (
+        colocated_groupby,
+    )
+
+    rt16 = os.path.join(base, "x16_orders")
+    bagg = colocated_groupby(
+        spark,
+        rt16,
+        group_by=["o_custkey"],
+        aggs={
+            "n": ("count", None),
+            "s": ("sum", "o_orderkey"),
+            "hi": ("max", "o_totalprice"),
+        },
+    )
+    gagg = (
+        read_snapshot(spark, rt16)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("s"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+    plan_b = bagg._jdf.queryExecution().executedPlan().toString()
+    plan_ga = gagg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_b and "HashAggregate" not in plan_b
+    n_b, h_b = checksum(bagg)
+    n_ga, h_ga = checksum(gagg)
+    assert (n_b, h_b) == (n_ga, h_ga), "agg-tier parity broke"
+    result["agg"] = {
+        "groups": n_b,
+        "bagg_exchanges": plan_b.count("Exchange"),
+        "generic_exchanges": plan_ga.count("Exchange"),
+        "bagg_sec": round(timed(bagg), 3),
+        "generic_sec": round(timed(gagg), 3),
+    }
+    print(f"agg: {result['agg']}", file=sys.stderr)
+
     shutil.rmtree(base, ignore_errors=True)
     doc = json.dumps(result)
     print(doc)

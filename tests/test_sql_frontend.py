@@ -975,3 +975,71 @@ def test_sql_truncate_table(spark, tmp_path):
     assert wh.sql("SELECT * FROM accounts").count() == 4
     with pytest.raises(ValueError, match="TRUNCATE TABLE"):
         wh.sql("TRUNCATE TABLE accounts WHERE k = 1")
+
+
+def test_sql_bucketed_agg_routing(spark, tmp_path):
+    """A GROUP BY on a bucketed table's bucket key routes onto the
+    zero-exchange bucket-local aggregation source: the plan is the
+    snapshot_bucketed_agg BatchScan with no Exchange and no
+    HashAggregate pair, values match the generic plan exactly;
+    ineligible shapes (unbucketed key, expression aggregates, HAVING,
+    OR-WHERE) fall back silently."""
+    wh = SnapshotWarehouse(spark, {}, root=str(tmp_path / "wba"))
+    spark.createDataFrame(
+        [(i % 7, f"s{i % 3}", i * 10, float(i)) for i in range(60)],
+        "k int, s string, qty int, x double",
+    ).createOrReplaceTempView("src_g")
+    wh.sql(
+        "CREATE TABLE g CLUSTERED BY (k) INTO 4 BUCKETS "
+        "AS SELECT k, s, qty, x FROM src_g"
+    )
+    text = (
+        "SELECT k, COUNT(*) AS n, SUM(qty) AS sq, MIN(x) AS lo, "
+        "MAX(x) AS hi, AVG(qty) AS aq FROM g GROUP BY k"
+    )
+    df = wh.sql(text)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_bucketed_agg" in plan
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    generic = spark.sql(
+        text.replace("FROM g", "FROM src_g")
+    )
+    assert _rows(df) == _rows(generic)
+    # WHERE conjunction pushes in-scan; ORDER BY + LIMIT compose on top
+    df2 = wh.sql(
+        "SELECT k, s, COUNT(*) AS n FROM g WHERE qty >= 100 AND s = 's1' "
+        "GROUP BY k, s ORDER BY k LIMIT 3"
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_bucketed_agg" in plan2 and "HashAggregate" not in plan2
+    exp2 = spark.sql(
+        "SELECT k, s, COUNT(*) AS n FROM src_g WHERE qty >= 100 AND "
+        "s = 's1' GROUP BY k, s ORDER BY k LIMIT 3"
+    )
+    assert [tuple(r) for r in df2.collect()] == [tuple(r) for r in exp2.collect()]
+    # fallbacks: grouping by a non-bucket key, expression aggregates,
+    # OR-WHERE (not in-scan-applicable), HAVING — all generic, same rows
+    for q, frag in (
+        ("SELECT s, COUNT(*) AS n FROM g GROUP BY s", None),
+        ("SELECT k, SUM(qty + 1) AS n FROM g GROUP BY k", None),
+        ("SELECT k, COUNT(*) AS n FROM g WHERE s = 's1' OR qty > 500 GROUP BY k", None),
+        ("SELECT k, COUNT(*) AS n FROM g GROUP BY k HAVING COUNT(*) > 8", None),
+    ):
+        d = wh.sql(q)
+        p = d._jdf.queryExecution().executedPlan().toString()
+        assert "snapshot_bucketed_agg" not in p, q
+        assert _rows(d) == _rows(spark.sql(q.replace("FROM g", "FROM src_g"))), q
+    # decimal AVG keeps the generic (decimal-typed) plan
+    spark.createDataFrame(
+        [(1, "1.50"), (1, "2.50"), (2, "3.00")], "k int, d string"
+    ).selectExpr("k", "CAST(d AS DECIMAL(10,2)) AS d").createOrReplaceTempView(
+        "src_dec"
+    )
+    wh.sql(
+        "CREATE TABLE gdec CLUSTERED BY (k) INTO 2 BUCKETS "
+        "AS SELECT k, d FROM src_dec"
+    )
+    ddec = wh.sql("SELECT k, AVG(d) AS a FROM gdec GROUP BY k")
+    pdec = ddec._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_bucketed_agg" not in pdec
+    assert _rows(ddec) == _rows(spark.sql("SELECT k, AVG(d) AS a FROM src_dec GROUP BY k"))
