@@ -197,18 +197,25 @@ def _dim_delta_partials(
         .limit(_DIRTY_PRUNE_CAP + 1).collect()
     )
     fk = jn["fact_key"]
-    if (
-        probe
+    bounded = (
+        bool(probe)
         and len(probe) <= _DIRTY_PRUNE_CAP
         and all(r[0] is not None for r in probe)
-    ):
+    )
+    if bounded:
         fact = scan_snapshot(
             spark,
             meta["source_dir"],
             [(fk, "in", tuple(r[0] for r in probe))],
             version=ev,
         )
+        # the probe PROVED the feed's key set is bounded, so its row
+        # set is broadcast-safe (≤ a few rows per key) — without the
+        # hint Spark would shuffle the pruned fact against it
+        dfeed = F.broadcast(dfeed)
     else:
+        # over the cap the keys stay distributed; AQE converts the join
+        # to broadcast at runtime when the feed turns out small
         fact = read_snapshot(spark, meta["source_dir"], ev)
     rows = fact.join(
         dfeed, fact[fk] == dfeed["__mv_dimkey"], "inner"

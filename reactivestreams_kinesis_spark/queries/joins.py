@@ -683,3 +683,77 @@ def join_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_commit(orders, t, partition_by=[("o_custkey", "bucket", 16)])
     j = dynamic_prune_join(spark, t, dim, ("o_custkey", "c_custkey"))
     return j.select("o_orderkey", "o_custkey", "o_totalprice", "c_acctbal")
+
+
+@register(
+    "join_colocated_agg",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_nationkey,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS spend,
+           ROUND(CAST(MAX(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                 AS DOUBLE), 2) AS hi
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE NOT (o.o_totalprice > 350000.0)
+    GROUP BY c.c_custkey, c.c_nationkey
+    """,
+    tags=("J1", "A1", "S5"),
+)
+def join_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED STAR ROLLUP under the value oracle
+    (`sources/colocated.py:colocated_join_agg`): per-customer order
+    count and spend over customer ⋈ orders, both bucketed 16 ways on
+    the key, orders carrying a pending merge-on-read delete — joined
+    AND aggregated inside each bucket's task (group keys include the
+    join key, so every group is bucket-local), one BatchScan, zero
+    exchanges end-to-end (plan-pinned in tests/test_colocated_agg.py).
+    The oracle is the ordinary join-GROUP BY: fusion is an execution
+    strategy, never a semantics change.
+
+    At 100 TB this is the per-entity enrich+rollup: the generic plan
+    shuffles both tables for the join and then one partial row per
+    group for the aggregate — at entity-grained cardinality (groups ~
+    customers) both exchanges move table-scale volume; the fused plan
+    moves zero rows over the network."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        snapshot_commit,
+    )
+    from reactivestreams_kinesis_spark.sources.colocated import (
+        colocated_join_agg,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_d"),
+    )
+    lt = scratch_dir("rsk_jagg_l")
+    rt = scratch_dir("rsk_jagg_r")
+    snapshot_commit(cust, lt, partition_by=[("c_custkey", "bucket", 16)])
+    snapshot_commit(orders, rt, partition_by=[("o_custkey", "bucket", 16)])
+    delete_where(
+        spark, rt, [("o_totalprice", ">", 350000.0)], strategy="merge_on_read"
+    )
+    out = colocated_join_agg(
+        spark, lt, rt, left_key="c_custkey", right_key="o_custkey",
+        group_by=["c_custkey", "c_nationkey"],
+        aggs={
+            "n": ("count", None),
+            "spend_d": ("sum", "price_d"),
+            "hi_d": ("max", "price_d"),
+        },
+    )
+    return out.select(
+        "c_custkey",
+        "c_nationkey",
+        "n",
+        F.round(F.col("spend_d").cast("double"), 2).alias("spend"),
+        F.round(F.col("hi_d").cast("double"), 2).alias("hi"),
+    )

@@ -58,6 +58,15 @@ inside the scan. Two-phase within each task: per-batch Arrow
 groups-per-bucket, never rows. NULL group keys form SQL's null group
 (straddler files route them to exactly one owner partition); AVG is
 kept as exact sum+count partials and divided at the end.
+
+Fused join + aggregation: ``colocated_join_agg`` composes the two —
+the per-entity star rollup (``SELECT keys, aggs FROM l JOIN r ON k
+GROUP BY keys`` with the join key among the group keys) runs join AND
+final aggregate inside each bucket task: zero exchanges end to end,
+where the generic plan shuffles both tables for the join and then one
+partial row per group. Inner joins only (outer padding and null-row
+ownership interact with grouping), and ``leftSplit`` refuses to
+compose (a chunked group would finalize twice).
 """
 
 from __future__ import annotations
@@ -319,7 +328,45 @@ class ColocatedJoinDataSource(DataSource):
             raise ValueError("leftSplit must be >= 1")
         return n
 
-    def schema(self) -> StructType:
+    def _agg_spec(self):
+        """Optional fused aggregation over the joined relation
+        (``aggGroupBy`` + ``aggSpec`` options): the group keys must
+        include the LEFT join key — that inclusion pins every group to
+        one bucket, which is what makes per-bucket finalization exact —
+        and only the inner join composes (outer padding/null ownership
+        interacts with grouping; anti/semi aggregate the left side,
+        which plain colocated_groupby already covers)."""
+        import json
+
+        gb = self._opt("aggGroupBy")
+        sp = self._opt("aggSpec")
+        if not gb and not sp:
+            return None
+        if not (gb and sp):
+            raise ValueError(
+                "fused aggregation needs BOTH aggGroupBy and aggSpec"
+            )
+        keys = [c.strip() for c in gb.split(",")]
+        aggs = []
+        for name, fn, col in json.loads(sp):
+            fn = fn.lower()
+            if fn not in _AGG_FNS:
+                raise ValueError(
+                    f"unsupported aggregate {fn!r} for {name!r} "
+                    f"(supported: {list(_AGG_FNS)})"
+                )
+            if col is None and fn != "count":
+                raise ValueError(f"{name!r}: only count supports col=None")
+            aggs.append((name, fn, col))
+        if not aggs:
+            raise ValueError("aggSpec must name at least one aggregate")
+        names = [n for n, _f, _c in aggs]
+        dup = sorted({n for n in names if names.count(n) > 1 or n in keys})
+        if dup:
+            raise ValueError(f"aggregate output names collide: {dup}")
+        return keys, aggs
+
+    def _joined_schema(self) -> StructType:
         (ldir, lv, lkey, lcols, lw), (rdir, rv, rkey, rcols, rw) = self._plan_inputs()
         jt = self._join_type()
         left, _, _, _ = _side_plan(ldir, lv, lkey, lcols, lw)
@@ -351,6 +398,41 @@ class ColocatedJoinDataSource(DataSource):
             )
         return StructType(out)
 
+    def schema(self) -> StructType:
+        joined = self._joined_schema()
+        agg = self._agg_spec()
+        if agg is None:
+            return joined
+        keys, aggs = agg
+        jt = self._join_type()
+        (_ld, _lv, lkey, _lc, _lwp), _r = self._plan_inputs()
+        if jt != "inner":
+            raise ValueError(
+                "fused aggregation composes with joinType=inner only"
+            )
+        if lkey not in keys:
+            raise ValueError(
+                f"fused aggregation needs the left join key {lkey!r} among "
+                f"the group keys {keys} — that is what pins each group to "
+                "one bucket"
+            )
+        by_name = {f.name: f for f in joined.fields}
+        missing = [k for k in keys if k not in by_name] + [
+            c for _n, _f, c in aggs if c is not None and c not in by_name
+        ]
+        if missing:
+            raise ValueError(
+                f"fused-aggregation columns not in the joined relation: "
+                f"{sorted(set(missing))} (available: {list(by_name)})"
+            )
+        fields = [
+            StructField(k, by_name[k].dataType, nullable=True) for k in keys
+        ]
+        for name, fn, col in aggs:
+            dt = by_name[col].dataType if col is not None else None
+            fields.append(StructField(name, _agg_out_type(fn, dt), nullable=True))
+        return StructType(fields)
+
     def reader(self, schema: StructType) -> DataSourceReader:
         left, right = self._plan_inputs()
         jt = self._join_type()
@@ -361,7 +443,16 @@ class ColocatedJoinDataSource(DataSource):
                 "left chunk would re-emit the right bucket's unmatched rows "
                 "once per chunk"
             )
-        return _ColocatedJoinReader(left, right, schema, jt, split)
+        agg = self._agg_spec()
+        if agg is not None:
+            self.schema()  # re-run the fused-agg eligibility checks loudly
+            if split is not None:
+                raise ValueError(
+                    "leftSplit cannot compose with fused aggregation: a "
+                    "group's left rows may span chunks, and per-chunk "
+                    "finalization would emit the group twice"
+                )
+        return _ColocatedJoinReader(left, right, schema, jt, split, agg)
 
 
 class _ColocatedJoinReader(DataSourceReader):
@@ -372,12 +463,14 @@ class _ColocatedJoinReader(DataSourceReader):
         schema: StructType,
         join_type: str = "inner",
         left_split: int | None = None,
+        agg=None,
     ):
         self._left = left
         self._right = right
         self._schema = schema
         self._join_type = join_type
         self._left_split = left_split
+        self._agg = agg  # (group_keys, aggs) for the fused rollup
 
     def partitions(self) -> Sequence[InputPartition]:
         lside, ln, lbuckets, lstrad = _side_plan(*self._left)
@@ -626,6 +719,17 @@ class _ColocatedJoinReader(DataSourceReader):
         if joined.num_rows == 0:
             return
         out_schema = to_arrow_schema(self._schema)
+        if self._agg is not None:
+            # fused rollup: the per-bucket joined relation aggregates
+            # in-task (group keys include the join key, so every group
+            # is bucket-local and this IS the final answer)
+            keys, aggs = self._agg
+            partial = _partial_spec(aggs)
+            final = _merge_partials(
+                [_partial_agg(joined, keys, partial)], keys, partial
+            )
+            yield from _finalize_agg(final, keys, aggs, out_schema).to_batches()
+            return
         cols = [joined.column(f.name).cast(f.type) for f in out_schema]
         yield from pa.Table.from_arrays(cols, schema=out_schema).to_batches()
 
@@ -842,6 +946,99 @@ class _AggPartition(InputPartition):
     owns_nulls: bool = False
 
 
+def _partial_spec(aggs) -> dict:
+    """One Arrow aggregate per DISTINCT (fn-ish, col) — shared across
+    output names; AVG decomposed into exact sum + valid-count.
+    Returns {partial_col_name: (col, arrow_fn)}."""
+    partial: dict[str, tuple] = {}
+    for _name, fn, col in aggs:
+        if fn == "count" and col is None:
+            partial["__cnt_all"] = (None, "count_all")
+        elif fn == "count":
+            partial[f"__cnt__{col}"] = (col, "count")
+        elif fn in ("sum", "avg"):
+            partial[f"__sum__{col}"] = (col, "sum")
+            if fn == "avg":
+                partial[f"__cnt__{col}"] = (col, "count")
+        else:
+            partial[f"__{fn}__{col}"] = (col, fn)
+    return partial
+
+
+def _partial_agg(tbl, keys: list, partial: dict):
+    """Per-batch partial aggregate. Arrow puts the keys first, then
+    results named "{col}_{fn}" / "count_all" in spec order — rename
+    positionally to the stable partial names."""
+    specs, names = [], []
+    for pname, (col, afn) in partial.items():
+        specs.append(([] if col is None else col, afn))
+        names.append(pname)
+    out = tbl.group_by(keys, use_threads=False).aggregate(specs)
+    return out.rename_columns(
+        list(out.column_names[: len(out.column_names) - len(names)]) + names
+    )
+
+
+def _merge_partials(partials: list, keys: list, partial: dict):
+    """Merge stage: sums and counts add, extremes fold — renamed back
+    to the partial names."""
+    import pyarrow as pa
+
+    merged = pa.concat_tables(partials)
+    mspecs, mnames = [], []
+    for pname, (col, afn) in partial.items():
+        if afn in ("count", "count_all", "sum"):
+            mspecs.append((pname, "sum"))
+        else:
+            mspecs.append((pname, afn))
+        mnames.append(pname)
+    final = merged.group_by(keys, use_threads=False).aggregate(mspecs)
+    return final.rename_columns(
+        list(final.column_names[: len(final.column_names) - len(mnames)])
+        + mnames
+    )
+
+
+def _finalize_agg(final, keys: list, aggs, out_schema):
+    """Map the merged partial state onto the declared output schema:
+    AVG divides its exact sum/count pair (NULL at count 0 — the SQL
+    contract), SUM keeps Arrow's null-at-zero-valid, everything casts
+    to the declared type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = []
+    keyset = set(keys)
+    for f in out_schema:
+        if f.name in keyset:
+            cols.append(final.column(f.name).cast(f.type))
+            continue
+        fn, col = next(
+            (a_fn, a_col) for a_name, a_fn, a_col in aggs if a_name == f.name
+        )
+        if fn == "count" and col is None:
+            arr = final.column("__cnt_all")
+        elif fn == "count":
+            arr = final.column(f"__cnt__{col}")
+        elif fn == "sum":
+            arr = final.column(f"__sum__{col}")
+        elif fn == "avg":
+            s = final.column(f"__sum__{col}")
+            c = final.column(f"__cnt__{col}")
+            arr = pc.if_else(
+                pc.equal(c, pa.scalar(0, c.type)),
+                pa.scalar(None, pa.float64()),
+                pc.divide(pc.cast(s, pa.float64()), pc.cast(c, pa.float64())),
+            )
+        else:
+            arr = final.column(f"__{fn}__{col}")
+        cols.append(pc.cast(arr, f.type) if arr.type != f.type else arr)
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in cols],
+        schema=out_schema,
+    )
+
+
 class _BucketedAggReader(DataSourceReader):
     def __init__(self, spec, schema: StructType):
         (self._dir, self._version, self._key, self._group_by,
@@ -882,7 +1079,6 @@ class _BucketedAggReader(DataSourceReader):
         if partition.bucket is None:
             return
         import pyarrow as pa
-        import pyarrow.compute as pc
         from pyspark.sql.pandas.types import to_arrow_schema
 
         side = partition.side
@@ -890,38 +1086,16 @@ class _BucketedAggReader(DataSourceReader):
         rdr = _SnapshotBatchReader(
             side.table_dir, {"files": [], "phys": side.phys}, side.schema
         )
-        # partial spec: one Arrow aggregate per DISTINCT (fn-ish, col)
-        # — shared across output names (p50/p90-style reuse), AVG
-        # decomposed into exact sum + valid-count
-        partial: dict[str, tuple] = {}  # partial col name -> (col, arrow_fn)
-        for _name, fn, col in partition.aggs:
-            if fn == "count" and col is None:
-                partial["__cnt_all"] = (None, "count_all")
-            elif fn == "count":
-                partial[f"__cnt__{col}"] = (col, "count")
-            elif fn in ("sum", "avg"):
-                partial[f"__sum__{col}"] = (col, "sum")
-                if fn == "avg":
-                    partial[f"__cnt__{col}"] = (col, "count")
-            else:
-                partial[f"__{fn}__{col}"] = (col, fn)
-
-        def partial_agg(tbl: pa.Table) -> pa.Table:
-            specs, names = [], []
-            for pname, (col, afn) in partial.items():
-                specs.append(([] if col is None else col, afn))
-                names.append(pname)
-            out = tbl.group_by(keys, use_threads=False).aggregate(specs)
-            # arrow puts the keys first, then results named
-            # "{col}_{fn}" / "count_all" in spec order — rename
-            # positionally to the stable partial names
-            return out.rename_columns(
-                list(out.column_names[: len(out.column_names) - len(names)])
-                + names
-            )
-
+        partial = _partial_spec(partition.aggs)
         partials = []
         for fp, tight in side.files:
+            # one partial per FILE, not per batch: entity-grained
+            # rollups (groups ~ rows) get no reduction from partials,
+            # so each extra group_by pass is pure overhead; per-file
+            # granularity keeps memory bounded by max(file rows,
+            # groups-per-bucket) while cutting the pass count to the
+            # file count
+            batches = []
             for b in rdr.read(fp):
                 if not tight:
                     b = b.filter(
@@ -930,73 +1104,27 @@ class _BucketedAggReader(DataSourceReader):
                             keep_nulls=partition.owns_nulls,
                         )
                     )
-                if b.num_rows == 0:
-                    continue
-                tbl = pa.Table.from_batches([b])
-                if side.predicates:
-                    from reactivestreams_kinesis_spark.sources.snapshot_source import (
-                        _arrow_expr,
-                    )
+                if b.num_rows:
+                    batches.append(b)
+            if not batches:
+                continue
+            tbl = pa.Table.from_batches(batches)
+            if side.predicates:
+                from reactivestreams_kinesis_spark.sources.snapshot_source import (
+                    _arrow_expr,
+                )
 
-                    triples = [
-                        (_ARROW_OPS[op], c, v) for (c, op, v) in side.predicates
-                    ]
-                    tbl = tbl.filter(_arrow_expr(triples))
-                if tbl.num_rows:
-                    partials.append(partial_agg(tbl))
+                triples = [
+                    (_ARROW_OPS[op], c, v) for (c, op, v) in side.predicates
+                ]
+                tbl = tbl.filter(_arrow_expr(triples))
+            if tbl.num_rows:
+                partials.append(_partial_agg(tbl, keys, partial))
         if not partials:
             return
-        merged = pa.concat_tables(partials)
-        # merge stage: sums and counts add, extremes fold — then rename
-        # positionally back to the partial names
-        mspecs, mnames = [], []
-        for pname, (col, afn) in partial.items():
-            if afn in ("count", "count_all", "sum"):
-                mspecs.append((pname, "sum"))
-            else:
-                mspecs.append((pname, afn))
-            mnames.append(pname)
-        final = merged.group_by(keys, use_threads=False).aggregate(mspecs)
-        final = final.rename_columns(
-            [c for c in final.column_names[: len(final.column_names) - len(mnames)]]
-            + mnames
-        )
-
-        out_schema = to_arrow_schema(self._schema)
-        cols = []
-        for f in out_schema:
-            if f.name in set(keys):
-                cols.append(final.column(f.name).cast(f.type))
-                continue
-            name = f.name
-            fn, col = next(
-                (a_fn, a_col) for a_name, a_fn, a_col in partition.aggs
-                if a_name == name
-            )
-            if fn == "count" and col is None:
-                arr = final.column("__cnt_all")
-            elif fn == "count":
-                arr = final.column(f"__cnt__{col}")
-            elif fn == "sum":
-                # SQL SUM over zero valid rows is NULL; Arrow's grouped
-                # sum already yields null at min_count default — keep it
-                arr = final.column(f"__sum__{col}")
-            elif fn == "avg":
-                s = final.column(f"__sum__{col}")
-                c = final.column(f"__cnt__{col}")
-                arr = pc.if_else(
-                    pc.equal(c, pa.scalar(0, c.type)),
-                    pa.scalar(None, pa.float64()),
-                    pc.divide(
-                        pc.cast(s, pa.float64()), pc.cast(c, pa.float64())
-                    ),
-                )
-            else:
-                arr = final.column(f"__{fn}__{col}")
-            cols.append(pc.cast(arr, f.type) if arr.type != f.type else arr)
-        yield from pa.Table.from_arrays(
-            [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in cols],
-            schema=out_schema,
+        final = _merge_partials(partials, keys, partial)
+        yield from _finalize_agg(
+            final, keys, partition.aggs, to_arrow_schema(self._schema)
         ).to_batches()
 
 
@@ -1049,4 +1177,68 @@ def colocated_groupby(
         )
     if version is not None:
         r = r.option("version", str(version))
+    return r.load()
+
+
+def colocated_join_agg(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    *,
+    left_key: str,
+    right_key: str | None = None,
+    group_by: list[str],
+    aggs: dict,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    left_where: list | None = None,
+    right_where: list | None = None,
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> DataFrame:
+    """The FUSED star rollup: inner co-located join + bucket-local
+    aggregation in ONE in-task pass — ``SELECT <keys>, <aggs> FROM l
+    JOIN r ON l.k = r.k GROUP BY <keys>`` with ZERO exchanges end to
+    end, for group keys that include the join key (per-entity rollups:
+    "revenue and order count per customer with customer attributes").
+    The generic plan shuffles both tables for the join and then
+    shuffles one partial row per group for the aggregate; at
+    entity-grained cardinality (groups ~ left rows) both exchanges move
+    table-scale volume, and this plan deletes both. ``aggs`` is
+    ``{out_name: (fn, col)}`` over the joined relation's columns, fn in
+    count|sum|min|max|avg. Composes with per-side projections,
+    predicates, and time travel; refuses non-inner joins and
+    ``left_split`` (a chunked group would finalize twice)."""
+    import json
+
+    register_colocated_source(spark)
+    r = (
+        spark.read.format("snapshot_colocated_join")
+        .option("leftPath", left_dir)
+        .option("rightPath", right_dir)
+        .option("leftKey", left_key)
+        .option("rightKey", right_key or left_key)
+        .option("joinType", "inner")
+        .option("aggGroupBy", ",".join(group_by))
+        .option(
+            "aggSpec",
+            json.dumps([[n, fn, col] for n, (fn, col) in aggs.items()]),
+        )
+    )
+    if left_columns:
+        r = r.option("leftColumns", ",".join(left_columns))
+    if right_columns:
+        r = r.option("rightColumns", ",".join(right_columns))
+    if left_where or right_where:
+        to_json = lambda ps: json.dumps(
+            [[c, op, list(v) if isinstance(v, tuple) else v] for c, op, v in ps]
+        )
+        if left_where:
+            r = r.option("leftWhere", to_json(left_where))
+        if right_where:
+            r = r.option("rightWhere", to_json(right_where))
+    if left_version is not None:
+        r = r.option("leftVersion", str(left_version))
+    if right_version is not None:
+        r = r.option("rightVersion", str(right_version))
     return r.load()

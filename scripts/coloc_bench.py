@@ -306,6 +306,42 @@ def main() -> int:
     }
     print(f"agg: {result['agg']}", file=sys.stderr)
 
+    # ENTITY-GRAINED agg tier: groups ~ rows (per-document/per-event
+    # stats — the shape this engine's LLM-corpus rollups take). The
+    # generic plan's partial aggregate achieves no reduction, so its
+    # exchange moves the ENTIRE table — a real cost even on one node;
+    # the bucket-local plan still finalizes in-scan with zero moved.
+    ebagg = colocated_groupby(
+        spark,
+        rt16,
+        group_by=["o_custkey", "o_orderkey"],
+        aggs={
+            "n": ("count", None),
+            "s": ("sum", "o_orderkey"),
+            "hi": ("max", "o_totalprice"),
+        },
+    )
+    egagg = (
+        read_snapshot(spark, rt16)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("s"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+    plan_eb = ebagg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_eb and "HashAggregate" not in plan_eb
+    n_eb, h_eb = checksum(ebagg)
+    n_eg, h_eg = checksum(egagg)
+    assert (n_eb, h_eb) == (n_eg, h_eg), "entity-agg-tier parity broke"
+    result["agg_entity"] = {
+        "groups": n_eb,
+        "bagg_sec": round(timed(ebagg), 3),
+        "generic_sec": round(timed(egagg), 3),
+    }
+    print(f"agg_entity: {result['agg_entity']}", file=sys.stderr)
+
     shutil.rmtree(base, ignore_errors=True)
     doc = json.dumps(result)
     print(doc)

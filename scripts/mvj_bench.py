@@ -15,9 +15,34 @@ a fixed key range), and measures:
 - ``recompute_sec``: the naive alternative — the full fact ⋈ dim
   aggregate at the same version, committed the same way
 
+Round-12 dim tiers: the fact commits CUSTKEY-CLUSTERED
+(repartitionByRange + sortWithinPartitions on the join key — the
+layout every join-key access path in this engine assumes; tight
+per-file min/max stats are what make bounded key probes prune to
+files). After the fact delta, each tier applies the SAME fixed-size
+DIMENSION changes and measures the incremental dim fold:
+
+- ``refresh_dim_small_sec``: a 6-key SCD drip (4 migrations + 2
+  deletes — the overwhelmingly common dim-change shape) — under the
+  bounded-probe cap, so the fact access is an IN-predicate
+  ``scan_snapshot`` that PRUNES TO O(keys) FILES on this layout and
+  the dim feed broadcasts; cost is flat across fact scale.
+- ``refresh_dim_wide_sec``: a 400-key migration + 100-key delete —
+  over the cap, so the changed keys stay distributed, the fact scans
+  once, and AQE converts the feed join to broadcast at runtime; cost
+  tracks one fact scan (same asymptote as the rebuild, without
+  rewriting the view).
+- ``recompute_dim_sec``: the alternative the refusal policy forces —
+  the full fact ⋈ new-dim aggregate (what on_dim_change='rebuild'
+  pays). Grows with the table.
+
+Claim shape: the small arm is FLAT while recompute grows (the ×256
+tier makes the gap concrete); the wide arm tracks the scan, bounded
+by recompute.
+
 The claim is SHAPE (flat vs growing); parity (view ≡ direct join
-aggregate) asserts at every tier. One JSON document; ``--out PATH``
-writes atomically.
+aggregate) asserts at every tier and after every dim fold. One JSON
+document; ``--out PATH`` writes atomically.
 """
 
 from __future__ import annotations
@@ -43,6 +68,7 @@ from reactivestreams_kinesis_spark.operators.snapshots import (
     delete_where,
     read_snapshot,
     snapshot_commit,
+    update_where,
 )
 from reactivestreams_kinesis_spark.session import get_spark
 
@@ -69,10 +95,11 @@ def main() -> int:
     result = {"sf_dir": SF_DIR, "tiers": {}}
     aggs = {"n": ("count", None), "rev": ("sum", "price")}
 
-    dim = os.path.join(base, "dim")
-    snapshot_commit(dim_df, dim)
-
-    for scale in (1, 4, 16, 64):
+    for scale in (1, 4, 16, 64, 256):
+        # per-tier dim copy: tiers stay independent (each tier's dim
+        # DML never leaks into the next tier's pin)
+        dim = os.path.join(base, f"x{scale}_dim")
+        snapshot_commit(dim_df, dim)
         rep = spark.range(scale).withColumnRenamed("id", "__rep")
         src = (
             orders0.crossJoin(rep)
@@ -84,7 +111,11 @@ def main() -> int:
         )
         t = os.path.join(base, f"x{scale}_fact")
         v = os.path.join(base, f"x{scale}_view")
-        snapshot_commit(src.repartition(max(8, 4 * scale)), t)
+        snapshot_commit(
+            src.repartitionByRange(max(8, 4 * scale), "o_custkey")
+            .sortWithinPartitions("o_custkey"),
+            t,
+        )
         create_materialized_view_over_join(
             spark,
             v,
@@ -99,13 +130,17 @@ def main() -> int:
         # the FIXED fact delta: same row count at every tier
         delta = orders0.limit(500).withColumn(
             "o_orderkey",
-            (F.col("o_orderkey") + F.lit(100_000_000_000)).cast("bigint"),
+            # the delta key namespace must clear the replicated base
+            # (rep*1e9 reaches 255e9 at x256) or the MoR delete below
+            # silently targets base files and the "fixed-size" delta
+            # becomes table-sized
+            (F.col("o_orderkey") + F.lit(1_000_000_000_000)).cast("bigint"),
         )
         snapshot_commit(delta, t)
         delete_where(
             spark,
             t,
-            [("o_orderkey", ">=", 100_000_000_000), ("price", ">", 200000.0)],
+            [("o_orderkey", ">=", 1_000_000_000_000), ("price", ">", 200000.0)],
             strategy="merge_on_read",
         )
 
@@ -131,10 +166,46 @@ def main() -> int:
         want = {tuple(r) for r in recompute().collect()}
         assert got == want, f"x{scale}: join view diverged from recompute"
 
+        # dim tier A: the SCD drip (6 keys ≤ cap — IN-scan prunes the
+        # clustered fact to O(keys) files, the feed broadcasts)
+        update_where(
+            spark, dim, [("c_custkey", "<=", 4)], {"c_nationkey": F.lit(88)}
+        )
+        delete_where(spark, dim, [("c_custkey", ">", 14998)])
+        start = time.perf_counter()
+        refresh_materialized_view(spark, v, on_dim_change="incremental")
+        refresh_dim_small_sec = time.perf_counter() - start
+
+        # dim tier B: wide change (500 keys > cap — the distributed path)
+        update_where(
+            spark, dim,
+            [("c_custkey", ">", 250), ("c_custkey", "<=", 650)],
+            {"c_nationkey": F.lit(77)},
+        )
+        delete_where(
+            spark, dim,
+            [("c_custkey", ">", 14800), ("c_custkey", "<=", 14900)],
+        )
+        start = time.perf_counter()
+        refresh_materialized_view(spark, v, on_dim_change="incremental")
+        refresh_dim_wide_sec = time.perf_counter() - start
+
+        rt2 = os.path.join(base, f"x{scale}_recomp_dim")
+        start = time.perf_counter()
+        snapshot_commit(recompute(), rt2, mode="overwrite")
+        recompute_dim_sec = time.perf_counter() - start
+
+        got = {tuple(r) for r in read_materialized_view(spark, v).collect()}
+        want = {tuple(r) for r in recompute().collect()}
+        assert got == want, f"x{scale}: dim fold diverged from recompute"
+
         result["tiers"][f"x{scale}"] = {
             "fact_rows": n_rows,
             "refresh_sec": round(refresh_sec, 3),
             "recompute_sec": round(recompute_sec, 3),
+            "refresh_dim_small_sec": round(refresh_dim_small_sec, 3),
+            "refresh_dim_wide_sec": round(refresh_dim_wide_sec, 3),
+            "recompute_dim_sec": round(recompute_dim_sec, 3),
         }
         print(f"x{scale}: {result['tiers'][f'x{scale}']}", file=sys.stderr)
 

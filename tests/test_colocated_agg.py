@@ -215,3 +215,112 @@ def test_colocated_groupby_empty_after_where_sentinel(spark, tmp_path):
         where=[("y", ">", 10_000_000)],
     )
     assert got.count() == 0
+
+
+# ---- fused join + aggregation (colocated_join_agg) ------------------------
+
+
+def _mk_star(spark, tmp_path, n_buckets=8):
+    from reactivestreams_kinesis_spark.sources.colocated import (
+        colocated_join_agg,
+    )
+
+    lt, rt = _t(tmp_path), _t(tmp_path)
+    cust = spark.createDataFrame(
+        [(i, i % 5, f"seg{i % 3}") for i in range(100)],
+        "ck bigint, nat int, seg string",
+    )
+    orders = spark.createDataFrame(
+        [(i, i % 80, float(i)) for i in range(1, 1201)],
+        "ok bigint, oc bigint, amt double",
+    )
+    snapshot_commit(cust, lt, partition_by=[("ck", "bucket", n_buckets)])
+    snapshot_commit(orders, rt, partition_by=[("oc", "bucket", n_buckets)])
+    # unclustered append -> straddlers; MoR delete -> pending DVs
+    snapshot_commit(
+        orders.limit(60).withColumn("ok", F.col("ok") + 100000), rt
+    )
+    delete_where(spark, rt, [("amt", ">", 1100.0)], strategy="merge_on_read")
+    return lt, rt, colocated_join_agg
+
+
+def test_colocated_join_agg_parity_and_plan(spark, tmp_path):
+    """The fused star rollup (inner co-located join + in-task
+    aggregation, group keys including the join key) matches the generic
+    join→groupBy bit-exactly over straddler + merge-on-read layouts,
+    with a plan that is a single BatchScan: no join Exchange, no
+    partial/final HashAggregate, no sort."""
+    lt, rt, colocated_join_agg = _mk_star(spark, tmp_path)
+    got = colocated_join_agg(
+        spark, lt, rt, left_key="ck", right_key="oc",
+        group_by=["ck", "seg"],
+        aggs={
+            "n": ("count", None), "rev": ("sum", "amt"),
+            "hi": ("max", "amt"), "aok": ("avg", "ok"),
+        },
+    )
+    l, r = read_snapshot(spark, lt), read_snapshot(spark, rt)
+    exp = (
+        l.join(r, l.ck == r.oc).groupBy("ck", "seg").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("amt").alias("rev"),
+            F.max("amt").alias("hi"), F.avg("ok").alias("aok"),
+        )
+    )
+    assert _rows(got) == _rows(exp)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "snapshot_colocated_join" in plan
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_colocated_join_agg_side_predicates(spark, tmp_path):
+    """Per-side WHERE triples prune files and re-apply row-exactly
+    BEFORE the join+rollup — parity against filter-then-join-then-agg."""
+    lt, rt, colocated_join_agg = _mk_star(spark, tmp_path)
+    got = colocated_join_agg(
+        spark, lt, rt, left_key="ck", right_key="oc",
+        group_by=["ck"],
+        aggs={"n": ("count", None), "rev": ("sum", "amt")},
+        left_where=[("seg", "=", "seg1")],
+        right_where=[("amt", "<", 900.0)],
+    )
+    l = read_snapshot(spark, lt).filter("seg = 'seg1'")
+    r = read_snapshot(spark, rt).filter("amt < 900.0")
+    exp = l.join(r, l.ck == r.oc).groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("rev")
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_colocated_join_agg_guards(spark, tmp_path):
+    """Refusals: group keys must include the left join key (bucket
+    pinning), inner joins only, no leftSplit composition, unknown
+    columns loudly."""
+    lt, rt, colocated_join_agg = _mk_star(spark, tmp_path)
+    from reactivestreams_kinesis_spark.sources.colocated import (
+        register_colocated_source,
+    )
+    import json
+
+    with pytest.raises(Exception, match="join key"):
+        colocated_join_agg(
+            spark, lt, rt, left_key="ck", right_key="oc",
+            group_by=["seg"], aggs={"n": ("count", None)},
+        ).collect()
+    with pytest.raises(Exception, match="not in the joined relation"):
+        colocated_join_agg(
+            spark, lt, rt, left_key="ck", right_key="oc",
+            group_by=["ck"], aggs={"s": ("sum", "nope")},
+        ).collect()
+    register_colocated_source(spark)
+    base = (
+        spark.read.format("snapshot_colocated_join")
+        .option("leftPath", lt).option("rightPath", rt)
+        .option("leftKey", "ck").option("rightKey", "oc")
+        .option("aggGroupBy", "ck")
+        .option("aggSpec", json.dumps([["n", "count", None]]))
+    )
+    with pytest.raises(Exception, match="inner"):
+        base.option("joinType", "left_outer").load().collect()
+    with pytest.raises(Exception, match="leftSplit"):
+        base.option("joinType", "inner").option("leftSplit", "1").load().collect()
