@@ -96,6 +96,12 @@ _BOUNDED_BROADCAST_ROOTS = {
     # <= max_keys in THIS call, rows dimension-sized by the documented
     # caller contract; the range-fallback regime never pins
     "bounded_dim",
+    # _dim_delta_partials bounded-key regime only: the ≤ _DIRTY_PRUNE_CAP
+    # probe proved the dim feed's distinct-key set bounded before the pin
+    # (rows per key bounded by the SCD-1 churn-per-fold caller contract,
+    # same class as hot_build); the over-cap regime stays unpinned for
+    # AQE to decide
+    "dfeed",
 }
 
 
