@@ -60,18 +60,26 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # DuckDB's naive TIMESTAMP).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # The 200-partition default makes every shuffle a 200-task stage even
-    # on small fixtures; size to local parallelism. Guarded twice: only in
-    # local mode (cluster deployments keep their sizing) and only when the
-    # value still reads 200 — an explicit 200 is indistinguishable from the
-    # default, which is the accepted cost of making the harness's plain
-    # sessions usable (documented tradeoff; get_spark sessions set their
-    # own value so this never fires for them).
+    # on small fixtures; size to the SESSION's parallelism. Guarded twice:
+    # only in local mode (cluster deployments keep their sizing) and only
+    # when the value still reads 200 — an explicit 200 is
+    # indistinguishable from the default, which is the accepted cost of
+    # making the harness's plain sessions usable (documented tradeoff;
+    # get_spark sessions set their own value so this never fires for
+    # them). defaultParallelism, not os.cpu_count(): a plain local[8]
+    # session on a 32-cpu box was getting 32 — AQE re-coalesces batch
+    # stages so that was mostly noise, but STREAMING state is exempt from
+    # AQE and the state-store partition count locks to this value at the
+    # first micro-batch, so every stateful drain paid 4x the state files
+    # and 4x the per-batch task schedule (measured ~4x wall on the
+    # drained stream twins).
     if (
         spark.sparkContext.master.startswith("local")
         and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
     ):
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(max(os.cpu_count() or 4, 8))
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
         )
 
 

@@ -1034,14 +1034,28 @@ def _merge_refresh(
         # ONE probe pass decides every branch below — null-key refusal,
         # dead-delete, live-upsert, dirty-patch — where separate
         # limit/count probes would each rescan the (aggregate-sized,
-        # but at 100 TB still billion-group) changed state
+        # but at 100 TB still billion-group) changed state. The same
+        # pass also computes the live keys' per-column min/max, which is
+        # exactly merge_upsert's stats job (the dirty patch never
+        # touches key values), so the upsert skips that extra pass over
+        # the changed state via precomputed_stats.
+        live_cond = F.col("__mv_n") != 0
+        key_bound_exprs = []
+        for i, k in enumerate(keys):
+            key_bound_exprs.append(
+                F.min(F.when(live_cond, F.col(k))).alias(f"lo{i}")
+            )
+            key_bound_exprs.append(
+                F.max(F.when(live_cond, F.col(k))).alias(f"hi{i}")
+            )
         pr = changed.agg(
             F.max(null_cond).alias("has_null"),
             F.count(F.when(F.col("__mv_n") == 0, 1)).alias("n_dead"),
-            F.count(F.when(F.col("__mv_n") != 0, 1)).alias("n_live"),
+            F.count(F.when(live_cond, 1)).alias("n_live"),
             F.count(
-                F.when((F.col("__mv_n") != 0) & (F.col("__mv_dirty") == 1), 1)
+                F.when(live_cond & (F.col("__mv_dirty") == 1), 1)
             ).alias("n_dirty_live"),
+            *key_bound_exprs,
         ).collect()[0]
         if pr["has_null"]:
             # equality delete / merge match by equality, which NULL never
@@ -1081,7 +1095,17 @@ def _merge_refresh(
                 stage = f"mv-stage-{txn[len(_TXN_PREFIX):]}"
                 delete_by_key(spark, view_dir, dead, keys, txn_id=stage)
             if pr["n_live"]:
-                return merge_upsert(spark, view_dir, live, keys, txn_id=txn)
+                # a grouped state has one row per key tuple by
+                # construction, so rows == n == n_live; the bounds came
+                # from the probe pass over the same live rows
+                stats = {"rows": pr["n_live"], "n": pr["n_live"]}
+                for i in range(len(keys)):
+                    stats[f"lo{i}"] = pr[f"lo{i}"]
+                    stats[f"hi{i}"] = pr[f"hi{i}"]
+                return merge_upsert(
+                    spark, view_dir, live, keys, txn_id=txn,
+                    precomputed_stats=stats,
+                )
             # nothing to upsert (pure-death refresh): publish the
             # watermark over the post-delete state so the consumption
             # point advances

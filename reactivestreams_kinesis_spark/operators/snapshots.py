@@ -337,21 +337,24 @@ def _day_of(value) -> str | None:
     return None
 
 
-def _compute_pvals(spark, table_dir: str, rel_paths, spec) -> dict:
+def _compute_pvals(spark, table_dir: str, rel_paths, spec, schema=None) -> dict:
     """Per-file distinct partition tuples for a commit's NEW files — one
     column-pruned distinct-aggregate over exactly those files (the same
     commit-proportional budget as the footer-stats pass). The staged
     files hold PHYSICAL names, which is what spec entries store, so the
     transforms apply directly. Keys are transform names; values
-    JSON-safe scalars."""
+    JSON-safe scalars. ``schema`` (the staged files' physical struct,
+    known to every committer) skips parquet schema inference — otherwise
+    a footer-reading Spark job per partitioned commit."""
     if not spec or not rel_paths:
         return {}
     paths = [os.path.join(table_dir, f) for f in rel_paths]
     exprs = [
         _transform_expr(e, e["col"]).alias(_transform_name(e)) for e in spec
     ]
+    reader = spark.read if schema is None else spark.read.schema(schema)
     rows = (
-        spark.read.parquet(*paths)
+        reader.parquet(*paths)
         .select(_rel_path_expr().alias("__f"), *exprs)
         .distinct()
         .collect()
@@ -1193,7 +1196,8 @@ def snapshot_commit(
     new_stats = _commit_stats(table_dir, new_files)
     if active_spec:
         pvals = _compute_pvals(
-            df.sparkSession, table_dir, new_files, active_spec
+            df.sparkSession, table_dir, new_files, active_spec,
+            schema=_physical_struct(df.schema.jsonValue(), phys),
         )
         for f, tuples in pvals.items():
             new_stats.setdefault(f, {})["__pvals"] = tuples
@@ -1767,7 +1771,7 @@ def snapshot_change_feed(
                     keep_file_col="__cf_file",
                     keep_pos_col="__cf_pos",
                 )
-                pos = spark.read.parquet(
+                pos = spark.read.schema(_dv_schema()).parquet(
                     *[os.path.join(table_dir, f) for f in delta_dv]
                 ).select(
                     F.col("file").alias("__cf_file"), F.col("pos").alias("__cf_pos")
@@ -1797,7 +1801,7 @@ def snapshot_change_feed(
                 # parent's LOGICAL names — translate the key side
                 join_cols = [parent_inv.get(k, k) for k in entry["key_cols"]]
                 keys = (
-                    spark.read.parquet(
+                    spark.read.schema(_eq_keys_schema(table_dir, entry)).parquet(
                         *[os.path.join(table_dir, f) for f in entry["delete_files"]]
                     )
                     .select(
@@ -2074,6 +2078,7 @@ def merge_upsert(
     delete_col: str | None = None,
     txn_id: str | None = None,
     strategy: str = "copy_on_write",
+    precomputed_stats: dict | None = None,
 ) -> int:
     """MERGE (upsert + optional delete) as a COPY-ON-WRITE commit — the
     Delta/Iceberg MERGE INTO reduced to the manifest primitives. Matched
@@ -2115,7 +2120,16 @@ def merge_upsert(
     touched-file targeting, duplicate guard, and survivor anti-join all
     range over the key tuple; the stats pre-prune intersects each
     column's [min, max] envelope (conservative, still sound), while the
-    bloom probe stays single-column (per-file blooms hash one column)."""
+    bloom probe stays single-column (per-file blooms hash one column).
+
+    ``precomputed_stats`` lets a caller that ALREADY aggregated
+    ``updates`` (the MV merge refresh fuses these into its probe pass)
+    skip the one stats job this function otherwise runs: a mapping with
+    ``rows`` (row count), ``n`` (distinct key tuples) and per key column
+    ``lo{i}``/``hi{i}`` (min/max, None when all-NULL). The values MUST
+    be exact for ``updates`` — a wrong ``n`` voids the duplicate-key
+    guard and wrong bounds mistarget the stats pre-prune — the same
+    caller-proves-it contract as ``txn_id``."""
     if strategy not in ("copy_on_write", "merge_on_read"):
         raise ValueError(f"unknown merge strategy: {strategy!r}")
     kcols = [key] if isinstance(key, str) else list(key)
@@ -2134,15 +2148,19 @@ def merge_upsert(
     from pyspark.sql import functions as F
 
     # one bounded stats job serves both strategies: the duplicate-key
-    # guard (both), and the per-column [min, max] prune bounds (COW)
-    stat_exprs = [
-        F.count(F.lit(1)).alias("rows"),
-        F.countDistinct(*kcols).alias("n"),
-    ]
-    for i, k in enumerate(kcols):
-        stat_exprs.append(F.min(k).alias(f"lo{i}"))
-        stat_exprs.append(F.max(k).alias(f"hi{i}"))
-    bounds = updates.agg(*stat_exprs).collect()[0]
+    # guard (both), and the per-column [min, max] prune bounds (COW) —
+    # skipped entirely when the caller supplied the same numbers
+    if precomputed_stats is not None:
+        bounds = precomputed_stats
+    else:
+        stat_exprs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct(*kcols).alias("n"),
+        ]
+        for i, k in enumerate(kcols):
+            stat_exprs.append(F.min(k).alias(f"lo{i}"))
+            stat_exprs.append(F.max(k).alias(f"hi{i}"))
+        bounds = updates.agg(*stat_exprs).collect()[0]
     if bounds["rows"] > bounds["n"]:
         # Delta/Iceberg MERGE raise on multiple matches per key; silently
         # inserting both rows would corrupt key uniqueness
@@ -2282,6 +2300,33 @@ def _rel_path_expr():
     return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
 
 
+# Position-delete (DV) files are written by this module with exactly this
+# shape (delete_where merge_on_read / compaction carry): declaring it at
+# every DV read skips parquet schema inference — which otherwise fires a
+# footer-reading Spark job PER PLAN CONSTRUCTION on every read of a table
+# with pending DVs (each read_snapshot/feed/DML targeting scan paid one).
+def _dv_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [StructField("file", StringType()), StructField("pos", LongType())]
+    )
+
+
+def _eq_keys_schema(table_dir: str, entry: dict):
+    """Declared schema for an equality-delete entry's key files: the
+    FILE's own footer via pyarrow (metadata-only driver read, no Spark
+    job) — exact under type widening, where the manifest's current
+    declared type may be wider than what older key files hold. All files
+    of one entry come from one write, so one footer suffices."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(
+        pq.read_schema(os.path.join(table_dir, entry["delete_files"][0]))
+    )
+
+
 def _read_data_files(
     spark: SparkSession,
     table_dir: str,
@@ -2351,7 +2396,7 @@ def _read_data_files(
         out_cols.append(keep_pos_col)
         df = df.withColumn(keep_pos_col, F.col("__snap_pos"))
     if dv_files:
-        dv = spark.read.parquet(
+        dv = spark.read.schema(_dv_schema()).parquet(
             *[os.path.join(table_dir, f) for f in dv_files]
         ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
         df = df.join(
@@ -2361,7 +2406,7 @@ def _read_data_files(
             "left_anti",
         )
     for entry in eq_entries:
-        keys = spark.read.parquet(
+        keys = spark.read.schema(_eq_keys_schema(table_dir, entry)).parquet(
             *[os.path.join(table_dir, f) for f in entry["delete_files"]]
         )
         keys = keys.select(
@@ -2501,7 +2546,12 @@ def _commit_rewrite(
     if tip is not None:
         from pyspark.sql import functions as F
 
-        staged = df.sparkSession.read.parquet(commit_dir)
+        # declared read of the just-written files: their schema is known
+        # exactly (df under physical names), so inference would be a
+        # wasted footer job per rewrite commit
+        staged = df.sparkSession.read.schema(
+            _physical_struct(df.schema.jsonValue(), phys)
+        ).parquet(commit_dir)
         inv = {p: l for l, p in phys.items()}
         staged = staged.select(
             *[F.col(c).alias(inv.get(c, c)) for c in staged.columns]
@@ -2525,7 +2575,8 @@ def _commit_rewrite(
     new_stats = _commit_stats(table_dir, new_files)
     if spec:
         for f, tuples in _compute_pvals(
-            df.sparkSession, table_dir, new_files, spec
+            df.sparkSession, table_dir, new_files, spec,
+            schema=_physical_struct(df.schema.jsonValue(), phys),
         ).items():
             new_stats.setdefault(f, {})["__pvals"] = tuples
     return publish_manifest(
@@ -2624,7 +2675,7 @@ def delete_where(
         # (≤ |files|) — keeps the metadata-only COUNT(*) exact under DVs
         counts = {
             r["file"]: r["n"]
-            for r in spark.read.parquet(dv_dir)
+            for r in spark.read.schema(_dv_schema()).parquet(dv_dir)
             .groupBy("file")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()

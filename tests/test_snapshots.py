@@ -1592,3 +1592,96 @@ def test_snapshot_merge_upsert_composite_key(spark, tmp_path):
     merge_upsert(spark, t, mk([(1, 1, 1), (1, 2, 2)]), ["a", "b"])
     got = {(r["a"], r["b"]): r["x"] for r in read_snapshot(spark, t).collect()}
     assert got[(1, 1)] == 1 and got[(1, 2)] == 2
+
+
+def test_plan_construction_fires_no_jobs_with_pending_deletes(spark, tmp_path):
+    """Building a read plan over a table with pending position AND
+    equality deletes must not run any Spark job: the DV and key-file
+    schemas are declared (fixed shape / pyarrow footer), never inferred.
+    Regression pin for the round-12 optimization — inference fired one
+    footer-reading job per delete artifact per plan construction, on
+    every read path of every table with pending deletes."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+    )
+
+    t = str(tmp_path / "nojobs")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    snapshot_commit(df, t)
+    delete_where(spark, t, [("k", "<", 5)], strategy="merge_on_read")
+    delete_by_key(spark, t, spark.createDataFrame([(7,)], "k bigint"), "k")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    plan = read_snapshot(spark, t)  # plan only — no action
+    plan.schema  # force analysis too
+    assert len(tracker.getJobIdsForGroup(None)) == before
+    # and the plan still answers correctly once executed
+    got = sorted(r["k"] for r in plan.collect())
+    assert got == [k for k in range(5, 100) if k != 7]
+
+
+def test_merge_upsert_precomputed_stats_parity(spark, tmp_path):
+    """merge_upsert with caller-supplied stats commits the identical
+    state as the self-computed stats path (same prune decisions on a
+    range-clustered table), and the duplicate-key guard still fires on
+    a precomputed rows > n."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import merge_upsert
+
+    base = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    upd = spark.createDataFrame([(3, -1.0), (150, -2.0)], "k bigint, v double")
+    stats = {"rows": 2, "n": 2, "lo0": 3, "hi0": 150}
+
+    results = {}
+    for label, kw in (
+        ("computed", {}),
+        ("precomputed", {"precomputed_stats": stats}),
+    ):
+        t = str(tmp_path / f"ps_{label}")
+        snapshot_commit(base.repartitionByRange(4, "k"), t)
+        merge_upsert(spark, t, upd, "k", **kw)
+        results[label] = {
+            "rows": sorted(
+                (r["k"], r["v"]) for r in read_snapshot(spark, t).collect()
+            ),
+            "untouched": len(
+                set(_read_manifest(t, 0)["files"])
+                & set(_read_manifest(t, 1)["files"])
+            ),
+        }
+    assert results["computed"] == results["precomputed"]
+
+    t = str(tmp_path / "ps_dup")
+    snapshot_commit(base, t)
+    with _pytest.raises(ValueError, match="duplicated"):
+        merge_upsert(
+            spark, t, upd, "k",
+            precomputed_stats={"rows": 3, "n": 2, "lo0": 3, "hi0": 150},
+        )
+
+
+def test_plain_session_shuffle_sizing_uses_session_parallelism(spark):
+    """A plain session still at the 200 default gets its shuffle
+    partitions sized to the SESSION's parallelism (defaultParallelism,
+    i.e. the local[N] core count) — not the box's cpu count. Streaming
+    state-store partitioning locks to this value at the first
+    micro-batch and is exempt from AQE coalescing, so a local[8] driver
+    session on a 32-cpu box was paying 4x the state files per drain."""
+    from reactivestreams_kinesis_spark.catalog import _ensure_session_confs
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")
+        _ensure_session_confs(spark)
+        expect = max(spark.sparkContext.defaultParallelism, 8)
+        assert spark.conf.get(key) == str(expect)
+        # an explicit non-200 value is never overridden
+        spark.conf.set(key, "12")
+        _ensure_session_confs(spark)
+        assert spark.conf.get(key) == "12"
+    finally:
+        spark.conf.set(key, old)
