@@ -980,6 +980,55 @@ def _check_constraints(df: DataFrame, constraints: dict | None) -> None:
         raise ValueError(f"CHECK constraint violation (rows per constraint): {bad}")
 
 
+def _constraint_observation(df: DataFrame, constraints: dict | None):
+    """Attach the CHECK-violation counters to ``df`` as an Observation so
+    the commit's WRITE job computes them in-stream — the staged files are
+    then never re-read for validation (at scale that re-read is a second
+    full pass over every rewritten byte). Returns ``(df, observation)``;
+    the observation is ``None`` when the table has no constraints or when
+    a constraint does not resolve against ``df``'s columns (an append
+    narrower than the evolved table schema: the missing column must
+    evaluate as NULL, which only the table-schema staged read provides —
+    exactly that case keeps the read-back path). Counters use the same
+    expression shape as ``_check_constraints`` (violate only on FALSE;
+    NULL passes), so the two paths cannot diverge."""
+    if not constraints:
+        return df, None
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    try:
+        # resolution probe (driver-side analysis only, no job): raises
+        # when a referenced column is absent from this commit's frame
+        df.select(*[F.expr(e) for e in constraints.values()])
+    except Exception:
+        return df, None
+    obs = Observation(f"chk-{uuid.uuid4().hex[:8]}")
+    return (
+        df.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+                ).alias(n)
+                for n, e in constraints.items()
+            ],
+        ),
+        obs,
+    )
+
+
+def _raise_observed_violations(obs, constraints: dict) -> None:
+    """The post-write half of ``_constraint_observation``: read the
+    observed counters (already computed by the write job) and fail the
+    commit exactly like ``_check_constraints`` — before the manifest
+    publishes, staged files become vacuum debris."""
+    row = obs.get
+    bad = {n: int(row[n]) for n in constraints if (row.get(n) or 0) > 0}
+    if bad:
+        raise ValueError(f"CHECK constraint violation (rows per constraint): {bad}")
+
+
 def add_constraint(
     spark: SparkSession, table_dir: str, name: str, expr: str
 ) -> int:
@@ -1161,6 +1210,16 @@ def snapshot_commit(
                 for e in active_spec
             ],
         )
+    # validation happens IN the write job when possible: the violation
+    # counters ride the write as an Observation over the same rows, so
+    # the staged files are never re-read (one full pass saved per
+    # constrained commit). The pre-write constraint set must match the
+    # post-write tip's for the observed counters to be authoritative —
+    # any drift (a concurrent commit changed constraints mid-write)
+    # falls back to the exact staged-read validation below.
+    write_df, chk_obs = _constraint_observation(
+        write_df, (pre_manifest or {}).get("constraints")
+    )
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     _to_physical_df(write_df, phys).write.parquet(commit_dir)
     new_files = sorted(
@@ -1170,29 +1229,35 @@ def snapshot_commit(
     )
     tip = latest_version(table_dir)
     if tip is not None:
-        # validate exactly the NEW rows (read back from the staged files —
-        # cheaper than recomputing df's plan) against table constraints,
-        # under the TABLE's widened schema: an append narrower than the
+        # validate exactly the NEW rows against table constraints, under
+        # the TABLE's widened schema: an append narrower than the
         # evolved table must evaluate a constraint on the missing column
         # as NULL (SQL CHECK passes), not fail resolution. Constraints
         # are LOGICAL expressions: the staged files hold physical names,
         # so declare physical and alias back before checking.
         tip_manifest = _read_manifest(table_dir, tip)
-        staged = df.sparkSession.read
-        table_schema = _merge_schema(
-            tip_manifest.get("schema"), df.schema.jsonValue()
-        )
-        table_phys = {**_phys_map(tip_manifest), **phys}
-        if table_schema is not None:
-            staged = staged.schema(_physical_struct(table_schema, table_phys))
-        staged_df = staged.parquet(commit_dir)
-        inv = {p: l for l, p in table_phys.items()}
-        from pyspark.sql import functions as F
+        tip_constraints = tip_manifest.get("constraints")
+        if chk_obs is not None and tip == pre_tip:
+            # the write job already counted violations over these rows
+            _raise_observed_violations(chk_obs, tip_constraints or {})
+        elif tip_constraints:
+            staged = df.sparkSession.read
+            table_schema = _merge_schema(
+                tip_manifest.get("schema"), df.schema.jsonValue()
+            )
+            table_phys = {**_phys_map(tip_manifest), **phys}
+            if table_schema is not None:
+                staged = staged.schema(
+                    _physical_struct(table_schema, table_phys)
+                )
+            staged_df = staged.parquet(commit_dir)
+            inv = {p: l for l, p in table_phys.items()}
+            from pyspark.sql import functions as F
 
-        staged_df = staged_df.select(
-            *[F.col(c).alias(inv.get(c, c)) for c in staged_df.columns]
-        )
-        _check_constraints(staged_df, tip_manifest.get("constraints"))
+            staged_df = staged_df.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in staged_df.columns]
+            )
+            _check_constraints(staged_df, tip_constraints)
     new_stats = _commit_stats(table_dir, new_files)
     if active_spec:
         pvals = _compute_pvals(
@@ -2535,6 +2600,16 @@ def _commit_rewrite(
             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             *[_transform_expr(e, inv.get(e["col"], e["col"])) for e in spec],
         )
+    # violation counters ride the write job (no staged re-read — at
+    # scale that second pass re-reads every rewritten byte); a tip that
+    # moved mid-write falls back to the exact staged-read validation
+    pre_tip = latest_version(table_dir)
+    pre_constraints = (
+        _read_manifest(table_dir, pre_tip).get("constraints")
+        if pre_tip is not None
+        else None
+    )
+    write_df, chk_obs = _constraint_observation(write_df, pre_constraints)
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     _to_physical_df(write_df, phys).write.parquet(commit_dir)
     new_files = sorted(
@@ -2544,21 +2619,23 @@ def _commit_rewrite(
     )
     tip = latest_version(table_dir)
     if tip is not None:
-        from pyspark.sql import functions as F
+        tip_constraints = _read_manifest(table_dir, tip).get("constraints")
+        if chk_obs is not None and tip == pre_tip:
+            _raise_observed_violations(chk_obs, tip_constraints or {})
+        elif tip_constraints:
+            from pyspark.sql import functions as F
 
-        # declared read of the just-written files: their schema is known
-        # exactly (df under physical names), so inference would be a
-        # wasted footer job per rewrite commit
-        staged = df.sparkSession.read.schema(
-            _physical_struct(df.schema.jsonValue(), phys)
-        ).parquet(commit_dir)
-        inv = {p: l for l, p in phys.items()}
-        staged = staged.select(
-            *[F.col(c).alias(inv.get(c, c)) for c in staged.columns]
-        )
-        _check_constraints(
-            staged, _read_manifest(table_dir, tip).get("constraints")
-        )
+            # declared read of the just-written files: their schema is
+            # known exactly (df under physical names), so inference would
+            # be a wasted footer job per rewrite commit
+            staged = df.sparkSession.read.schema(
+                _physical_struct(df.schema.jsonValue(), phys)
+            ).parquet(commit_dir)
+            inv = {p: l for l, p in phys.items()}
+            staged = staged.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in staged.columns]
+            )
+            _check_constraints(staged, tip_constraints)
     carried_dvc = {
         f: n
         for f, n in ((parent_manifest or {}).get("dv_counts") or {}).items()

@@ -1685,3 +1685,58 @@ def test_plain_session_shuffle_sizing_uses_session_parallelism(spark):
         assert spark.conf.get(key) == "12"
     finally:
         spark.conf.set(key, old)
+
+
+def test_constraint_validation_rides_the_write_job(spark, tmp_path):
+    """CHECK validation on commit must not re-read the staged files: the
+    violation counters ride the write job as an Observation, so a
+    constrained commit fires exactly as many Spark jobs as the identical
+    unconstrained commit — on the append path AND the rewrite
+    (merge_upsert copy-on-write) path. A violating frame still fails the
+    commit through the observed counters, leaving the table untouched.
+    Regression pin for the round-12 optimization: the staged-read
+    validation was a second full pass over every committed byte, paid by
+    every commit to a constrained table (every MV refresh pays it via
+    mv_live_groups)."""
+    import pytest as _pytest
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_constraint,
+        merge_upsert,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(fn):
+        before = len(tracker.getJobIdsForGroup(None))
+        fn()
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    def build(name, constrained):
+        t = str(tmp_path / name)
+        snapshot_commit(
+            spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"), t
+        )
+        if constrained:
+            add_constraint(spark, t, "v_nonneg", "v >= 0")
+        return t
+
+    plain, checked = build("plain", False), build("checked", True)
+    appender = spark.range(100, 200).selectExpr("id AS k", "id * 2 AS v")
+    append_plain = jobs_for(lambda: snapshot_commit(appender, plain))
+    append_checked = jobs_for(lambda: snapshot_commit(appender, checked))
+    assert append_checked == append_plain
+
+    upd = spark.createDataFrame([(3, 7), (50, 9)], "k bigint, v bigint")
+    mu_plain = jobs_for(lambda: merge_upsert(spark, plain, upd, "k"))
+    mu_checked = jobs_for(lambda: merge_upsert(spark, checked, upd, "k"))
+    assert mu_checked == mu_plain
+
+    # the observed counters still refuse a violating commit pre-publish
+    tip = latest_version(checked)
+    bad = spark.createDataFrame([(500, -1)], "k bigint, v bigint")
+    with _pytest.raises(ValueError, match="CHECK constraint violation"):
+        snapshot_commit(bad, checked)
+    assert latest_version(checked) == tip
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, checked).collect()}
+    assert got[3] == 7 and got[50] == 9 and 500 not in got
