@@ -543,3 +543,69 @@ def test_feed_crosses_rename_then_physical_reset(spark, tmp_path):
         .collect()
     }
     assert src == expect
+
+
+def test_feed_batches_consecutive_appends_into_one_scan(spark, tmp_path):
+    """Round-12 optimization pin: a range of K compatible append commits
+    plans ONE parquet scan (the batched insert part), not K — and the
+    rows, the per-version `_commit_version` stamps, and the feed schema
+    (including the stamp columns' non-nullability) are exactly the
+    per-version path's. A rename inside the range breaks the run
+    (evolution semantics stay per-version; crossing is covered by
+    `test_feed_crosses_rename_then_physical_reset`), and appends on both
+    sides of a delete commit batch per side without disturbing part
+    order."""
+    import uuid as _uuid
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_where,
+        rename_column,
+    )
+    from reactivestreams_kinesis_spark.plans.inspect import explain_string
+
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS uid", "CAST(id % 3 AS int) AS k", "CAST(id AS int) AS v"
+    )
+    t = str(tmp_path / f"cfbatch_{_uuid.uuid4().hex[:6]}")
+    for i in range(6):                                      # v0..v5 appends
+        snapshot_commit(mk(i * 10, i * 10 + 10), t, mode="append")
+    feed = snapshot_change_feed(spark, t, from_version=0)
+    plan = explain_string(feed, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    got = {tuple(r) for r in feed.collect()}
+    # v0's rows predate the range start; appends v1..v5 are the feed
+    assert got == {
+        (uid, uid % 3, uid, "insert", uid // 10) for uid in range(10, 60)
+    }
+    # stamp columns stay non-nullable, as the per-version lit() stamps were
+    fields = {f.name: f for f in feed.schema.fields}
+    assert not fields["_change_type"].nullable
+    assert not fields["_commit_version"].nullable
+
+    # a delete splits the run; appends after it batch among themselves
+    delete_where(spark, t, [("uid", "=", 0)], strategy="merge_on_read")  # v6
+    snapshot_commit(mk(60, 70), t, mode="append")                        # v7
+    snapshot_commit(mk(70, 80), t, mode="append")                        # v8
+    feed2 = snapshot_change_feed(spark, t, from_version=0)
+    by_kind = {}
+    for r in feed2.collect():
+        by_kind.setdefault(r["_change_type"], set()).add(tuple(r))
+    assert (0, 0, 0, "delete", 6) in by_kind["delete"]
+    assert {r[-1] for r in by_kind["insert"]} == set(range(1, 6)) | {7, 8}
+
+    # a rename mid-run breaks compatibility: stamps stay exact across it
+    rename_column(t, "k", "k2")                                          # v9
+    snapshot_commit(
+        spark.range(80, 90).selectExpr(
+            "id AS uid", "CAST(id % 3 AS int) AS k2", "CAST(id AS int) AS v"
+        ),
+        t,
+        mode="append",
+    )                                                                    # v10
+    feed3 = snapshot_change_feed(spark, t, from_version=6)
+    got3 = {tuple(r) for r in feed3.collect()}
+    # appends land at v7, v8 (rename is v9), v10
+    assert got3 == {
+        (uid, uid % 3, uid, "insert", uid // 10 + (1 if uid >= 80 else 0) + 1)
+        for uid in range(60, 90)
+    }
