@@ -2564,15 +2564,52 @@ def _read_data_files(
             & (F.col("__snap_pos") == F.col("__dv_pos")),
             "left_anti",
         )
+    # stacked entries coalesce into ONE anti-join per congruence group —
+    # same key columns, same EFFECTIVE scope (raw scope ∩ files being
+    # read: the membership conjunct only ever tests files in this scan),
+    # same key-file types (pre-widening key files keep their narrower
+    # footer type; mixed-type groups stay separate so the equality keeps
+    # its widen-both-sides coercion, never a truncating cast). K deletes
+    # between compactions used to chain K anti-joins — K broadcast
+    # builds and K probe passes over the scan (measured 3.7 s at K=48 on
+    # a 200k-row local table); subtractive applications commute, so a
+    # group's key sets union first and the scan pays one join per group.
+    rel_set = set(rel_files)
+    groups: dict[tuple, list[tuple[dict, object]]] = {}
     for entry in eq_entries:
-        keys = spark.read.schema(_eq_keys_schema(table_dir, entry)).parquet(
-            *[os.path.join(table_dir, f) for f in entry["delete_files"]]
+        schema = _eq_keys_schema(table_dir, entry)
+        type_key = tuple(
+            schema[k].dataType.simpleString() for k in entry["key_cols"]
         )
-        keys = keys.select(
-            *[F.col(k).alias(f"__eq_{k}") for k in entry["key_cols"]]
-        ).distinct()
-        cond = F.col("__snap_file").isin(list(entry["files"]))
-        for k in entry["key_cols"]:
+        group = (
+            tuple(entry["key_cols"]),
+            frozenset(entry["files"]) & rel_set,
+            type_key,
+        )
+        groups.setdefault(group, []).append((entry, schema))
+    for (key_cols, scope, _), members in groups.items():
+        if all(s == members[0][1] for _e, s in members[1:]):
+            # one write path produced every key file in the group and
+            # their full schemas agree — one scan over all of them
+            keys = spark.read.schema(members[0][1]).parquet(
+                *[
+                    os.path.join(table_dir, f)
+                    for entry, _s in members
+                    for f in entry["delete_files"]
+                ]
+            ).select(*[F.col(k).alias(f"__eq_{k}") for k in key_cols])
+        else:
+            keys = None
+            for entry, schema in members:
+                part = spark.read.schema(schema).parquet(
+                    *[os.path.join(table_dir, f) for f in entry["delete_files"]]
+                ).select(
+                    *[F.col(k).alias(f"__eq_{k}") for k in key_cols]
+                )
+                keys = part if keys is None else keys.unionByName(part)
+        keys = keys.distinct()
+        cond = F.col("__snap_file").isin(sorted(scope))
+        for k in key_cols:
             cond = cond & (df[k] == F.col(f"__eq_{k}"))
         df = df.join(keys, cond, "left_anti")
     return df.select(*out_cols)

@@ -1740,3 +1740,52 @@ def test_constraint_validation_rides_the_write_job(spark, tmp_path):
     assert latest_version(checked) == tip
     got = {r["k"]: r["v"] for r in read_snapshot(spark, checked).collect()}
     assert got[3] == 7 and got[50] == 9 and 500 not in got
+
+
+def test_stacked_equality_deletes_coalesce_into_one_antijoin(spark, tmp_path):
+    """Round-12 optimization pin: K equality-delete commits with the same
+    key column and the same effective scope apply as ONE anti-join over
+    their unioned key sets (subtractive applications commute), with the
+    key files read in ONE scan — not K chained anti-joins over K scans.
+    An append BETWEEN deletes splits the scope: the re-inserted key stays
+    visible (the semantics the scope exists for) and the plan carries one
+    anti-join per scope group."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+    )
+    from reactivestreams_kinesis_spark.plans.inspect import explain_string
+
+    t = str(tmp_path / "eqstack")
+    snapshot_commit(
+        spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+    for i in range(5):
+        delete_by_key(
+            spark,
+            t,
+            spark.createDataFrame([(i,), (i + 100,)], "k bigint"),
+            "k",
+        )
+    df = read_snapshot(spark, t)
+    plan = explain_string(df, "simple")
+    assert plan.count("LeftAnti") == 1, plan
+    gone = {i for i in range(5)} | {i + 100 for i in range(5)}
+    assert {r["k"] for r in df.collect()} == set(range(1000)) - gone
+
+    # append re-inserting a deleted key, then another delete: two scope
+    # groups, and the re-inserted row survives the earlier entries
+    snapshot_commit(
+        spark.createDataFrame([(0, -1)], "k bigint, v bigint"),
+        t,
+        mode="append",
+    )
+    delete_by_key(
+        spark, t, spark.createDataFrame([(999,)], "k bigint"), "k"
+    )
+    df2 = read_snapshot(spark, t)
+    plan2 = explain_string(df2, "simple")
+    assert plan2.count("LeftAnti") == 2, plan2
+    rows = {(r["k"], r["v"]) for r in df2.collect()}
+    assert (0, -1) in rows and (0, 0) not in rows
+    assert not any(k == 999 for k, _v in rows)
+    assert len(rows) == 1000 - len(gone) - 1 + 1
