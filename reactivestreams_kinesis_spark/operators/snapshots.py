@@ -1678,7 +1678,10 @@ def _schema_field_names(mf: dict) -> list:
 
 
 def _logical_to_end_maps(
-    table_dir: str, from_version: int, to_version: int
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    read_manifest=None,
 ) -> dict:
     """Per-version map {logical-name-at-v → logical-name-at-to_version},
     composed backward one version STEP at a time: within a stable
@@ -1691,8 +1694,12 @@ def _logical_to_end_maps(
     compaction used to surface pre-rename change-feed inserts
     NULL-padded under the new name (caught by the replay property
     test). A column dropped before the end simply has no entry. Pure
-    metadata — one manifest read per version."""
-    end_manifest = _read_manifest(table_dir, to_version)
+    metadata — one manifest read per version (``read_manifest`` lets a
+    range-walking caller share its parsed-manifest cache: feed plan
+    construction otherwise parses each manifest ~3× per range, and a
+    manifest's file list grows with the table)."""
+    read = read_manifest or (lambda v: _read_manifest(table_dir, v))
+    end_manifest = read(to_version)
     to_end: dict[int, dict] = {
         to_version: {c: c for c in _schema_field_names(end_manifest)}
     }
@@ -1700,7 +1707,7 @@ def _logical_to_end_maps(
     for mv in range(to_version - 1, from_version - 1, -1):
         if not os.path.exists(_manifest_path(table_dir, mv)):
             break  # callers' own range guards fail loudly for gaps
-        m_v = _read_manifest(table_dir, mv)
+        m_v = read(mv)
         nxt = to_end[mv + 1]
         if m_next["op"] == "overwrite":
             step = {c: c for c in _schema_field_names(m_v)}
@@ -1777,7 +1784,19 @@ def snapshot_change_feed(
     # NULL-padded under the new name (caught by the replay property
     # test) because the pre-rename physical no longer appeared in the
     # ending map.
-    to_end = _logical_to_end_maps(table_dir, from_version, to_version)
+    _mcache: dict[int, dict] = {}
+
+    def _m(mv: int) -> dict:
+        # one parse per manifest per feed call: the range walk below and
+        # _logical_to_end_maps otherwise each re-parse every manifest,
+        # whose file list grows with the table (O(range × files) JSON)
+        if mv not in _mcache:
+            _mcache[mv] = _read_manifest(table_dir, mv)
+        return _mcache[mv]
+
+    to_end = _logical_to_end_maps(
+        table_dir, from_version, to_version, read_manifest=_m
+    )
 
     def remap(df: DataFrame, version: int) -> DataFrame:
         mp = to_end.get(version) or {}
@@ -1893,8 +1912,8 @@ def snapshot_change_feed(
                 "range crosses vacuumed history — restart from a retained "
                 "from_version"
             )
-        m = _read_manifest(table_dir, v)
-        parent = _read_manifest(table_dir, v - 1)
+        m = _m(v)
+        parent = _m(v - 1)
         if m["op"] == "append":
             base = set(parent["files"])
             new_rel = [f for f in m["files"] if f not in base]
@@ -1999,7 +2018,7 @@ def snapshot_change_feed(
     # schema (Delta's readChangeFeed contract): a column dropped inside
     # the range disappears from earlier parts too, one added inside the
     # range pads NULL for parts that predate it
-    end_schema = _read_manifest(table_dir, to_version).get("schema")
+    end_schema = _m(to_version).get("schema")
     if end_schema is not None:
         from pyspark.sql.types import StructType
 
