@@ -980,23 +980,38 @@ def _check_constraints(df: DataFrame, constraints: dict | None) -> None:
         raise ValueError(f"CHECK constraint violation (rows per constraint): {bad}")
 
 
-def _constraint_observation(df: DataFrame, constraints: dict | None):
+def _constraint_observation(
+    df: DataFrame, constraints: dict | None, table_schema: dict | None = None
+):
     """Attach the CHECK-violation counters to ``df`` as an Observation so
     the commit's WRITE job computes them in-stream — the staged files are
     then never re-read for validation (at scale that re-read is a second
     full pass over every rewritten byte). Returns ``(df, observation)``;
-    the observation is ``None`` when the table has no constraints or when
-    a constraint does not resolve against ``df``'s columns (an append
-    narrower than the evolved table schema: the missing column must
-    evaluate as NULL, which only the table-schema staged read provides —
-    exactly that case keeps the read-back path). Counters use the same
-    expression shape as ``_check_constraints`` (violate only on FALSE;
-    NULL passes), so the two paths cannot diverge."""
+    the observation is ``None`` — keeping the read-back path — when the
+    table has no constraints, when a constraint does not resolve against
+    ``df``'s columns (an append narrower than the evolved table schema:
+    the missing column must evaluate as NULL, which only the table-schema
+    staged read provides), or when ``table_schema`` declares a DIFFERENT
+    type than ``df`` carries for any shared column (a widened table fed a
+    narrower append: SQL CHECK evaluates under the TABLE's types, and
+    e.g. integer arithmetic that overflows under the narrow type but not
+    the wide one would otherwise make the two paths disagree). Counters
+    use the same expression shape as ``_check_constraints`` (violate only
+    on FALSE; NULL passes), so whenever the observation IS used the two
+    paths cannot diverge."""
     if not constraints:
         return df, None
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    if table_schema is not None:
+        declared = {
+            f["name"]: f["type"] for f in table_schema.get("fields", [])
+        }
+        for f in df.schema.fields:
+            want = declared.get(f.name)
+            if want is not None and want != f.dataType.jsonValue():
+                return df, None
     try:
         # resolution probe (driver-side analysis only, no job): raises
         # when a referenced column is absent from this commit's frame
@@ -1218,7 +1233,9 @@ def snapshot_commit(
     # any drift (a concurrent commit changed constraints mid-write)
     # falls back to the exact staged-read validation below.
     write_df, chk_obs = _constraint_observation(
-        write_df, (pre_manifest or {}).get("constraints")
+        write_df,
+        (pre_manifest or {}).get("constraints"),
+        table_schema=(pre_manifest or {}).get("schema"),
     )
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     _to_physical_df(write_df, phys).write.parquet(commit_dir)
@@ -1854,10 +1871,11 @@ def snapshot_change_feed(
         # clone-resolved base) falls back to its exact file list.
         paths: list[str] = []
         for _v, _m, fs in append_run:
-            dirs = sorted({f.split("/", 1)[0] for f in fs})
+            dset = {f.split("/", 1)[0] for f in fs}
+            dirs = sorted(dset)
             bases = _m.get("file_bases") or {}
             tiles = sorted(
-                f for f in _m["files"] if f.split("/", 1)[0] in set(dirs)
+                f for f in _m["files"] if f.split("/", 1)[0] in dset
             ) == sorted(fs)
             if tiles and not any(bases.get(f) for f in fs):
                 paths.extend(os.path.join(table_dir, d_) for d_ in dirs)
@@ -2752,14 +2770,21 @@ def _commit_rewrite(
         )
     # violation counters ride the write job (no staged re-read — at
     # scale that second pass re-reads every rewritten byte); a tip that
-    # moved mid-write falls back to the exact staged-read validation
+    # moved mid-write falls back to the exact staged-read validation.
+    # No type gate here: a rewrite's df is produced by reading the table,
+    # so its types ARE the declared types. parent_manifest is reused when
+    # it IS the pre-write tip (every DML caller passes it at that tip) so
+    # the common case re-parses no manifest at all.
     pre_tip = latest_version(table_dir)
-    pre_constraints = (
-        _read_manifest(table_dir, pre_tip).get("constraints")
-        if pre_tip is not None
-        else None
+    if pre_tip is None:
+        pre_tip_manifest = None
+    elif require_parent == pre_tip and parent_manifest is not None:
+        pre_tip_manifest = parent_manifest
+    else:
+        pre_tip_manifest = _read_manifest(table_dir, pre_tip)
+    write_df, chk_obs = _constraint_observation(
+        write_df, (pre_tip_manifest or {}).get("constraints")
     )
-    write_df, chk_obs = _constraint_observation(write_df, pre_constraints)
     commit_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
     _to_physical_df(write_df, phys).write.parquet(commit_dir)
     new_files = sorted(
@@ -2769,7 +2794,10 @@ def _commit_rewrite(
     )
     tip = latest_version(table_dir)
     if tip is not None:
-        tip_constraints = _read_manifest(table_dir, tip).get("constraints")
+        tip_constraints = (
+            pre_tip_manifest if tip == pre_tip and pre_tip_manifest is not None
+            else _read_manifest(table_dir, tip)
+        ).get("constraints")
         if chk_obs is not None and tip == pre_tip:
             _raise_observed_violations(chk_obs, tip_constraints or {})
         elif tip_constraints:

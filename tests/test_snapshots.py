@@ -1789,3 +1789,53 @@ def test_stacked_equality_deletes_coalesce_into_one_antijoin(spark, tmp_path):
     assert (0, -1) in rows and (0, 0) not in rows
     assert not any(k == 999 for k, _v in rows)
     assert len(rows) == 1000 - len(gone) - 1 + 1
+
+
+def test_widened_table_constraint_validates_under_table_types(spark, tmp_path):
+    """The in-write Observation validation (round 12) must not evaluate a
+    constraint under an append frame's NARROWER types: after widening
+    `v` int→long, `v * 2000000000 >= 0` overflows in int arithmetic but
+    not in long — under ANSI the observed write job would die with
+    ARITHMETIC_OVERFLOW, non-ANSI it wraps negative (v=2) and raises a
+    spurious violation; either way a commit the table-schema validation
+    accepts would be refused. The type gate in `_constraint_observation`
+    detects the df/table type mismatch and falls back to the
+    table-schema staged read, which promotes the narrow frame to the
+    declared long before evaluating — so the append commits, exactly as
+    it did before the optimization."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        add_constraint,
+        alter_column_type,
+    )
+
+    t = str(tmp_path / "widechk")
+    snapshot_commit(
+        spark.range(0, 10).selectExpr(
+            "CAST(id AS int) AS k", "CAST(id AS int) AS v"
+        ),
+        t,
+    )
+    alter_column_type(t, "v", "bigint")
+    add_constraint(spark, t, "v_big_ok", "v * 2000000000 >= 0")
+
+    # int frame: 2 * 2000000000 overflows int (raises under ANSI, wraps
+    # negative without) but is a plain positive long under the table type
+    narrow = spark.createDataFrame([(100, 2)], "k int, v int")
+    v = snapshot_commit(narrow, t, mode="append")
+    assert v == latest_version(t)
+    got = {(r["k"], r["v"]) for r in read_snapshot(spark, t).collect()}
+    assert (100, 2) in got
+
+    # a long frame (matching the table types) still validates in-stream
+    # and still refuses a real violation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CHECK constraint violation"):
+        snapshot_commit(
+            spark.createDataFrame([(101, -5)], "k int, v bigint"),
+            t,
+            mode="append",
+        )
+    assert (101, -5) not in {
+        (r["k"], r["v"]) for r in read_snapshot(spark, t).collect()
+    }
