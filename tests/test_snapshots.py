@@ -1698,6 +1698,8 @@ def test_constraint_validation_rides_the_write_job(spark, tmp_path):
     validation was a second full pass over every committed byte, paid by
     every commit to a constrained table (every MV refresh pays it via
     mv_live_groups)."""
+    import uuid as _uuid
+
     import pytest as _pytest
 
     from reactivestreams_kinesis_spark.operators.snapshots import (
@@ -1708,9 +1710,18 @@ def test_constraint_validation_rides_the_write_job(spark, tmp_path):
     tracker = spark.sparkContext.statusTracker()
 
     def jobs_for(fn):
-        before = len(tracker.getJobIdsForGroup(None))
-        fn()
-        return len(tracker.getJobIdsForGroup(None)) - before
+        # count inside a dedicated job group: the UI store retains only
+        # ~1000 finished jobs, so default-group before/after deltas
+        # under-count late in a long shared-session suite (this test
+        # flaked exactly that way in the full run)
+        gid = f"jobcount-{_uuid.uuid4().hex[:8]}"
+        sc = spark.sparkContext
+        sc.setJobGroup(gid, "job-count probe")
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(gid))
 
     def build(name, constrained):
         t = str(tmp_path / name)
