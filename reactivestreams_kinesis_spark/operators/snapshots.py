@@ -476,6 +476,56 @@ def _data_paths(table_dir: str, manifest: dict | None, rels) -> list[str]:
     return [_data_path(table_dir, manifest, f) for f in rels]
 
 
+def _tiled_data_paths(table_dir: str, manifest: dict | None, rels) -> list[str]:
+    """Scan paths for the given manifest files, collapsed to whole COMMIT
+    DIRECTORIES wherever the requested files are exactly a directory's
+    physical parquet contents — checked by one driver-side listing per
+    candidate dir, the same LIST the scan itself performs. Read planning
+    then costs one LIST per commit dir instead of one stat per file (at
+    100 TB: K object-store LISTs for a K-commit table instead of one
+    round trip per data file, per plan build), and a many-file table
+    usually stays under spark.sql.sources.parallelPartitionDiscovery.
+    threshold (32) in dir form, skipping the parallel-listing Spark job
+    that fires at every plan build above it. Any mismatch — a
+    clone-resolved base, a pruned subset, a dir partially rewritten by
+    DML — keeps those files as exact file paths: a missed collapse,
+    never a wrong row. Commit dirs are immutable once published (every
+    commit writes a fresh ``data-<uuid>`` dir), so the check cannot race
+    a writer."""
+    bases = (manifest or {}).get("file_bases") or {}
+    out: list[str] = []
+    by_dir: dict[str, list[str]] = {}
+    order: list[tuple[str, object]] = []  # ("dir", d) / ("file", rel)
+    for f in rels:
+        if "/" in f and not bases.get(f):
+            d = f.rsplit("/", 1)[0]
+            if d not in by_dir:
+                order.append(("dir", d))
+            by_dir.setdefault(d, []).append(f)
+        else:
+            order.append(("file", f))
+    for kind, item in order:
+        if kind == "file":
+            out.append(_data_path(table_dir, manifest, item))
+            continue
+        d = item
+        fs = by_dir[d]
+        dpath = os.path.join(table_dir, d)
+        try:
+            physical = sorted(
+                f"{d}/{name}"
+                for name in os.listdir(dpath)
+                if name.endswith(".parquet")
+            )
+        except OSError:
+            physical = None
+        if physical is not None and physical == sorted(fs):
+            out.append(dpath)
+        else:
+            out.extend(_data_path(table_dir, manifest, f) for f in fs)
+    return out
+
+
 def find_txn(table_dir: str, txn_id: str) -> int | None:
     """Version committed under ``txn_id``, or None. One scan of the
     (bounded) manifest set — production would keep a txn index, but the
@@ -1377,8 +1427,11 @@ def publish_manifest(
 
     EQUALITY DELETES (``eq_deletes``) are the second merge-on-read form
     (Iceberg v2 equality deletes): each entry is
-    ``{"key_cols": [...], "delete_files": [...], "files": [...]}`` —
-    key rows recorded as parquet, applied by readers as a key anti-join
+    ``{"key_cols": [...], "delete_files": [...], "files": [...]}``
+    (plus ``key_schema``, the written key struct, since it was added —
+    readers declare it instead of re-reading a key-file footer per
+    entry at plan time) — key rows recorded as parquet, applied by
+    readers as a key anti-join
     but ONLY to the entry's ``files`` (the data files present when the
     delete committed), which is what scopes the delete to rows that
     EXISTED at delete time: later appends of the same key are new rows
@@ -1996,7 +2049,7 @@ def snapshot_change_feed(
                 join_cols = [parent_inv.get(k, k) for k in entry["key_cols"]]
                 keys = (
                     spark.read.schema(_eq_keys_schema(table_dir, entry)).parquet(
-                        *[os.path.join(table_dir, f) for f in entry["delete_files"]]
+                        *_tiled_data_paths(table_dir, None, entry["delete_files"])
                     )
                     .select(
                         *[
@@ -2510,11 +2563,23 @@ def _dv_schema():
 
 
 def _eq_keys_schema(table_dir: str, entry: dict):
-    """Declared schema for an equality-delete entry's key files: the
-    FILE's own footer via pyarrow (metadata-only driver read, no Spark
-    job) — exact under type widening, where the manifest's current
-    declared type may be wider than what older key files hold. All files
-    of one entry come from one write, so one footer suffices."""
+    """Declared schema for an equality-delete entry's key files.
+
+    Entries written since the ``key_schema`` field exist carry it in the
+    manifest (``delete_by_key`` records the exact struct it wrote), so
+    this is a pure dict lookup — no I/O at plan time. Older entries fall
+    back to the FILE's own footer via pyarrow (metadata-only driver
+    read, no Spark job) — exact under type widening, where the
+    manifest's current declared type may be wider than what older key
+    files hold. All files of one entry come from one write, so one
+    footer suffices. At 100 TB the recorded form matters: the fallback
+    is an object-store round trip per pending entry on EVERY plan build
+    of a table with pending equality deletes."""
+    recorded = entry.get("key_schema")
+    if recorded is not None:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(recorded)
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -2558,7 +2623,7 @@ def _read_data_files(
     from pyspark.sql import functions as F
 
     reader = _declared_reader(spark, manifest)
-    paths = _data_paths(table_dir, manifest, rel_files)
+    paths = _tiled_data_paths(table_dir, manifest, rel_files)
     df = reader.parquet(*paths)
     # the scan surfaces PHYSICAL column names (what the files hold);
     # delete application below joins on physical (equality-delete key
@@ -2592,8 +2657,11 @@ def _read_data_files(
         out_cols.append(keep_pos_col)
         df = df.withColumn(keep_pos_col, F.col("__snap_pos"))
     if dv_files:
+        # manifest=None: DV refs never resolve through clone bases (they
+        # are written by this table's own commits) — identical resolution
+        # to the former table_dir join, tiled to whole dv-* dirs
         dv = spark.read.schema(_dv_schema()).parquet(
-            *[os.path.join(table_dir, f) for f in dv_files]
+            *_tiled_data_paths(table_dir, None, dv_files)
         ).select(F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos"))
         df = df.join(
             dv,
@@ -2629,17 +2697,21 @@ def _read_data_files(
             # one write path produced every key file in the group and
             # their full schemas agree — one scan over all of them
             keys = spark.read.schema(members[0][1]).parquet(
-                *[
-                    os.path.join(table_dir, f)
-                    for entry, _s in members
-                    for f in entry["delete_files"]
-                ]
+                *_tiled_data_paths(
+                    table_dir,
+                    None,
+                    [
+                        f
+                        for entry, _s in members
+                        for f in entry["delete_files"]
+                    ],
+                )
             ).select(*[F.col(k).alias(f"__eq_{k}") for k in key_cols])
         else:
             keys = None
             for entry, schema in members:
                 part = spark.read.schema(schema).parquet(
-                    *[os.path.join(table_dir, f) for f in entry["delete_files"]]
+                    *_tiled_data_paths(table_dir, None, entry["delete_files"])
                 ).select(
                     *[F.col(k).alias(f"__eq_{k}") for k in key_cols]
                 )
@@ -2675,7 +2747,7 @@ def _read_plain(
     from pyspark.sql import functions as F
 
     df = _declared_reader(spark, manifest).parquet(
-        *_data_paths(table_dir, manifest, rel_files)
+        *_tiled_data_paths(table_dir, manifest, rel_files)
     )
     inv = _inv_phys(manifest)
     if not inv:
@@ -3081,6 +3153,10 @@ def delete_by_key(
                 "key_cols": kcols_phys,
                 "delete_files": eq_files,
                 "files": list(manifest["files"]),
+                # the exact struct written above — readers declare it
+                # instead of re-reading a key-file footer per entry at
+                # every plan build (_eq_keys_schema)
+                "key_schema": key_rows.schema.jsonValue(),
             }
         ],
         require_parent=tip,

@@ -1622,6 +1622,60 @@ def test_plan_construction_fires_no_jobs_with_pending_deletes(spark, tmp_path):
     assert got == [k for k in range(5, 100) if k != 7]
 
 
+def test_dir_tiled_scan_paths(spark, tmp_path):
+    """Round-12 optimization pin: a read whose file set exactly tiles its
+    commit directories hands the scan the DIR paths — read planning then
+    costs one LIST per commit instead of one stat per file, and a
+    many-file table stays under the 32-path parallel-listing threshold,
+    so plan construction fires ZERO jobs even when the table holds more
+    files than spark.sql.sources.parallelPartitionDiscovery.threshold.
+    A dir partially rewritten by DML falls back to exact file paths —
+    the dead files still on disk must not leak into the scan."""
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _read_manifest,
+        _tiled_data_paths,
+        delete_where,
+    )
+
+    t = str(tmp_path / "tiled")
+    snapshot_commit(
+        spark.range(0, 400)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(40, "k"),
+        t,
+    )
+    m = _read_manifest(t, latest_version(t))
+    assert len(m["files"]) == 40
+    paths = _tiled_data_paths(t, m, m["files"])
+    assert len(paths) == 1 and paths[0].endswith(m["files"][0].split("/")[0])
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    plan = read_snapshot(spark, t)
+    plan.schema
+    assert len(tracker.getJobIdsForGroup(None)) == before, (
+        "plan construction over a 40-file table must not fire the "
+        "parallel-listing job once the scan is handed the commit dir"
+    )
+    assert sorted(r["k"] for r in plan.collect()) == list(range(400))
+
+    # CoW delete rewrites the targeted files into a new dir; the old
+    # dir keeps its dead files on disk, so it no longer tiles and those
+    # manifest files must stay exact file paths
+    delete_where(spark, t, [("k", "<", 10)])
+    m2 = _read_manifest(t, latest_version(t))
+    old_dir = m["files"][0].split("/")[0]
+    survivors_in_old = [f for f in m2["files"] if f.startswith(old_dir + "/")]
+    assert survivors_in_old and len(survivors_in_old) < 40
+    paths2 = _tiled_data_paths(t, m2, m2["files"])
+    assert all(not p.endswith(old_dir) for p in paths2), (
+        "a partially rewritten dir must not collapse to its dir path"
+    )
+    assert sorted(r["k"] for r in read_snapshot(spark, t).collect()) == list(
+        range(10, 400)
+    )
+
+
 def test_merge_upsert_precomputed_stats_parity(spark, tmp_path):
     """merge_upsert with caller-supplied stats commits the identical
     state as the self-computed stats path (same prune decisions on a
@@ -1800,6 +1854,70 @@ def test_stacked_equality_deletes_coalesce_into_one_antijoin(spark, tmp_path):
     assert (0, -1) in rows and (0, 0) not in rows
     assert not any(k == 999 for k, _v in rows)
     assert len(rows) == 1000 - len(gone) - 1 + 1
+
+
+def test_eq_delete_key_schema_recorded_skips_footer_read(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 optimization pin: ``delete_by_key`` records the exact
+    struct of the key files it wrote in the manifest entry
+    (``key_schema``), so every later plan build declares it instead of
+    re-reading a key-file footer per pending entry (at 100 TB: one
+    object-store round trip per entry per plan build, on every read of
+    a table with pending equality deletes). Entries without the field
+    (older manifests) still fall back to the footer, with identical
+    results."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        _manifest_path,
+        _read_manifest,
+        delete_by_key,
+    )
+
+    t = str(tmp_path / "eqschema")
+    snapshot_commit(
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id AS int) AS v"), t
+    )
+    delete_by_key(
+        spark, t, spark.createDataFrame([(3,), (7,)], "k bigint"), "k"
+    )
+    tip = latest_version(t)
+    entry = _read_manifest(t, tip)["eq_deletes"][0]
+    recorded = StructType.fromJson(entry["key_schema"])
+    footer = from_arrow_schema(
+        pq.read_schema(os.path.join(t, entry["delete_files"][0]))
+    )
+    assert [(f.name, f.dataType) for f in recorded.fields] == [
+        (f.name, f.dataType) for f in footer.fields
+    ]
+
+    calls: list = []
+    real = pq.read_schema
+    monkeypatch.setattr(
+        pq,
+        "read_schema",
+        lambda *a, **kw: (calls.append(a), real(*a, **kw))[1],
+    )
+    df = read_snapshot(spark, t)
+    assert calls == [], "plan build must not read key-file footers"
+    assert {r["k"] for r in df.collect()} == set(range(100)) - {3, 7}
+
+    # legacy manifest without the field: the footer fallback fires once
+    # and the rows are identical
+    mp = _manifest_path(t, tip)
+    with open(mp) as f:
+        m = _json.load(f)
+    m["eq_deletes"][0].pop("key_schema")
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    df2 = read_snapshot(spark, t)
+    assert len(calls) >= 1
+    assert {r["k"] for r in df2.collect()} == set(range(100)) - {3, 7}
 
 
 def test_widened_table_constraint_validates_under_table_types(spark, tmp_path):
