@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -456,9 +457,39 @@ def latest_version(table_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
+# Parsed-manifest cache, keyed by path and validated by (mtime_ns, size).
+# A manifest file is immutable once published (``publish_manifest`` creates
+# it with O_EXCL and nothing rewrites it), so a fresh stat per read is the
+# entire coherence protocol: any out-of-band rewrite (tests simulate legacy
+# manifests that way) changes mtime/size and misses. Why it exists: a
+# manifest's JSON grows with the table's file count, and plan construction
+# re-parses it constantly — every read/targeting scan parses the tip, a
+# change-feed parses one per version, ``find_txn`` walks ALL of them on
+# every idempotent commit, and the streaming source re-plans per
+# micro-batch. At 100 TB that is re-deserializing a multi-MB file list per
+# plan build; with the cache it is one ``stat`` round trip instead
+# (production formats solve this with manifest-list indirection; same
+# contract). Entries are shared read-only dicts — every consumer
+# copies before mutating (``publish_manifest`` builds fresh dicts) and
+# ``test_manifest_cache_never_observes_mutation`` pins that discipline.
+_MANIFEST_CACHE: "OrderedDict[str, tuple[int, int, dict]]" = OrderedDict()
+_MANIFEST_CACHE_MAX = 1024
+
+
 def _read_manifest(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+    path = _manifest_path(table_dir, version)
+    st = os.stat(path)
+    hit = _MANIFEST_CACHE.get(path)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        _MANIFEST_CACHE.move_to_end(path)
+        return hit[2]
+    with open(path) as f:
+        m = json.load(f)
+    _MANIFEST_CACHE[path] = (st.st_mtime_ns, st.st_size, m)
+    _MANIFEST_CACHE.move_to_end(path)
+    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.popitem(last=False)
+    return m
 
 
 def _data_path(table_dir: str, manifest: dict | None, rel: str) -> str:

@@ -1968,3 +1968,112 @@ def test_widened_table_constraint_validates_under_table_types(spark, tmp_path):
     assert (101, -5) not in {
         (r["k"], r["v"]) for r in read_snapshot(spark, t).collect()
     }
+
+
+def test_manifest_cache_parse_once_and_rewrite_invalidation(spark, tmp_path):
+    """The parsed-manifest cache (stat-validated): a repeat read of the
+    same version parses zero JSON, and an out-of-band in-place rewrite
+    (the legacy-manifest simulation some tests do) is picked up because
+    the (mtime_ns, size) key changes."""
+    import json as _json
+
+    from reactivestreams_kinesis_spark.operators import snapshots as S
+
+    t = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"), t
+    )
+
+    parses = {"n": 0}
+    real = S.json
+
+    class CountingJson:
+        def load(self, f):
+            parses["n"] += 1
+            return _json.load(f)
+
+        def __getattr__(self, a):
+            return getattr(_json, a)
+
+    S.json = CountingJson()
+    try:
+        m1 = _read_manifest(t, 0)
+        first = parses["n"]  # 0 if the commit already cached it, else 1
+        m2 = _read_manifest(t, 0)
+        assert parses["n"] == first, "repeat read must not re-parse"
+        assert m2 is m1
+
+        # out-of-band rewrite (tests simulate legacy manifests this way):
+        # the stat key must miss and the NEW content must be returned
+        mp = S._manifest_path(t, 0)
+        with open(mp) as f:
+            raw = _json.load(f)
+        raw["op"] = "append-rewritten"
+        with open(mp, "w") as f:
+            _json.dump(raw, f)
+        m3 = _read_manifest(t, 0)
+        assert m3["op"] == "append-rewritten"
+        assert parses["n"] == first + 1
+    finally:
+        S.json = real
+
+
+def test_manifest_cache_never_observes_mutation(spark, tmp_path):
+    """Every consumer treats a parsed manifest as read-only (they copy
+    before mutating). Run the DML battery over one table and, after each
+    operation, compare EVERY cached manifest bytes-for-bytes against a
+    fresh parse of its file — any in-place mutation of a shared cached
+    dict fails here."""
+    import json as _json
+
+    from reactivestreams_kinesis_spark.operators import snapshots as S
+    from reactivestreams_kinesis_spark.operators.snapshots import (
+        delete_by_key,
+        delete_where,
+        merge_upsert,
+        snapshot_change_feed,
+    )
+
+    t = str(tmp_path / "t")
+
+    def assert_cache_clean(label):
+        for path, (_mt, _sz, cached) in list(S._MANIFEST_CACHE.items()):
+            if not path.startswith(t):
+                continue
+            with open(path) as f:
+                disk = _json.load(f)
+            assert cached == disk, f"cached manifest mutated after {label}: {path}"
+
+    df = spark.range(0, 100).selectExpr(
+        "CAST(id AS int) AS k", "CAST(id % 7 AS int) AS v"
+    )
+    snapshot_commit(df, t)
+    assert_cache_clean("initial commit")
+    snapshot_commit(
+        spark.range(100, 200).selectExpr(
+            "CAST(id AS int) AS k", "CAST(id % 7 AS int) AS v"
+        ),
+        t,
+        mode="append",
+    )
+    assert_cache_clean("append")
+    delete_by_key(
+        spark, t, spark.createDataFrame([(3,), (7,)], "k int"), "k"
+    )
+    assert_cache_clean("delete_by_key")
+    delete_where(spark, t, [("v", "<", 1)], strategy="merge_on_read")
+    assert_cache_clean("delete_where merge_on_read")
+    merge_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(5, 99), (500, 1)], "k int, v int"),
+        "k",
+    )
+    assert_cache_clean("merge_upsert")
+    compact_snapshot(spark, t, target_file_bytes=1 << 40)
+    assert_cache_clean("compact")
+    tip = latest_version(t)
+    snapshot_change_feed(spark, t, from_version=1, to_version=tip).collect()
+    assert_cache_clean("change_feed")
+    read_snapshot(spark, t).collect()
+    assert_cache_clean("read")
