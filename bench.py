@@ -34,6 +34,20 @@ from reactivestreams_kinesis_spark.session import (
 )
 
 
+def _stat_snapshot() -> tuple[int, int, int]:
+    """(total, steal, idle+iowait) jiffies from /proc/stat. Steal is
+    CPU the HYPERVISOR withheld from this guest — invisible to loadavg
+    and to the idle-based pre_busy_frac (a stolen tick is not idle), but
+    it slows queries and calibration probe alike. Measured on this
+    round's box: 36% of guest CPU stolen under full load, varying
+    run-to-run — the signature of a fixed-work probe swinging 1.7→10.8 s
+    between back-to-back runs."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), steal, vals[3] + vals[4]
+
+
 def _box_busy_frac(sample_s: float = 0.25) -> float:
     """Fraction of ALL cpus busy with someone else's work, sampled while
     this process is idle (before the JVM exists) — the contention guard:
@@ -88,6 +102,7 @@ def main() -> None:
 
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
     pre_busy_frac = _box_busy_frac()
+    stat_start = _stat_snapshot()
     wall_start = time.perf_counter()
     spark = get_spark(app_name="rsk-spark-bench")
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -124,6 +139,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     calibration = _calibration_sec(spark)
+    t1, s1, i1 = _stat_snapshot()
+    t0, s0, i0 = stat_start
+    dt, dsteal, didle = t1 - t0, s1 - s0, i1 - i0
+    steal_frac_run = round(dsteal / dt, 4) if dt else -1.0
+    busy = dt - didle
+    steal_frac_busy = round(dsteal / busy, 4) if busy > 0 else -1.0
     print(
         json.dumps(
             {
@@ -152,6 +173,17 @@ def main() -> None:
                     "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                     "pre_busy_frac": pre_busy_frac,
                     "wall_sec": round(time.perf_counter() - wall_start, 3),
+                    # hypervisor CPU steal across the whole run:
+                    # steal_frac_run is steal/total jiffies (all cpus,
+                    # idle included); steal_frac_busy is steal/non-idle —
+                    # the fraction of the CPU this run actually tried to
+                    # use that the HOST withheld. Nonzero-and-varying
+                    # steal makes absolutes AND single-run calibrated
+                    # ratios unreliable (probe and queries see different
+                    # instantaneous speeds); compare medians of several
+                    # runs, or per-query minima.
+                    "steal_frac_run": steal_frac_run,
+                    "steal_frac_busy": steal_frac_busy,
                 },
             }
         )
