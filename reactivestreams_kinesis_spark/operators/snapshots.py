@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections import OrderedDict
 
@@ -445,16 +446,49 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _SNAPDIR, f"v{version:09d}.json")
 
 
+# Tip cache: every operation (reads, commits, refreshes, the streaming
+# source's per-trigger poll) starts with ``latest_version``, whose
+# directory listing grows with the table's version count — at 100 TB
+# that is one object-store LIST per plan build / per micro-batch poll.
+# Validated by the manifest DIRECTORY's mtime_ns: publishing or
+# vacuuming a manifest updates it, including from another process.
+# Because filesystem timestamps can be coarser than the commit cadence,
+# an entry is only STORED when the directory's mtime is already older
+# than _TIP_RACY_NS at store time (the "racily clean" discipline of
+# index-based build tools): a second commit landing inside the same
+# timestamp granule as the listed state can therefore never hide behind
+# an unchanged mtime — a fresh directory is simply re-listed every call,
+# which is exactly the uncached behavior.
+_TIP_CACHE: "OrderedDict[str, tuple[int, int | None]]" = OrderedDict()
+_TIP_CACHE_MAX = 1024
+_TIP_RACY_NS = 100_000_000  # 100 ms, far above any fs timestamp granularity
+
+
 def latest_version(table_dir: str) -> int | None:
-    """Highest committed version, or None for an empty table. One listing
-    of the manifest directory (bounded: one small file per commit)."""
+    """Highest committed version, or None for an empty table. One stat of
+    the manifest directory on the steady-state path (one listing on the
+    first call or after any commit/vacuum — see ``_TIP_CACHE``)."""
     snap = os.path.join(table_dir, _SNAPDIR)
     if not os.path.isdir(snap):
+        _TIP_CACHE.pop(snap, None)
         return None
+    st = os.stat(snap)
+    hit = _TIP_CACHE.get(snap)
+    if hit is not None and hit[0] == st.st_mtime_ns:
+        _TIP_CACHE.move_to_end(snap)
+        return hit[1]
     versions = [
         int(f[1:-5]) for f in os.listdir(snap) if f.startswith("v") and f.endswith(".json")
     ]
-    return max(versions) if versions else None
+    tip = max(versions) if versions else None
+    if time.time_ns() - st.st_mtime_ns > _TIP_RACY_NS:
+        _TIP_CACHE[snap] = (st.st_mtime_ns, tip)
+        _TIP_CACHE.move_to_end(snap)
+        while len(_TIP_CACHE) > _TIP_CACHE_MAX:
+            _TIP_CACHE.popitem(last=False)
+    else:
+        _TIP_CACHE.pop(snap, None)
+    return tip
 
 
 # Parsed-manifest cache, keyed by path and validated by (mtime_ns, size).
@@ -557,17 +591,74 @@ def _tiled_data_paths(table_dir: str, manifest: dict | None, rels) -> list[str]:
     return out
 
 
+# Txn index: every idempotent commit (each ``merge_upsert``, each MV
+# refresh phase, every ``txn_id``-bearing DML) probes ``find_txn``, which
+# used to stat-and-check one manifest per historical version per call —
+# O(versions) metadata round trips at 100 TB, the last piece of the
+# "production keeps a txn index" boundary (the parse side was already
+# closed by the stat-validated manifest cache). The index maps txn id →
+# version per table, built incrementally: only versions ABOVE the last
+# call's anchor are read. The anchor is the (mtime_ns, size) fingerprint
+# of the highest manifest already indexed — manifests are immutable once
+# published, so an unchanged anchor means the versions at-or-below it
+# are still the ones indexed (a table recreated at the same path changes
+# the anchor and resets the entry). A HIT is re-verified through the
+# stat-validated ``_read_manifest`` before being returned, so an
+# out-of-band rewrite of that manifest (legacy-simulation tests) or a
+# vacuumed version can never return a stale answer; a MISS trusts
+# published-manifest immutability below the anchor exactly as every
+# reader of a published manifest does.
+_TXN_INDEX: "OrderedDict[str, tuple[int, int, int, dict[str, int]]]" = OrderedDict()
+_TXN_INDEX_MAX = 512
+
+
 def find_txn(table_dir: str, txn_id: str) -> int | None:
-    """Version committed under ``txn_id``, or None. One scan of the
-    (bounded) manifest set — production would keep a txn index, but the
-    contract is the same: a txn id appears in at most one manifest."""
+    """Version committed under ``txn_id``, or None — the idempotent-commit
+    replay probe (a txn id appears in at most one manifest). Amortized
+    O(new versions since the last call) instead of O(all versions); see
+    ``_TXN_INDEX``."""
     tip = latest_version(table_dir)
     if tip is None:
+        _TXN_INDEX.pop(table_dir, None)
         return None
-    for v in range(tip, -1, -1):
-        mp = _manifest_path(table_dir, v)
-        if os.path.exists(mp) and _read_manifest(table_dir, v).get("txn") == txn_id:
+    entry = _TXN_INDEX.get(table_dir)
+    scanned, txns = -1, {}
+    if entry is not None:
+        e_scanned, e_mtime, e_size, e_txns = entry
+        try:
+            st = os.stat(_manifest_path(table_dir, e_scanned))
+            if e_scanned <= tip and st.st_mtime_ns == e_mtime and st.st_size == e_size:
+                scanned, txns = e_scanned, e_txns
+        except OSError:
+            pass  # anchor vacuumed or table recreated: rebuild from scratch
+    if scanned < tip:
+        for v in range(scanned + 1, tip + 1):
+            mp = _manifest_path(table_dir, v)
+            if not os.path.exists(mp):
+                continue  # vacuumed gap
+            t = _read_manifest(table_dir, v).get("txn")
+            if t is not None:
+                txns[t] = v
+        try:
+            st = os.stat(_manifest_path(table_dir, tip))
+            _TXN_INDEX[table_dir] = (tip, st.st_mtime_ns, st.st_size, txns)
+        except OSError:
+            _TXN_INDEX.pop(table_dir, None)
+    if table_dir in _TXN_INDEX:
+        _TXN_INDEX.move_to_end(table_dir)
+    while len(_TXN_INDEX) > _TXN_INDEX_MAX:
+        _TXN_INDEX.popitem(last=False)
+    v = txns.get(txn_id)
+    if v is None:
+        return None
+    # hit verification: one stat-validated parse — exact under rewrites
+    # and vacuum (the map may briefly hold entries for vacuumed versions;
+    # they are never returned)
+    try:
+        if _read_manifest(table_dir, v).get("txn") == txn_id:
             return v
+    except OSError:
+        pass
     return None
 
 
