@@ -1004,13 +1004,17 @@ def _merge_refresh(
 ) -> int:
     """Delta-proportional refresh: recompute ONLY the groups the feed
     touched (old watermark state restricted by a null-safe semi-join to
-    the delta's keys), equality-delete the dead ones, merge the live
-    ones. Reads the old state AS OF the watermark commit ``wv`` — not
-    the tip — so a replay after a crash between the two phase commits
-    recomputes from the same base and the phase txn ids make each
-    commit at most once."""
+    the delta's keys), then publish dead-group deletes and live-group
+    upserts in ONE copy-on-write commit (round 13): dead keys ride
+    ``merge_upsert``'s ``delete_col`` through the SAME manifest publish
+    as the live rows, so a refresh pays one tip parse + one publish
+    instead of two, and the crash window between a staged delete and
+    the upsert no longer exists for new refreshes. Reads the old state
+    AS OF the watermark commit ``wv`` — not the tip — so a replay of a
+    refresh that crashed mid-flight (or a legacy two-phase refresh that
+    crashed between its commits) recomputes from the same base and the
+    txn id makes the commit at most once."""
     from reactivestreams_kinesis_spark.operators.snapshots import (
-        delete_by_key,
         merge_upsert,
     )
 
@@ -1040,14 +1044,14 @@ def _merge_refresh(
         # touches key values), so the upsert skips that extra pass over
         # the changed state via precomputed_stats.
         live_cond = F.col("__mv_n") != 0
+        # bounds span ALL changed keys (dead included): dead keys target
+        # files through the same stats pre-prune as live ones in the
+        # single-commit merge below — live-only bounds would skip the
+        # files owning a dead key's rows and silently resurrect them
         key_bound_exprs = []
         for i, k in enumerate(keys):
-            key_bound_exprs.append(
-                F.min(F.when(live_cond, F.col(k))).alias(f"lo{i}")
-            )
-            key_bound_exprs.append(
-                F.max(F.when(live_cond, F.col(k))).alias(f"hi{i}")
-            )
+            key_bound_exprs.append(F.min(F.col(k)).alias(f"lo{i}"))
+            key_bound_exprs.append(F.max(F.col(k)).alias(f"hi{i}"))
         pr = changed.agg(
             F.max(null_cond).alias("has_null"),
             F.count(F.when(F.col("__mv_n") == 0, 1)).alias("n_dead"),
@@ -1064,12 +1068,11 @@ def _merge_refresh(
                 "strategy='merge' cannot maintain a NULL group key (equality "
                 "semantics); use strategy='overwrite' for this refresh"
             )
-        # dead keys STAY a DataFrame: delete_by_key takes the key set
-        # distributed (it writes the distinct keys as parquet itself),
-        # so a wide retraction on a billion-group view never routes its
-        # keys through the driver — only the bounded probe row above
-        # runs. Composite keys pass whole: the equality-delete entry and
-        # the merge primitive both key on the column TUPLE.
+        # dead keys STAY a DataFrame: they flow into merge_upsert's
+        # delete branch distributed, so a wide retraction on a
+        # billion-group view never routes its keys through the driver —
+        # only the bounded probe row above runs. Composite keys pass
+        # whole: the merge primitive keys on the column TUPLE.
         live = changed.filter(F.col("__mv_n") != 0)
         patched = bool(nonabelian and pr["n_dirty_live"])
         if patched:
@@ -1086,31 +1089,42 @@ def _merge_refresh(
             # persist each one would re-execute that source scan
             live = live.persist()
         try:
+            # a grouped state has one row per key tuple by construction,
+            # so rows == n; the bounds came from the probe pass over the
+            # same changed rows (dead keys included — they prune too)
+            n_changed = pr["n_live"] + pr["n_dead"]
+            stats = {"rows": n_changed, "n": n_changed}
+            for i in range(len(keys)):
+                stats[f"lo{i}"] = pr[f"lo{i}"]
+                stats[f"hi{i}"] = pr[f"hi{i}"]
             if pr["n_dead"]:
-                dead = changed.filter(F.col("__mv_n") == 0).select(*keys)
-                # stage id derives from the main txn tail ("{ev}" or
-                # "{ev}@dim{dv}"): a dim-only refresh shares ev with its
-                # predecessor, and the pin suffix keeps the two stage
-                # commits distinct under replay
-                stage = f"mv-stage-{txn[len(_TXN_PREFIX):]}"
-                delete_by_key(spark, view_dir, dead, keys, txn_id=stage)
-            if pr["n_live"]:
-                # a grouped state has one row per key tuple by
-                # construction, so rows == n == n_live; the bounds came
-                # from the probe pass over the same live rows
-                stats = {"rows": pr["n_live"], "n": pr["n_live"]}
-                for i in range(len(keys)):
-                    stats[f"lo{i}"] = pr[f"lo{i}"]
-                    stats[f"hi{i}"] = pr[f"hi{i}"]
-                return merge_upsert(
-                    spark, view_dir, live, keys, txn_id=txn,
-                    precomputed_stats=stats,
+                # single-commit refresh (round 13): dead keys ride the
+                # SAME copy-on-write publish as the live upserts via
+                # merge_upsert's delete_col — one tip parse + one
+                # manifest publish per refresh instead of two, and no
+                # staged-delete crash window. The dead rows' state
+                # columns never commit (the delete flag drops the row
+                # before the rewrite); only their keys steer the
+                # survivor anti-join. A pure-death refresh (n_live == 0)
+                # takes the same path: the commit rewrites exactly the
+                # dead keys' files and advances the watermark txn.
+                dead = _cast_to_view_schema(
+                    changed.filter(F.col("__mv_n") == 0).select(
+                        *_state_columns(group_by, aggs)
+                    ),
+                    view_dir,
                 )
-            # nothing to upsert (pure-death refresh): publish the
-            # watermark over the post-delete state so the consumption
-            # point advances
-            state = read_snapshot(spark, view_dir)
-            return snapshot_commit(state, view_dir, mode="overwrite", txn_id=txn)
+                payload = live.withColumn(
+                    "__mv_dead", F.lit(False)
+                ).unionByName(dead.withColumn("__mv_dead", F.lit(True)))
+                return merge_upsert(
+                    spark, view_dir, payload, keys, txn_id=txn,
+                    delete_col="__mv_dead", precomputed_stats=stats,
+                )
+            return merge_upsert(
+                spark, view_dir, live, keys, txn_id=txn,
+                precomputed_stats=stats,
+            )
         finally:
             if patched:
                 live.unpersist()

@@ -621,6 +621,25 @@ def find_txn(table_dir: str, txn_id: str) -> int | None:
     if tip is None:
         _TXN_INDEX.pop(table_dir, None)
         return None
+    # fast path (round 13): the tip manifest carries the cumulative
+    # txn→version map (publish_manifest writes it on every commit), so a
+    # cold-process probe is ONE stat-validated tip parse instead of a
+    # walk over all versions. The hit still re-verifies through the
+    # named version's own manifest below, so vacuumed versions and
+    # out-of-band rewrites behave exactly as the walk did. Manifests
+    # without the key (legacy tables) fall through to the walk.
+    tip_m = _read_manifest(table_dir, tip)
+    tip_txns = tip_m.get("txns")
+    if tip_txns is not None:
+        v = tip_txns.get(txn_id)
+        if v is None:
+            return None
+        try:
+            if _read_manifest(table_dir, v).get("txn") == txn_id:
+                return v
+        except OSError:
+            pass
+        return None
     entry = _TXN_INDEX.get(table_dir)
     scanned, txns = -1, {}
     if entry is not None:
@@ -1740,6 +1759,28 @@ def publish_manifest(
             parent_bases = tip_manifest.get("file_bases") or {}
             out_bases = {**parent_bases, **out_bases}
         out_bases = {f: b for f, b in out_bases.items() if f in set(files)}
+        # cumulative txn→version index (round 13): every manifest carries
+        # the full retained txn-id map, so find_txn is O(1) round trips
+        # even in a cold process (production formats keep this in
+        # checkpoint metadata). A legacy parent without the key seeds the
+        # map with one walk — the same walk find_txn's fallback pays per
+        # process today, paid once here and never again for this table.
+        # Entries are (id → version) pairs: growth is bytes per commit.
+        if tip_manifest is not None:
+            parent_txns = tip_manifest.get("txns")
+            if parent_txns is None:
+                parent_txns = {}
+                for v_ in range(0, tip + 1):
+                    if not os.path.exists(_manifest_path(table_dir, v_)):
+                        continue  # vacuumed gap
+                    t_ = _read_manifest(table_dir, v_).get("txn")
+                    if t_ is not None:
+                        parent_txns[t_] = v_
+            out_txns = dict(parent_txns)
+        else:
+            out_txns = {}
+        if txn_id is not None:
+            out_txns[txn_id] = version
         manifest = {
             "version": version,
             "parent": tip,
@@ -1774,6 +1815,10 @@ def publish_manifest(
             manifest["change"] = change
         if txn_id is not None:
             manifest["txn"] = txn_id
+        # always present on new manifests (even empty): the KEY's
+        # presence is find_txn's completeness signal — a legacy manifest
+        # lacks it entirely and routes to the incremental walk
+        manifest["txns"] = out_txns
         try:
             # exclusive create IS the commit point: exactly one writer can
             # create v{N}; a loser re-reads the tip and retries
@@ -2118,7 +2163,14 @@ def snapshot_change_feed(
                     _flush_appends()
                 append_run.append((v, m, new_rel))
         elif m["op"] == "delete":
-            _flush_appends()
+            # round 13: a delete version does NOT break the append run.
+            # Its retraction parts read through the PARENT manifest
+            # (captured below) and the run's insert parts read the run
+            # files' own commit dirs — neither depends on feed-walk
+            # order, and the union is unordered (every row carries
+            # _commit_version). Interleaved delete/append history (the
+            # CDC MoR catch-up shape) therefore keeps ONE batched
+            # insert scan per compatible run instead of one per append.
             parent_dvc = parent.get("dv_counts") or {}
             delta_dv = [
                 f
@@ -2196,7 +2248,12 @@ def snapshot_change_feed(
                     )
                 )
         else:
-            _flush_appends()
+            # rewrite/metadata versions keep the append run open too:
+            # the diff reads exactly its own (m, parent) manifests, and
+            # a rewrite that resets the physical namespace or remaps
+            # columns breaks the run at the NEXT append via
+            # _run_compatible. Run files stay readable — data files are
+            # immutable until vacuum, which cannot run mid-feed.
             parts.extend(
                 remap(p_df, v)
                 for p_df in _rewrite_change_rows(spark, table_dir, m, parent, v)

@@ -120,12 +120,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ceded its slot to agg_rollup_merge, the incremental-rollup
     # flagship that had never had a driver row
     "agg_distinct_counts",          # A1 A2
-    # round-12 rotation (2nd session): agg_percentiles ceded its slot
-    # (A4 stays driver-covered by rel_mv_hist_quantile below — the
-    # incremental-percentile sketch inverted at two quantiles — and the
-    # exact/approx percentile forms stay bit-exact in the local mirror)
-    # to the session's flagship, which had no driver row
-    "rel_mv_hist_quantile",         # A4 S5 A1 — incremental percentiles
+    # round-13 restoration (VERDICT r12 item 1): the round-12 rotation
+    # exceeded its sanction — the r11 verdict said "agg_percentiles
+    # keeps" and it was rotated out anyway. All 7 round-12 rotated-in
+    # rows cede back (rel_mv_hist_quantile, agg_colocated_groupby,
+    # src_snapshot_table_read, rel_mv_join_dim_delta, rel_sql_evolution,
+    # stream_cdc_apply_mor, rel_mv_composite_merge — each stays
+    # registered and bit-exact in the local pytest mirror) and the 7
+    # dropped names return, restoring CORRECTNESS_r11's exact key set.
+    # _DRIVER_PRIORITY is FROZEN for the rest of round 13.
+    "agg_percentiles",              # A4
     "agg_rollup_merge",             # A1 A6 — day partials merged to week
     "agg_approx_count_distinct",    # A3
     "agg_grouping_sets",            # A5
@@ -134,30 +138,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # the local mirror keeps it bit-exact) to rel_cdf_feed, the
     # retraction-feed flagship that had never had a driver row
     "fn_string",
-    # round-12 rotation (3rd session): fn_datetime ceded its slot
-    # (datetime exprs stay driver-exercised inside q01's date filter,
-    # fn_string's date_format, and the stream windows; the family stays
-    # bit-exact in the local mirror) to agg_colocated_groupby — the
-    # zero-exchange bucket-local GROUP BY, this session's second
-    # operator first (sources/colocated.py:colocated_groupby)
-    "agg_colocated_groupby",        # A1 A6 S5 — in-scan bucketed agg
-    # round-12 rotation: rel_cdf_feed ceded its slot (the retraction
-    # feed stays driver-covered by rel_cdf_cow, which exercises strictly
-    # more change kinds, and by rel_sql_evolution's table_changes read)
-    # to src_snapshot_table_read — the CONNECTOR surface (the Python
-    # Data Source batch read path every warehouse query routes through),
-    # which had never had a driver row of its own
-    "src_snapshot_table_read",      # S5 — snapshot_table DSv2 batch read
-    # round-12 rotation: fn_array_vector ceded its slot (array/higher-
-    # order exprs stay driver-exercised inside sim_cosine_topk's
-    # aggregate/zip_with dot product and the local mirror keeps the
-    # family bit-exact) to the star-schema join MV. Round-12 3rd
-    # session: rel_mv_join ceded in turn to its strictly-stronger
-    # superset rel_mv_join_dim_delta — same fact-DML surface PLUS dim
-    # SCD-1 update / delete / insert folded through the two-term
-    # incremental delta (on_dim_change='incremental'); the fact-only
-    # form stays bit-exact in the local mirror
-    "rel_mv_join_dim_delta",        # S5 J1 A1 — join MV + dim-delta fold
+    # round-13 restoration (VERDICT r12 item 1): fn_datetime,
+    # rel_cdf_feed and fn_array_vector return; agg_colocated_groupby,
+    # src_snapshot_table_read and rel_mv_join_dim_delta cede back to the
+    # mirror tier (see the restoration note above agg_percentiles)
+    "fn_datetime",
+    "rel_cdf_feed",                 # S5 — CDF retraction feed
+    "fn_array_vector",
     "fn_json",                      # json + map + P1
     # round-11 rotation: fn_conditional_null ceded its slot (the
     # conditional/null family stays driver-exercised inside q13's CASE,
@@ -184,19 +171,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # slot (O4 stays driver-covered inside setop_intersect_except's
     # union legs and the local mirror keeps it bit-exact) to
     # stream_gapfill_locf, round 9's stateful gap-fill twin
-    # round-12 rotation: rel_projection_compute ceded its slot (P2/P4
-    # stay driver-exercised by rel_rename_evolution's computed reads and
-    # every SELECT row; the bare form stays bit-exact in the mirror) to
-    # rel_sql_evolution — the round-12 SQL dialect completion flagship
-    # (ALTER COLUMN TYPE widening + INSERT over the straddle + the
-    # table_changes() TVF), executing the literal statement texts
-    "rel_sql_evolution",            # S5 P3 P4 — SQL widen + CDF TVF
-    # round-12 rotation: stream_gapfill_locf ceded its slot (T7 stays
-    # driver-covered by stream_stateful_user_stats, W2 by
-    # stream_temporal_enrich; the gap-fill twin stays bit-exact in the
-    # mirror) to stream_cdc_apply_mor — the write-optimized CDC apply
-    # (stream → equality-delete + append), which had no driver row
-    "stream_cdc_apply_mor",         # T7 S5 — MoR CDC apply stream
+    # round-13 restoration (VERDICT r12 item 1): rel_projection_compute
+    # and stream_gapfill_locf return; rel_sql_evolution and
+    # stream_cdc_apply_mor cede back to the mirror tier
+    "rel_projection_compute",       # P2 P4
+    "stream_gapfill_locf",          # T7 W2 — stateful gap-fill
     # round-11 rotation: setop_intersect_except ceded its slot (O4/O5
     # stay bit-exact in the local mirror; the set-op algebra is also
     # exercised inside the dedup/decontamination rows) to
@@ -279,13 +258,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
     "udf_row_scalar",
-    # round-12 rotation: sample_weighted ceded its slot (W4 stays
-    # driver-covered by sim_cosine_topk's per-group top-k; the sampling
-    # arithmetic stays bit-exact in the mirror and inside
-    # pipeline_end_to_end's split stage) to rel_mv_composite_merge —
-    # the composite-key delta-proportional MV refresh, round 12's
-    # flagship (the last not-delta-proportional refresh path closed)
-    "rel_mv_composite_merge",       # S5 A1 A6 — composite-key merge MV
+    # round-13 restoration (VERDICT r12 item 1): sample_weighted
+    # returns; rel_mv_composite_merge cedes back to the mirror tier
+    "sample_weighted",              # W4
     "pack_sequences",               # X-pipeline W3
 )
 

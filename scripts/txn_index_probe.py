@@ -75,6 +75,24 @@ def main() -> None:
         assert S.find_txn(t, "txn-1") == 1
         assert S.find_txn(t, f"txn-{V - 1}") == V - 1
         warm_hit = snap()
+        # COLD-PROCESS simulation (round 13): clear every in-process
+        # cache, then one miss and one hit — the shape a FRESH driver
+        # pays on its first idempotency probe against an existing
+        # table. Before the persisted tip txn index this walked all V
+        # manifests (O(V) stats+parses); with it, the miss is one dir
+        # stat + one tip manifest read, the hit adds one verify read.
+        S._TXN_INDEX.clear()
+        S._MANIFEST_CACHE.clear()
+        S._TIP_CACHE.clear()
+        snap()
+        assert S.find_txn(t, "txn-cold-nope") is None
+        cold_proc_miss = snap()
+        S._TXN_INDEX.clear()
+        S._MANIFEST_CACHE.clear()
+        S._TIP_CACHE.clear()
+        snap()
+        assert S.find_txn(t, "txn-1") == 1
+        cold_proc_hit = snap()
     finally:
         os.stat, os.path.exists, os.listdir = _stat, _exists, _listdir
 
@@ -82,6 +100,8 @@ def main() -> None:
     print(f"cold miss        : {cold}")
     print(f"10 warm misses   : {warm_miss}")
     print(f"2 warm hits      : {warm_hit}")
+    print(f"cold-process miss: {cold_proc_miss}")
+    print(f"cold-process hit : {cold_proc_hit}")
     shutil.rmtree(base, ignore_errors=True)
 
 
